@@ -1,0 +1,308 @@
+"""Parsers: raw line → typed fields (SURVEY.md §2.2).
+
+Reference semantics re-expressed (NOT ported):
+
+- regex parser with named capture groups + per-field type hints
+  (upstream:src/flb_parser_regex.c, flb_parser.c ``flb_parser_do`` /
+  ``flb_parser_typecast``) → Arrow-batched pandas UDF using pandas'
+  ``Series.str.extract`` (vectorized C regex) + native ``try_cast``.
+- json parser (upstream:src/flb_parser_json.c) → ``F.from_json``.
+- ltsv parser (upstream:src/flb_parser_ltsv.c) → ``F.str_to_map``.
+- logfmt parser (upstream:src/flb_parser_logfmt.c) → ``str_to_map`` for
+  the simple case, regex-findall pandas UDF for quoted values.
+- time lookup (upstream:src/flb_parser.c ``flb_parser_time_lookup``) →
+  ``F.try_to_timestamp`` with strptime→Java format conversion.
+- parser decoders / do_next chains (upstream:src/flb_parser_decoder.c) →
+  ``F.coalesce`` over try-parse columns (see ``parse_first_match``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Generic named-group regex parser (the fluent-bit [PARSER] regex block)
+# ---------------------------------------------------------------------------
+
+_TYPE_MAP = {
+    "integer": T.LongType(),
+    "float": T.DoubleType(),
+    "bool": T.BooleanType(),
+    "string": T.StringType(),
+    "hex": T.LongType(),  # cast after conv(, 16, 10)
+}
+
+
+@dataclass(frozen=True)
+class RegexParser:
+    """A named parser: regex with named groups + optional type hints and
+    a time key — mirrors a fluent-bit ``[PARSER] Format regex`` block."""
+
+    name: str
+    pattern: str
+    types: dict[str, str] = field(default_factory=dict)   # group -> type hint
+    time_key: str | None = None
+    time_format: str | None = None                        # strptime format
+
+    def group_names(self) -> list[str]:
+        return list(re.compile(self.pattern).groupindex.keys())
+
+
+def regex_extract_udf(parser: RegexParser):
+    """pandas UDF: raw string column → struct of string groups (null row on
+    no-match). The pattern compiles once per executor (closure), matching
+    the reference's compile-once Onigmo posture."""
+    names = parser.group_names()
+    if not names:
+        raise ValueError(f"parser {parser.name}: pattern has no named groups")
+    schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+    pat = parser.pattern
+
+    @F.pandas_udf(schema)
+    def extract(s: pd.Series) -> pd.DataFrame:
+        rx = re.compile(pat)
+        out = s.str.extract(rx)  # vectorized; NaN rows where no match
+        out.columns = names
+        return out.where(pd.notna(out), None)
+
+    return extract
+
+
+def apply_regex_parser(df: DataFrame, parser: RegexParser,
+                       key: str = "decoded",
+                       out: str | None = None) -> DataFrame:
+    """Add ``out`` struct column with typed fields; rows that do not match
+    get a null struct (caller decides keep/drop — filter_parser semantics)."""
+    out = out or f"parsed_{parser.name}"
+    udf = regex_extract_udf(parser)
+    df = df.withColumn(out, udf(F.col(key)))
+    # no-match → whole struct null (str.extract yields all-null fields)
+    names = parser.group_names()
+    any_hit = None
+    for n in names:
+        c = F.col(f"{out}.{n}").isNotNull()
+        any_hit = c if any_hit is None else (any_hit | c)
+    typed = []
+    for n in names:
+        c = F.col(f"{out}.{n}")
+        hint = parser.types.get(n)
+        if hint == "hex":
+            c = F.conv(c, 16, 10).cast(T.LongType())
+        elif hint in _TYPE_MAP:
+            c = c.try_cast(_TYPE_MAP[hint])
+        if parser.time_key == n and parser.time_format:
+            c = try_strptime(c, parser.time_format)
+        typed.append(c.alias(n))
+    return df.withColumn(
+        out, F.when(any_hit, F.struct(*typed)).otherwise(F.lit(None)))
+
+
+def parse_first_match(df: DataFrame, parsers: list[RegexParser],
+                      key: str = "decoded",
+                      out: str = "fields") -> DataFrame:
+    """Decoder chain (``do_next`` semantics): first parser that matches
+    wins. Requires all parsers to share a field-name superset — callers
+    should normalize group names; missing groups become nulls."""
+    all_names: list[str] = []
+    for p in parsers:
+        for n in p.group_names():
+            if n not in all_names:
+                all_names.append(n)
+    tmp_cols = []
+    for p in parsers:
+        df = apply_regex_parser(df, p, key=key, out=f"__p_{p.name}")
+        names = set(p.group_names())
+        padded = F.when(
+            F.col(f"__p_{p.name}").isNotNull(),
+            F.struct(
+                *[(F.col(f"__p_{p.name}.{n}") if n in names
+                   else F.lit(None).cast(T.StringType())).alias(n)
+                  for n in all_names],
+                F.lit(p.name).alias("parser"),
+            ))
+        df = df.withColumn(f"__p_{p.name}", padded)
+        tmp_cols.append(f"__p_{p.name}")
+    df = df.withColumn(out, F.coalesce(*[F.col(c) for c in tmp_cols]))
+    return df.drop(*tmp_cols)
+
+
+# ---------------------------------------------------------------------------
+# Native (JVM-side) structured parsers
+# ---------------------------------------------------------------------------
+
+def json_parser(col: Column | str, schema: T.StructType | str | None = None,
+                ) -> Column:
+    """upstream:src/flb_parser_json.c → from_json. With no schema, parse to
+    map<string,string> (fluent-bit's schemaless map analogue)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(c, schema or "map<string,string>")
+
+
+def ltsv_parser(col: Column | str) -> Column:
+    """upstream:src/flb_parser_ltsv.c → str_to_map on tab / colon."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.str_to_map(c, F.lit("\t"), F.lit(":"))
+
+
+def logfmt_parser(col: Column | str) -> Column:
+    """Simple (unquoted) logfmt: k=v pairs split on spaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.str_to_map(c, F.lit(" "), F.lit("="))
+
+
+_LOGFMT_PAIR = re.compile(r'([A-Za-z0-9_.-]+)=(?:"([^"]*)"|(\S*))')
+
+
+def logfmt_quoted_udf():
+    """Full logfmt with quoted values → map<string,string> pandas UDF
+    (vectorized ``str.findall``)."""
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def parse(s: pd.Series) -> pd.Series:
+        found = s.str.findall(_LOGFMT_PAIR)
+        return found.map(
+            lambda pairs: {k: (q if q != "" else u)
+                           for k, q, u in pairs} if isinstance(pairs, list)
+            else None)
+
+    return parse
+
+
+# ---------------------------------------------------------------------------
+# Time parsing (flb_parser_time_lookup semantics)
+# ---------------------------------------------------------------------------
+
+_STRPTIME_TO_JAVA = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%b", "MMM"), ("%B", "MMMM"), ("%H", "HH"), ("%M", "mm"),
+    ("%S", "ss"), ("%L", "SSS"), ("%z", "xx"), ("%Z", "zz"),
+    ("%p", "a"), ("%I", "hh"), ("%j", "DDD"), ("%e", "d"),
+    ("%T", "HH:mm:ss"), ("%F", "yyyy-MM-dd"),
+]
+
+
+def strptime_to_java(fmt: str) -> str:
+    for a, b in _STRPTIME_TO_JAVA:
+        fmt = fmt.replace(a, b)
+    return fmt
+
+
+def try_strptime(col: Column | str, fmt: str) -> Column:
+    """strptime-format timestamp parse; invalid → null (never error —
+    fluent-bit keeps the record with the ingest time on parse failure;
+    our DLQ policy handles nulls downstream)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if fmt in ("%s", "epoch"):
+        return F.timestamp_seconds(c.try_cast(T.LongType()))
+    return F.try_to_timestamp(c, F.lit(strptime_to_java(fmt)))
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-shape log-line parser: the flagship pipeline's hot path.
+# One Arrow round-trip classifies and parses all five fixture shapes
+# (apache / json / ltsv / logfmt / garbage). Equivalent to a fluent-bit
+# parser list with do_next chaining, but fused so the 10^12-row scan pays
+# a single UDF boundary.
+# ---------------------------------------------------------------------------
+
+PARSED_FIELDS = [
+    ("kind", T.StringType()),
+    ("level", T.StringType()),
+    ("code", T.IntegerType()),
+    ("msg", T.StringType()),
+    ("path", T.StringType()),
+    ("host", T.StringType()),
+    ("ip", T.StringType()),
+    ("method", T.StringType()),
+    ("user", T.StringType()),
+    ("ts_raw", T.StringType()),
+    ("size", T.LongType()),
+    ("dur_ms", T.LongType()),
+    ("k", T.LongType()),
+]
+PARSED_SCHEMA = T.StructType(
+    [T.StructField(n, t) for n, t in PARSED_FIELDS])
+
+_APACHE_RE = re.compile(
+    r'^(?P<ip>\d+\.\d+\.\d+\.\d+) - (?P<user>\S+) \[(?P<ts_raw>[^\]]+)\] '
+    r'"(?P<method>\S+) (?P<path>\S+) HTTP/[\d.]+" (?P<code>\d+) '
+    r'(?P<size>\d+)\s*$')
+_JSON_LEVEL = re.compile(r'"level"\s*:\s*"(\w+)"')
+_JSON_MSG = re.compile(r'"msg"\s*:\s*"([^"]*)"')
+_JSON_CODE = re.compile(r'"code"\s*:\s*(\d+)')
+_JSON_K = re.compile(r'"k"\s*:\s*(\d+)')
+_LTSV_F = {k: re.compile(rf'(?:^|\t){k}:([^\t]*)')
+           for k in ("host", "level", "code", "msg")}
+_LOGFMT_LEVEL = re.compile(r'(?:^| )level=(\S+)')
+_LOGFMT_MSG = re.compile(r'msg="([^"]*)"')
+_LOGFMT_CODE = re.compile(r'(?:^| )code=(\d+)')
+_LOGFMT_DUR = re.compile(r'(?:^| )dur_ms=(\d+)')
+
+
+def _parse_batch(s: pd.Series) -> pd.DataFrame:
+    out = pd.DataFrame(index=s.index)
+    for name, _ in PARSED_FIELDS:
+        out[name] = pd.Series(None, index=s.index, dtype=object)
+
+    is_json = s.str.startswith("{", na=False)
+    is_ltsv = s.str.contains("\t", na=False) & ~is_json
+    apache_ext = s.str.extract(_APACHE_RE)
+    is_apache = apache_ext["ip"].notna() & ~is_json & ~is_ltsv
+    is_logfmt = (s.str.contains("=", na=False)
+                 & ~is_json & ~is_ltsv & ~is_apache)
+
+    if is_apache.any():
+        m = is_apache
+        for f_ in ("ip", "user", "ts_raw", "method", "path", "code", "size"):
+            out.loc[m, f_] = apache_ext.loc[m, f_]
+        out.loc[m, "kind"] = "apache"
+    if is_json.any():
+        sub = s[is_json]
+        out.loc[is_json, "level"] = sub.str.extract(_JSON_LEVEL)[0]
+        out.loc[is_json, "msg"] = sub.str.extract(_JSON_MSG)[0]
+        out.loc[is_json, "code"] = sub.str.extract(_JSON_CODE)[0]
+        out.loc[is_json, "k"] = sub.str.extract(_JSON_K)[0]
+        # a '{'-prefixed line with no recognizable fields is NOT parsed
+        ok = is_json & (out["level"].notna() | out["code"].notna())
+        out.loc[ok, "kind"] = "json"
+    if is_ltsv.any():
+        sub = s[is_ltsv]
+        for f_, rx in _LTSV_F.items():
+            out.loc[is_ltsv, f_] = sub.str.extract(rx)[0]
+        ok = is_ltsv & out["level"].notna()
+        out.loc[ok, "kind"] = "ltsv"
+    if is_logfmt.any():
+        sub = s[is_logfmt]
+        out.loc[is_logfmt, "level"] = sub.str.extract(_LOGFMT_LEVEL)[0]
+        out.loc[is_logfmt, "msg"] = sub.str.extract(_LOGFMT_MSG)[0]
+        out.loc[is_logfmt, "code"] = sub.str.extract(_LOGFMT_CODE)[0]
+        out.loc[is_logfmt, "dur_ms"] = sub.str.extract(_LOGFMT_DUR)[0]
+        ok = is_logfmt & out["level"].notna()
+        out.loc[ok, "kind"] = "logfmt"
+
+    for f_, dtype in (("code", "Int32"), ("size", "Int64"),
+                      ("dur_ms", "Int64"), ("k", "Int64")):
+        out[f_] = pd.to_numeric(out[f_], errors="coerce").astype(dtype)
+    return out
+
+
+def parse_logline_udf():
+    @F.pandas_udf(PARSED_SCHEMA)
+    def parse_logline(s: pd.Series) -> pd.DataFrame:
+        return _parse_batch(s)
+
+    return parse_logline
+
+
+def with_parsed(df: DataFrame, decoded_col: str = "decoded",
+                out: str = "fields") -> DataFrame:
+    """Add the fused parse struct + parse_ok flag."""
+    udf = parse_logline_udf()
+    df = df.withColumn(out, udf(F.col(decoded_col)))
+    return df.withColumn("parse_ok", F.col(f"{out}.kind").isNotNull())

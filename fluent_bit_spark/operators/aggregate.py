@@ -1,0 +1,158 @@
+"""Aggregations (SURVEY.md §2.6–§2.7): stream-processor SELECT aggregates,
+log_to_metrics, event-time windows, and the skew-salted two-phase groupBy.
+
+Reference:
+- SP aggregation paths (upstream:src/stream_processor/flb_sp.c,
+  flb_sp_window.c): AVG/SUM/COUNT/MIN/MAX with GROUP BY over window
+  buffers, processing-time flush.
+- TIMESERIES_FORECAST (upstream:src/stream_processor/
+  flb_sp_aggregate_func.c): least-squares linear forecast.
+- filter_log_to_metrics (upstream:plugins/filter_log_to_metrics/
+  log_to_metrics.c): counter / gauge / histogram derivation.
+
+Scale notes: Spark's hash aggregate already does map-side partial
+aggregation, which absorbs most key skew for algebraic aggs (count/sum/
+min/max). The explicit salt matters for the *distinct* path and for any
+holistic agg where one hot key (src0 ≈ 40% of rows) would otherwise land
+on a single reducer: phase 1 groups by (keys…, salt) so the hot key fans
+out over ``salt_buckets`` reducers; phase 2 recombines partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_col(seed_col: str = "doc_id", buckets: int = 32) -> Column:
+    return F.pmod(F.xxhash64(F.col(seed_col)), F.lit(buckets)).alias("__salt")
+
+
+def salted_sink_aggregates(df: DataFrame, keys: list[str],
+                           n_tok_col: str = "n_tok",
+                           source_col: str = "source",
+                           salt_seed_col: str = "doc_id",
+                           salt_buckets: int = 32,
+                           approx_distinct: bool = False) -> DataFrame:
+    """Per-tag/per-sink aggregate: records, n_tok sums, distinct sources
+    (BASELINE.json north_star) as a two-phase salted aggregation.
+
+    Phase 1 groups by (keys…, source, salt) — the hot (tag, src0) pair
+    splits across ``salt_buckets`` partial groups. Phase 2 collapses the
+    salt, phase 3 collapses source to get the exact distinct count without
+    a shuffle of raw rows. ``approx_distinct=True`` swaps the exact count
+    for HLL (the 10^12-row path when source cardinality were unbounded)."""
+    if approx_distinct:
+        p0 = (df.groupBy(*keys, salt_col(salt_seed_col, salt_buckets))
+                .agg(F.count("*").alias("__c"),
+                     F.sum(n_tok_col).alias("__s"),
+                     F.approx_count_distinct(source_col).alias("__d")))
+        return (p0.groupBy(*keys)
+                  .agg(F.sum("__c").alias("records"),
+                       F.sum("__s").alias("sum_n_tok"),
+                       F.max("__d").alias("distinct_sources")))
+    p0 = (df.groupBy(*keys, source_col,
+                     salt_col(salt_seed_col, salt_buckets))
+            .agg(F.count("*").alias("__c"), F.sum(n_tok_col).alias("__s")))
+    p1 = (p0.groupBy(*keys, source_col)
+            .agg(F.sum("__c").alias("__c"), F.sum("__s").alias("__s")))
+    return (p1.groupBy(*keys)
+              .agg(F.sum("__c").alias("records"),
+                   F.sum("__s").alias("sum_n_tok"),
+                   F.count(source_col).alias("distinct_sources")))
+
+
+def sp_aggregate(df: DataFrame, group_keys: list[str],
+                 aggs: dict[str, tuple[str, str]]) -> DataFrame:
+    """Stream-processor SELECT list: {out_name: (fn, key)} with fn in
+    avg|sum|count|min|max (upstream SP's full aggregate surface)."""
+    fns = {"avg": F.avg, "sum": F.sum, "count": F.count,
+           "min": F.min, "max": F.max}
+    exprs = [fns[fn](F.col(key) if key != "*" else F.lit(1)).alias(name)
+             if fn != "count" else
+             (F.count("*") if key == "*" else F.count(F.col(key))).alias(name)
+             for name, (fn, key) in aggs.items()]
+    return df.groupBy(*group_keys).agg(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (SP WINDOW TUMBLING / HOPPING; SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def tumbling(df: DataFrame, ts_col: str, size: str,
+             keys: list[str] | None = None):
+    return df.groupBy(F.window(F.col(ts_col), size).alias("win"),
+                      *(keys or []))
+
+
+def hopping(df: DataFrame, ts_col: str, size: str, advance: str,
+            keys: list[str] | None = None):
+    return df.groupBy(F.window(F.col(ts_col), size, advance).alias("win"),
+                      *(keys or []))
+
+
+def session(df: DataFrame, ts_col: str, gap: str,
+            keys: list[str] | None = None):
+    """Absent upstream (SURVEY §2.7) — free in Spark; provided for parity+."""
+    return df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"),
+                      *(keys or []))
+
+
+# ---------------------------------------------------------------------------
+# TIMESERIES_FORECAST — closed-form least squares via regr_* builtins
+# ---------------------------------------------------------------------------
+
+
+def timeseries_forecast(df: DataFrame, keys: list[str], ts_col: str,
+                        value_col: str, horizon_seconds: float) -> DataFrame:
+    """Per-group linear forecast of ``value`` at max(ts)+horizon.
+    Matches upstream's incremental least-squares exactly in the limit
+    (same normal equations), computed distributed by Catalyst."""
+    x = F.unix_timestamp(F.col(ts_col)).cast("double")
+    y = F.col(value_col).cast("double")
+    out = (df.groupBy(*keys)
+             .agg(F.regr_slope(y, x).alias("slope"),
+                  F.regr_intercept(y, x).alias("intercept"),
+                  F.max(x).alias("__xmax")))
+    return (out.withColumn(
+                "forecast",
+                F.col("intercept")
+                + F.col("slope") * (F.col("__xmax") + F.lit(horizon_seconds)))
+               .drop("__xmax"))
+
+
+# ---------------------------------------------------------------------------
+# filter_log_to_metrics
+# ---------------------------------------------------------------------------
+
+
+def log_counter(df: DataFrame, labels: list[str],
+                name: str = "value") -> DataFrame:
+    return df.groupBy(*labels).agg(F.count("*").alias(name))
+
+
+def log_gauge(df: DataFrame, labels: list[str], value_field: str,
+              mode: str = "avg", name: str = "value") -> DataFrame:
+    fn = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}[mode]
+    return df.groupBy(*labels).agg(fn(F.col(value_field)).alias(name))
+
+
+def histogram_bucket(value_col: str, lo: float, hi: float,
+                     nbuckets: int) -> Column:
+    """Prometheus-style fixed buckets: floor((v-lo)/step) clamped to
+    [0, n-1]; out-of-range low → 0 (er, underflow) / high → n (overflow
+    bucket), matching log_to_metrics' +Inf bucket."""
+    step = (hi - lo) / nbuckets
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(step))
+    return (F.when(F.col(value_col) < lo, F.lit(-1))
+             .when(F.col(value_col) >= hi, F.lit(nbuckets))
+             .otherwise(raw)).cast("int")
+
+
+def log_histogram(df: DataFrame, labels: list[str], value_field: str,
+                  lo: float, hi: float, nbuckets: int) -> DataFrame:
+    return (df.withColumn("bucket",
+                          histogram_bucket(value_field, lo, hi, nbuckets))
+              .groupBy(*labels, "bucket")
+              .agg(F.count("*").alias("n")))

@@ -1,0 +1,240 @@
+"""The end-to-end pipeline: parse → filter → enrich → tag → route →
+fan-out → aggregate, with checkpointed resume and lineage metrics.
+
+Reference lifecycle re-expressed (SURVEY.md §3.1): fluent-bit runs
+filters synchronously per chunk with msgpack re-serialization between
+every filter (upstream:src/flb_filter.c) and routes chunk-by-chunk
+(upstream:src/flb_engine.c, flb_task.c). Here the whole chain is ONE
+lazy Catalyst plan per slice — filters fuse into a single whole-stage
+codegen span around one Arrow round-trip (detokenize+parse), the routed
+DataFrame is persisted once, and the N sink writes + metrics reuse it
+(manual common-subplan reuse; Catalyst does not dedupe across actions).
+
+Checkpoint/resume (upstream:plugins/in_tail/tail_db.c offset DB →
+per-slice manifest, BASELINE.json north_rule "resumable from
+per-partition checkpoints with lineage + metrics"): input files are
+grouped into slices; each slice's sink writes land under
+``batch_id=<i>`` directories (idempotent overwrite), and a manifest
+JSON marks the slice done only after all sinks + metrics commit. A
+re-run skips completed slices and reproduces identical outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..functions.detok import with_decoded
+from ..functions.parsers import with_parsed
+from ..operators.enrich import lookup_join
+from ..operators.filters import GrepRule, grep_predicate
+from ..operators.router import RewriteTagRule, Route, apply_rewrite_tag, \
+    with_routes
+
+TOKENS_SCHEMA = ("doc_id string, tokens array<int>, n_tok int, "
+                 "source string")
+
+
+@dataclass
+class PipelineSpec:
+    """Declarative pipeline config — the analogue of a fluent-bit config
+    file (inputs/filters/outputs), resolved to a DataFrame plan."""
+
+    vocab: list[str]
+    routes: list[Route]
+    grep_rules: list[GrepRule] = field(default_factory=list)
+    grep_op: str = "AND"
+    rewrite_rules: list[RewriteTagRule] = field(default_factory=list)
+    lookup_path: str | None = None          # enrichment dim parquet
+    lookup_key: str = "source"
+    tag_expr: str | None = None             # SQL expr for the tag column
+    sink_partition_by: list[str] = field(default_factory=lambda: ["source"])
+    salt_buckets: int = 32
+    fanout_mode: str = "persist"            # 'persist' | 'explode'
+
+
+def default_tag_expr() -> str:
+    """tag = app.<source>.<kind> (tag-from-path analogue of in_tail's
+    tag_regex, upstream:plugins/in_tail)."""
+    return "concat('app.', source, '.', coalesce(fields.kind, 'raw'))"
+
+
+def build_stages(spark: SparkSession, df: DataFrame,
+                 spec: PipelineSpec) -> DataFrame:
+    """Compose the lazy plan: input → routed (with sinks + dlq_reason).
+
+    ``tokens`` passes through untouched end-to-end (token-equality
+    invariant) — every stage only adds columns or filters rows."""
+    out = with_decoded(df, spark, spec.vocab)
+    out = with_parsed(out)
+    if spec.grep_rules:
+        # grep drops rows entirely in fluent-bit; we keep them for the DLQ
+        # accounting instead when they fail parse, but a grep miss is a
+        # real drop (matches reference: grep'd records vanish silently —
+        # we still count them via metrics on the pre-grep frame if needed)
+        out = out.filter(grep_predicate(spec.grep_rules, spec.grep_op))
+    if spec.lookup_path:
+        dim = spark.read.parquet(spec.lookup_path)
+        out = lookup_join(out, dim, spec.lookup_key)
+    out = out.withColumn("tag", F.expr(spec.tag_expr or default_tag_expr()))
+    if spec.rewrite_rules:
+        out = apply_rewrite_tag(out, spec.rewrite_rules)
+    out = with_routes(out, spec.routes)
+    out = out.withColumn(
+        "dlq_reason",
+        F.when(~F.col("parse_ok"), F.lit("parse_fail"))
+         .when(F.size("sinks") == 0, F.lit("no_route")))
+    return out
+
+
+def sink_names(spec: PipelineSpec) -> list[str]:
+    seen: list[str] = []
+    for r in spec.routes:
+        if r.sink not in seen:
+            seen.append(r.sink)
+    return seen
+
+
+def slice_metrics(routed: DataFrame, salt_buckets: int) -> DataFrame:
+    """Per-tag lineage metrics for one slice: records, token sums, distinct
+    sources, parse failures — the cmetrics/flb_metrics analogue
+    (upstream:src/flb_metrics.c), derived from the persisted routed DF so
+    it costs no extra scan of the input."""
+    from ..operators.aggregate import salted_sink_aggregates
+    per_tag = salted_sink_aggregates(
+        routed, ["tag"], salt_buckets=salt_buckets)
+    dlq = (routed.groupBy("tag")
+                 .agg(F.sum(F.when(F.col("dlq_reason") == "parse_fail", 1)
+                            .otherwise(0)).alias("parse_fail"),
+                      F.sum(F.when(F.col("dlq_reason") == "no_route", 1)
+                            .otherwise(0)).alias("no_route")))
+    return per_tag.join(dlq, "tag", "left")
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed runner
+# ---------------------------------------------------------------------------
+
+
+def _manifest_dir(output_dir: str, run_id: str) -> str:
+    return os.path.join(output_dir, "_checkpoints", run_id)
+
+
+def completed_slices(output_dir: str, run_id: str) -> set[int]:
+    d = _manifest_dir(output_dir, run_id)
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for f in os.listdir(d):
+        if f.startswith("slice_") and f.endswith(".json"):
+            out.add(int(f[6:-5]))
+    return out
+
+
+def _commit_slice(output_dir: str, run_id: str, i: int,
+                  payload: dict) -> None:
+    d = _manifest_dir(output_dir, run_id)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".slice_{i}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, os.path.join(d, f"slice_{i}.json"))  # atomic commit
+
+
+def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
+                 output_dir: str, run_id: str = "run0",
+                 n_slices: int = 1,
+                 fail_after_slice: int | None = None) -> dict:
+    """Execute the pipeline with per-slice checkpointing.
+
+    Returns run stats. ``fail_after_slice`` injects a crash for the
+    resume property test (kill after k slices → re-run → identical sinks).
+
+    Scale shape: each slice is an independent bounded job whose sink
+    writes are partition-local (no shuffle — routing is a map-side
+    expression); the only shuffle per slice is the metrics aggregation,
+    which is salted two-phase. On a 1000-executor cluster slices become
+    much larger file groups; the manifest bounds re-work on failure to
+    one slice.
+    """
+    t0 = time.time()
+    all_files = sorted(spark.read.schema(TOKENS_SCHEMA)
+                       .parquet(input_path).inputFiles())
+    slices = [all_files[i::n_slices] for i in range(n_slices)]
+    slices = [s for s in slices if s]
+    done = completed_slices(output_dir, run_id)
+    sinks = sink_names(spec)
+    stats = {"slices_total": len(slices), "slices_skipped": len(done),
+             "rows_in": 0, "rows_dlq": 0}
+
+    for i, files in enumerate(slices):
+        if i in done:
+            continue
+        df = (spark.read.schema(TOKENS_SCHEMA).parquet(*files)
+              .withColumn("_lineage", F.struct(
+                  F.lit(i).alias("batch_id"),
+                  F.input_file_name().alias("input_file"))))
+        routed = build_stages(spark, df, spec)
+        routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            good = routed.filter(F.col("dlq_reason").isNull())
+            if spec.fanout_mode == "explode":
+                # single-pass fast path: duplicates multi-routed rows under
+                # each sink dir — exactly fluent-bit's per-output flush
+                (good.withColumn("sink", F.explode("sinks"))
+                     .write.mode("overwrite")
+                     .partitionBy("sink", *spec.sink_partition_by)
+                     .parquet(os.path.join(output_dir, "sinks_by_dir",
+                                           f"batch_id={i}")))
+            else:
+                for s in sinks:
+                    (good.filter(F.array_contains("sinks", s))
+                         .write.mode("overwrite")
+                         .partitionBy(*spec.sink_partition_by)
+                         .parquet(os.path.join(output_dir, "sinks", s,
+                                               f"batch_id={i}")))
+            (routed.filter(F.col("dlq_reason").isNotNull())
+                   .select("doc_id", "tokens", "n_tok", "source", "decoded",
+                           "tag", "dlq_reason", "_lineage")
+                   .write.mode("overwrite")
+                   .parquet(os.path.join(output_dir, "dlq", f"batch_id={i}")))
+            m = slice_metrics(routed, spec.salt_buckets) \
+                .withColumn("batch_id", F.lit(i))
+            m.write.mode("overwrite").parquet(
+                os.path.join(output_dir, "_metrics", f"b{i}"))
+            # derive run totals from the already-computed metrics rows —
+            # no extra scan of the routed frame
+            tot = (m.agg(F.sum("records").alias("r"),
+                         F.sum(F.col("parse_fail") + F.col("no_route"))
+                          .alias("d")).collect()[0])
+            rows_in, rows_dlq = int(tot["r"] or 0), int(tot["d"] or 0)
+            stats["rows_in"] += rows_in
+            stats["rows_dlq"] += rows_dlq
+            _commit_slice(output_dir, run_id, i, {
+                "files": files, "rows_in": rows_in, "rows_dlq": rows_dlq,
+                "sinks": sinks, "ts": time.time()})
+        finally:
+            routed.unpersist()
+        if fail_after_slice is not None and i >= fail_after_slice:
+            raise RuntimeError(f"injected failure after slice {i}")
+    stats["wall_sec"] = time.time() - t0
+    return stats
+
+
+def read_sink(spark: SparkSession, output_dir: str, sink: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_dir, "sinks", sink))
+
+
+def read_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(output_dir, "_metrics")))
+
+
+def read_dlq(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_dir, "dlq"))

@@ -1,0 +1,53 @@
+"""Table-format abstraction: Parquet in the sandbox, Iceberg in production.
+
+Reference analogue: in_tail / out_file+out_s3 (upstream:plugins/in_tail,
+plugins/out_file, plugins/out_s3) — file follow + per-tag file layout.
+In a table engine both collapse to partitioned table scans/writes.
+
+The sandbox has no Iceberg runtime jar (verified, SURVEY §1.2), so
+``TableIO`` selects by format string and degrades gracefully: the Iceberg
+path is exercised only when ``spark.sql.catalog.*`` is configured (cluster
+deployments add ``iceberg-spark-runtime`` via ``spark.jars.packages``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+@dataclass(frozen=True)
+class TableIO:
+    fmt: str = "parquet"  # 'parquet' | 'iceberg'
+
+    def read(self, spark: SparkSession, path_or_table: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return spark.read.format("iceberg").load(path_or_table)
+        return spark.read.parquet(path_or_table)
+
+    def write(self, df: DataFrame, path_or_table: str,
+              partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if self.fmt == "iceberg":
+            w.format("iceberg").saveAsTable(path_or_table)
+        else:
+            w.parquet(path_or_table)
+
+
+def read_tokens(spark: SparkSession, path: str,
+                io: TableIO | None = None) -> DataFrame:
+    """The engine's canonical input: (doc_id, tokens, n_tok, source)."""
+    return (io or TableIO()).read(spark, path)

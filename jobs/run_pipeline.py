@@ -1,0 +1,74 @@
+"""spark-submit entry point for the log pipeline.
+
+Usage (BASELINE.json north_rule packaging):
+
+    zip -r engine.zip fluent_bit_spark
+    spark-submit --master local[32] --py-files engine.zip \
+        jobs/run_pipeline.py --input /path/tokens.parquet \
+        --output /path/out --slices 8 [--gen-rows N] [--fanout explode]
+
+With ``--gen-rows N`` the job first synthesizes the deterministic F1
+tokens table at the input path (sandbox mode — no external data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="fluent_bit_spark pipeline")
+    ap.add_argument("--input", required=True, help="tokens parquet path")
+    ap.add_argument("--output", required=True, help="output dir")
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--slices", type=int, default=1)
+    ap.add_argument("--fanout", choices=["persist", "explode"],
+                    default="persist")
+    ap.add_argument("--gen-rows", type=int, default=0,
+                    help="synthesize the input first with N rows")
+    ap.add_argument("--lookup", default=None,
+                    help="enrichment dim parquet (default: generated)")
+    args = ap.parse_args()
+
+    from fluent_bit_spark import fixtures as fx
+    from fluent_bit_spark.operators.router import RewriteTagRule, Route
+    from fluent_bit_spark.plans.pipeline import PipelineSpec, run_pipeline
+    from fluent_bit_spark.session import get_spark
+
+    if not os.path.exists(args.input):
+        if args.gen_rows:
+            fx.generate_tokens_table(args.input, args.gen_rows)
+        else:
+            ap.error(f"input not found: {args.input} (use --gen-rows to "
+                     f"synthesize)")
+    lookup = args.lookup
+    if lookup is None:
+        lookup = os.path.join(args.output, "_dims", "lookup_sources.parquet")
+        if not os.path.exists(lookup):
+            fx.generate_lookup_table(lookup)
+
+    spark = get_spark(app_name="logpipe")
+    spec = PipelineSpec(
+        vocab=fx.vocab(),
+        routes=[Route(*r) for r in fx.DEFAULT_ROUTES],
+        rewrite_rules=[RewriteTagRule(
+            key="fields.level", pattern="^error$",
+            new_tag="err.$TAG[1]", keep=True)],
+        lookup_path=lookup,
+        fanout_mode=args.fanout,
+    )
+    stats = run_pipeline(spark, spec, args.input, args.output,
+                         run_id=args.run_id, n_slices=args.slices)
+    rate = stats["rows_in"] / stats["wall_sec"] if stats["wall_sec"] else 0
+    print(json.dumps({**stats, "rows_per_sec": round(rate, 1)}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

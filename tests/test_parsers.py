@@ -1,0 +1,128 @@
+"""Parser goldens (FIXTURES.md F6; reference semantics from
+upstream:tests/internal/parser.c re-expressed as golden DataFrames)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.functions.parsers import (
+    RegexParser, apply_regex_parser, json_parser, logfmt_parser,
+    logfmt_quoted_udf, ltsv_parser, parse_first_match, strptime_to_java,
+    try_strptime, with_parsed,
+)
+
+APACHE_LINE = ('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+               '"GET /x HTTP/1.0" 200 2326')
+
+APACHE_PARSER = RegexParser(
+    name="apache",
+    pattern=(r'^(?P<host>[^ ]*) [^ ]* (?P<user>[^ ]*) \[(?P<time>[^\]]*)\] '
+             r'"(?P<method>\S+) (?P<path>[^ ]*) [^"]*" (?P<code>[^ ]*) '
+             r'(?P<size>[^ ]*)$'),
+    types={"code": "integer", "size": "integer"},
+    time_key="time", time_format="%d/%b/%Y:%H:%M:%S %z")
+
+
+def test_regex_parser_named_groups_and_types(spark):
+    df = spark.createDataFrame([(APACHE_LINE,), ("not a log line",)],
+                               ["decoded"])
+    out = apply_regex_parser(df, APACHE_PARSER).collect()
+    good = [r for r in out if r.decoded == APACHE_LINE][0].parsed_apache
+    assert good.host == "127.0.0.1"
+    assert good.user == "frank"
+    assert good.method == "GET"
+    assert good.path == "/x"
+    assert good.code == 200 and isinstance(good.code, int)
+    assert good.size == 2326
+    assert good.time == dt.datetime(2000, 10, 10, 20, 55, 36)  # UTC
+    bad = [r for r in out if r.decoded != APACHE_LINE][0]
+    assert bad.parsed_apache is None
+
+
+def test_regex_parser_hex_type(spark):
+    p = RegexParser("hexp", r"id=(?P<id>[0-9a-f]+)", types={"id": "hex"})
+    df = spark.createDataFrame([("id=ff",)], ["decoded"])
+    assert apply_regex_parser(df, p).collect()[0].parsed_hexp.id == 255
+
+
+def test_parse_first_match_chain(spark):
+    """decoder do_next semantics: first matching parser wins."""
+    p1 = RegexParser("kv", r"^k=(?P<v>\d+)$")
+    p2 = RegexParser("word", r"^(?P<w>[a-z]+)$")
+    df = spark.createDataFrame([("k=5",), ("hello",), ("???",)], ["decoded"])
+    rows = {r.decoded: r.fields
+            for r in parse_first_match(df, [p1, p2]).collect()}
+    assert rows["k=5"].parser == "kv" and rows["k=5"].v == "5"
+    assert rows["hello"].parser == "word" and rows["hello"].w == "hello"
+    assert rows["hello"].v is None
+    assert rows["???"] is None
+
+
+def test_json_parser(spark):
+    df = spark.createDataFrame(
+        [('{"level":"error","msg":"boom","k":87}',)], ["raw"])
+    m = df.select(json_parser("raw").alias("m")).collect()[0].m
+    assert m == {"level": "error", "msg": "boom", "k": "87"}
+    typed = df.select(json_parser(
+        "raw", "level string, msg string, k int").alias("s")
+    ).collect()[0].s
+    assert typed.k == 87 and typed.level == "error"
+
+
+def test_ltsv_parser(spark):
+    df = spark.createDataFrame([("host:h1\tlevel:warn\tcode:500",)], ["raw"])
+    m = df.select(ltsv_parser("raw").alias("m")).collect()[0].m
+    assert m == {"host": "h1", "level": "warn", "code": "500"}
+
+
+def test_logfmt_parsers(spark):
+    df = spark.createDataFrame([('level=info msg="hello world" code=200',)],
+                               ["raw"])
+    simple = df.select(logfmt_parser("raw").alias("m")).collect()[0].m
+    assert simple["level"] == "info" and simple["code"] == "200"
+    quoted = df.select(logfmt_quoted_udf()(F.col("raw")).alias("m")) \
+        .collect()[0].m
+    assert quoted == {"level": "info", "msg": "hello world", "code": "200"}
+
+
+def test_time_formats(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:09:58.778", "1704067200", "garbage")],
+        ["t1", "epoch", "bad"])
+    row = df.select(
+        try_strptime("t1", "%Y-%m-%d %H:%M:%S.%L").alias("a"),
+        try_strptime("epoch", "%s").alias("b"),
+        try_strptime("bad", "%Y-%m-%d").alias("c"),
+    ).collect()[0]
+    assert row.a == dt.datetime(2024, 1, 1, 0, 9, 58, 778000)
+    assert row.b == dt.datetime(2024, 1, 1, 0, 0, 0)
+    assert row.c is None
+    assert strptime_to_java("%d/%b/%Y:%H:%M:%S %z") == \
+        "dd/MMM/yyyy:HH:mm:ss xx"
+
+
+def test_fused_parser_shapes(spark):
+    lines = [
+        APACHE_LINE,
+        '{"level": "warn", "msg": "a b", "code": 500, "k": 3}',
+        "host:h2\tlevel:error\tcode:503\tmsg:x",
+        'level=debug msg="q" code=301 dur_ms=12',
+        "just some words here",
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], ["decoded"])
+    rows = {r.decoded: r for r in with_parsed(df).collect()}
+    a = rows[APACHE_LINE]
+    assert a.fields.kind == "apache" and a.fields.code == 200 \
+        and a.fields.size == 2326 and a.parse_ok
+    j = rows[lines[1]]
+    assert j.fields.kind == "json" and j.fields.level == "warn" \
+        and j.fields.code == 500 and j.fields.k == 3
+    lt = rows[lines[2]]
+    assert lt.fields.kind == "ltsv" and lt.fields.host == "h2" \
+        and lt.fields.code == 503
+    lf = rows[lines[3]]
+    assert lf.fields.kind == "logfmt" and lf.fields.dur_ms == 12
+    g = rows[lines[4]]
+    assert g.fields.kind is None and not g.parse_ok

@@ -1,0 +1,151 @@
+"""Golden end-to-end: full pipeline vs the independent pandas oracle —
+per-sink aggregate counts + routed-row-set equality (BASELINE.json
+north_star), token invariant, checkpointed resume idempotence."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import fixtures as fx
+from fluent_bit_spark.operators.router import RewriteTagRule, Route
+from fluent_bit_spark.plans.pipeline import (
+    PipelineSpec, build_stages, read_dlq, read_metrics, read_sink,
+    run_pipeline,
+)
+from tests.oracle_pandas import run_oracle
+
+OUT = "/tmp/fbs_e2e_out"
+
+
+def _spec(fixture_paths) -> PipelineSpec:
+    return PipelineSpec(
+        vocab=fx.vocab(),
+        routes=[Route(*r) for r in fx.DEFAULT_ROUTES],
+        rewrite_rules=[RewriteTagRule(
+            key="fields.level", pattern="^error$",
+            new_tag="err.$TAG[1]", keep=True)],
+        lookup_path=fixture_paths["lookup"],
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, fixture_paths):
+    shutil.rmtree(OUT, ignore_errors=True)
+    stats = run_pipeline(spark, _spec(fixture_paths),
+                         fixture_paths["tokens"], OUT, n_slices=1)
+    return stats
+
+
+@pytest.fixture(scope="module")
+def golden(fixture_paths):
+    return run_oracle(fixture_paths["tokens"], fx.vocab(),
+                      fx.DEFAULT_ROUTES)
+
+
+def test_per_sink_aggregates_match_oracle(spark, pipeline_out, golden,
+                                          fixture_paths):
+    for sink, g in golden["sinks"].items():
+        if g["records"] == 0:
+            continue
+        df = read_sink(spark, OUT, sink)
+        row = df.agg(F.count("*").alias("n"),
+                     F.sum("n_tok").alias("s"),
+                     F.count_distinct("source").alias("d")).collect()[0]
+        assert row.n == g["records"], sink
+        assert row.s == g["sum_n_tok"], sink
+        assert row.d == g["distinct_sources"], sink
+
+
+def test_routed_row_set_equality(spark, pipeline_out, golden):
+    for sink, g in golden["sinks"].items():
+        if g["records"] == 0:
+            continue
+        got = sorted(r.doc_id for r in
+                     read_sink(spark, OUT, sink).select("doc_id").collect())
+        assert got == g["doc_ids"], sink
+
+
+def test_dlq_counts_match_oracle(spark, pipeline_out, golden):
+    got = {r.dlq_reason: r.n for r in
+           read_dlq(spark, OUT).groupBy("dlq_reason")
+           .agg(F.count("*").alias("n")).collect()}
+    assert got.get("parse_fail", 0) == golden["dlq"]["parse_fail"]
+    assert got.get("no_route", 0) == golden["dlq"]["no_route"]
+
+
+def test_tokens_survive_to_sinks(spark, pipeline_out, fixture_paths):
+    """Per-row token-array equality: what landed in each sink carries the
+    exact token array from the input (join on doc_id, compare arrays)."""
+    inp = spark.read.parquet(fixture_paths["tokens"]) \
+        .select("doc_id", F.col("tokens").alias("tokens_in"))
+    out = read_sink(spark, OUT, "sink_web").select("doc_id", "tokens")
+    bad = (out.join(inp, "doc_id")
+              .filter(F.col("tokens") != F.col("tokens_in")).count())
+    assert bad == 0
+
+
+def test_metrics_lineage_totals(spark, pipeline_out, golden):
+    m = read_metrics(spark, OUT)
+    tot_fail = m.agg(F.sum("parse_fail")).collect()[0][0]
+    assert tot_fail == golden["dlq"]["parse_fail"]
+    assert "batch_id" in m.columns  # lineage: which slice produced what
+
+
+def test_resume_is_idempotent_and_skips_done(spark, fixture_paths,
+                                             tmp_path):
+    """Kill after slice 0 of 2 → resume → identical sink contents, and the
+    completed slice is not re-run (checkpoint manifest)."""
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    spec = _spec(fixture_paths)
+    # two-file input so we can have 2 slices
+    src = spark.read.parquet(fixture_paths["tokens"])
+    split_dir = str(tmp_path / "split")
+    src.repartition(2).write.parquet(split_dir)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(spark, spec, split_dir, out1, n_slices=2,
+                     fail_after_slice=0)
+    stats = run_pipeline(spark, spec, split_dir, out1, n_slices=2)
+    assert stats["slices_skipped"] == 1  # slice 0 not recomputed
+    run_pipeline(spark, spec, split_dir, out2, n_slices=2)  # clean run
+    for sink in ("sink_web", "sink_json"):
+        a = sorted(r.doc_id for r in
+                   read_sink(spark, out1, sink).select("doc_id").collect())
+        b = sorted(r.doc_id for r in
+                   read_sink(spark, out2, sink).select("doc_id").collect())
+        assert a == b, sink
+
+
+def test_explode_fanout_matches_persist_fanout(spark, fixture_paths,
+                                               tmp_path):
+    """The single-pass exploded writer (partitionBy sink) routes the same
+    row sets as the persist+N-filtered-writes path."""
+    spec = _spec(fixture_paths)
+    spec2 = _spec(fixture_paths)
+    spec2.fanout_mode = "explode"
+    o1, o2 = str(tmp_path / "p"), str(tmp_path / "e")
+    run_pipeline(spark, spec, fixture_paths["tokens"], o1)
+    run_pipeline(spark, spec2, fixture_paths["tokens"], o2)
+    exploded = spark.read.parquet(os.path.join(o2, "sinks_by_dir"))
+    for sink in ("sink_web", "sink_errors", "sink_kv"):
+        a = sorted(r.doc_id for r in
+                   read_sink(spark, o1, sink).select("doc_id").collect())
+        b = sorted(r.doc_id for r in
+                   exploded.filter(F.col("sink") == sink)
+                   .select("doc_id").collect())
+        assert a == b, sink
+
+
+def test_every_row_lands_somewhere(spark, fixture_paths):
+    """Routing partition property: every input row appears in ≥1 sink or
+    the DLQ (rewrite keep=True rows may appear in several)."""
+    spec = _spec(fixture_paths)
+    df = spark.read.parquet(fixture_paths["tokens"])
+    routed = build_stages(spark, df, spec)
+    uncovered = routed.filter(
+        (F.size("sinks") == 0) & F.col("dlq_reason").isNull()).count()
+    assert uncovered == 0
