@@ -1,0 +1,202 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (fluent-bit has no dedup anywhere); these are
+the large-scale-pipeline extensions the engine adds (task brief): exact
+hash dedup, n-gram Jaccard pairs, MinHash+LSH, and SimHash. All are pure
+DataFrame compositions — no UDFs — so they stay JVM-side and scale by
+shuffle partitioning.
+
+Scale notes (100 TB posture):
+- exact: one shuffle on the content hash; map-side partial distinct.
+- n-gram Jaccard: the shingle self-join is quadratic in bucket size —
+  only usable as the verify stage after LSH candidate generation; the
+  standalone form here is the small-scale oracle-checkable baseline.
+- MinHash+LSH: linear signature pass (one explode + groupBy doc), then
+  band-bucket join produces candidate pairs ∝ collisions, not n². This
+  is the 10^12-row path.
+- SimHash: one aggregate per doc (no explode — F.transform/filter over
+  the in-row word array), band join on bit-prefix buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("string"), 256)
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str],
+                tiebreak: str) -> DataFrame:
+    """Keep one row per distinct content (lowest ``tiebreak``). Hash-groupBy:
+    one shuffle keyed on the content hash."""
+    w = Window.partitionBy(*[F.col(c) for c in content_cols]) \
+              .orderBy(F.col(tiebreak))
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+# ---------------------------------------------------------------------------
+# word shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column, as array<string> —
+    built entirely with higher-order array functions (codegen'd)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(c, " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int"))
+                   for j in range(n)]))
+    return F.when(F.size(words) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """All pairs (d1 < d2) with shingle-Jaccard ≥ threshold.
+    Shingle-join based: |A∩B| from a self equi-join on shingle, |A∪B| =
+    |A|+|B|−|A∩B|."""
+    sh = (df.select(F.col(id_col).alias("doc"),
+                    F.explode(word_shingles(text_col, n)).alias("s")))
+    cnt = sh.groupBy("doc").agg(F.count("*").alias("c"))
+    a = sh.select(F.col("doc").alias("d1"), "s")
+    b = sh.select(F.col("doc").alias("d2"), "s")
+    inter = (a.join(b, "s")
+              .filter(F.col("d1") < F.col("d2"))
+              .groupBy("d1", "d2").agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(cnt.select(F.col("doc").alias("d1"),
+                            F.col("c").alias("c1")), "d1")
+           .join(cnt.select(F.col("doc").alias("d2"),
+                            F.col("c").alias("c2")), "d2")
+           .withColumn("jaccard",
+                       F.col("inter")
+                       / (F.col("c1") + F.col("c2") - F.col("inter"))))
+    return out.filter(F.col("jaccard") >= threshold) \
+              .select("d1", "d2", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      num_perm: int = 16, shingle_n: int = 3) -> DataFrame:
+    """(id, sig: array<bigint>) — permutation i is xxhash64(shingle, i);
+    the signature is the per-doc elementwise min. One explode + one
+    groupBy(doc): linear, the scale path."""
+    sh = (df.select(F.col(id_col).alias("doc"),
+                    F.explode(word_shingles(text_col, shingle_n)).alias("s")))
+    hashed = sh.select(
+        "doc", *[F.xxhash64(F.col("s"), F.lit(i)).alias(f"h{i}")
+                 for i in range(num_perm)])
+    agg = hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)])
+    return agg.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)])
+        .alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_perm: int = 16, bands: int = 4,
+                      threshold: float = 0.5,
+                      shingle_n: int = 3) -> DataFrame:
+    """Banded LSH candidate generation + signature-similarity verify.
+
+    bands×rows = num_perm; a pair collides if any band's row-slice hashes
+    equal. est_jaccard = fraction of equal signature positions (unbiased
+    MinHash estimator). Returns (d1, d2, est_jaccard ≥ threshold).
+    """
+    rows = num_perm // bands
+    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
+    band_entries = sig.select(
+        "doc", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("sig")[b * rows + r]
+                                  for r in range(rows)]).alias("bh"))
+            for b in range(bands)])).alias("e")
+    ).select("doc", "sig", "e.band", "e.bh")
+    a = band_entries.select(F.col("doc").alias("d1"),
+                            F.col("sig").alias("sig1"), "band", "bh")
+    b = band_entries.select(F.col("doc").alias("d2"),
+                            F.col("sig").alias("sig2"), "band", "bh")
+    cand = (a.join(b, ["band", "bh"])
+             .filter(F.col("d1") < F.col("d2"))
+             .select("d1", "d2", "sig1", "sig2").distinct())
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(F.filter(F.zip_with("sig1", "sig2",
+                                   lambda x, y: x == y),
+                        lambda v: v)) / F.lit(num_perm))
+    return est.filter(F.col("est_jaccard") >= threshold) \
+              .select("d1", "d2", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text_col: str | Column, bits: int = 32) -> Column:
+    """Per-row SimHash over word hashes, no explode: majority vote per bit
+    across the row's word-hash array, folded into one integer."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    hashes = F.transform(F.split(c, " "), lambda w: F.xxhash64(w))
+    half = F.size(hashes).cast("double") / 2.0
+    bit_terms = []
+    for i in range(bits):
+        mask = 1 << i
+        ones = F.size(F.filter(
+            hashes,
+            lambda h, m=mask: h.bitwiseAND(F.lit(m)) != 0))
+        bit_terms.append(
+            F.when(ones > half, F.lit(1 << i).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint")))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  bits: int = 32, bands: int = 4,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, candidate
+    generation by band-equality (pigeonhole: distance < bands ⇒ some band
+    equal). Returns (d1, d2, hamming)."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sigs = df.select(F.col(id_col).alias("doc"),
+                     simhash(text_col, bits).alias("sh"))
+    entries = sigs.select(
+        "doc", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col("sh"), b * band_bits)
+                     .bitwiseAND(F.lit(mask)).alias("bv"))
+            for b in range(bands)])).alias("e")
+    ).select("doc", "sh", "e.band", "e.bv")
+    a = entries.select(F.col("doc").alias("d1"), F.col("sh").alias("s1"),
+                       "band", "bv")
+    b = entries.select(F.col("doc").alias("d2"), F.col("sh").alias("s2"),
+                       "band", "bv")
+    cand = (a.join(b, ["band", "bv"])
+             .filter(F.col("d1") < F.col("d2"))
+             .select("d1", "d2", "s1", "s2").distinct())
+    out = cand.withColumn(
+        "hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+    return out.filter(F.col("hamming") <= max_hamming) \
+              .select("d1", "d2", "hamming")

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline extension (not in the reference). Brute-force
+cosine top-k is the correctness baseline; IVF (coarse-quantizer buckets)
+and random-hyperplane LSH are the scale paths: both turn the O(n·q)
+scan into a bucket-pruned search, expressed as plain joins so Catalyst
+handles the physical strategy.
+
+All vector math uses higher-order array functions (zip_with/aggregate/
+transform) — JVM codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
+                     query_vec: list[float], k: int) -> DataFrame:
+    """Exact top-k by cosine vs one query vector. At scale this is one
+    narrow projection + TakeOrderedAndProject (no shuffle of vectors)."""
+    q = _lit_vec(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def pairwise_neardup(df: DataFrame, id_col: str, vec_col: str,
+                     threshold: float) -> DataFrame:
+    """All pairs with cosine ≥ threshold — O(n²) verify baseline; use the
+    LSH/IVF candidates + this as the verify stage at scale."""
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"),
+                  norm(F.col(vec_col).cast("array<double>")).alias("nrm"))
+    a = v.select(F.col("id").alias("id1"), F.col("v").alias("v1"),
+                 F.col("nrm").alias("n1"))
+    b = v.select(F.col("id").alias("id2"), F.col("v").alias("v2"),
+                 F.col("nrm").alias("n2"))
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    out = pairs.withColumn(
+        "cos", dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")))
+    return out.filter(F.col("cos") >= threshold).select("id1", "id2", "cos")
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse quantizer = the first n_centroids vectors (deterministic,
+# oracle-friendly); assignment + probe are broadcast joins.
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               centroids: DataFrame, cid_col: str = "cid",
+               cvec_col: str = "cvec") -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (broadcast
+    cross join over the small centroid set + argmax window)."""
+    scored = (df.join(F.broadcast(centroids))
+                .withColumn("__sim",
+                            cosine(F.col(vec_col).cast("array<double>"),
+                                   F.col(cvec_col).cast("array<double>"))))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.col(cid_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .drop("__rn", "__sim", cvec_col))
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
+             query_vec: list[float], k: int, n_centroids: int,
+             n_probe: int) -> DataFrame:
+    """IVF search: build centroids from the first n_centroids ids, probe
+    the n_probe centroids nearest the query, exact-rank inside the probed
+    buckets. Returns (id, cos) — approximate (recall < 1 when the true
+    neighbor lives in an unprobed bucket)."""
+    centroids = (df.orderBy(F.col(id_col)).limit(n_centroids)
+                   .select(F.col(id_col).alias("cid"),
+                           F.col(vec_col).alias("cvec")))
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    q = _lit_vec(query_vec)
+    probe = (centroids
+             .withColumn("__sim",
+                         cosine(F.col("cvec").cast("array<double>"), q))
+             .orderBy(F.desc("__sim"), F.col("cid"))
+             .limit(n_probe).select("cid"))
+    bucket = assigned.join(F.broadcast(probe), "cid")
+    return (bucket.select(
+                F.col(id_col),
+                cosine(F.col(vec_col).cast("array<double>"), q).alias("cos"))
+            .orderBy(F.desc("cos"), F.col(id_col)).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH buckets (deterministic planes from xxhash64)
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(p: int, j: int) -> Column:
+    """Deterministic pseudo-random value in [-1, 1) for plane p, dim j —
+    derived from xxhash64 so executors need no shared RNG state."""
+    h = F.xxhash64(F.lit(f"plane_{p}_{j}"))
+    return (F.pmod(h, F.lit(20001)).cast("double") - 10000.0) / 10000.0
+
+
+def lsh_bucket(vec_col: str | Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-of-dot-product bucket id over n_planes deterministic
+    hyperplanes → int in [0, 2^n_planes)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = v.cast("array<double>")
+    acc = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        d = None
+        for j in range(dim):
+            term = F.element_at(v, j + 1) * _plane_component(p, j)
+            d = term if d is None else d + term
+        acc = acc + F.when(d > 0, F.lit(1 << p).cast("bigint")) \
+                     .otherwise(F.lit(0).cast("bigint"))
+    return acc
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        dim: int, n_planes: int = 8,
+                        threshold: float = 0.8) -> DataFrame:
+    """Bucket join candidates + exact cosine verify. Collision probability
+    for angle θ is (1−θ/π)^n_planes — tune n_planes to the threshold."""
+    withb = df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"),
+                      lsh_bucket(vec_col, dim, n_planes).alias("b"))
+    a = withb.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "b")
+    b = withb.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "b")
+    cand = a.join(b, "b").filter(F.col("id1") < F.col("id2"))
+    out = cand.withColumn(
+        "cos", cosine(F.col("v1").cast("array<double>"),
+                      F.col("v2").cast("array<double>")))
+    return out.filter(F.col("cos") >= threshold).select("id1", "id2", "cos")

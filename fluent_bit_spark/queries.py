@@ -1,0 +1,699 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each over the driver testdata tables with a DuckDB
+oracle (ORACLE_SQL). Column names are aliased identically on both sides
+(the driver's compare hashes values after sorting columns by name).
+
+Conventions:
+- integer aggregates exact; double aggregates ROUND(…, 2..6) on BOTH
+  sides (float summation order differs between engines);
+- DuckDB sum(BIGINT) returns HUGEINT → oracle casts to BIGINT;
+- no nondeterministic functions (uuid, now) in any compared output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions import text as TX
+from .functions.parsers import ltsv_parser, logfmt_parser
+from .operators import dedup as DD
+from .operators import similarity as SIM
+from .operators.aggregate import (
+    hopping, log_histogram, salted_sink_aggregates, timeseries_forecast,
+    tumbling,
+)
+from .operators.enrich import checklist_keep, lookup_join
+from .operators.filters import GrepRule, grep
+from .operators.modify import ModifyRule, ModifySpec, apply_modify
+from .operators.nest import lift, nest
+from .operators.router import Route, with_routes
+from .operators.throttle import throttle
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+# ===========================================================================
+# Flagship: tag-route + per-sink aggregates (SURVEY §2.5, §2.6)
+# ===========================================================================
+
+DOC_ROUTES = [
+    Route("sink_en", "app.*.en"),
+    Route("sink_src1", "app.src1*"),
+    Route("sink_intl", "app.*.zh"),
+    Route("sink_intl", "app.*.es"),
+    Route("sink_all", "*"),
+]
+
+
+@q("route_agg", """
+WITH tagged AS (
+  SELECT *, 'app.' || source || '.' || lang AS tag FROM documents),
+routed AS (
+  SELECT 'sink_en' AS sink, * FROM tagged WHERE tag LIKE 'app.%.en'
+  UNION ALL
+  SELECT 'sink_src1', * FROM tagged WHERE tag LIKE 'app.src1%'
+  UNION ALL
+  SELECT 'sink_intl', * FROM tagged
+    WHERE tag LIKE 'app.%.zh' OR tag LIKE 'app.%.es'
+  UNION ALL
+  SELECT 'sink_all', * FROM tagged)
+SELECT sink,
+       count(*) AS records,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       count(DISTINCT source) AS distinct_sources
+FROM routed GROUP BY sink
+""")
+def route_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse→tag→route→per-sink aggregate, the north-star query shape."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "tag", F.concat(F.lit("app."), "source", F.lit("."), "lang"))
+    routed = with_routes(docs, DOC_ROUTES)
+    return (routed.select(F.explode("sinks").alias("sink"),
+                          "n_chars", "source")
+            .groupBy("sink")
+            .agg(F.count("*").alias("records"),
+                 F.sum("n_chars").alias("sum_n_chars"),
+                 F.count_distinct("source").alias("distinct_sources")))
+
+
+# ===========================================================================
+# Parsers (§2.2) over events.props / constructed lines
+# ===========================================================================
+
+
+@q("parse_json_props", """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+""")
+def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k bigint"))
+    return (parsed.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("p.k").alias("sum_k")))
+
+
+@q("ltsv_parse", """
+WITH lines AS (
+  SELECT 'host:h' || CAST(user_id % 10 AS VARCHAR)
+         || chr(9) || 'level:' || event_type AS raw FROM events),
+parsed AS (
+  SELECT regexp_extract(raw, 'host:([^\t]*)', 1) AS host,
+         regexp_extract(raw, 'level:([^\t]*)', 1) AS level FROM lines)
+SELECT host, level, count(*) AS n FROM parsed GROUP BY host, level
+""")
+def ltsv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn(
+        "raw", F.concat(F.lit("host:h"), F.col("user_id") % 10,
+                        F.lit("\t"), F.lit("level:"), "event_type"))
+    m = ev.withColumn("m", ltsv_parser("raw"))
+    return (m.select(F.col("m")["host"].alias("host"),
+                     F.col("m")["level"].alias("level"))
+             .groupBy("host", "level").agg(F.count("*").alias("n")))
+
+
+@q("logfmt_parse", """
+WITH lines AS (
+  SELECT 'level=' || event_type || ' code=' ||
+         CAST(CAST(floor(value) AS BIGINT) % 100 AS VARCHAR) AS raw
+  FROM events),
+parsed AS (
+  SELECT regexp_extract(raw, 'level=(\\S+)', 1) AS level,
+         CAST(regexp_extract(raw, 'code=(\\d+)', 1) AS BIGINT) AS code
+  FROM lines)
+SELECT level, count(*) AS n, CAST(sum(code) AS BIGINT) AS sum_code
+FROM parsed GROUP BY level
+""")
+def logfmt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn(
+        "raw", F.concat(F.lit("level="), "event_type", F.lit(" code="),
+                        (F.floor("value").cast("bigint") % 100)))
+    m = ev.withColumn("m", logfmt_parser("raw"))
+    return (m.select(F.col("m")["level"].alias("level"),
+                     F.col("m")["code"].cast("bigint").alias("code"))
+             .groupBy("level")
+             .agg(F.count("*").alias("n"), F.sum("code").alias("sum_code")))
+
+
+# ===========================================================================
+# Filters (§2.3)
+# ===========================================================================
+
+
+@q("grep_filter", """
+SELECT source, count(*) AS n FROM documents
+WHERE regexp_matches(text, 'spark') AND NOT regexp_matches(text, 'slow')
+GROUP BY source
+""")
+def grep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    out = grep(docs, [GrepRule("text", "spark"),
+                      GrepRule("text", "slow", exclude=True)], "AND")
+    return out.groupBy("source").agg(F.count("*").alias("n"))
+
+
+@q("grep_or", """
+SELECT lang, count(*) AS n FROM documents
+WHERE regexp_matches(text, 'vector') OR regexp_matches(text, 'stream')
+GROUP BY lang
+""")
+def grep_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    out = grep(docs, [GrepRule("text", "vector"),
+                      GrepRule("text", "stream")], "OR")
+    return out.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@q("modify_rules", """
+SELECT doc_id, lang AS language, source, source AS src_copy,
+       'v1' AS pipeline FROM documents WHERE lang = 'en'
+""")
+def modify_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    spec = ModifySpec(rules=[
+        ModifyRule("rename", "lang", "language"),
+        ModifyRule("copy", "source", "src_copy"),
+        ModifyRule("set", "pipeline", "v1"),
+        ModifyRule("remove", "n_chars"),
+        ModifyRule("remove", "text"),
+    ])
+    return apply_modify(docs, spec)
+
+
+@q("nest_lift", """
+SELECT doc_id, lang, source, n_chars FROM documents
+""")
+def nest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nest + lift round-trip returns the original projection."""
+    docs = t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "source", "n_chars")
+    nested = nest(docs, "lang", "meta")
+    nested = nest(nested, "source", "meta2")
+    out = lift(lift(nested, "meta"), "meta2")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@q("type_converter", """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+         AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def type_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.filters import type_convert
+    ev = t(spark, sf_dir, "events").withColumn(
+        "k_str", F.get_json_object("props", "$.k"))
+    out = type_convert(ev, [("k_str", "k_int", "int")])
+    return (out.groupBy("event_type")
+            .agg(F.round(F.avg("k_int"), 4).alias("avg_k"),
+                 F.count("*").alias("n")))
+
+
+@q("throttle_topn", """
+WITH ranked AS (
+  SELECT event_type,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_type, count(*) AS n FROM ranked WHERE rn <= 3
+GROUP BY event_type
+""")
+def throttle_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = throttle(ev, rate=3, keys=["event_type"], ts_col="ts",
+                   interval="1 day", tiebreak=["event_id"])
+    return out.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# ===========================================================================
+# Enrichment joins (§2.4)
+# ===========================================================================
+
+
+@q("enrich_lookup", """
+SELECT r_name AS region, count(*) AS customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    e1 = lookup_join(cust, nation, "c_nationkey", "n_nationkey",
+                     ["n_name", "n_regionkey"])
+    e2 = lookup_join(e1, region, "n_regionkey", "r_regionkey", ["r_name"])
+    return (e2.groupBy(F.col("r_name").alias("region"))
+            .agg(F.count("*").alias("customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal")))
+
+
+@q("checklist_semi", """
+SELECT l_returnflag, count(*) AS n FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey
+              AND o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""")
+def checklist_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem") \
+        .withColumnRenamed("l_orderkey", "okey")
+    urgent = t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select(F.col("o_orderkey").alias("okey"))
+    kept = checklist_keep(li, urgent, "okey")
+    return kept.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+@q("checklist_anti", """
+SELECT c_mktsegment, count(*) AS n FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""")
+def checklist_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders") \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    out = cust.join(F.broadcast(orders.distinct()), "c_custkey",
+                    "left_anti")
+    return out.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+
+
+# ===========================================================================
+# Routing extras (§2.5)
+# ===========================================================================
+
+
+@q("rewrite_tag_capture", """
+WITH tagged AS (
+  SELECT CASE WHEN lang IN ('zh', 'es')
+              THEN 'intl.' || lang || '.' ||
+                   regexp_replace(source, 'src(\\d+)', 'node\\1')
+              ELSE 'app.' || source END AS tag
+  FROM documents)
+SELECT tag, count(*) AS n FROM tagged GROUP BY tag
+""")
+def rewrite_tag_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.router import RewriteTagRule, apply_rewrite_tag
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "tag", F.concat(F.lit("app."), "source"))
+    # template vars come from columns, so precompute the node name
+    docs = docs.withColumn(
+        "node", F.regexp_replace("source", r"src(\d+)", r"node$1"))
+    rules = [RewriteTagRule(key="lang", pattern="^(zh|es)$",
+                            new_tag="intl.$1.$node", keep=False)]
+    out = apply_rewrite_tag(docs, rules)
+    return out.groupBy("tag").agg(F.count("*").alias("n"))
+
+
+# ===========================================================================
+# Windows & aggregation (§2.6, §2.7)
+# ===========================================================================
+
+
+@q("salted_agg", """
+SELECT source, count(*) AS records,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_tok,
+       count(DISTINCT lang) AS distinct_sources
+FROM documents GROUP BY source
+""")
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return salted_sink_aggregates(docs, ["source"], n_tok_col="n_chars",
+                                  source_col="lang",
+                                  salt_seed_col="doc_id", salt_buckets=16)
+
+
+@q("tumbling_agg", """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_v
+FROM events GROUP BY 1, 2
+""")
+def tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = tumbling(ev, "ts", "1 hour", ["event_type"]).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_v"))
+    return out.select(F.col("win.start").alias("win_start"), "event_type",
+                      "n", "sum_v")
+
+
+@q("hopping_agg", """
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) AS win_start, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events)
+SELECT win_start, count(*) AS n, round(sum(value), 2) AS sum_v
+FROM assigned GROUP BY win_start
+""")
+def hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = hopping(ev, "ts", "2 hours", "1 hour").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_v"))
+    return out.select(F.col("win.start").alias("win_start"), "n", "sum_v")
+
+
+@q("session_windows", """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 1 HOUR OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+       count(*) AS n_users
+FROM (SELECT user_id, sum(new_session) AS n_sessions FROM g
+      GROUP BY user_id)
+GROUP BY n_sessions
+""")
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (absent upstream, native in Spark): distribution of
+    per-user session counts with a 1h inactivity gap."""
+    from .operators.aggregate import session
+    ev = t(spark, sf_dir, "events")
+    per_user = session(ev, "ts", "1 hour", ["user_id"]) \
+        .agg(F.count("*").alias("events_in_session"))
+    counts = per_user.groupBy("user_id") \
+        .agg(F.count("*").alias("n_sessions"))
+    return counts.groupBy("n_sessions").agg(F.count("*").alias("n_users"))
+
+
+@q("log_histogram", """
+SELECT event_type,
+       CAST(CASE WHEN value < 0 THEN -1
+                 WHEN value >= 500 THEN 10
+                 ELSE floor(value / 50.0) END AS INT) AS bucket,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+""")
+def log_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return log_histogram(ev, ["event_type"], "value", 0.0, 500.0, 10)
+
+
+@q("forecast_linear", """
+SELECT event_type,
+       round(regr_slope(value, epoch_of(ts)), 8) AS slope,
+       round(regr_intercept(value, epoch_of(ts)), 4) AS intercept
+FROM (SELECT event_type, value, ts FROM events)
+GROUP BY event_type
+""".replace("epoch_of(ts)", "(epoch(ts) - 1704067200.0)"))
+def forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_c", (F.unix_timestamp("ts") - F.lit(1704067200)).cast("double"))
+    # same normal equations as operators.aggregate.timeseries_forecast,
+    # with x centered at the table epoch so both engines stay stable
+    out = (ev.groupBy("event_type")
+             .agg(F.round(F.regr_slope(F.col("value"), F.col("ts_c")), 8)
+                  .alias("slope"),
+                  F.round(F.regr_intercept(F.col("value"), F.col("ts_c")), 4)
+                  .alias("intercept")))
+    return out
+
+
+# ===========================================================================
+# Classic OLAP shapes (free from Catalyst; absent upstream — §2.7 note)
+# ===========================================================================
+
+
+@q("agg_pushdown_q1", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def agg_pushdown_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+@q("topk_per_group", """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM ranked WHERE rn <= 3
+""")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"))
+
+
+@q("set_ops_intersect", """
+SELECT count(*) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+""")
+def set_ops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys).agg(F.count("*").alias("n"))
+
+
+# ===========================================================================
+# Dedup (training-data extensions)
+# ===========================================================================
+
+
+@q("dedup_exact", """
+SELECT source, count(DISTINCT md5(text)) AS distinct_docs,
+       count(*) AS total_docs
+FROM documents GROUP BY source
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count_distinct(F.md5("text")).alias("distinct_docs"),
+                 F.count("*").alias("total_docs")))
+
+
+@q("dedup_ngram_jaccard", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    for i in generate_series(1, len(ws)-2)]))
+                AS s
+       FROM w WHERE len(ws) >= 3),
+cnt AS (SELECT doc_id, count(*) c FROM sh GROUP BY 1),
+pr AS (SELECT a.doc_id d1, b.doc_id d2, count(*) inter
+       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT d1, d2,
+       round(inter * 1.0 / (c1.c + c2.c - inter), 6) AS jaccard
+FROM pr JOIN cnt c1 ON pr.d1 = c1.doc_id
+        JOIN cnt c2 ON pr.d2 = c2.doc_id
+WHERE inter * 1.0 / (c1.c + c2.c - inter) >= 0.05
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    out = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                 threshold=0.05)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@q("dedup_minhash_lsh")  # no SQL oracle: xxhash64 not available in DuckDB
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=16,
+                                bands=4, threshold=0.25)
+
+
+@q("dedup_simhash")  # no SQL oracle: xxhash64-based
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, "doc_id", "text", bits=32, bands=4,
+                            max_hamming=3)
+
+
+@q("embedding_neardup", """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.4
+""")
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    out = SIM.pairwise_neardup(emb, "vec_id", "embedding", 0.4)
+    return out.select("id1", "id2", F.round("cos", 4).alias("cos"))
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0) \
+        .select("embedding").collect()[0]
+    return [float(x) for x in row.embedding]
+
+
+@q("ann_topk_bruteforce", """
+SELECT b.vec_id,
+       round(list_cosine_similarity(
+         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0),
+         b.embedding::DOUBLE[]), 5) AS cos
+FROM embeddings b WHERE b.vec_id != 0
+ORDER BY list_cosine_similarity(
+         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0),
+         b.embedding::DOUBLE[]) DESC, b.vec_id
+LIMIT 10
+""")
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = SIM.brute_force_topk(emb.filter(F.col("vec_id") != 0),
+                               "vec_id", "embedding", qv, 10)
+    return out.select("vec_id", F.round("cos", 5).alias("cos"))
+
+
+@q("ann_lsh_bucketed")  # no SQL oracle: hyperplanes derive from xxhash64
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.lsh_candidate_pairs(emb, "vec_id", "embedding", dim=64,
+                                   n_planes=6, threshold=0.3)
+
+
+# ===========================================================================
+# Text analysis (training-data extensions)
+# ===========================================================================
+
+
+@q("text_quality", """
+SELECT source,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+       round(avg(len(list_filter(string_split(text, ' '),
+                                 w -> w IN ('the', 'a', 'of', 'and', 'to',
+                                            'in', 'is', 'it')))
+                 * 1.0 / len(string_split(text, ' '))), 6)
+         AS avg_stopword_ratio
+FROM documents GROUP BY source
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", TX.n_words("text").alias("nw"),
+        TX.stopword_ratio("text").alias("swr"))
+    return (per_doc.groupBy("source")
+            .agg(F.round(F.avg("nw"), 4).alias("avg_words"),
+                 F.round(F.avg("swr"), 6).alias("avg_stopword_ratio")))
+
+
+@q("lang_id_heuristic", """
+WITH scored AS (
+  SELECT CASE WHEN len(list_filter(string_split(text, ' '),
+                                   w -> w IN ('the', 'a', 'of', 'and'))) > 0
+              THEN 'en' ELSE 'unk' END AS lang_guess
+  FROM documents)
+SELECT lang_guess, count(*) AS n FROM scored GROUP BY lang_guess
+""")
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    guess = docs.select(TX.lang_id("text").alias("lang_guess"))
+    return guess.groupBy("lang_guess").agg(F.count("*").alias("n"))
+
+
+@q("token_count_regex", """
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))
+            AS BIGINT) AS total_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens
+FROM documents GROUP BY lang
+""")
+def token_count_regex_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang", TX.token_count_regex("text").alias("tk"),
+        TX.token_count_ws("text").alias("wk"))
+    return (per.groupBy("lang")
+            .agg(F.sum("tk").alias("total_tokens"),
+                 F.sum("wk").alias("total_ws_tokens")))
+
+
+@q("doc_fingerprint", """
+SELECT source,
+       count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+         AS n_fingerprints
+FROM documents GROUP BY source
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (docs.select("source", TX.fingerprint("text").alias("fp"))
+            .groupBy("source")
+            .agg(F.count_distinct("fp").alias("n_fingerprints")))
+
+
+# ===========================================================================
+# Multimodal plumbing (binary payloads)
+# ===========================================================================
+
+
+@q("multimodal_binary_meta", """
+SELECT count(*) AS n,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       count(DISTINCT sha256(text)) AS distinct_payloads
+FROM documents
+""")
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import with_media_meta
+    docs = t(spark, sf_dir, "documents") \
+        .withColumn("payload", F.encode("text", "UTF-8"))
+    meta = with_media_meta(docs, "payload", "text/plain")
+    return meta.agg(F.count("*").alias("n"),
+                    F.sum("byte_len").alias("total_bytes"),
+                    F.count_distinct("sha256").alias("distinct_payloads"))
+
+
+@q("multimodal_features")  # no SQL oracle: mapInPandas decode-stub path
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_features
+    docs = t(spark, sf_dir, "documents") \
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = decode_features(docs, "payload")
+    return feats.select(
+        "doc_id",
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, v: a + v), 5).alias("feat_sum"))
