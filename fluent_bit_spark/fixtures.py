@@ -196,20 +196,37 @@ def generate_tokens_table(
     seed: int = SEED,
     pool_size: int = 5000,
     rows_per_chunk: int = 2_000_000,
+    n_files: int = 1,
 ) -> None:
-    """Write the F1 tokens table to parquet, deterministically."""
+    """Write the F1 tokens table to parquet, deterministically.
+
+    ``n_files > 1`` writes a directory of part files (the realistic
+    table shape — a 100 TB Iceberg table is many files, and Spark's
+    scan parallelism + the pipeline's per-file slice checkpointing both
+    key off file boundaries). Content depends only on (n_rows, seed):
+    the same row stream is chunked round-robin into files.
+    """
     pool = LinePool(pool_size, seed)
     rng = np.random.default_rng(seed + 1)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     schema = pa.schema([
         pa.field("doc_id", pa.string()),
         pa.field("tokens", pa.list_(pa.int32())),
         pa.field("n_tok", pa.int32()),
         pa.field("source", pa.string()),
     ])
-    writer = pq.ParquetWriter(path, schema)
+    if n_files > 1:
+        os.makedirs(path, exist_ok=True)
+        rows_per_chunk = min(rows_per_chunk,
+                             -(-n_rows // n_files))  # ceil div
+        writers = [pq.ParquetWriter(
+            os.path.join(path, f"part-{i:05d}.parquet"), schema)
+            for i in range(n_files)]
+    else:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        writers = [pq.ParquetWriter(path, schema)]
     try:
-        for start in range(0, n_rows, rows_per_chunk):
+        for chunk_i, start in enumerate(range(0, n_rows, rows_per_chunk)):
+            writer = writers[chunk_i % len(writers)]
             n = min(rows_per_chunk, n_rows - start)
             idx = rng.integers(0, pool_size, n)
             src = _source_ids(rng, n)
@@ -236,7 +253,8 @@ def generate_tokens_table(
                  pa.array(lens.astype(np.int32)), source], schema=schema)
             writer.write_batch(batch)
     finally:
-        writer.close()
+        for w in writers:
+            w.close()
 
 
 def generate_vocab_table(path: str) -> None:

@@ -1,0 +1,199 @@
+"""Structured Streaming variant of the pipeline (SURVEY.md §2.7, §7.8).
+
+fluent-bit is natively a streaming engine: inputs append chunks, the
+engine loop flushes on a timer, the stream processor aggregates over
+processing-time windows (upstream:src/flb_engine.c,
+src/stream_processor/flb_sp_window.c). The batch engine in
+plans/pipeline.py is the table-scale re-expression; this module is the
+live-tail re-expression on Structured Streaming:
+
+- file source (``readStream.parquet`` over a landing dir) = ``in_tail``
+  watching a directory; Spark's file-source checkpoint replaces the
+  sqlite offset DB (upstream:plugins/in_tail/tail_db.c);
+- the stateless stages (detok-parse, grep, enrich broadcast join, tag,
+  route) are the SAME plan builders as batch — they are narrow ops so
+  they lift to streaming unchanged;
+- windowed aggregation uses event-time + watermark — STRICTER than the
+  reference (fluent-bit aggregates whatever sits in the buffer at flush;
+  it has no late-data story, SURVEY.md §2.7);
+- multi-sink fan-out runs in ``foreachBatch`` (the flush-timer analogue):
+  each micro-batch is persisted once and written to N sink dirs + DLQ,
+  exactly the batch fan-out applied per micro-batch;
+- ``throttle_stateful`` implements filter_throttle's sliding rate limit
+  (upstream:plugins/filter_throttle/throttle.c) as a genuinely stateful
+  per-tag operator with ``applyInPandasWithState`` — state is the
+  per-tag admitted-count per window pane, carried across micro-batches.
+
+Scale shape: stateless stages shuffle nothing; the windowed agg shuffles
+on (tag, window) with watermark-bounded state; foreachBatch writes are
+partition-local. On a 1000-executor cluster the landing dir becomes a
+Kafka source (swap ``read_tokens_stream`` only — the rest of the plan is
+source-agnostic).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.storagelevel import StorageLevel
+
+from ..plans.pipeline import PipelineSpec, TOKENS_SCHEMA, build_stages, \
+    sink_names
+
+# ---------------------------------------------------------------------------
+# Source
+# ---------------------------------------------------------------------------
+
+
+def read_tokens_stream(spark: SparkSession, landing_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """in_tail analogue: stream parquet files as they land in a directory."""
+    r = spark.readStream.schema(TOKENS_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(landing_dir)
+
+
+def build_stream_stages(spark: SparkSession, stream_df: DataFrame,
+                        spec: PipelineSpec) -> DataFrame:
+    """Stateless stages lifted to streaming — identical plan builders."""
+    return build_stages(spark, stream_df, spec)
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregation with watermark (SP tumbling/hopping analogue)
+# ---------------------------------------------------------------------------
+
+
+def windowed_tag_counts(routed: DataFrame, ts_col: str = "event_ts",
+                        window: str = "10 seconds",
+                        slide: str | None = None,
+                        watermark: str = "30 seconds") -> DataFrame:
+    """``SELECT COUNT(*), SUM(n_tok) … WINDOW TUMBLING|HOPPING`` with
+    event-time watermarking (upstream:src/stream_processor/flb_sp_window.c
+    semantics, but event-time-exact instead of processing-time)."""
+    w = (F.window(F.col(ts_col), window, slide)
+         if slide else F.window(F.col(ts_col), window))
+    return (routed.withWatermark(ts_col, watermark)
+            .groupBy(w.alias("win"), F.col("tag"))
+            .agg(F.count("*").alias("records"),
+                 F.sum("n_tok").alias("n_tok_sum")))
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch fan-out (flush-timer analogue)
+# ---------------------------------------------------------------------------
+
+
+def foreach_batch_fanout(spec: PipelineSpec, output_dir: str):
+    """Per-micro-batch multi-sink writer: persist once, N filtered writes
+    + DLQ, append mode, batch_id in the path for idempotent re-runs
+    (Spark re-delivers a failed epoch; same batch_id → same dirs)."""
+    sinks = sink_names(spec)
+
+    def write_batch(routed: DataFrame, batch_id: int) -> None:
+        routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            good = routed.filter(F.col("dlq_reason").isNull())
+            for s in sinks:
+                (good.filter(F.array_contains("sinks", s))
+                     .write.mode("overwrite")
+                     .parquet(os.path.join(output_dir, "sinks", s,
+                                           f"epoch={batch_id}")))
+            (routed.filter(F.col("dlq_reason").isNotNull())
+                   .write.mode("overwrite")
+                   .parquet(os.path.join(output_dir, "dlq",
+                                         f"epoch={batch_id}")))
+        finally:
+            routed.unpersist()
+
+    return write_batch
+
+
+def start_pipeline_stream(spark: SparkSession, spec: PipelineSpec,
+                          landing_dir: str, output_dir: str,
+                          checkpoint_dir: str | None = None,
+                          available_now: bool = True):
+    """Wire source → stages → foreachBatch fan-out and start the query.
+
+    ``available_now=True`` drains everything currently in the landing dir
+    then stops — the deterministic test/backfill mode; ``False`` tails
+    the directory continuously (the true in_tail posture)."""
+    routed = build_stream_stages(
+        spark, read_tokens_stream(spark, landing_dir), spec)
+    q = (routed.writeStream
+         .foreachBatch(foreach_batch_fanout(spec, output_dir))
+         .option("checkpointLocation",
+                 checkpoint_dir or os.path.join(output_dir, "_stream_ckpt")))
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()
+
+
+# ---------------------------------------------------------------------------
+# Stateful throttle (filter_throttle's sliding rate limit, cross-batch)
+# ---------------------------------------------------------------------------
+
+_THROTTLE_STATE = T.StructType([
+    T.StructField("panes", T.ArrayType(T.LongType())),
+    T.StructField("admitted", T.ArrayType(T.LongType())),
+])
+
+# panes older than (max_pane - RETAIN_PANES) are dropped from state —
+# the watermark analogue bounding state size per key
+RETAIN_PANES = 128
+
+
+def throttle_stateful(df: DataFrame, rate: int, pane_seconds: int,
+                      ts_col: str = "event_ts",
+                      key_col: str = "tag") -> DataFrame:
+    """Admit at most ``rate`` rows per ``key_col`` per fixed pane of
+    ``pane_seconds`` (upstream:plugins/filter_throttle/throttle.c
+    semantics: pane-bucketed counters, over-rate records dropped), with
+    the per-pane admitted table carried across micro-batches in
+    GroupState so a pane spanning several batches shares one budget.
+
+    Vectorized admission: within a batch, a row is admitted iff its
+    rank-within-pane + previously-admitted-in-pane < rate (rank in
+    event-time order — deterministic given deterministic input)."""
+    import numpy as np
+
+    out_schema = df.schema
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterable[pd.DataFrame]:
+        table: dict[int, int] = {}
+        if state.exists:
+            panes, counts = state.get
+            table = dict(zip(panes, counts))
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            epoch = (pdf[ts_col].astype("int64").to_numpy()
+                     // 10**9 // pane_seconds)
+            uniq, inv = np.unique(epoch, return_inverse=True)
+            prior = np.array([table.get(int(e), 0) for e in uniq])
+            rank = pd.Series(epoch).groupby(epoch).cumcount().to_numpy()
+            keep = (rank + prior[inv]) < rate
+            for e, cnt in zip(*np.unique(epoch[keep], return_counts=True)):
+                table[int(e)] = table.get(int(e), 0) + int(cnt)
+            if keep.any():
+                yield pdf.iloc[np.flatnonzero(keep)]
+        if table:
+            horizon = max(table) - RETAIN_PANES
+            table = {p: c for p, c in table.items() if p >= horizon}
+        state.update((list(table.keys()), list(table.values())))
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType=_THROTTLE_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

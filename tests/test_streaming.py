@@ -1,0 +1,133 @@
+"""Structured Streaming pipeline tests (SURVEY.md §2.7 / §7.8).
+
+Strategy: every streaming result is checked against the equivalent
+BATCH computation on the same input — streaming/batch parity is the
+golden oracle (the reference's runtime tests assert callback-captured
+outputs; here the batch plan plays the reference role).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import fixtures as fx
+from fluent_bit_spark.operators.router import Route
+from fluent_bit_spark.plans.pipeline import PipelineSpec, build_stages
+from fluent_bit_spark.streaming.stream_pipeline import (
+    read_tokens_stream, start_pipeline_stream, throttle_stateful,
+    windowed_tag_counts,
+)
+
+N = 2_000
+
+
+@pytest.fixture(scope="module")
+def landing(tmp_path_factory):
+    """A landing dir with two parquet files (two in_tail 'rotations')."""
+    d = str(tmp_path_factory.mktemp("landing"))
+    fx.generate_tokens_table(os.path.join(d, "f0.parquet"), N, seed=42)
+    fx.generate_tokens_table(os.path.join(d, "f1.parquet"), N, seed=43)
+    return d
+
+
+@pytest.fixture(scope="module")
+def spec(fixture_paths):
+    return PipelineSpec(
+        vocab=fx.vocab(),
+        routes=[Route(*r) for r in fx.DEFAULT_ROUTES],
+        lookup_path=fixture_paths["lookup"],
+    )
+
+
+def deterministic_ts(df):
+    """Derive an event-time column from doc_id (deterministic: one row
+    per second starting 2026-01-01, wrapping every 600s)."""
+    sec = F.regexp_extract("doc_id", r"(\d+)", 1).cast("long") % 600
+    return df.withColumn(
+        "event_ts", F.timestamp_seconds(F.lit(1767225600) + sec))
+
+
+def test_stream_batch_parity(spark, landing, spec, tmp_path):
+    """foreachBatch fan-out produces exactly the batch routed row set."""
+    out = str(tmp_path / "stream_out")
+    q = start_pipeline_stream(spark, spec, landing, out)
+    q.awaitTermination(300)
+
+    batch = build_stages(spark, spark.read.parquet(landing), spec)
+    for sink in ("sink_web", "sink_json", "sink_kv"):
+        got = (spark.read.parquet(os.path.join(out, "sinks", sink))
+               .select("doc_id").collect())
+        want = (batch.filter(F.col("dlq_reason").isNull())
+                .filter(F.array_contains("sinks", sink))
+                .select("doc_id").collect())
+        assert sorted(r.doc_id for r in got) == \
+            sorted(r.doc_id for r in want), sink
+    got_dlq = spark.read.parquet(os.path.join(out, "dlq")).count()
+    want_dlq = batch.filter(F.col("dlq_reason").isNotNull()).count()
+    assert got_dlq == want_dlq > 0
+
+
+def test_stream_resume_idempotent(spark, landing, spec, tmp_path):
+    """Restarting a finished availableNow query re-writes nothing new
+    (file-source checkpoint = tail offset-DB semantics)."""
+    out = str(tmp_path / "stream_out2")
+    start_pipeline_stream(spark, spec, landing, out).awaitTermination(300)
+    before = spark.read.parquet(os.path.join(out, "sinks", "sink_web")).count()
+    # second start with the SAME checkpoint: no files pending → no epochs
+    start_pipeline_stream(spark, spec, landing, out).awaitTermination(300)
+    after = spark.read.parquet(os.path.join(out, "sinks", "sink_web")).count()
+    assert after == before
+
+
+def test_windowed_counts_watermark(spark, landing, spec):
+    """Event-time tumbling agg in streaming == batch groupBy(window)."""
+    stream = deterministic_ts(
+        build_stages(spark, read_tokens_stream(spark, landing), spec))
+    agg = windowed_tag_counts(stream, window="60 seconds",
+                              watermark="0 seconds")
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("win_counts")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r.win.start, r.tag): (r.records, r.n_tok_sum)
+           for r in spark.sql("select * from win_counts").collect()}
+
+    batch = deterministic_ts(build_stages(
+        spark, spark.read.parquet(landing), spec))
+    want = {((r.win.start, r.tag)): (r.records, r.n_tok_sum)
+            for r in (batch.groupBy(
+                F.window("event_ts", "60 seconds").alias("win"), "tag")
+                .agg(F.count("*").alias("records"),
+                     F.sum("n_tok").alias("n_tok_sum"))).collect()}
+    assert got == want and len(got) > 10
+
+
+def test_throttle_stateful_cross_batch(spark, landing, spec):
+    """Rate limit holds across micro-batches: with maxFilesPerTrigger=1
+    the same (tag, pane) seen in two batches shares one admitted counter."""
+    rate, pane = 5, 60
+    stream = deterministic_ts(
+        build_stages(spark, read_tokens_stream(
+            spark, landing, max_files_per_trigger=1), spec)) \
+        .select("doc_id", "n_tok", "tag", "event_ts")
+    lim = throttle_stateful(stream, rate=rate, pane_seconds=pane)
+    q = (lim.writeStream.outputMode("append")
+         .format("memory").queryName("throttled")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    rows = spark.sql("select * from throttled").collect()
+    assert rows
+    per_pane: dict[tuple, int] = {}
+    for r in rows:
+        k = (r.tag, int(r.event_ts.timestamp()) // pane)
+        per_pane[k] = per_pane.get(k, 0) + 1
+    # pane counters never exceed rate even though each (tag, pane) spans
+    # two micro-batches (both files contain the same doc_id-second mapping)
+    assert max(per_pane.values()) <= rate
+    # and the limiter actually dropped something
+    total_in = spark.read.parquet(landing).count()
+    assert len(rows) < total_in

@@ -46,19 +46,20 @@ def run_once(cores: int, tokens: str, out_dir: str, run_id: str,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--rows", type=int, default=4_000_000)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--files", type=int, default=32)
     ap.add_argument("--slices", type=int, default=4)
     ap.add_argument("--workdir", default="/tmp/bench_scaling")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
-    tokens = os.path.join(args.workdir, f"tokens_{args.rows}.parquet")
+    tokens = os.path.join(args.workdir, f"tokens_{args.rows}_f{args.files}")
     if not os.path.exists(tokens):
         sys.path.insert(0, REPO)
         from fluent_bit_spark import fixtures as fx
         print(f"generating {args.rows} rows → {tokens}", file=sys.stderr)
-        fx.generate_tokens_table(tokens, args.rows)
+        fx.generate_tokens_table(tokens, args.rows, n_files=args.files)
 
     results: dict[int, dict] = {}
     for cores in (8, 32):
