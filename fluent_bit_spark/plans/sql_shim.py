@@ -1,0 +1,137 @@
+"""Stream-processor SQL dialect shim (SURVEY.md §2.7, §3.2).
+
+The reference embeds a small SQL engine (upstream:src/stream_processor/
+parser/sql.y, sql.l; flb_sp_parser.c) with a dialect that is ANSI SQL
+plus four extensions:
+
+    CREATE STREAM name [WITH (tag='t')] AS SELECT …;
+    … FROM STREAM:other | TAG:'pattern'
+    … WINDOW TUMBLING (N SECOND) | HOPPING (N SECOND, ADVANCE BY M SECOND)
+    RECORD_TAG(), RECORD_TIME(), @record.contains(key)
+
+Rather than re-implement a SQL engine (the anti-pattern — Spark SQL is
+a full parser+analyzer+optimizer, upstream executes its AST with zero
+rewrites), this shim TRANSLATES the dialect to Spark SQL text and
+delegates: STREAM:/TAG: FROM-clauses become registered temp views
+(TAG:'pat' = the tagged frame filtered by the router's glob compiler),
+WINDOW clauses are rewritten into ``GROUP BY window(ts, …)`` with the
+window start spliced into the SELECT list, and the record functions
+become plain column references. Everything downstream — predicate
+pushdown, partial aggregation, codegen — is Catalyst's.
+
+The same translated text runs unchanged on a streaming DataFrame view
+(Structured Streaming shares the SQL surface), where the reference's
+processing-time flush becomes an event-time window + watermark.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.router import Route, match_predicate
+
+_UNIT_SEC = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600}
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+STREAM\s+(?P<name>\w+)\s*"
+    r"(?:WITH\s*\((?P<props>[^)]*)\)\s*)?AS\s+(?P<select>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_FROM_STREAM_RE = re.compile(r"\bSTREAM:(\w+)", re.IGNORECASE)
+_FROM_TAG_RE = re.compile(r"\bTAG:'([^']*)'", re.IGNORECASE)
+_WINDOW_RE = re.compile(
+    r"\bWINDOW\s+(?P<kind>TUMBLING|HOPPING)\s*\(\s*(?P<n>\d+)\s+"
+    r"(?P<unit>SECOND|MINUTE|HOUR)S?\s*"
+    r"(?:,\s*ADVANCE\s+BY\s+(?P<m>\d+)\s+(?P<munit>SECOND|MINUTE|HOUR)S?)?"
+    r"\s*\)", re.IGNORECASE)
+_CONTAINS_RE = re.compile(r"@record\.contains\(\s*([\w.\[\]']+)\s*\)",
+                          re.IGNORECASE)
+_GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
+_SELECT_RE = re.compile(r"^\s*SELECT\s+", re.IGNORECASE)
+# clauses that may follow GROUP BY keys (end of the key list)
+_TAIL_RE = re.compile(r"\b(HAVING|ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+
+
+class StreamProcessor:
+    """Holds stream registrations (flb_sp's stream list analogue) and
+    translates+executes dialect statements."""
+
+    def __init__(self, spark: SparkSession, tagged: DataFrame | None = None,
+                 tag_col: str = "tag", ts_col: str = "event_ts"):
+        self.spark = spark
+        self.tagged = tagged
+        self.tag_col = tag_col
+        self.ts_col = ts_col
+        self._tag_views: dict[str, str] = {}
+
+    # -- registration -------------------------------------------------------
+
+    def register_stream(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(f"sp_stream_{name}")
+
+    def _tag_view(self, pattern: str) -> str:
+        if self.tagged is None:
+            raise ValueError("TAG: selector needs a tagged frame")
+        v = self._tag_views.get(pattern)
+        if v is None:
+            v = f"sp_tag_{len(self._tag_views)}"
+            self.tagged.filter(
+                match_predicate(self.tag_col, Route(v, pattern))
+            ).createOrReplaceTempView(v)
+            self._tag_views[pattern] = v
+        return v
+
+    # -- translation --------------------------------------------------------
+
+    def translate(self, text: str) -> str:
+        """Dialect SELECT → Spark SQL text (no execution)."""
+        s = text.strip().rstrip(";")
+        s = _FROM_STREAM_RE.sub(lambda m: f"sp_stream_{m.group(1)}", s)
+        s = _FROM_TAG_RE.sub(lambda m: self._tag_view(m.group(1)), s)
+        s = _CONTAINS_RE.sub(r"(\1 IS NOT NULL)", s)
+        s = re.sub(r"\bRECORD_TAG\(\)", self.tag_col, s, flags=re.IGNORECASE)
+        s = re.sub(r"\bRECORD_TIME\(\)", self.ts_col, s, flags=re.IGNORECASE)
+
+        wm = _WINDOW_RE.search(s)
+        if wm:
+            n = int(wm.group("n")) * _UNIT_SEC[wm.group("unit").upper()]
+            dur = f"'{n} seconds'"
+            if wm.group("m"):
+                adv = (int(wm.group("m"))
+                       * _UNIT_SEC[wm.group("munit").upper()])
+                win = f"window({self.ts_col}, {dur}, '{adv} seconds')"
+            else:
+                win = f"window({self.ts_col}, {dur})"
+            s = s[:wm.start()] + s[wm.end():]  # drop WINDOW clause
+            gb = _GROUP_BY_RE.search(s)
+            if gb:
+                # append the window expr to the existing key list
+                tail = _TAIL_RE.search(s, gb.end())
+                at = tail.start() if tail else len(s)
+                s = s[:at].rstrip() + f", {win}" + " " + s[at:]
+            else:
+                s = s.rstrip() + f" GROUP BY {win}"
+            # splice the window start into the SELECT list
+            s = _SELECT_RE.sub(
+                lambda m: m.group(0) + f"{win}.start AS win_start, ", s)
+        return re.sub(r"\s+", " ", s).strip()
+
+    # -- execution ----------------------------------------------------------
+
+    def sql(self, text: str) -> DataFrame:
+        """Execute one dialect statement. CREATE STREAM registers the
+        result (and WITH(tag=…) stamps the emitted tag, the re-emission
+        analogue — upstream:src/stream_processor/flb_sp_stream.c);
+        plain SELECT returns the DataFrame."""
+        cm = _CREATE_RE.match(text)
+        if not cm:
+            return self.spark.sql(self.translate(text))
+        df = self.spark.sql(self.translate(cm.group("select")))
+        props = cm.group("props") or ""
+        tm = re.search(r"tag\s*=\s*'([^']*)'", props, re.IGNORECASE)
+        if tm:
+            from pyspark.sql import functions as F
+            df = df.withColumn(self.tag_col, F.lit(tm.group(1)))
+        self.register_stream(cm.group("name"), df)
+        return df

@@ -1,0 +1,80 @@
+"""Stream-processor SQL dialect tests (SURVEY.md §2.7).
+
+Mirrors the upstream SP test posture (upstream:tests/internal/
+stream_processor.c: SQL statements over fixture data with expected
+aggregate results) — expectations here come from the equivalent plain
+Spark SQL / DataFrame computation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.plans.sql_shim import StreamProcessor
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    rows = [
+        ("app.web.apache", "2026-01-01 00:00:05", "error", 500, 3),
+        ("app.web.apache", "2026-01-01 00:00:25", "info", 200, 10),
+        ("app.web.json", "2026-01-01 00:00:35", "info", 200, 7),
+        ("app.db.ltsv", "2026-01-01 00:01:05", "warn", 301, 1),
+        ("app.db.ltsv", "2026-01-01 00:01:45", "error", 500, 2),
+        ("sys.kernel", "2026-01-01 00:02:05", None, None, 9),
+    ]
+    df = (spark.createDataFrame(
+        rows, "tag string, ts string, level string, code int, n_tok int")
+        .withColumn("event_ts", F.to_timestamp("ts")).drop("ts"))
+    p = StreamProcessor(spark, tagged=df)
+    p.register_stream("logs", df)
+    return p
+
+
+def test_select_from_stream(sp):
+    got = sp.sql("SELECT COUNT(*) AS c, AVG(n_tok) AS a FROM STREAM:logs "
+                 "WHERE level = 'error';").collect()[0]
+    assert (got.c, got.a) == (2, 2.5)
+
+
+def test_tag_selector_glob(sp):
+    got = sp.sql("SELECT COUNT(*) AS c FROM TAG:'app.web.*';").collect()[0]
+    assert got.c == 3
+
+
+def test_tumbling_window_group_by(sp, spark):
+    df = sp.sql(
+        "SELECT tag, SUM(n_tok) AS s FROM STREAM:logs "
+        "WINDOW TUMBLING (1 MINUTE) GROUP BY tag;")
+    got = {(r.win_start.isoformat(), r.tag): r.s for r in df.collect()}
+    want_df = (spark.table("sp_stream_logs")
+               .groupBy(F.window("event_ts", "60 seconds").alias("w"), "tag")
+               .agg(F.sum("n_tok").alias("s")))
+    want = {(r.w.start.isoformat(), r.tag): r.s for r in want_df.collect()}
+    assert got == want and len(got) == 4
+
+
+def test_hopping_window(sp):
+    df = sp.sql("SELECT COUNT(*) AS c FROM STREAM:logs "
+                "WINDOW HOPPING (2 MINUTE, ADVANCE BY 1 MINUTE);")
+    rows = {r.win_start.strftime("%H:%M"): r.c for r in df.collect()}
+    # each event lands in two hopping panes
+    assert rows == {"23:59": 3, "00:00": 5, "00:01": 3, "00:02": 1}
+
+
+def test_record_functions_and_contains(sp):
+    got = sp.sql(
+        "SELECT RECORD_TAG() AS t, COUNT(*) AS c FROM STREAM:logs "
+        "WHERE @record.contains(level) GROUP BY RECORD_TAG();").collect()
+    assert {(r.t, r.c) for r in got} == {
+        ("app.web.apache", 2), ("app.web.json", 1), ("app.db.ltsv", 2)}
+
+
+def test_create_stream_with_tag_reemission(sp):
+    sp.sql("CREATE STREAM errors WITH (tag='sp.err') AS "
+           "SELECT tag AS src_tag, COUNT(*) AS c FROM STREAM:logs "
+           "WHERE code >= 500 GROUP BY tag;")
+    got = sp.sql("SELECT src_tag, c, tag FROM STREAM:errors;").collect()
+    assert {(r.src_tag, r.c, r.tag) for r in got} == {
+        ("app.web.apache", 1, "sp.err"), ("app.db.ltsv", 1, "sp.err")}
