@@ -291,14 +291,18 @@ def checklist_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("checklist_anti", """
 SELECT c_mktsegment, count(*) AS n FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
 """)
 def checklist_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no urgent order (non-empty at every test SF —
+    a 0-row result would make the oracle hash-match vacuous)."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders") \
+    urgent = t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderpriority") == "1-URGENT") \
         .select(F.col("o_custkey").alias("c_custkey"))
-    out = cust.join(F.broadcast(orders.distinct()), "c_custkey",
+    out = cust.join(F.broadcast(urgent.distinct()), "c_custkey",
                     "left_anti")
     return out.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
 
@@ -697,3 +701,111 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(F.aggregate("features", F.lit(0.0),
                             lambda a, v: a + v), 5).alias("feat_sum"))
+
+
+# ===========================================================================
+# Multiline joining, as-of join, rollup, SQL dialect (§2.2, §2.4, §2.7)
+# ===========================================================================
+
+
+@q("multiline_join", """
+WITH lines AS (
+  SELECT user_id, event_id,
+         event_type || ':' || CAST(event_id AS VARCHAR) AS line,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS s
+  FROM events),
+g AS (
+  SELECT *, sum(s) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING) AS gid
+  FROM lines)
+SELECT user_id, min(event_id) AS first_event_id,
+       count(*) AS n_lines,
+       string_agg(line, chr(10) ORDER BY event_id) AS event,
+       min(gid) > 0 AS joined
+FROM g
+GROUP BY user_id,
+         CASE WHEN gid > 0 THEN 'g' || CAST(gid AS VARCHAR)
+              ELSE 'r' || CAST(event_id AS VARCHAR) END
+""")
+def multiline_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flb_ml batch re-expression: per-user event streams joined into
+    logical events at 'signup' start markers; pre-start lines pass
+    through unjoined (operators/multiline.py)."""
+    from .operators.multiline import join_multiline
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.concat_ws(":", "event_type", F.col("event_id").cast("string"))
+         .alias("line"))
+    return join_multiline(ev, "user_id", "event_id", "line",
+                          F.col("line").startswith("signup:"))
+
+
+@q("asof_enrich", """
+SELECT p.event_id, p.user_id, round(c.value, 2) AS click_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment (operators/asof.py): each purchase gets the most
+    recent preceding click's value per user — the 'dimension state at
+    event time' join the broadcast lookup cannot express."""
+    from .operators.asof import asof_join
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "value")
+    out = asof_join(purchases, clicks, on="user_id", ts="ts",
+                    value_cols=["value"])
+    return out.select("event_id", "user_id",
+                      F.round("value_asof", 2).alias("click_value"))
+
+
+@q("rollup_agg", """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (absent upstream — §2.7 note; native here).
+    At 100 TB this is one shuffle: Spark expands grouping sets map-side
+    and partial-aggregates before exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum("l_quantity").cast("double").alias("sum_qty")))
+
+
+@q("sp_sql_stream_agg", """
+SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_v
+FROM events WHERE props IS NOT NULL AND value >= 10
+GROUP BY event_type
+""")
+def sp_sql_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-processor SQL dialect end-to-end (plans/sql_shim.py):
+    STREAM: selector + @record.contains over the events stream."""
+    from .plans.sql_shim import StreamProcessor
+    sp = StreamProcessor(spark, ts_col="ts")
+    sp.register_stream("events", t(spark, sf_dir, "events"))
+    return sp.sql(
+        "SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_v "
+        "FROM STREAM:events WHERE @record.contains(props) AND value >= 10 "
+        "GROUP BY event_type;")
+
+
+@q("sp_sql_window", """
+SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+""")
+def sp_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect WINDOW TUMBLING → GROUP BY window(ts, …) translation
+    (upstream:src/stream_processor/flb_sp_window.c semantics)."""
+    from .plans.sql_shim import StreamProcessor
+    sp = StreamProcessor(spark, ts_col="ts")
+    sp.register_stream("events", t(spark, sf_dir, "events"))
+    return sp.sql(
+        "SELECT event_type, COUNT(*) AS n FROM STREAM:events "
+        "WINDOW TUMBLING (1 HOUR) GROUP BY event_type;")
