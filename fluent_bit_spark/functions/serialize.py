@@ -1,0 +1,61 @@
+"""Output format serializers (SURVEY.md §2.1 sinks table).
+
+Reference semantics (upstream:src/flb_pack.c
+``flb_pack_msgpack_to_json_format``: json / json_lines / json_stream;
+upstream:src/flb_pack_gelf.c): each flushed record is rendered to a
+one-line JSON document; GELF is a fixed field mapping (version, host,
+short_message, timestamp, level, custom ``_``-prefixed fields).
+
+Spark re-expression: ``F.to_json(F.struct(...))`` — JVM-side, codegen,
+no UDF. The "format" is just a column projection; sinks write the
+rendered ``value`` column with ``text`` or keep it as a column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# syslog-ish severity → GELF numeric level (RFC 5424 subset used by
+# upstream flb_pack_gelf)
+_GELF_LEVELS = {"emerg": 0, "alert": 1, "crit": 2, "error": 3, "err": 3,
+                "warn": 4, "warning": 4, "notice": 5, "info": 6,
+                "debug": 7}
+
+
+def to_json_lines(df: DataFrame, cols: list[str] | None = None,
+                  out: str = "value") -> DataFrame:
+    """json_lines format: one JSON object per record."""
+    cols = cols or df.columns
+    return df.withColumn(
+        out, F.to_json(F.struct(*[F.col(c) for c in cols])))
+
+
+def gelf_level(level_col: Column | str) -> Column:
+    c = F.col(level_col) if isinstance(level_col, str) else level_col
+    expr = F.lit(1).cast("int")  # GELF default when unmappable: alert? no —
+    # upstream defaults missing/unknown level to 1... it uses level as-is
+    # when numeric; unknown strings → default 1 is flb's gelf fallback
+    m = None
+    for k, v in _GELF_LEVELS.items():
+        cond = F.lower(c) == k
+        m = F.when(cond, v) if m is None else m.when(cond, v)
+    return m.otherwise(F.coalesce(c.try_cast("int"), expr))
+
+
+def to_gelf(df: DataFrame, host_col: str, message_col: str,
+            ts_col: str, level_col: str | None = None,
+            extra_cols: list[str] | None = None,
+            out: str = "value") -> DataFrame:
+    """GELF 1.1 rendering: fixed keys + ``_``-prefixed extras."""
+    fields = [
+        F.lit("1.1").alias("version"),
+        F.col(host_col).alias("host"),
+        F.col(message_col).alias("short_message"),
+        F.unix_timestamp(F.col(ts_col)).cast("double").alias("timestamp"),
+    ]
+    if level_col is not None:
+        fields.append(gelf_level(level_col).alias("level"))
+    for c in (extra_cols or []):
+        fields.append(F.col(c).alias(f"_{c.replace('.', '_')}"))
+    return df.withColumn(out, F.to_json(F.struct(*fields)))

@@ -95,18 +95,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 16, shingle_n: int = 3) -> DataFrame:
     """(id, sig: array<bigint>) — permutation i is xxhash64(shingle, i);
-    the signature is the per-doc elementwise min. One explode + one
-    groupBy(doc): linear, the scale path."""
-    sh = (df.select(F.col(id_col).alias("doc"),
-                    F.explode(word_shingles(text_col, shingle_n)).alias("s")))
-    hashed = sh.select(
-        "doc", *[F.xxhash64(F.col("s"), F.lit(i)).alias(f"h{i}")
-                 for i in range(num_perm)])
-    agg = hashed.groupBy("doc").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)])
-    return agg.select(
-        "doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)])
-        .alias("sig"))
+    the signature is the per-doc elementwise min, computed entirely
+    per-row (``array_min`` over ``transform``) — ZERO shuffle: at 10^12
+    rows the signature pass is a pure map stage; only the band-bucket
+    join downstream exchanges data. Docs with no shingles (fewer than
+    ``shingle_n`` words) are dropped, as before."""
+    shingles = word_shingles(text_col, shingle_n)
+    sig = F.array(*[
+        F.array_min(F.transform(
+            F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_perm)])
+    return (df.select(F.col(id_col).alias("doc"), shingles.alias("_sh"))
+            .filter(F.size("_sh") > 0)
+            .select("doc", sig.alias("sig")))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,

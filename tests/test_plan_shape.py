@@ -1,0 +1,94 @@
+"""Physical-plan shape assertions (SURVEY.md §4.2) — the plans we
+designed for, checked with .explain so regressions that silently
+de-optimize (extra UDF evals, lost pushdown, shuffled lookup join)
+fail loudly.
+
+These are scale guarantees, not timings: at 10^12 rows the difference
+between one ArrowEvalPython node and two is a second full pass of the
+corpus through Python.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import fixtures as fx
+from fluent_bit_spark.operators.router import Route
+from fluent_bit_spark.plans.pipeline import PipelineSpec, build_stages
+
+
+@pytest.fixture(scope="module")
+def routed_plan(spark, fixture_paths):
+    spec = PipelineSpec(
+        vocab=fx.vocab(),
+        routes=[Route(*r) for r in fx.DEFAULT_ROUTES],
+        lookup_path=fixture_paths["lookup"],
+    )
+    df = spark.read.parquet(fixture_paths["tokens"])
+    routed = build_stages(spark, df, spec)
+    return routed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_single_arrow_udf_pass(routed_plan):
+    """detokenize + parse chain into ONE ArrowEvalPython node — one
+    Arrow round-trip for the whole parse stage (§4.2 item 3)."""
+    assert routed_plan.count("ArrowEvalPython") == 1
+
+
+def test_lookup_join_is_broadcast(routed_plan):
+    """The enrich join must be broadcast, never a shuffled join
+    (upstream filter_lookup is a per-record hash probe — the shuffle
+    would be a 10^12-row exchange)."""
+    assert "BroadcastHashJoin" in routed_plan
+    assert "SortMergeJoin" not in routed_plan
+    assert "ShuffledHashJoin" not in routed_plan
+
+
+def test_no_shuffle_before_sinks(routed_plan):
+    """parse→enrich→tag→route is a pure map chain: no Exchange above
+    the scan (routing must not repartition; the only shuffles in the
+    pipeline are the aggregate stages)."""
+    assert "Exchange" not in routed_plan.replace("BroadcastExchange", "")
+
+
+def test_scan_prunes_columns(spark, fixture_paths):
+    """An aggregate-only query over the tokens table must not read
+    ``tokens`` (ReadSchema pruning — §4.2 'critical')."""
+    df = spark.read.parquet(fixture_paths["tokens"])
+    plan = (df.groupBy("source").agg(F.sum("n_tok"))
+            ._jdf.queryExecution().executedPlan().toString())
+    schemas = [ln.split("ReadSchema:")[1] for ln in plan.splitlines()
+               if "ReadSchema:" in ln]
+    assert schemas and "tokens" not in schemas[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, fixture_paths):
+    df = spark.read.parquet(fixture_paths["tokens"])
+    plan = (df.filter(F.col("source") == "src1").select("doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,src1)]" \
+        in plan
+
+
+def test_salted_agg_is_two_phase(spark, fixture_paths):
+    """The salted aggregation must show partial aggregation below the
+    exchange on (key, salt) and a final stage on the key alone."""
+    from fluent_bit_spark.operators.aggregate import salted_sink_aggregates
+    df = spark.read.parquet(fixture_paths["tokens"])
+    plan = (salted_sink_aggregates(df, ["source"], salt_buckets=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    # two aggregation layers → at least 4 HashAggregate nodes
+    # (partial+final for the salted layer and for the de-salt layer)
+    assert plan.count("HashAggregate") >= 4
+    assert "xxhash64" in plan  # the salt expression survived planning
+
+
+def test_grep_filter_stays_in_codegen(spark, fixture_paths):
+    """grep predicates compile to JVM rlike, not python UDFs."""
+    from fluent_bit_spark.operators.filters import GrepRule, grep
+    df = spark.read.parquet(fixture_paths["tokens"])
+    plan = (grep(df, [GrepRule("doc_id", "^doc1")], "AND")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan
+    assert "RLIKE" in plan or "rlike" in plan
