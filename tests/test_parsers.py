@@ -126,3 +126,22 @@ def test_fused_parser_shapes(spark):
     assert lf.fields.kind == "logfmt" and lf.fields.dur_ms == 12
     g = rows[lines[4]]
     assert g.fields.kind is None and not g.parse_ok
+
+
+def test_arrow_pandas_parse_parity(spark, fixture_paths):
+    """The Arrow-compute parse core must match the pandas reference
+    implementation cell-for-cell on the full fixture line corpus."""
+    import pandas as pd
+    from fluent_bit_spark import fixtures as fx
+    from fluent_bit_spark.functions.parsers import (
+        _parse_batch, _parse_batch_pandas)
+    pool = fx.LinePool(2000, 42)
+    v = fx.vocab()
+    lines = ["".join(v[t] for t in
+                     pool.values[pool.offsets[i]:pool.offsets[i]
+                                 + pool.lens[i]])
+             for i in range(2000)]
+    lines += ["", "no shape here", "{not json}", "x=1"]
+    s = pd.Series(lines)
+    pd.testing.assert_frame_equal(
+        _parse_batch(s), _parse_batch_pandas(s), check_dtype=True)
