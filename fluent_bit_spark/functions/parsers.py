@@ -259,13 +259,13 @@ def _ex(arr, pattern: str, group: str = "v"):
     return pc.struct_field(st, group), pc.is_valid(st)
 
 
-def _parse_batch(s: pd.Series) -> pd.DataFrame:
-    """Arrow-compute implementation (pc.extract_regex = RE2 in C++,
-    no per-row Python): ~6× the throughput of the pandas str.extract
-    version (kept below as ``_parse_batch_pandas`` for the parity
-    test). Semantics identical — see the parity test in
-    tests/test_parsers.py."""
-    arr = pa.Array.from_pandas(s, type=pa.string())
+def _parse_arrow(arr: pa.Array) -> dict[str, pa.Array]:
+    """Arrow-compute parse core (pc.extract_regex = RE2 in C++, no
+    per-row Python): classify + extract all shapes, returning one
+    arrow array per PARSED_FIELDS column. Shared by the pandas-UDF
+    wrapper (``_parse_batch``) and the fused mapInArrow stage
+    (``fused_detok_parse``); semantics pinned to the pandas reference
+    implementation by the parity test in tests/test_parsers.py."""
     f = lambda m: pc.fill_null(m, False)  # noqa: E731
 
     js = f(pc.starts_with(arr, "{"))
@@ -318,7 +318,7 @@ def _parse_batch(s: pd.Series) -> pd.DataFrame:
     def to_int(a, typ):
         return pc.cast(a, typ, safe=False)
 
-    cols = {
+    return {
         "kind": kind,
         "level": pick(j_level, l_level, f_level),
         "code": to_int(pick(apf["code"], j_code, l_code, f_code),
@@ -334,7 +334,11 @@ def _parse_batch(s: pd.Series) -> pd.DataFrame:
         "dur_ms": to_int(f_dur, pa.int64()),
         "k": to_int(j_k, pa.int64()),
     }
-    out = pa.table(cols).to_pandas(types_mapper=None)
+
+
+def _parse_batch(s: pd.Series) -> pd.DataFrame:
+    arr = pa.Array.from_pandas(s, type=pa.string())
+    out = pa.table(_parse_arrow(arr)).to_pandas(types_mapper=None)
     # nullable numeric dtypes expected by the struct schema
     for c, dt in (("code", "Int32"), ("size", "Int64"),
                   ("dur_ms", "Int64"), ("k", "Int64")):
@@ -409,3 +413,46 @@ def with_parsed(df: DataFrame, decoded_col: str = "decoded",
     udf = parse_logline_udf()
     df = df.withColumn(out, udf(F.col(decoded_col)))
     return df.withColumn("parse_ok", F.col(f"{out}.kind").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Fused detokenize+parse via mapInArrow — the hot path's fastest form.
+# The chained pandas-UDF pair (with_decoded → with_parsed) converts the
+# token ListArray to a pandas object-Series of ndarrays and back, plus a
+# decoded-string round-trip; mapInArrow hands the RecordBatch straight
+# to arrow compute: zero pandas anywhere, tokens pass through untouched
+# (the token-equality invariant holds structurally — the input columns
+# are re-emitted by reference).
+# ---------------------------------------------------------------------------
+
+
+def fused_detok_parse(df: DataFrame, spark, vocab: list[str],
+                      tokens_col: str = "tokens",
+                      decoded_col: str = "decoded",
+                      fields_col: str = "fields") -> DataFrame:
+    from .detok import _detok_chunk
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(decoded_col, T.StringType()),
+           T.StructField(fields_col, PARSED_SCHEMA),
+           T.StructField("parse_ok", T.BooleanType())])
+    b = spark.sparkContext.broadcast(vocab)
+    field_names = [n for n, _ in PARSED_FIELDS]
+
+    def run(batches):
+        va = None
+        for batch in batches:
+            if va is None:
+                va = pa.array(b.value, type=pa.string())
+            i = batch.schema.get_field_index(tokens_col)
+            decoded = _detok_chunk(batch.column(i), va)
+            cols = _parse_arrow(decoded)
+            fields = pa.StructArray.from_arrays(
+                [cols[n] for n in field_names], names=field_names)
+            parse_ok = pc.is_valid(cols["kind"])
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [decoded, fields, parse_ok],
+                names=[f.name for f in out_schema.fields])
+
+    return df.mapInArrow(run, out_schema)

@@ -30,8 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.detok import with_decoded
-from ..functions.parsers import with_parsed
 from ..operators.enrich import lookup_join
 from ..operators.filters import GrepRule, grep_predicate
 from ..operators.router import RewriteTagRule, Route, apply_rewrite_tag, \
@@ -97,8 +95,8 @@ def build_stages(spark: SparkSession, df: DataFrame,
 
     ``tokens`` passes through untouched end-to-end (token-equality
     invariant) — every stage only adds columns or filters rows."""
-    out = with_decoded(df, spark, spec.vocab)
-    out = with_parsed(out)
+    from ..functions.parsers import fused_detok_parse
+    out = fused_detok_parse(df, spark, spec.vocab)
     if spec.grep_rules:
         # grep drops rows entirely in fluent-bit; we keep them for the DLQ
         # accounting instead when they fail parse, but a grep miss is a

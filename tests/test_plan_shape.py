@@ -31,9 +31,14 @@ def routed_plan(spark, fixture_paths):
 
 
 def test_single_arrow_udf_pass(routed_plan):
-    """detokenize + parse chain into ONE ArrowEvalPython node — one
-    Arrow round-trip for the whole parse stage (§4.2 item 3)."""
-    assert routed_plan.count("ArrowEvalPython") == 1
+    """detokenize + parse fuse into ONE Python/Arrow boundary — one
+    Arrow round-trip for the whole parse stage (§4.2 item 3). The
+    fused stage plans as a MapInArrow node; any ArrowEvalPython on top
+    of it would mean a second pass of the corpus through Python."""
+    boundaries = (routed_plan.count("ArrowEvalPython")
+                  + routed_plan.count("MapInArrow")
+                  + routed_plan.count("PythonMapInArrow"))
+    assert boundaries == 1, routed_plan
 
 
 def test_lookup_join_is_broadcast(routed_plan):
