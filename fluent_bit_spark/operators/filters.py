@@ -117,3 +117,32 @@ def deterministic_sample(df: DataFrame, key: str, rate: int) -> DataFrame:
     """Keep 1-in-``rate`` rows by key hash — deterministic (golden-safe),
     unlike Bernoulli sampling; this is the scale path for 10^12 rows."""
     return df.filter(F.pmod(F.xxhash64(F.col(key)), F.lit(rate)) == 0)
+
+
+# ---------------------------------------------------------------------------
+# filter_expect (upstream:plugins/filter_expect/expect.c): assert record
+# invariants in-pipeline; action 'exit' aborts the pipeline, 'warn'/
+# 'result_key' records the violation and continues.
+# ---------------------------------------------------------------------------
+
+
+def expect(df: DataFrame, cond: Column, action: str = "exit",
+           result_key: str = "_expect_ok") -> DataFrame:
+    """Pipeline-embedded invariant.
+
+    - ``exit``: any violating row fails the job at execution time
+      (``F.assert_true`` — a codegen'd check, zero cost when it holds;
+      this is how the token-equality invariant rides the 10^12-row scan
+      without a second pass).
+    - ``warn`` / ``result_key``: stamp a boolean column; downstream
+      metrics/DLQ policy decides (the reference logs and continues).
+    """
+    if action == "exit":
+        # assert_true returns NULL when the predicate holds and raises
+        # otherwise; wrapping in coalesce(..., true) inside a filter
+        # keeps every row while forcing evaluation (a projected-then-
+        # dropped column would be pruned by Catalyst and never checked)
+        return df.filter(F.coalesce(
+            F.assert_true(cond, F.lit(f"expect failed: {cond}")),
+            F.lit(True)))
+    return df.withColumn(result_key, cond)

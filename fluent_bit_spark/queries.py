@@ -809,3 +809,33 @@ def sp_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.sql(
         "SELECT event_type, COUNT(*) AS n FROM STREAM:events "
         "WINDOW TUMBLING (1 HOUR) GROUP BY event_type;")
+
+
+@q("ann_ivf", """
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+         FROM embeddings WHERE vec_id != 0 ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         (SELECT c.cid FROM cent c
+          ORDER BY list_cosine_similarity(c.cvec, e.embedding::DOUBLE[])
+            DESC, c.cid LIMIT 1) AS cid
+  FROM embeddings e WHERE e.vec_id != 0),
+probe AS (SELECT cid FROM cent, q
+          ORDER BY list_cosine_similarity(cvec, q.v) DESC, cid LIMIT 4),
+bucket AS (SELECT a.* FROM assign a JOIN probe p USING (cid))
+SELECT b.vec_id, round(list_cosine_similarity(q.v, b.v), 5) AS cos
+FROM bucket b, q
+ORDER BY list_cosine_similarity(q.v, b.v) DESC, b.vec_id
+LIMIT 10
+""")
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours (operators/similarity.py
+    ivf_topk): deterministic coarse quantizer (first 16 ids), probe the
+    4 nearest buckets, exact-rank inside — the 10^12-row scale path the
+    brute-force scan cannot be."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    out = SIM.ivf_topk(emb, "vec_id", "embedding", qv, k=10,
+                       n_centroids=16, n_probe=4)
+    return out.select("vec_id", F.round("cos", 5).alias("cos"))

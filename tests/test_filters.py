@@ -128,3 +128,20 @@ def test_sampling(spark):
     n1, n2 = s.count(), s.count()
     assert n1 == n2  # deterministic
     assert 50 < n1 < 200  # ~1/10
+
+
+def test_expect_exit_and_warn(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.filters import expect
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v int")
+    # holding invariant: no-op, rows flow through
+    assert expect(df, F.col("v") > 0).count() == 3
+    # violated + exit: the job aborts at execution time
+    with pytest.raises(Exception, match="expect failed"):
+        expect(df, F.col("v") > 1).collect()
+    # warn mode stamps the flag instead
+    got = {r.v: r._expect_ok
+           for r in expect(df, F.col("v") > 1, action="warn").collect()}
+    assert got == {1: False, 2: True, 3: True}
