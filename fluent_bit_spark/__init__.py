@@ -16,3 +16,14 @@ Blueprint: SURVEY.md. Contract: BASELINE.json (north_rule / input_hint).
 """
 
 __version__ = "0.1.0"
+
+
+def sql(spark, text, tagged=None, ts_col="event_ts", **streams):
+    """Convenience entry for the stream-processor SQL dialect
+    (SURVEY.md §3.4 entry point 2): ``sql(spark, "SELECT ... FROM
+    STREAM:logs ...", logs=df)``. See plans/sql_shim.py."""
+    from .plans.sql_shim import StreamProcessor
+    sp = StreamProcessor(spark, tagged=tagged, ts_col=ts_col)
+    for name, df in streams.items():
+        sp.register_stream(name, df)
+    return sp.sql(text)
