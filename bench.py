@@ -40,6 +40,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
+    "ann_ivf",
+    "multiline_join",
+    "asof_enrich",
+    "rollup_agg",
+    "sp_sql_window",
     "text_quality",
     "token_count_regex",
 ]
