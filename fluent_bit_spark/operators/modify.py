@@ -45,12 +45,27 @@ def condition_predicate(df: DataFrame, c: Condition) -> Column:
         return F.coalesce(
             F.col(c.key).cast("string").rlike(c.value), F.lit(False)) \
             if c.key in cols else F.lit(False)
+    if c.kind == "key_value_does_not_match":
+        return F.coalesce(
+            ~F.col(c.key).cast("string").rlike(c.value), F.lit(True)) \
+            if c.key in cols else F.lit(True)
     if c.kind == "a_key_matches":
         hit = [k for k in df.columns if re.search(c.key, k)]
         return F.lit(bool(hit))
     if c.kind == "no_key_matches":
         hit = [k for k in df.columns if re.search(c.key, k)]
         return F.lit(not hit)
+    if c.kind in ("matching_keys_have_matching_values",
+                  "matching_keys_do_not_have_matching_values"):
+        hit = [k for k in df.columns if re.search(c.key, k)]
+        if not hit:
+            # vacuous truth, matching the reference's all-quantifier
+            return F.lit(True)
+        per_key = [F.coalesce(F.col(k).cast("string").rlike(c.value),
+                              F.lit(False)) for k in hit]
+        if c.kind.startswith("matching_keys_have"):
+            return reduce(lambda a, b: a & b, per_key)
+        return reduce(lambda a, b: a & b, [~p for p in per_key])
     raise ValueError(f"unknown condition {c.kind}")
 
 

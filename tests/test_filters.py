@@ -145,3 +145,45 @@ def test_expect_exit_and_warn(spark):
     got = {r.v: r._expect_ok
            for r in expect(df, F.col("v") > 1, action="warn").collect()}
     assert got == {1: False, 2: True, 3: True}
+
+
+def test_modify_condition_full_matrix(spark):
+    """All 10 upstream filter_modify conditions
+    (upstream:plugins/filter_modify/modify.c condition table)."""
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.modify import (
+        Condition, condition_predicate)
+
+    df = spark.createDataFrame(
+        [("error", 500, "web", None)],
+        "level string, code int, svc string, extra string")
+
+    def holds(c):
+        return bool(df.select(
+            F.coalesce(condition_predicate(df, c), F.lit(False))
+            .alias("p")).head().p)
+
+    assert holds(Condition("key_exists", "level"))
+    assert not holds(Condition("key_exists", "extra"))       # null value
+    assert not holds(Condition("key_exists", "missing"))
+    assert holds(Condition("key_does_not_exist", "missing"))
+    assert holds(Condition("key_does_not_exist", "extra"))
+    assert holds(Condition("key_value_equals", "level", "error"))
+    assert not holds(Condition("key_value_equals", "level", "info"))
+    assert holds(Condition("key_value_does_not_equal", "level", "info"))
+    assert holds(Condition("key_value_matches", "level", "^err"))
+    assert not holds(Condition("key_value_matches", "missing", "x"))
+    assert holds(Condition("key_value_does_not_match", "level", "^info"))
+    assert holds(Condition("a_key_matches", "^(level|nothing)$"))
+    assert not holds(Condition("no_key_matches", "^level$"))
+    assert holds(Condition("no_key_matches", "^nothing$"))
+    # all keys matching ^(level|svc)$ have string values → values rlike \w
+    assert holds(Condition("matching_keys_have_matching_values",
+                           "^(level|svc)$", r"^\w+$"))
+    assert not holds(Condition("matching_keys_have_matching_values",
+                               "^(level|svc)$", r"^\d+$"))
+    assert holds(Condition("matching_keys_do_not_have_matching_values",
+                           "^(level|svc)$", r"^\d+$"))
+    # vacuous truth when no key matches
+    assert holds(Condition("matching_keys_have_matching_values",
+                           "^nothing$", "x"))

@@ -143,5 +143,10 @@ def test_arrow_pandas_parse_parity(spark, fixture_paths):
              for i in range(2000)]
     lines += ["", "no shape here", "{not json}", "x=1"]
     s = pd.Series(lines)
-    pd.testing.assert_frame_equal(
-        _parse_batch(s), _parse_batch_pandas(s), check_dtype=True)
+    a, b = _parse_batch(s), _parse_batch_pandas(s)
+    # normalize null spelling: arrow emits None, pandas emits NaN in
+    # object columns — same value through the Arrow serializer
+    for f in (a, b):
+        for c in f.columns[f.dtypes == object]:
+            f[c] = f[c].where(pd.notna(f[c]), None)
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)

@@ -149,3 +149,27 @@ def test_every_row_lands_somewhere(spark, fixture_paths):
     uncovered = routed.filter(
         (F.size("sinks") == 0) & F.col("dlq_reason").isNull()).count()
     assert uncovered == 0
+
+
+def test_edge_rows_route_to_dlq(spark, fixture_paths):
+    """Empty token arrays and unparseable content must flow to the DLQ,
+    never crash the fused arrow stage (schema-on-write contract)."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from fluent_bit_spark import fixtures as fx
+    from fluent_bit_spark.operators.router import Route
+    from fluent_bit_spark.plans.pipeline import PipelineSpec, build_stages
+
+    df = spark.createDataFrame(
+        [("e1", [], 0, "src0"),                # empty tokens → decoded ""
+         ("e2", [0, 1, 2], 3, "src1"),         # garbage pieces
+         ("e3", None, None, "src2")],          # null tokens
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    spec = PipelineSpec(vocab=fx.vocab(),
+                        routes=[Route(*r) for r in fx.DEFAULT_ROUTES])
+    routed = build_stages(spark, df, spec)
+    got = {r.doc_id: (r.dlq_reason, r.decoded is not None)
+           for r in routed.collect()}
+    assert got["e1"][0] == "parse_fail"
+    assert got["e3"][0] == "parse_fail"
+    assert len(got) == 3
