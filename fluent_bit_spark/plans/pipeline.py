@@ -81,6 +81,7 @@ class PipelineSpec:
     sink_partition_by: list[str] = field(default_factory=lambda: ["source"])
     salt_buckets: int = 32
     fanout_mode: str = "persist"            # 'persist' | 'explode'
+    keep_decoded: str = "auto"              # 'auto' | 'always' | 'dlq_only'
 
 
 def default_tag_expr() -> str:
@@ -96,7 +97,15 @@ def build_stages(spark: SparkSession, df: DataFrame,
     ``tokens`` passes through untouched end-to-end (token-equality
     invariant) — every stage only adds columns or filters rows."""
     from ..functions.parsers import fused_detok_parse
-    out = fused_detok_parse(df, spark, spec.vocab)
+    keep = spec.keep_decoded
+    if keep == "auto":
+        # any rule addressing the raw line forces full decode retention
+        refs_decoded = (
+            any(r.key == "decoded" for r in spec.grep_rules)
+            or any(r.key == "decoded" for r in spec.rewrite_rules)
+            or "decoded" in (spec.tag_expr or ""))
+        keep = "always" if refs_decoded else "dlq_only"
+    out = fused_detok_parse(df, spark, spec.vocab, keep_decoded=keep)
     if spec.grep_rules:
         # grep drops rows entirely in fluent-bit; we keep them for the DLQ
         # accounting instead when they fail parse, but a grep miss is a
