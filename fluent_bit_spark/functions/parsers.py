@@ -470,3 +470,53 @@ def fused_detok_parse(df: DataFrame, spark, vocab: list[str],
                 names=[f.name for f in out_schema.fields])
 
     return df.mapInArrow(run, out_schema)
+
+
+def fused_detok_parse_udf(df: DataFrame, spark, vocab: list[str],
+                          tokens_col: str = "tokens",
+                          decoded_col: str = "decoded",
+                          fields_col: str = "fields",
+                          keep_decoded: str = "always") -> DataFrame:
+    """Column-UDF form of the fused stage: ONLY ``tokens`` crosses into
+    Python and ONLY (decoded, parse fields) cross back — the token
+    arrays (the widest column, ~4 B × n_tok per row ≈ 240 B/row
+    uncompressed in Arrow IPC) are never re-serialized to the JVM,
+    unlike mapInArrow's whole-batch pass-through. At 10^12 rows the
+    return IPC drops from ~(tokens+fields) to ~fields alone.
+
+    Returns the same schema/columns as ``fused_detok_parse``."""
+    from .detok import _detok_chunk
+
+    flat = T.StructType(
+        [T.StructField("decoded", T.StringType())]
+        + [T.StructField(n, t) for n, t in PARSED_FIELDS])
+    b = spark.sparkContext.broadcast(vocab)
+    field_names = [n for n, _ in PARSED_FIELDS]
+    dlq_only = keep_decoded == "dlq_only"
+    cache: dict[str, pa.Array] = {}
+
+    @F.pandas_udf(flat)
+    def parse(tokens: pd.Series) -> pd.DataFrame:
+        va = cache.get("v")
+        if va is None:
+            va = pa.array(b.value, type=pa.string())
+            cache["v"] = va
+        arr = pa.Array.from_pandas(tokens, type=pa.list_(pa.int32()))
+        decoded = _detok_chunk(arr, va)
+        cols = _parse_arrow(decoded)
+        if dlq_only:
+            decoded = pc.if_else(pc.is_valid(cols["kind"]),
+                                 pa.scalar(None, pa.string()), decoded)
+        out = pa.table({"decoded": decoded, **cols}).to_pandas()
+        for c, dt in (("code", "Int32"), ("size", "Int64"),
+                      ("dur_ms", "Int64"), ("k", "Int64")):
+            out[c] = out[c].astype(dt)
+        out.index = tokens.index
+        return out
+
+    df = df.withColumn("__p", parse(F.col(tokens_col)))
+    return (df.withColumn(decoded_col, F.col("__p.decoded"))
+              .withColumn(fields_col, F.struct(
+                  *[F.col(f"__p.{n}").alias(n) for n in field_names]))
+              .withColumn("parse_ok", F.col(f"{fields_col}.kind").isNotNull())
+              .drop("__p"))

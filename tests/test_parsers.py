@@ -150,3 +150,19 @@ def test_arrow_pandas_parse_parity(spark, fixture_paths):
         for c in f.columns[f.dtypes == object]:
             f[c] = f[c].where(pd.notna(f[c]), None)
     pd.testing.assert_frame_equal(a, b, check_dtype=True)
+
+
+def test_fused_udf_variant_matches_mapinarrow(spark, fixture_paths):
+    """Both fused-stage forms (mapInArrow pass-through vs tokens-only
+    pandas UDF) must produce identical rows."""
+    from pyspark.sql import functions as F
+    from fluent_bit_spark import fixtures as fx
+    from fluent_bit_spark.functions.parsers import (
+        fused_detok_parse, fused_detok_parse_udf)
+    df = spark.read.parquet(fixture_paths["tokens"]).limit(2000)
+    a = fused_detok_parse(df, spark, fx.vocab(), keep_decoded="dlq_only")
+    b = fused_detok_parse_udf(df, spark, fx.vocab(), keep_decoded="dlq_only")
+    cols = ["doc_id", "decoded", "parse_ok", "fields"]
+    ra = sorted(map(str, a.select(cols).collect()))
+    rb = sorted(map(str, b.select(cols).collect()))
+    assert ra == rb and len(ra) == 2000
