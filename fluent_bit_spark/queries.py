@@ -839,3 +839,37 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SIM.ivf_topk(emb, "vec_id", "embedding", qv, k=10,
                        n_centroids=16, n_probe=4)
     return out.select("vec_id", F.round("cos", 5).alias("cos"))
+
+
+@q("serialize_json_lines", """
+SELECT to_json(struct_pack(doc_id := doc_id, source := source,
+                           n_chars := n_chars)) AS value
+FROM documents WHERE lang = 'en'
+""")
+def serialize_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_lines output format (functions/serialize.py ←
+    upstream:src/flb_pack.c flb_pack_msgpack_to_json_format): byte-exact
+    rendering cross-checked against DuckDB's serializer."""
+    from .functions.serialize import to_json_lines
+    docs = t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return to_json_lines(docs, ["doc_id", "source", "n_chars"]) \
+        .select("value")
+
+
+@q("record_accessor_template", """
+SELECT 'k/' || event_type || '/u' || CAST(user_id % 10 AS VARCHAR)
+         AS key,
+       count(*) AS n
+FROM events GROUP BY 1
+""")
+def record_accessor_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-accessor template compilation (functions/record_accessor.py
+    ← upstream:src/flb_record_accessor.c): an out_s3-style key template
+    '$TAG[1]/$bucket' compiled to one concat() Column."""
+    from .functions.record_accessor import compile_template
+    ev = t(spark, sf_dir, "events").withColumn(
+        "tag", F.concat(F.lit("ev."), "event_type")).withColumn(
+        "bucket", F.concat(F.lit("u"), (F.col("user_id") % 10)))
+    keyed = ev.withColumn(
+        "key", compile_template("k/$TAG[1]/$bucket", tag_col="tag"))
+    return keyed.groupBy("key").agg(F.count("*").alias("n"))
