@@ -92,8 +92,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 
+# Portable hash family: identical arithmetic is expressible in ANSI SQL
+# (DuckDB oracle) and Spark — md5-prefix base hash + affine permutations
+# mod a Mersenne prime. Used by the oracle-checkable MinHash variant;
+# xxhash64 (JVM-native, faster) stays the default at scale.
+PORTABLE_PRIME = 2_147_483_647          # 2^31 − 1
+
+
+def portable_base_hash(col: Column) -> Column:
+    """string → int in [0, 2^28): first 7 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def _portable_perm(base: Column, i: int) -> Column:
+    return (base * (2 * i + 3) + 7 * i + 1) % PORTABLE_PRIME
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
-                      num_perm: int = 16, shingle_n: int = 3) -> DataFrame:
+                      num_perm: int = 16, shingle_n: int = 3,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """(id, sig: array<bigint>) — permutation i is xxhash64(shingle, i);
     the signature is the per-doc elementwise min.
 
@@ -107,9 +124,15 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     (element, array_index), silently shadowing a closed-over seed."""
     sh = (df.select(F.col(id_col).alias("doc"),
                     F.explode(word_shingles(text_col, shingle_n)).alias("s")))
-    hashed = sh.select(
-        "doc", *[F.xxhash64(F.col("s"), F.lit(i)).alias(f"h{i}")
-                 for i in range(num_perm)])
+    if hash_fn == "portable":
+        base = portable_base_hash(F.col("s"))
+        hashed = sh.select(
+            "doc", *[_portable_perm(base, i).alias(f"h{i}")
+                     for i in range(num_perm)])
+    else:
+        hashed = sh.select(
+            "doc", *[F.xxhash64(F.col("s"), F.lit(i)).alias(f"h{i}")
+                     for i in range(num_perm)])
     agg = hashed.groupBy("doc").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)])
     return agg.select(
@@ -120,21 +143,37 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 16, bands: int = 4,
                       threshold: float = 0.5,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Banded LSH candidate generation + signature-similarity verify.
 
     bands×rows = num_perm; a pair collides if any band's row-slice hashes
     equal. est_jaccard = fraction of equal signature positions (unbiased
     MinHash estimator). Returns (d1, d2, est_jaccard ≥ threshold).
+
+    ``hash_fn='portable'`` switches both the permutation family and the
+    band hash to md5+affine arithmetic that an ANSI-SQL engine can
+    reproduce exactly — the DuckDB-oracled configuration
+    (queries.dedup_minhash_portable); xxhash64 is the faster default.
     """
     rows = num_perm // bands
-    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
+    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_n,
+                            hash_fn=hash_fn)
+
+    def band_hash(b: int) -> Column:
+        if hash_fn == "portable":
+            acc = F.lit(0).cast("bigint")
+            for r in range(rows):
+                acc = (acc * 1_000_003 + F.col("sig")[b * rows + r]) \
+                    % PORTABLE_PRIME
+            return acc
+        return F.xxhash64(*[F.col("sig")[b * rows + r]
+                            for r in range(rows)])
+
     band_entries = sig.select(
         "doc", "sig",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("sig")[b * rows + r]
-                                  for r in range(rows)]).alias("bh"))
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
             for b in range(bands)])).alias("e")
     ).select("doc", "sig", "e.band", "e.bh")
     a = band_entries.select(F.col("doc").alias("d1"),
@@ -158,11 +197,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 
-def simhash(text_col: str | Column, bits: int = 32) -> Column:
+def simhash(text_col: str | Column, bits: int = 32,
+            hash_fn: str = "xxhash64") -> Column:
     """Per-row SimHash over word hashes, no explode: majority vote per bit
-    across the row's word-hash array, folded into one integer."""
+    across the row's word-hash array, folded into one integer.
+    ``hash_fn='portable'``: md5-prefix word hashes reproducible in ANSI
+    SQL (the DuckDB-oracled configuration)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    hashes = F.transform(F.split(c, " "), lambda w: F.xxhash64(w))
+    if hash_fn == "portable":
+        hashes = F.transform(
+            F.split(c, " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10)
+                       .cast("long"))
+    else:
+        hashes = F.transform(F.split(c, " "), lambda w: F.xxhash64(w))
     half = F.size(hashes).cast("double") / 2.0
 
     def ones_at(mask: int):
@@ -185,14 +233,15 @@ def simhash(text_col: str | Column, bits: int = 32) -> Column:
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   bits: int = 32, bands: int = 4,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, candidate
     generation by band-equality (pigeonhole: distance < bands ⇒ some band
     equal). Returns (d1, d2, hamming)."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     sigs = df.select(F.col(id_col).alias("doc"),
-                     simhash(text_col, bits).alias("sh"))
+                     simhash(text_col, bits, hash_fn=hash_fn).alias("sh"))
     entries = sigs.select(
         "doc", "sh",
         F.explode(F.array(*[

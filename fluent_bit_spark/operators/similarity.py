@@ -113,24 +113,30 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
 # ---------------------------------------------------------------------------
 
 
-def _plane_component(p: int, j: int) -> Column:
-    """Deterministic pseudo-random value in [-1, 1) for plane p, dim j —
-    derived from xxhash64 so executors need no shared RNG state."""
-    h = F.xxhash64(F.lit(f"plane_{p}_{j}"))
-    return (F.pmod(h, F.lit(20001)).cast("double") - 10000.0) / 10000.0
+def portable_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic hyperplanes in [-1, 1): md5("plane_p_j") prefix —
+    plain literals, so executors need no RNG state AND an ANSI-SQL
+    oracle can inline the identical constants (the previous xxhash64-
+    expression form planned 384 hash calls per row and was opaque to
+    the oracle)."""
+    import hashlib
+    return [
+        [(int(hashlib.md5(f"plane_{p}_{j}".encode()).hexdigest()[:7], 16)
+          % 20001 - 10000) / 10000.0
+         for j in range(dim)]
+        for p in range(n_planes)]
 
 
-def lsh_bucket(vec_col: str | Column, dim: int, n_planes: int = 8) -> Column:
+def lsh_bucket(vec_col: str | Column, dim: int, n_planes: int = 8,
+               planes: list[list[float]] | None = None) -> Column:
     """Sign-of-dot-product bucket id over n_planes deterministic
     hyperplanes → int in [0, 2^n_planes)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     v = v.cast("array<double>")
+    planes = planes or portable_planes(dim, n_planes)
     acc = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        d = None
-        for j in range(dim):
-            term = F.element_at(v, j + 1) * _plane_component(p, j)
-            d = term if d is None else d + term
+        d = dot(v, _lit_vec(planes[p]))
         acc = acc + F.when(d > 0, F.lit(1 << p).cast("bigint")) \
                      .otherwise(F.lit(0).cast("bigint"))
     return acc

@@ -594,11 +594,36 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos", 5).alias("cos"))
 
 
-@q("ann_lsh_bucketed")  # no SQL oracle: hyperplanes derive from xxhash64
+def _lsh_bucketed_oracle(dim: int = 64, n_planes: int = 6,
+                         threshold: float = 0.3) -> str:
+    """DuckDB oracle for hyperplane-LSH candidates: the identical
+    md5-derived plane constants are inlined as SQL literals."""
+    planes = SIM.portable_planes(dim, n_planes)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(c) for c in planes[p])
+        + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+cand AS (SELECT a.vec_id AS id1, c.vec_id AS id2, a.v AS v1, c.v AS v2
+         FROM b a JOIN b c
+           ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT id1, id2, round(list_cosine_similarity(v1, v2), 5) AS cos
+FROM cand WHERE list_cosine_similarity(v1, v2) >= {threshold}
+"""
+
+
+@q("ann_lsh_bucketed", _lsh_bucketed_oracle())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH candidate generation + cosine verify —
+    plane constants are portable literals, so the bucket assignment,
+    candidate join and verify are all DuckDB-oracle-checked."""
     emb = t(spark, sf_dir, "embeddings")
-    return SIM.lsh_candidate_pairs(emb, "vec_id", "embedding", dim=64,
-                                   n_planes=6, threshold=0.3)
+    out = SIM.lsh_candidate_pairs(emb, "vec_id", "embedding", dim=64,
+                                  n_planes=6, threshold=0.3)
+    return out.select("id1", "id2", F.round("cos", 5).alias("cos"))
 
 
 # ===========================================================================
@@ -873,3 +898,100 @@ def record_accessor_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = ev.withColumn(
         "key", compile_template("k/$TAG[1]/$bucket", tag_col="tag"))
     return keyed.groupBy("key").agg(F.count("*").alias("n"))
+
+
+def _minhash_portable_oracle(num_perm: int = 16, bands: int = 4,
+                             threshold: float = 0.5) -> str:
+    """Generate the DuckDB oracle for the portable-hash MinHash+LSH:
+    identical md5+affine arithmetic as operators.dedup hash_fn='portable'."""
+    P = 2147483647
+    rows = num_perm // bands
+    mins = ",\n  ".join(
+        f"min((b*{2 * i + 3} + {7 * i + 1}) % {P}) AS m{i}"
+        for i in range(num_perm))
+    def fold(b):
+        expr = "0"
+        for r in range(rows):
+            expr = f"(({expr})*1000003 + m{b * rows + r}) % {P}"
+        return expr
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, {fold(b)} AS bh FROM sig"
+        for b in range(bands))
+    eq = " + ".join(
+        f"CASE WHEN s1.m{i} = s2.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_perm))
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh0 AS (SELECT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)
+        WHERE len(ws) >= 3),
+sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+hb AS (SELECT doc_id, ('0x' || substring(md5(s),1,7))::BIGINT AS b FROM sh),
+sig AS (SELECT doc_id,
+  {mins}
+  FROM hb GROUP BY doc_id),
+bandt AS (
+  {band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bandt a JOIN bandt b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+est AS (SELECT c.d1, c.d2, ({eq}) / {num_perm}.0 AS est_jaccard
+        FROM cand c
+        JOIN sig s1 ON s1.doc_id = c.d1
+        JOIN sig s2 ON s2.doc_id = c.d2)
+SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+@q("dedup_minhash_portable", _minhash_portable_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the portable (md5+affine) hash family — the
+    SAME operator pipeline as dedup_minhash_lsh but every hash is
+    reproducible in ANSI SQL, so the full shingle→signature→band→
+    candidate→estimate chain is DuckDB-oracle-checked end to end."""
+    docs = t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=16,
+                                bands=4, threshold=0.5, hash_fn="portable")
+
+
+def _simhash_portable_oracle(bits: int = 32, bands: int = 4,
+                             max_hamming: int = 3) -> str:
+    """DuckDB oracle for the portable SimHash: identical md5-prefix word
+    hashes, per-bit majority vote, band-bucketed candidates, hamming."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum((h >> {i}) & 1) > count(*) / 2.0 "
+        f"THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(bits))
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, (sh >> {b * band_bits}) & {mask} "
+        f"AS bv, sh FROM sig"
+        for b in range(bands))
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+h AS (SELECT doc_id,
+             ('0x' || substring(md5(w),1,15))::BIGINT AS h FROM words),
+sig AS (SELECT doc_id, {bit_terms} AS sh FROM h GROUP BY doc_id),
+bandt AS (
+  {band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                a.sh AS s1, b.sh AS s2
+         FROM bandt a JOIN bandt b
+           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT d1, d2, bit_count(xor(s1, s2)) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+"""
+
+
+@q("dedup_simhash_portable", _simhash_portable_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with the portable hash family — the full
+    word-hash → bit-majority → band-bucket → hamming chain is
+    DuckDB-oracle-checked value-for-value."""
+    docs = t(spark, sf_dir, "documents")
+    out = DD.simhash_pairs(docs, "doc_id", "text", bits=32, bands=4,
+                           max_hamming=3, hash_fn="portable")
+    return out.select("d1", "d2", F.col("hamming").cast("long")
+                      .alias("hamming"))
