@@ -716,7 +716,15 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count_distinct("sha256").alias("distinct_payloads"))
 
 
-@q("multimodal_features")  # no SQL oracle: mapInPandas decode-stub path
+_MM_FEAT_TERMS = " + ".join(
+    f"(('0x' || substr(h, {2 * i + 1}, 2))::INT / 255.0)::FLOAT::DOUBLE"
+    for i in range(8))
+
+
+@q("multimodal_features", f"""
+SELECT doc_id, round({_MM_FEAT_TERMS}, 5) AS feat_sum
+FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+""")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import decode_features
     docs = t(spark, sf_dir, "documents") \
