@@ -261,3 +261,37 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         "hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
     return out.filter(F.col("hamming") <= max_hamming) \
               .select("d1", "d2", "hamming")
+
+
+def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
+                       num_perm: int = 16, bands: int = 4,
+                       cand_threshold: float = 0.2,
+                       jaccard_threshold: float = 0.5,
+                       shingle_n: int = 3,
+                       hash_fn: str = "portable") -> DataFrame:
+    """The canonical two-stage scale dedup: MinHash+LSH candidate
+    generation (cheap, linear) followed by EXACT shingle-Jaccard verify
+    restricted to candidate pairs — the standalone all-pairs shingle
+    self-join is quadratic (see ngram_jaccard_pairs), but scoped to LSH
+    collisions it touches only O(candidates) rows. Returns
+    (d1, d2, jaccard ≥ jaccard_threshold)."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands,
+                             cand_threshold, shingle_n, hash_fn) \
+        .select("d1", "d2")
+    sh = (df.select(F.col(id_col).alias("doc"),
+                    F.explode(word_shingles(text_col, shingle_n)).alias("s")))
+    cnt = sh.groupBy("doc").agg(F.count("*").alias("c"))
+    sh1 = sh.select(F.col("doc").alias("d1"), "s")
+    sh2 = sh.select(F.col("doc").alias("d2"), "s")
+    inter = (cand.join(sh1, "d1").join(sh2, ["d2", "s"])
+                 .groupBy("d1", "d2").agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(cnt.select(F.col("doc").alias("d1"),
+                            F.col("c").alias("c1")), "d1")
+           .join(cnt.select(F.col("doc").alias("d2"),
+                            F.col("c").alias("c2")), "d2")
+           .withColumn("jaccard",
+                       F.col("inter")
+                       / (F.col("c1") + F.col("c2") - F.col("inter"))))
+    return out.filter(F.col("jaccard") >= jaccard_threshold) \
+              .select("d1", "d2", "jaccard")

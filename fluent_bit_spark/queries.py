@@ -1003,3 +1003,40 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                            max_hamming=3, hash_fn="portable")
     return out.select("d1", "d2", F.col("hamming").cast("long")
                       .alias("hamming"))
+
+
+def _lsh_verified_oracle(num_perm: int = 16, bands: int = 4,
+                         cand_threshold: float = 0.2,
+                         jaccard_threshold: float = 0.5) -> str:
+    """Two-stage dedup oracle: portable-MinHash candidates + exact
+    shingle-Jaccard verify, all in one DuckDB statement."""
+    cand_sql = _minhash_portable_oracle(num_perm, bands, cand_threshold)
+    # reuse the generator's CTE chain; its final SELECT becomes a CTE
+    body = cand_sql.strip()
+    assert body.startswith("WITH ")
+    head, final = body.rsplit("SELECT d1, d2, est_jaccard", 1)
+    return f"""{head}
+cand AS2_PLACEHOLDER
+SELECT v.d1, v.d2, round(v.jaccard, 6) AS jaccard FROM (
+  SELECT c.d1, c.d2,
+         (SELECT count(*) FROM sh x JOIN sh y
+            ON x.s = y.s AND x.doc_id = c.d1 AND y.doc_id = c.d2)
+           * 1.0 /
+         ((SELECT count(*) FROM sh WHERE doc_id = c.d1)
+          + (SELECT count(*) FROM sh WHERE doc_id = c.d2)
+          - (SELECT count(*) FROM sh x JOIN sh y
+               ON x.s = y.s AND x.doc_id = c.d1 AND y.doc_id = c.d2))
+           AS jaccard
+  FROM (SELECT d1, d2, est_jaccard{final.rstrip()}) c) v
+WHERE v.jaccard >= {jaccard_threshold}
+"""
+
+
+@q("dedup_lsh_verified",
+   _lsh_verified_oracle().replace("cand AS2_PLACEHOLDER", ""))
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage scale dedup (operators/dedup.py lsh_verified_pairs):
+    LSH candidates → exact Jaccard verify, value-checked end to end."""
+    docs = t(spark, sf_dir, "documents")
+    out = DD.lsh_verified_pairs(docs, "doc_id", "text")
+    return out.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
