@@ -32,15 +32,20 @@ def to_json_lines(df: DataFrame, cols: list[str] | None = None,
 
 
 def gelf_level(level_col: Column | str) -> Column:
+    """Severity → GELF numeric level.
+
+    Fallback policy (pinned by unit tests): syslog-style names map via
+    ``_GELF_LEVELS``; a numeric string passes through as its integer
+    value (upstream keeps numeric levels as-is); anything else — an
+    unknown string, or NULL — falls back to **1**, the GELF 1.1 spec
+    default for an omitted ``level`` field."""
     c = F.col(level_col) if isinstance(level_col, str) else level_col
-    expr = F.lit(1).cast("int")  # GELF default when unmappable: alert? no —
-    # upstream defaults missing/unknown level to 1... it uses level as-is
-    # when numeric; unknown strings → default 1 is flb's gelf fallback
     m = None
     for k, v in _GELF_LEVELS.items():
         cond = F.lower(c) == k
         m = F.when(cond, v) if m is None else m.when(cond, v)
-    return m.otherwise(F.coalesce(c.try_cast("int"), expr))
+    return m.otherwise(
+        F.coalesce(c.try_cast("int"), F.lit(1).cast("int")))
 
 
 def to_gelf(df: DataFrame, host_col: str, message_col: str,

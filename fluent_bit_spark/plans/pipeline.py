@@ -81,7 +81,13 @@ class PipelineSpec:
     sink_partition_by: list[str] = field(default_factory=lambda: ["source"])
     salt_buckets: int = 32
     fanout_mode: str = "persist"            # 'persist' | 'explode'
-    keep_decoded: str = "auto"              # 'auto' | 'always' | 'dlq_only'
+    # Decoded-line retention in sink output. 'always' (default) keeps the
+    # decoded text on every row — fluent-bit's record body rides to the
+    # sink, so dropping it silently would surprise any downstream reader.
+    # 'dlq_only' is an explicit bandwidth opt-in (decoded is NULLed for
+    # successfully-parsed rows); 'auto' infers dlq_only only when no
+    # grep/rewrite rule or tag_expr references the raw line, and warns.
+    keep_decoded: str = "always"            # 'always' | 'dlq_only' | 'auto'
 
 
 def default_tag_expr() -> str:
@@ -99,12 +105,20 @@ def build_stages(spark: SparkSession, df: DataFrame,
     from ..functions.parsers import fused_detok_parse
     keep = spec.keep_decoded
     if keep == "auto":
-        # any rule addressing the raw line forces full decode retention
+        # any rule addressing the raw line forces full decode retention;
+        # otherwise warn that sink rows will carry decoded=NULL
         refs_decoded = (
             any(r.key == "decoded" for r in spec.grep_rules)
             or any(r.key == "decoded" for r in spec.rewrite_rules)
             or "decoded" in (spec.tag_expr or ""))
         keep = "always" if refs_decoded else "dlq_only"
+        if keep == "dlq_only":
+            import warnings
+            warnings.warn(
+                "keep_decoded='auto' resolved to 'dlq_only': no pipeline "
+                "rule references the decoded line, so sink output will "
+                "carry decoded=NULL for parsed rows. Set "
+                "keep_decoded='always' to retain it.", stacklevel=2)
     out = fused_detok_parse(df, spark, spec.vocab, keep_decoded=keep)
     if spec.grep_rules:
         # grep drops rows entirely in fluent-bit; we keep them for the DLQ

@@ -39,3 +39,20 @@ def test_gelf_mapping(spark):
     assert got["web3"]["level"] == 1          # unknown string → default
     assert got["web1"]["_team"] == "pay"
     assert got["web1"]["timestamp"] == 1767225642.0
+
+
+def test_gelf_level_fallbacks(spark):
+    """Pin the documented fallback policy: numeric strings pass through
+    as integers; unknown strings and NULL fall back to the GELF 1.1
+    spec default of 1."""
+    df = spark.createDataFrame(
+        [("h1", "m", "2026-01-01 00:00:00", "5"),     # numeric string
+         ("h2", "m", "2026-01-01 00:00:00", "0"),     # numeric 0 (emerg)
+         ("h3", "m", "2026-01-01 00:00:00", "WARNING"),  # case-insensitive
+         ("h4", "m", "2026-01-01 00:00:00", "nonsense"),
+         ("h5", "m", "2026-01-01 00:00:00", None)],
+        "host string, msg string, ts string, level string")
+    out = to_gelf(df, "host", "msg", "ts", level_col="level")
+    got = {json.loads(r.value)["host"]: json.loads(r.value)["level"]
+           for r in out.collect()}
+    assert got == {"h1": 5, "h2": 0, "h3": 4, "h4": 1, "h5": 1}
