@@ -550,17 +550,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             max_hamming=3)
 
 
-@q("embedding_neardup", """
-SELECT a.vec_id AS id1, b.vec_id AS id2,
-       round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]), 4) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                             b.embedding::DOUBLE[]) >= 0.4
-""")
+def _banded_neardup_oracle(dim: int = 64, n_planes: int = 8,
+                           n_bands: int = 4,
+                           threshold: float = 0.4) -> str:
+    """DuckDB oracle reproducing lsh_banded_pairs exactly: per-band
+    bucket expressions with the identical md5-derived plane literals,
+    UNION ALL entry table, band equi-join candidates, cosine verify."""
+    def bucket_expr(b: int) -> str:
+        planes = SIM.portable_planes(dim, n_planes, f"band{b}")
+        return " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(c) for c in planes[p])
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes))
+    entries = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {bucket_expr(b)} AS bk FROM e"
+        for b in range(n_bands))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ent AS ({entries}),
+cand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+         FROM ent a JOIN ent c
+           ON a.band = c.band AND a.bk = c.bk AND a.vec_id < c.vec_id)
+SELECT id1, id2, round(list_cosine_similarity(e1.v, e2.v), 4) AS cos
+FROM cand JOIN e e1 ON cand.id1 = e1.vec_id
+          JOIN e e2 ON cand.id2 = e2.vec_id
+WHERE list_cosine_similarity(e1.v, e2.v) >= {threshold}
+"""
+
+
+@q("embedding_neardup", _banded_neardup_oracle())
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup on the SCALE path: OR-amplified banded
+    hyperplane LSH candidates + exact cosine verify — the registered
+    operator contains no cross join (plan-shape-tested); the O(n²)
+    ``pairwise_neardup`` survives only as the documented verify/oracle
+    baseline."""
     emb = t(spark, sf_dir, "embeddings")
-    out = SIM.pairwise_neardup(emb, "vec_id", "embedding", 0.4)
+    out = SIM.lsh_banded_pairs(emb, "vec_id", "embedding", dim=64,
+                               n_planes=8, n_bands=4, threshold=0.4)
     return out.select("id1", "id2", F.round("cos", 4).alias("cos"))
 
 

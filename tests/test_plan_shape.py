@@ -97,3 +97,20 @@ def test_grep_filter_stays_in_codegen(spark, fixture_paths):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Python" not in plan
     assert "RLIKE" in plan or "rlike" in plan
+
+
+def test_embedding_neardup_has_no_cross_join(spark):
+    """The registered embedding near-dup operator must be the bucketed
+    LSH path: every join in the plan is an equi-join on (band, bucket)
+    or ids — a CartesianProduct / nested-loop join would be the O(n²)
+    brute pair join, which is only allowed inside the DuckDB oracle."""
+    from fluent_bit_spark.operators.similarity import lsh_banded_pairs
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(8)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>")
+    plan = (lsh_banded_pairs(df, "vec_id", "embedding", dim=8,
+                             n_planes=4, n_bands=2, threshold=0.4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
