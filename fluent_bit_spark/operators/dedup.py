@@ -319,3 +319,60 @@ def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
                        / (F.col("c1") + F.col("c2") - F.col("inter"))))
     return out.filter(F.col("jaccard") >= jaccard_threshold) \
               .select("d1", "d2", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# near-dup pair → canonical-doc resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def resolve_duplicate_groups(docs: DataFrame, pairs: DataFrame,
+                             id_col: str = "doc_id",
+                             d1: str = "d1", d2: str = "d2",
+                             max_iters: int = 25) -> DataFrame:
+    """Turn near-dup PAIRS into the actual deduplicated table: group
+    pairs into connected components and pick one canonical doc per
+    component. Returns (``id_col``, canonical_id, keep) for EVERY doc in
+    ``docs`` — docs in no pair are their own canonical, ``keep`` is true
+    exactly once per component (the minimum id, a deterministic
+    tiebreak both engines order identically).
+
+    Algorithm: iterative min-label propagation — every node starts
+    labeled with itself; each round a node takes the min of its label
+    and its neighbors' labels; converges in O(component diameter)
+    rounds. Near-dup components are small clusters of re-posted docs,
+    so a handful of rounds in practice; ``max_iters`` guards
+    pathological chains. No GraphFrames dependency.
+
+    Scale shape: each round is one equi-join (labels ⋈ edges) + one
+    groupBy-min with map-side partials — all key-partitioned shuffles,
+    no broadcast of anything unbounded. ``pairs`` and each round's
+    labels are materialized via ``localCheckpoint`` so the (possibly
+    expensive) pair-generation plan runs ONCE and lineage doesn't grow
+    with iterations. On a cluster, prefer a reliable checkpoint dir
+    (``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``) if
+    executor loss during the loop must be survivable; localCheckpoint
+    trades that for zero-config speed."""
+    edges = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+             .union(pairs.select(F.col(d2).alias("a"),
+                                 F.col(d1).alias("b")))
+             .localCheckpoint(eager=True))
+    labels = docs.select(F.col(id_col).alias("node"),
+                         F.col(id_col).alias("label")) \
+                 .localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        msgs = (edges.join(labels, edges["a"] == labels["node"])
+                .select(F.col("b").alias("node"), "label"))
+        new_labels = (labels.union(msgs)
+                      .groupBy("node").agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("canonical_id"),
+                         (F.col("label") == F.col("node")).alias("keep"))

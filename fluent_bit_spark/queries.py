@@ -1068,3 +1068,41 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     out = DD.lsh_verified_pairs(docs, "doc_id", "text")
     return out.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _resolve_groups_oracle() -> str:
+    """Recursive-CTE oracle for connected-component dedup resolution:
+    the verified-pair query becomes a CTE, a transitive closure walks
+    the symmetric edge set, canonical = min doc_id per component."""
+    body = _lsh_verified_oracle().replace("cand AS2_PLACEHOLDER",
+                                          "").strip()
+    assert body.startswith("WITH ")
+    head, final = body.rsplit("SELECT v.d1", 1)
+    ctes = head[len("WITH "):].rstrip().rstrip(",")
+    return f"""
+WITH RECURSIVE {ctes},
+verified AS (SELECT v.d1, v.d2 FROM ({'SELECT v.d1' + final.rstrip()})
+             AS v(d1, d2, jaccard)),
+edges AS (SELECT d1 AS a, d2 AS b FROM verified
+          UNION SELECT d2, d1 FROM verified),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+SELECT node AS doc_id, min(r) AS canonical_id,
+       (min(r) = node) AS keep
+FROM reach GROUP BY node
+"""
+
+
+@q("dedup_resolve_groups", _resolve_groups_oracle())
+def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup story: near-dup PAIRS (two-stage LSH →
+    Jaccard verify) resolved to connected components with one canonical
+    keep-one doc per group — the actual deduplicated table, as
+    (doc_id, canonical_id, keep) over every document. Oracle is a
+    DuckDB recursive-CTE transitive closure over the identical
+    portable-hash pair set."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = DD.lsh_verified_pairs(docs, "doc_id", "text")
+    return DD.resolve_duplicate_groups(docs, pairs, "doc_id")

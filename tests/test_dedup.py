@@ -55,3 +55,25 @@ def test_exact_dedup_keeps_lowest_tiebreak(spark):
     kept = {r.doc_id for r in
             exact_dedup(df, ["text"], tiebreak="doc_id").collect()}
     assert kept == {"d1", "d2", "d3"}     # d4 drops (same text as d1)
+
+
+def test_resolve_duplicate_groups(spark):
+    """Chain + star + singleton components: min-label propagation must
+    converge across the 4-hop chain, label every member with the
+    component minimum, and keep exactly the minimum id per group."""
+    from fluent_bit_spark.operators.dedup import resolve_duplicate_groups
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(1, 10)], "doc_id string")
+    pairs = spark.createDataFrame(
+        # chain d1-d2-d3-d4-d5 (diameter 4), star d6-{d7,d8}, d9 alone
+        [("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("d4", "d5"),
+         ("d6", "d7"), ("d6", "d8")],
+        "d1 string, d2 string")
+    got = {r.doc_id: (r.canonical_id, r.keep)
+           for r in resolve_duplicate_groups(docs, pairs).collect()}
+    assert len(got) == 9
+    for d in ["d1", "d2", "d3", "d4", "d5"]:
+        assert got[d] == ("d1", d == "d1")
+    for d in ["d6", "d7", "d8"]:
+        assert got[d] == ("d6", d == "d6")
+    assert got["d9"] == ("d9", True)
