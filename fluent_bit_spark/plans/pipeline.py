@@ -21,8 +21,6 @@ re-run skips completed slices and reproduces identical outputs.
 
 from __future__ import annotations
 
-import json
-import os
 import time
 from dataclasses import dataclass, field
 
@@ -30,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from . import fsio
 from ..operators.enrich import lookup_join
 from ..operators.filters import GrepRule, grep_predicate
 from ..operators.router import RewriteTagRule, Route, apply_rewrite_tag, \
@@ -48,15 +47,13 @@ def tune_scan_partitions(spark: SparkSession, input_path: str,
     so smaller splits keep every core busy and bound task duration.
     Target ≈ ``waves`` task waves per core; clamp to [8 MB, 256 MB].
     Measured on the 16M-row bench: 8 MB splits beat 256 MB by ~1.6×
-    at 8 cores and ~1.7× at 32 (tools/bench_scaling.py)."""
+    at 8 cores and ~1.7× at 32 (tools/bench_scaling.py).
+
+    Sizing goes through the Hadoop FileSystem API (fsio), so ``s3a://``
+    and ``hdfs://`` inputs size identically to local paths."""
     try:
-        total = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(input_path) for f in fs
-            if f.endswith(".parquet"))
-        if os.path.isfile(input_path):
-            total = os.path.getsize(input_path)
-    except OSError:
+        total = fsio.total_bytes(spark, input_path)
+    except Exception:
         return
     if not total:
         return
@@ -170,28 +167,28 @@ def slice_metrics(routed: DataFrame, salt_buckets: int) -> DataFrame:
 
 
 def _manifest_dir(output_dir: str, run_id: str) -> str:
-    return os.path.join(output_dir, "_checkpoints", run_id)
+    # plain '/' join, NOT os.path.join — output_dir may be a URI
+    # (s3a://bucket/out); the separator is '/' on every Hadoop FS
+    return f"{output_dir}/_checkpoints/{run_id}"
 
 
-def completed_slices(output_dir: str, run_id: str) -> set[int]:
-    d = _manifest_dir(output_dir, run_id)
-    if not os.path.isdir(d):
-        return set()
+def completed_slices(spark: SparkSession, output_dir: str,
+                     run_id: str) -> set[int]:
+    """Slice ids with a committed manifest — via the Hadoop FS API, so
+    resume works against s3a://, hdfs:// and file: alike."""
     out = set()
-    for f in os.listdir(d):
+    for f in fsio.list_names(spark, _manifest_dir(output_dir, run_id)):
         if f.startswith("slice_") and f.endswith(".json"):
             out.add(int(f[6:-5]))
     return out
 
 
-def _commit_slice(output_dir: str, run_id: str, i: int,
-                  payload: dict) -> None:
+def _commit_slice(spark: SparkSession, output_dir: str, run_id: str,
+                  i: int, payload: dict) -> None:
     d = _manifest_dir(output_dir, run_id)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".slice_{i}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(payload, fh)
-    os.replace(tmp, os.path.join(d, f"slice_{i}.json"))  # atomic commit
+    # dot-temp + rename through the path's own filesystem (fsio docstring
+    # covers the per-FS atomicity contract)
+    fsio.write_json_atomic(spark, f"{d}/slice_{i}.json", payload)
 
 
 def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
@@ -216,7 +213,7 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                        .parquet(input_path).inputFiles())
     slices = [all_files[i::n_slices] for i in range(n_slices)]
     slices = [s for s in slices if s]
-    done = completed_slices(output_dir, run_id)
+    done = completed_slices(spark, output_dir, run_id)
     sinks = sink_names(spec)
     stats = {"slices_total": len(slices), "slices_skipped": len(done),
              "rows_in": 0, "rows_dlq": 0}
@@ -238,24 +235,24 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                 (good.withColumn("sink", F.explode("sinks"))
                      .write.mode("overwrite")
                      .partitionBy("sink", *spec.sink_partition_by)
-                     .parquet(os.path.join(output_dir, "sinks_by_dir",
-                                           f"batch_id={i}")))
+                     .parquet(f"{output_dir}/sinks_by_dir/"
+                              f"batch_id={i}"))
             else:
                 for s in sinks:
                     (good.filter(F.array_contains("sinks", s))
                          .write.mode("overwrite")
                          .partitionBy(*spec.sink_partition_by)
-                         .parquet(os.path.join(output_dir, "sinks", s,
-                                               f"batch_id={i}")))
+                         .parquet(f"{output_dir}/sinks/{s}/"
+                                  f"batch_id={i}"))
             (routed.filter(F.col("dlq_reason").isNotNull())
                    .select("doc_id", "tokens", "n_tok", "source", "decoded",
                            "tag", "dlq_reason", "_lineage")
                    .write.mode("overwrite")
-                   .parquet(os.path.join(output_dir, "dlq", f"batch_id={i}")))
+                   .parquet(f"{output_dir}/dlq/batch_id={i}"))
             m = slice_metrics(routed, spec.salt_buckets) \
                 .withColumn("batch_id", F.lit(i))
             m.write.mode("overwrite").parquet(
-                os.path.join(output_dir, "_metrics", f"b{i}"))
+                f"{output_dir}/_metrics/b{i}")
             # derive run totals from the already-computed metrics rows —
             # no extra scan of the routed frame
             tot = (m.agg(F.sum("records").alias("r"),
@@ -264,7 +261,7 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
             rows_in, rows_dlq = int(tot["r"] or 0), int(tot["d"] or 0)
             stats["rows_in"] += rows_in
             stats["rows_dlq"] += rows_dlq
-            _commit_slice(output_dir, run_id, i, {
+            _commit_slice(spark, output_dir, run_id, i, {
                 "files": files, "rows_in": rows_in, "rows_dlq": rows_dlq,
                 "sinks": sinks, "ts": time.time()})
         finally:
@@ -276,13 +273,13 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
 
 
 def read_sink(spark: SparkSession, output_dir: str, sink: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(output_dir, "sinks", sink))
+    return spark.read.parquet(f"{output_dir}/sinks/{sink}")
 
 
 def read_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
     return (spark.read.option("recursiveFileLookup", "true")
-            .parquet(os.path.join(output_dir, "_metrics")))
+            .parquet(f"{output_dir}/_metrics"))
 
 
 def read_dlq(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(output_dir, "dlq"))
+    return spark.read.parquet(f"{output_dir}/dlq")

@@ -95,11 +95,15 @@ def test_metrics_lineage_totals(spark, pipeline_out, golden):
     assert "batch_id" in m.columns  # lineage: which slice produced what
 
 
+@pytest.mark.parametrize("scheme", ["", "file:"])
 def test_resume_is_idempotent_and_skips_done(spark, fixture_paths,
-                                             tmp_path):
+                                             tmp_path, scheme):
     """Kill after slice 0 of 2 → resume → identical sink contents, and the
-    completed slice is not re-run (checkpoint manifest)."""
-    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    completed slice is not re-run (checkpoint manifest). Parametrized
+    over a plain path and a ``file:`` URI — the manifest/checkpoint IO
+    goes through the Hadoop FileSystem API, so a schemeful output_dir
+    (the s3a://hdfs:// deployment shape) must behave identically."""
+    out1, out2 = scheme + str(tmp_path / "a"), scheme + str(tmp_path / "b")
     spec = _spec(fixture_paths)
     # two-file input so we can have 2 slices
     src = spark.read.parquet(fixture_paths["tokens"])
