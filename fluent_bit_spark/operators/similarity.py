@@ -73,7 +73,12 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                centroids: DataFrame, cid_col: str = "cid",
                cvec_col: str = "cvec") -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (broadcast
-    cross join over the small centroid set + argmax window)."""
+    cross join over the small centroid set + argmax window).
+
+    Kept for DataFrame-shaped quantizers too large to collect; the
+    row_number window re-shuffles n·c scored rows — prefer
+    ``ivf_assign_inline`` (zero shuffle) when the quantizer fits on the
+    driver, which a coarse quantizer does by construction."""
     scored = (df.join(F.broadcast(centroids))
                 .withColumn("__sim",
                             cosine(F.col(vec_col).cast("array<double>"),
@@ -84,24 +89,62 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                   .drop("__rn", "__sim", cvec_col))
 
 
+def ivf_assign_inline(df: DataFrame, vec_col: str,
+                      centroids: list[tuple],
+                      cid_out: str = "cid") -> DataFrame:
+    """Zero-shuffle IVF assignment: the centroid set is inlined as a
+    literal array of (cvec, cid) structs and the per-row argmax is one
+    ``array_max`` over cosine-scored structs — no join, no window, no
+    exchange. Ties break toward the LOWEST cid (struct comparison on
+    (sim, -rank) where rank orders cids ascending), matching the
+    ``ivf_assign`` window's (desc sim, asc cid) ordering exactly.
+
+    ``centroids``: [(cid, vec)] on the driver — a coarse quantizer is
+    small by construction (k ≤ a few thousand), so shipping it inside
+    the plan beats shuffling n·k scored rows by construction."""
+    v = F.col(vec_col).cast("array<double>")
+    order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
+    cents = F.array(*[
+        F.struct(_lit_vec([float(x) for x in centroids[i][1]])
+                 .alias("cvec"),
+                 F.lit(-r).alias("nr"),
+                 F.lit(centroids[i][0]).alias("cid"))
+        for r, i in enumerate(order)])
+    scored = F.transform(
+        cents, lambda c: F.struct(cosine(v, c["cvec"]).alias("sim"),
+                                  c["nr"].alias("nr"),
+                                  c["cid"].alias("cid")))
+    return df.withColumn(cid_out, F.array_max(scored)["cid"])
+
+
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
              query_vec: list[float], k: int, n_centroids: int,
              n_probe: int) -> DataFrame:
     """IVF search: build centroids from the first n_centroids ids, probe
     the n_probe centroids nearest the query, exact-rank inside the probed
     buckets. Returns (id, cos) — approximate (recall < 1 when the true
-    neighbor lives in an unprobed bucket)."""
-    centroids = (df.orderBy(F.col(id_col)).limit(n_centroids)
+    neighbor lives in an unprobed bucket).
+
+    Plan shape: ONE job to collect the tiny quantizer, then a single
+    map-only scan (inline assignment + probe-bucket filter + cosine)
+    feeding TakeOrderedAndProject — the only wide node is the final
+    top-k, which moves k rows."""
+    cent_rows = (df.orderBy(F.col(id_col)).limit(n_centroids)
                    .select(F.col(id_col).alias("cid"),
-                           F.col(vec_col).alias("cvec")))
-    assigned = ivf_assign(df, id_col, vec_col, centroids)
+                           F.col(vec_col).alias("cvec")).collect())
+    cents = [(r.cid, [float(x) for x in r.cvec]) for r in cent_rows]
+    import numpy as np
+    qv = np.asarray(query_vec, dtype="float64")
+
+    def cos_py(a):
+        a = np.asarray(a, dtype="float64")
+        return float(a @ qv / (np.sqrt(a @ a) * np.sqrt(qv @ qv)))
+
+    probe = sorted(cents, key=lambda c: (-cos_py(c[1]), c[0]))[:n_probe]
+    probe_ids = [c[0] for c in probe]
+    assigned = ivf_assign_inline(df, vec_col, cents)
     q = _lit_vec(query_vec)
-    probe = (centroids
-             .withColumn("__sim",
-                         cosine(F.col("cvec").cast("array<double>"), q))
-             .orderBy(F.desc("__sim"), F.col("cid"))
-             .limit(n_probe).select("cid"))
-    bucket = assigned.join(F.broadcast(probe), "cid")
+    bucket = assigned.filter(F.col("cid").isin(probe_ids))
     return (bucket.select(
                 F.col(id_col),
                 cosine(F.col(vec_col).cast("array<double>"), q).alias("cos"))

@@ -114,3 +114,21 @@ def test_embedding_neardup_has_no_cross_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_is_map_only_plus_topk(spark):
+    """IVF search must plan as one map-only scan (inline centroid argmax,
+    probe filter, cosine) feeding TakeOrderedAndProject — no Exchange,
+    no window, no join in the per-row path."""
+    from fluent_bit_spark.operators.similarity import ivf_topk
+    df = spark.createDataFrame(
+        [(i, [float((i * 5 + j) % 11) - 5.0 for j in range(8)])
+         for i in range(1, 40)],
+        "vec_id long, embedding array<double>")
+    plan = (ivf_topk(df, "vec_id", "embedding",
+                     [1.0] * 8, k=5, n_centroids=4, n_probe=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
