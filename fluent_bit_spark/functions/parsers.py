@@ -135,6 +135,65 @@ def parse_first_match(df: DataFrame, parsers: list[RegexParser],
 
 
 # ---------------------------------------------------------------------------
+# Field decoders (upstream:src/flb_parser_decoder.c — Decode_Field_As
+# escaped / escaped_utf8 / json, and Decode_Field chains with do_next)
+# ---------------------------------------------------------------------------
+
+
+def decode_escaped(col: Column | str) -> Column:
+    """``Decode_Field_As escaped``: unescape a C/JSON-escaped payload
+    (\\n, \\t, \\r, \\", \\\\, \\uXXXX, …) — JVM-side, single pass, via
+    the JSON string decoder: wrap in quotes, ``from_json``.
+
+    Input contract: the value must BE a valid escaped payload; a raw
+    unescaped ``"`` makes the wrapper malformed and yields NULL (flb's
+    unescape passes malformed input through — divergence only on input
+    that was never escaped, where a decoder chain should fall back via
+    ``F.coalesce(decoded, original)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(F.concat(F.lit('["'), c, F.lit('"]')),
+                       "array<string>")[0]
+
+
+def decode_escaped_utf8(col: Column | str) -> Column:
+    """``Decode_Field_As escaped_utf8``: like ``decode_escaped`` but
+    also decodes ``\\xNN`` byte escapes, rewritten to ``\\u00NN`` first.
+    Divergence, documented: flb splices \\xNN as raw UTF-8 BYTES, so a
+    multi-byte sequence (NN ≥ 0x80) reassembles into one code point;
+    here each escape becomes the Latin-1 code point U+00NN. Identical
+    for 7-bit escapes, which is what logs contain in practice."""
+    c = F.col(col) if isinstance(col, str) else col
+    return decode_escaped(
+        F.regexp_replace(c, r"\\x([0-9a-fA-F]{2})", r"\\u00$1"))
+
+
+FIELD_DECODERS = {
+    "escaped": decode_escaped,
+    "escaped_utf8": decode_escaped_utf8,
+}
+
+
+def decoder_chain(df: DataFrame, field: str,
+                  hows: list[str],
+                  json_out: str | None = None,
+                  json_schema: str = "map<string,string>") -> DataFrame:
+    """``Decode_Field … do_next`` chain: apply string decoders in order,
+    each falling back to its input when it fails (NULL-coalesce — the
+    batch analogue of do_next's try-and-continue), then optionally lift
+    the result as JSON into ``json_out`` (the common
+    ``escaped → json`` upstream config). All JVM-side."""
+    out = df
+    for how in hows:
+        if how == "json":
+            out = out.withColumn(json_out or f"{field}_json",
+                                 F.from_json(F.col(field), json_schema))
+            continue
+        decoded = FIELD_DECODERS[how](F.col(field))
+        out = out.withColumn(field, F.coalesce(decoded, F.col(field)))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Native (JVM-side) structured parsers
 # ---------------------------------------------------------------------------
 

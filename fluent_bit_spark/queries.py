@@ -156,6 +156,58 @@ def logfmt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("n"), F.sum("code").alias("sum_code")))
 
 
+@q("decoder_escaped", r"""
+SELECT event_id,
+       json_extract_string(
+         '"' || regexp_replace(
+             event_type || '\tid=\u0041-' || CAST(event_id AS VARCHAR)
+             || '\x21\nend',
+             '\\x([0-9a-fA-F]{2})', '\\u00\1', 'g') || '"',
+         '$') AS line
+FROM events
+""")
+def decoder_escaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parser decoders (functions/parsers.py decode_escaped_utf8 ←
+    upstream:src/flb_parser_decoder.c Decode_Field_As escaped_utf8):
+    \\t/\\n/\\uXXXX/\\xNN escape payloads unescaped JVM-side, checked
+    value-exactly against DuckDB's JSON string decoder."""
+    from .functions.parsers import decoder_chain
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat("event_type", F.lit(r"\tid=\u0041-"),
+                 F.col("event_id").cast("string"),
+                 F.lit("\\x21\\nend")).alias("line"))
+    return decoder_chain(ev, "line", ["escaped_utf8"])
+
+
+@q("decoder_json_chain", r"""
+SELECT event_id,
+       json_extract_string(
+         json_extract_string('"' || '{\"k\": ' || CAST(event_id AS VARCHAR)
+                             || ', \"t\": \"' || event_type || '\"}' || '"',
+                             '$'),
+         '$.k') AS k,
+       json_extract_string(
+         json_extract_string('"' || '{\"k\": ' || CAST(event_id AS VARCHAR)
+                             || ', \"t\": \"' || event_type || '\"}' || '"',
+                             '$'),
+         '$.t') AS t
+FROM events
+""")
+def decoder_json_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """do_next decoder chain (escaped → json), the common upstream
+    config: unescape the payload, then lift it as JSON and read keys."""
+    from .functions.parsers import decoder_chain
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit(r'{\"k\": '), F.col("event_id").cast("string"),
+                 F.lit(r', \"t\": \"'), "event_type",
+                 F.lit(r'\"}')).alias("line"))
+    out = decoder_chain(ev, "line", ["escaped", "json"], json_out="j")
+    return out.select("event_id", F.col("j")["k"].alias("k"),
+                      F.col("j")["t"].alias("t"))
+
+
 # ===========================================================================
 # Filters (§2.3)
 # ===========================================================================
@@ -799,6 +851,41 @@ def multiline_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("line"))
     return join_multiline(ev, "user_id", "event_id", "line",
                           F.col("line").startswith("signup:"))
+
+
+@q("multiline_cri", """
+WITH lines AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS complete,
+         event_type || ':' || CAST(event_id AS VARCHAR) AS payload
+  FROM events),
+g AS (
+  SELECT *,
+         coalesce(sum(complete) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gid
+  FROM lines)
+SELECT user_id, min(event_id) AS first_event_id,
+       count(*) AS n_lines,
+       bool_or(complete = 1) AS complete,
+       string_agg(payload, '' ORDER BY event_id) AS event
+FROM g GROUP BY user_id, gid
+""")
+def multiline_cri_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRI multiline preset (operators/multiline.py multiline_cri ←
+    upstream:src/multiline/flb_ml_parser_cri.c): P-fragments concatenate
+    until the F line; the full parse→terminate→join chain is
+    value-checked against a window-cumsum SQL reconstruction."""
+    from .operators.multiline import multiline_cri
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.concat(
+            F.lit("t0 stdout "),
+            F.when(F.col("event_id") % 3 == 0, F.lit("F"))
+             .otherwise(F.lit("P")),
+            F.lit(" "), "event_type", F.lit(":"),
+            F.col("event_id").cast("string")).alias("line"))
+    return multiline_cri(ev, "user_id", "event_id", "line")
 
 
 @q("asof_enrich", """

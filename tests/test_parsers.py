@@ -166,3 +166,15 @@ def test_fused_udf_variant_matches_mapinarrow(spark, fixture_paths):
     ra = sorted(map(str, a.select(cols).collect()))
     rb = sorted(map(str, b.select(cols).collect()))
     assert ra == rb and len(ra) == 2000
+
+
+def test_decoder_chain_fallback_on_malformed(spark):
+    """A value that is not a valid escaped payload (raw quote) must fall
+    back to its input (do_next chain semantics), not go NULL."""
+    from fluent_bit_spark.functions.parsers import decoder_chain
+    df = spark.createDataFrame(
+        [(1, r"ok\tline"), (2, 'raw " quote')], "i long, line string")
+    got = {r.i: r.line
+           for r in decoder_chain(df, "line", ["escaped"]).collect()}
+    assert got[1] == "ok\tline"
+    assert got[2] == 'raw " quote'     # malformed → original preserved
