@@ -45,8 +45,11 @@ _WINDOW_RE = re.compile(
     r"(?P<unit>SECOND|MINUTE|HOUR)S?\s*"
     r"(?:,\s*ADVANCE\s+BY\s+(?P<m>\d+)\s+(?P<munit>SECOND|MINUTE|HOUR)S?)?"
     r"\s*\)", re.IGNORECASE)
-_CONTAINS_RE = re.compile(r"@record\.contains\(\s*([\w.\[\]']+)\s*\)",
+_CONTAINS_RE = re.compile(r"@record\.contains\(\s*([\w.\[\]'\x00]+)\s*\)",
                           re.IGNORECASE)
+# single-quoted SQL string literal ('' = escaped quote)
+_STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+_MASK_RE = re.compile(r"\x00(\d+)\x00")
 _GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
 _SELECT_RE = re.compile(r"^\s*SELECT\s+", re.IGNORECASE)
 # clauses that may follow GROUP BY keys (end of the key list)
@@ -84,12 +87,43 @@ class StreamProcessor:
 
     # -- translation --------------------------------------------------------
 
+    @staticmethod
+    def _contains_repl(m: re.Match) -> str:
+        """@record.contains(key) → presence test.
+
+        flb semantics are key-presence on the record map. Exact parity
+        where the record is map-typed: ``@record.contains(col['k'])``
+        becomes ``map_contains_key(col, 'k')`` (a present-but-NULL value
+        reports true). For a plain column the batch schema has no
+        present-vs-null distinction, so the translation is
+        ``IS NOT NULL`` — documented divergence: a key present with a
+        null value reports false, and a column missing from the schema
+        is an analysis error rather than false."""
+        arg = m.group(1)
+        mk = re.match(r"^(\w+)\[(.+)\]$", arg)
+        if mk:
+            return f"map_contains_key({mk.group(1)}, {mk.group(2)})"
+        return f"({arg} IS NOT NULL)"
+
     def translate(self, text: str) -> str:
-        """Dialect SELECT → Spark SQL text (no execution)."""
+        """Dialect SELECT → Spark SQL text (no execution).
+
+        String literals are masked out first, so the STREAM:/TAG:/
+        RECORD_* rewrites and the whitespace collapse can NEVER corrupt
+        literal content (tabs, runs of spaces, text like 'STREAM:x').
+        The TAG:'pat' selector is consumed BEFORE masking — its quoted
+        pattern is dialect syntax, not data."""
         s = text.strip().rstrip(";")
-        s = _FROM_STREAM_RE.sub(lambda m: f"sp_stream_{m.group(1)}", s)
         s = _FROM_TAG_RE.sub(lambda m: self._tag_view(m.group(1)), s)
-        s = _CONTAINS_RE.sub(r"(\1 IS NOT NULL)", s)
+        lits: list[str] = []
+
+        def _mask(m: re.Match) -> str:
+            lits.append(m.group(0))
+            return f"\x00{len(lits) - 1}\x00"
+
+        s = _STRING_LIT_RE.sub(_mask, s)
+        s = _FROM_STREAM_RE.sub(lambda m: f"sp_stream_{m.group(1)}", s)
+        s = _CONTAINS_RE.sub(self._contains_repl, s)
         s = re.sub(r"\bRECORD_TAG\(\)", self.tag_col, s, flags=re.IGNORECASE)
         s = re.sub(r"\bRECORD_TIME\(\)", self.ts_col, s, flags=re.IGNORECASE)
 
@@ -115,7 +149,8 @@ class StreamProcessor:
             # splice the window start into the SELECT list
             s = _SELECT_RE.sub(
                 lambda m: m.group(0) + f"{win}.start AS win_start, ", s)
-        return re.sub(r"\s+", " ", s).strip()
+        s = re.sub(r"\s+", " ", s).strip()
+        return _MASK_RE.sub(lambda m: lits[int(m.group(1))], s)
 
     # -- execution ----------------------------------------------------------
 

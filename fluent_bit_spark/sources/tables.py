@@ -30,6 +30,22 @@ def iceberg_available(spark: SparkSession) -> bool:
 class TableIO:
     fmt: str = "parquet"  # 'parquet' | 'iceberg'
 
+    @classmethod
+    def resolve(cls, spark: SparkSession,
+                prefer: str = "iceberg") -> "TableIO":
+        """Select the preferred format, degrading to Parquet when the
+        Iceberg runtime is absent (the sandbox case). Production conf
+        that lights up the Iceberg branch:
+
+            spark.jars.packages=org.apache.iceberg:iceberg-spark-
+                runtime-4.0_2.13:<ver>
+            spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog
+            spark.sql.catalog.lake.type=glue|hive|hadoop
+        """
+        if prefer == "iceberg" and iceberg_available(spark):
+            return cls(fmt="iceberg")
+        return cls(fmt="parquet")
+
     def read(self, spark: SparkSession, path_or_table: str) -> DataFrame:
         if self.fmt == "iceberg":
             return spark.read.format("iceberg").load(path_or_table)

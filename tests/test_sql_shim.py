@@ -78,3 +78,30 @@ def test_create_stream_with_tag_reemission(sp):
     got = sp.sql("SELECT src_tag, c, tag FROM STREAM:errors;").collect()
     assert {(r.src_tag, r.c, r.tag) for r in got} == {
         ("app.web.apache", 1, "sp.err"), ("app.db.ltsv", 1, "sp.err")}
+
+
+def test_translate_preserves_string_literals(spark):
+    """Rewrites and whitespace collapse must never touch literal
+    content: tabs, space runs, and dialect-lookalike text inside
+    quotes survive byte-exact."""
+    from fluent_bit_spark.plans.sql_shim import StreamProcessor
+    sp = StreamProcessor(spark)
+    out = sp.translate(
+        "SELECT 'STREAM:x  \t keep   me', RECORD_TAG() FROM STREAM:src")
+    assert "'STREAM:x  \t keep   me'" in out
+    assert "sp_stream_src" in out
+    assert "sp_stream_x" not in out
+
+
+def test_contains_on_map_is_presence(spark):
+    """@record.contains on a map access = map_contains_key: a key
+    present with a NULL value reports TRUE (flb presence semantics)."""
+    from fluent_bit_spark.plans.sql_shim import StreamProcessor
+    sp = StreamProcessor(spark)
+    df = spark.createDataFrame(
+        [(1, {"k": None}), (2, {"o": "x"})],
+        "i long, fields map<string,string>")
+    sp.register_stream("m", df)
+    got = sp.sql("SELECT i FROM STREAM:m WHERE @record.contains("
+                 "fields['k'])").collect()
+    assert [r.i for r in got] == [1]
