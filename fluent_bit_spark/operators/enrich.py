@@ -59,3 +59,40 @@ def checklist_keep(fact: DataFrame, values: DataFrame, key: str,
     list_key = list_key or key
     dim = values.select(F.col(list_key).alias(key)).distinct()
     return fact.join(F.broadcast(dim), key, "left_semi")
+
+
+def range_lookup(fact: DataFrame, fact_key: str, ranges: DataFrame,
+                 start_col: str, end_col: str,
+                 value_cols: list[str] | None = None,
+                 bucket_bits: int = 16,
+                 broadcast_dim: bool = True) -> DataFrame:
+    """filter_geoip2-style range lookup (upstream:plugins/filter_geoip2
+    — MaxMind CIDR blocks map an IP to a non-overlapping range row).
+
+    A naive ``start <= key AND key <= end`` join is a nested-loop scan
+    of facts × ranges. This is the bucketed re-expression: ranges
+    explode into every ``2^bucket_bits``-wide bucket they overlap, the
+    fact side buckets its key with one shift, and the join becomes an
+    EQUI-join on the bucket plus a residual range filter. CIDR blocks
+    ≥ /16 explode into exactly one bucket; a /8 block becomes 256
+    bucket rows — dim growth is bounded by span/bucket, fact rows never
+    duplicate (left-outer: a miss keeps the record, upstream posture).
+
+    Ranges must be non-overlapping (MaxMind guarantee); with overlaps
+    a fact row would match several ranges. Dim is broadcast by default
+    (a geoip DB is a few hundred MB exploded — fits; set
+    ``broadcast_dim=False`` to let AQE pick for huge range sets)."""
+    value_cols = value_cols or [c for c in ranges.columns
+                                if c not in (start_col, end_col)]
+    bucketed = ranges.select(
+        F.col(start_col).alias("__rs"), F.col(end_col).alias("__re"),
+        *value_cols,
+        F.explode(F.sequence(
+            F.shiftright(F.col(start_col), bucket_bits),
+            F.shiftright(F.col(end_col), bucket_bits))).alias("__b"))
+    dim = F.broadcast(bucketed) if broadcast_dim else bucketed
+    key = F.col(fact_key)
+    out = fact.join(
+        dim, (F.shiftright(key, bucket_bits) == F.col("__b"))
+        & (key >= F.col("__rs")) & (key <= F.col("__re")), "left")
+    return out.drop("__rs", "__re", "__b")

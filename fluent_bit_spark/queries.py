@@ -364,6 +364,43 @@ def checklist_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+@q("geoip_range_lookup", """
+WITH f AS (SELECT event_id,
+                  (CAST(event_id AS BIGINT) * 2654435761) % 1703936 AS ip
+           FROM events),
+r AS (SELECT CAST(n_nationkey AS BIGINT) * 65536 AS r_start,
+             CAST(n_nationkey AS BIGINT) * 65536
+               + (n_nationkey % 4 + 1) * 16384 - 1 AS r_end,
+             n_name FROM nation)
+SELECT coalesce(n_name, '__miss__') AS country,
+       count(*) AS n, CAST(sum(ip) AS BIGINT) AS sum_ip
+FROM f LEFT JOIN r ON f.ip BETWEEN r.r_start AND r.r_end
+GROUP BY 1
+""")
+def geoip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geoip2-style range lookup (operators/enrich.py range_lookup ←
+    upstream:plugins/filter_geoip2): synthetic CIDR-ish blocks from the
+    nation table, facts hashed into the address space; the bucketed
+    equi-join (+ residual range filter) is value-checked against
+    DuckDB's non-equi BETWEEN join. bucket_bits=14 < block alignment,
+    so ranges genuinely explode into multiple buckets."""
+    from .operators.enrich import range_lookup
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("event_id").cast("bigint") * 2654435761) % 1703936)
+        .alias("ip"))
+    ranges = t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("bigint") * 65536).alias("r_start"),
+        (F.col("n_nationkey").cast("bigint") * 65536
+         + (F.col("n_nationkey") % 4 + 1) * 16384 - 1).alias("r_end"),
+        "n_name")
+    out = range_lookup(ev, "ip", ranges, "r_start", "r_end", ["n_name"],
+                       bucket_bits=14)
+    return (out.groupBy(F.coalesce("n_name", F.lit("__miss__"))
+                        .alias("country"))
+            .agg(F.count("*").alias("n"), F.sum("ip").alias("sum_ip")))
+
+
 @q("rewrite_tag_capture", """
 WITH tagged AS (
   SELECT CASE WHEN lang IN ('zh', 'es')

@@ -132,3 +132,21 @@ def test_ivf_topk_is_map_only_plus_topk(spark):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_range_lookup_is_broadcast_equi_join(spark):
+    """The bucketed range join must plan as a BroadcastHashJoin on the
+    bucket key with a residual range filter — NOT a nested-loop join
+    over facts x ranges."""
+    from fluent_bit_spark.operators.enrich import range_lookup
+    facts = spark.range(100).select(
+        (F.col("id") * 977).alias("ip"))
+    ranges = spark.createDataFrame(
+        [(0, 9999, "a"), (10000, 59999, "b")],
+        "r_start long, r_end long, val string")
+    plan = (range_lookup(facts, "ip", ranges, "r_start", "r_end",
+                         bucket_bits=12)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
