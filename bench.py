@@ -39,9 +39,15 @@ HEADLINE = [
     "agg_pushdown_q1",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "dedup_resolve_groups",
+    "embedding_neardup",
     "ann_topk_bruteforce",
     "ann_ivf",
     "multiline_join",
+    "multiline_cri",
+    "decoder_escaped",
+    "geoip_range_lookup",
     "asof_enrich",
     "rollup_agg",
     "sp_sql_window",

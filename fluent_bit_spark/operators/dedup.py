@@ -78,10 +78,23 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        allow_quadratic: bool = False) -> DataFrame:
     """All pairs (d1 < d2) with shingle-Jaccard ≥ threshold.
     Shingle-join based: |A∩B| from a self equi-join on shingle, |A∪B| =
-    |A|+|B|−|A∩B|."""
+    |A|+|B|−|A∩B|.
+
+    GATED: the shingle self-join is quadratic in shingle-bucket size —
+    correct, but a scale trap a user could point at 100 TB. Callers
+    must pass ``allow_quadratic=True`` to acknowledge running the
+    small-scale baseline; the production path is
+    :func:`lsh_verified_pairs` (identical output semantics, verify
+    restricted to LSH candidates)."""
+    if not allow_quadratic:
+        raise ValueError(
+            "ngram_jaccard_pairs is the quadratic small-scale baseline; "
+            "use lsh_verified_pairs at scale, or pass "
+            "allow_quadratic=True to run it anyway")
     sh = (spread(df).select(F.col(id_col).alias("doc"),
                     F.explode(word_shingles(text_col, n)).alias("s")))
     cnt = sh.groupBy("doc").agg(F.count("*").alias("c"))

@@ -620,8 +620,10 @@ WHERE inter * 1.0 / (c1.c + c2.c - inter) >= 0.05
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # allow_quadratic: this registration IS the documented small-scale
+    # oracle baseline; the scale path is dedup_lsh_verified
     out = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
-                                 threshold=0.05)
+                                 threshold=0.05, allow_quadratic=True)
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
@@ -1061,9 +1063,14 @@ def record_accessor_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_portable_oracle(num_perm: int = 16, bands: int = 4,
-                             threshold: float = 0.5) -> str:
+                             threshold: float = 0.5,
+                             words_expr: str = "string_split(text, ' ')",
+                             ) -> str:
     """Generate the DuckDB oracle for the portable-hash MinHash+LSH:
-    identical md5+affine arithmetic as operators.dedup hash_fn='portable'."""
+    identical md5+affine arithmetic as operators.dedup hash_fn='portable'.
+    ``words_expr`` parametrizes the unit sequence — default the text's
+    words; the token-payload variant passes a token-id list expression
+    so the SAME chain is checked over pre-tokenized sequences."""
     P = 2147483647
     rows = num_perm // bands
     mins = ",\n  ".join(
@@ -1081,7 +1088,7 @@ def _minhash_portable_oracle(num_perm: int = 16, bands: int = 4,
         f"CASE WHEN s1.m{i} = s2.m{i} THEN 1 ELSE 0 END"
         for i in range(num_perm))
     return f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+WITH w AS (SELECT doc_id, {words_expr} AS ws FROM documents),
 sh0 AS (SELECT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
         FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)
         WHERE len(ws) >= 3),
@@ -1230,3 +1237,72 @@ def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     pairs = DD.lsh_verified_pairs(docs, "doc_id", "text")
     return DD.resolve_duplicate_groups(docs, pairs, "doc_id")
+
+
+# ===========================================================================
+# Token-payload dedup + deterministic sampling (north-star input is
+# PRE-TOKENIZED sequences — these run the dedup chain on token ids)
+# ===========================================================================
+
+# portable word→token-id mapping shared by Spark and the oracle:
+# first 7 md5 hex chars mod 50000 (a vocab-sized id space)
+_TOK_WORDS_SQL = ("list_transform(string_split(text, ' '), "
+                  "w -> CAST(('0x' || substring(md5(w), 1, 7))::BIGINT "
+                  "% 50000 AS VARCHAR))")
+
+
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with text replaced by its token-id sequence (space-
+    joined) — the pre-tokenized-sequence analogue of the input_hint
+    schema, derived deterministically so DuckDB can reproduce it."""
+    docs = t(spark, sf_dir, "documents")
+    tok = F.transform(
+        F.split("text", " "),
+        lambda w: (F.conv(F.substring(F.md5(w), 1, 7), 16, 10)
+                   .cast("long") % 50000).cast("string"))
+    return docs.withColumn("text", F.concat_ws(" ", tok))
+
+
+@q("dedup_tokens_exact", """
+SELECT source,
+       count(DISTINCT md5(array_to_string(""" + _TOK_WORDS_SQL + """, ' ')))
+         AS distinct_seqs,
+       count(*) AS total_docs
+FROM documents GROUP BY source
+""")
+def dedup_tokens_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the TOKEN SEQUENCE (north-star payload):
+    one shuffle on the sequence hash, counted per source."""
+    toks = _tokenized_docs(spark, sf_dir)
+    return (toks.groupBy("source")
+            .agg(F.count_distinct(F.md5("text")).alias("distinct_seqs"),
+                 F.count("*").alias("total_docs")))
+
+
+@q("dedup_tokens_minhash",
+   _minhash_portable_oracle(threshold=0.5, words_expr=_TOK_WORDS_SQL))
+def dedup_tokens_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup over token-id sequences — the IDENTICAL
+    shingle→signature→band→candidate chain as dedup_minhash_portable,
+    run on pre-tokenized sequences and value-checked end to end (the
+    oracle derives the same token ids in SQL)."""
+    toks = _tokenized_docs(spark, sf_dir)
+    return DD.minhash_lsh_pairs(toks, "doc_id", "text", num_perm=16,
+                                bands=4, threshold=0.5,
+                                hash_fn="portable")
+
+
+@q("deterministic_sample", """
+SELECT doc_id, source, lang FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+      % 100 < 20
+""")
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 20% sampling by content hash (operators/filters.py
+    sampling family): partition-count independent, re-run stable, and
+    exactly reproducible by any engine — unlike rand()-based sampling."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7),
+        16, 10).cast("long") % 100
+    return docs.filter(bucket < 20).select("doc_id", "source", "lang")
