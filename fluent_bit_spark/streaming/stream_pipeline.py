@@ -137,6 +137,32 @@ def start_pipeline_stream(spark: SparkSession, spec: PipelineSpec,
 
 
 # ---------------------------------------------------------------------------
+# Streaming exact dedup (cross-batch duplicate suppression)
+# ---------------------------------------------------------------------------
+
+
+def dedup_stream_exact(stream_df: DataFrame, content_cols: list[str],
+                       ts_col: str = "event_ts",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming analogue of ``operators.dedup.exact_dedup``: emit the
+    first occurrence of each content hash, suppressing re-deliveries
+    and duplicates that arrive within the watermark horizon.
+
+    State is BOUNDED by the watermark (dropDuplicatesWithinWatermark:
+    a seen-hash entry is evicted once the event-time watermark passes
+    it) — the property that makes this runnable forever on a 10^12-row
+    stream, unlike an unbounded seen-set. Duplicates farther apart than
+    the horizon both pass; the batch dedup suite is the exact backstop
+    for those (the standard streaming/batch lambda split)."""
+    h = F.sha2(F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in content_cols]), 256)
+    return (stream_df.withColumn("__h", h)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__h"])
+            .drop("__h"))
+
+
+# ---------------------------------------------------------------------------
 # Stateful throttle (filter_throttle's sliding rate limit, cross-batch)
 # ---------------------------------------------------------------------------
 

@@ -131,3 +131,37 @@ def test_throttle_stateful_cross_batch(spark, landing, spec):
     # and the limiter actually dropped something
     total_in = spark.read.parquet(landing).count()
     assert len(rows) < total_in
+
+
+def test_dedup_stream_exact_cross_batch(spark, tmp_path):
+    """Duplicates of the same content in LATER files (micro-batches)
+    are suppressed; distinct content all passes. Parity oracle: batch
+    exact dedup over the same rows."""
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        dedup_stream_exact,
+    )
+    d = str(tmp_path / "landing2")
+    rows0 = [("d0", "hello world", 0), ("d1", "spark streams", 1),
+             ("d2", "hello world", 2)]          # in-batch dup of d0
+    rows1 = [("d3", "hello world", 3),          # cross-batch dup of d0
+             ("d4", "brand new doc", 4)]
+    schema = "doc_id string, text string, sec int"
+    spark.createDataFrame(rows0, schema).write.parquet(f"{d}/f0.parquet")
+    spark.createDataFrame(rows1, schema).write.parquet(f"{d}/f1.parquet")
+    # glob: each write.parquet made a directory; the file stream source
+    # does not recurse into non-partition subdirs on its own
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*")
+              .withColumn("event_ts",
+                          F.timestamp_seconds(F.lit(1767225600)
+                                              + F.col("sec"))))
+    out = dedup_stream_exact(stream, ["text"], watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.text for r in
+           spark.sql("SELECT text FROM dedup_stream").collect()}
+    ids = sorted(r.doc_id for r in
+                 spark.sql("SELECT doc_id FROM dedup_stream").collect())
+    assert got == {"hello world", "spark streams", "brand new doc"}
+    assert len(ids) == 3          # one survivor per distinct content
