@@ -223,3 +223,107 @@ def throttle_stateful(df: DataFrame, rate: int, pane_seconds: int,
                 stateStructType=_THROTTLE_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming multiline (flb_ml's in-stream joining + flush timer)
+# ---------------------------------------------------------------------------
+
+_ML_STATE = T.StructType([
+    T.StructField("ts", T.ArrayType(T.LongType())),       # epoch seconds
+    T.StructField("lines", T.ArrayType(T.StringType())),
+])
+
+_ML_OUT = T.StructType([
+    T.StructField("stream", T.StringType()),
+    T.StructField("first_ts", T.TimestampType()),
+    T.StructField("n_lines", T.LongType()),
+    T.StructField("event", T.StringType()),
+    T.StructField("joined", T.BooleanType()),
+])
+
+
+def multiline_stateful(df: DataFrame, stream_col: str, ts_col: str,
+                       line_col: str, start_re: str,
+                       flush_timeout_secs: int = 5,
+                       sep: str = "\n") -> DataFrame:
+    """Streaming multiline join — the true in-stream analogue of
+    ``operators.multiline.join_multiline`` (upstream:src/multiline/
+    flb_ml.c group buffers + flush_ms timer):
+
+    per-stream GroupState buffers the OPEN group; a start-matching line
+    flushes the previous group and opens a new one; a line arriving
+    before any start passes through unjoined; an event-time TIMEOUT
+    (watermark passing last-line-ts + ``flush_timeout_secs``) flushes a
+    group whose continuation never came — flb's flush timer, expressed
+    on event time so it is replay-deterministic.
+
+    Ordering contract: lines are processed in event-time order WITHIN a
+    micro-batch (sorted here); across batches in arrival order — the
+    same contract as flb, which joins in arrival order per stream.
+    Requires ``withWatermark`` upstream (EventTimeTimeout)."""
+    import re as _re
+    pat = _re.compile(start_re)
+
+    def _flush(ts: list[int], lines: list[str]):
+        return {
+            "stream": None,  # filled by caller
+            "first_ts": pd.Timestamp(ts[0], unit="s"),
+            "n_lines": len(lines),
+            "event": sep.join(lines),
+            "joined": len(lines) > 1 or bool(pat.search(lines[0])),
+        }
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterable[pd.DataFrame]:
+        stream = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                ts, lines = state.get
+                row = _flush(list(ts), list(lines))
+                row["stream"] = stream
+                state.remove()
+                yield pd.DataFrame([row])
+            return
+        buf_ts: list[int] = []
+        buf_lines: list[str] = []
+        if state.exists:
+            t, ls = state.get
+            buf_ts, buf_lines = list(t), list(ls)
+        out_rows = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            secs = pdf[ts_col].astype("int64").to_numpy() // 10**9
+            for t, line in zip(secs, pdf[line_col].to_numpy()):
+                is_start = bool(pat.search(line))
+                if is_start:
+                    if buf_lines:
+                        row = _flush(buf_ts, buf_lines)
+                        row["stream"] = stream
+                        out_rows.append(row)
+                    buf_ts, buf_lines = [int(t)], [str(line)]
+                elif not buf_lines:
+                    # pre-start passthrough (flb emits unjoined)
+                    row = _flush([int(t)], [str(line)])
+                    row["stream"] = stream
+                    out_rows.append(row)
+                else:
+                    buf_ts.append(int(t))
+                    buf_lines.append(str(line))
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+        if buf_lines:
+            state.update((buf_ts, buf_lines))
+            state.setTimeoutTimestamp(
+                (buf_ts[-1] + flush_timeout_secs) * 1000)
+        elif state.exists:
+            state.remove()
+
+    return (df.groupBy(F.col(stream_col).alias("stream"))
+            .applyInPandasWithState(
+                fn, outputStructType=_ML_OUT,
+                stateStructType=_ML_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

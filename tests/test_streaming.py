@@ -146,8 +146,10 @@ def test_dedup_stream_exact_cross_batch(spark, tmp_path):
     rows1 = [("d3", "hello world", 3),          # cross-batch dup of d0
              ("d4", "brand new doc", 4)]
     schema = "doc_id string, text string, sec int"
-    spark.createDataFrame(rows0, schema).write.parquet(f"{d}/f0.parquet")
-    spark.createDataFrame(rows1, schema).write.parquet(f"{d}/f1.parquet")
+    spark.createDataFrame(rows0, schema).coalesce(1) \
+        .write.parquet(f"{d}/f0.parquet")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(f"{d}/f1.parquet")
     # glob: each write.parquet made a directory; the file stream source
     # does not recurse into non-partition subdirs on its own
     stream = (spark.readStream.schema(schema)
@@ -165,3 +167,42 @@ def test_dedup_stream_exact_cross_batch(spark, tmp_path):
                  spark.sql("SELECT doc_id FROM dedup_stream").collect())
     assert got == {"hello world", "spark streams", "brand new doc"}
     assert len(ids) == 3          # one survivor per distinct content
+
+
+def test_multiline_stateful_cross_batch_and_timeout(spark, tmp_path):
+    """A group spanning micro-batches joins when the next start
+    arrives; the last open group flushes via the event-time timeout
+    (flb's flush timer) once the watermark passes it."""
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        multiline_stateful,
+    )
+    d = str(tmp_path / "ml")
+    schema = "stream string, sec int, line string"
+    # coalesce(1): ONE part-file per batch — the join is arrival-order
+    # dependent (as in flb), so the test pins arrival = file order
+    spark.createDataFrame(
+        [("s1", 0, "START a"), ("s1", 1, " cont1")], schema) \
+        .coalesce(1).write.parquet(f"{d}/f0.parquet")
+    spark.createDataFrame(
+        [("s1", 2, " cont2"), ("s1", 3, "START b"), ("s1", 4, " contb")],
+        schema).coalesce(1).write.parquet(f"{d}/f1.parquet")
+    # far-future row advances the watermark past b's timeout horizon
+    spark.createDataFrame(
+        [("s2", 1000, "lonely line")], schema) \
+        .coalesce(1).write.parquet(f"{d}/f2.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*")
+              .withColumn("event_ts",
+                          F.timestamp_seconds(F.lit(1767225600)
+                                              + F.col("sec")))
+              .withWatermark("event_ts", "2 seconds"))
+    out = multiline_stateful(stream, "stream", "event_ts", "line",
+                             start_re=r"^START", flush_timeout_secs=5)
+    q = (out.writeStream.format("memory").queryName("ml_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = {(r.stream, r.event): (r.n_lines, r.joined) for r in
+            spark.sql("SELECT * FROM ml_stream").collect()}
+    assert rows[("s1", "START a\n cont1\n cont2")] == (3, True)
+    assert rows[("s1", "START b\n contb")] == (2, True)      # timeout flush
+    assert rows[("s2", "lonely line")][1] is False           # passthrough
