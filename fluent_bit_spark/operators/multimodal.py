@@ -67,6 +67,46 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(op, schema=schema_str)
 
 
+def resize_images(df: DataFrame, payload_col: str = "payload",
+                  width: int = 64, height: int = 64,
+                  out_col: str = "thumb",
+                  strict: bool = False) -> DataFrame:
+    """Resize plumbing for image payloads: 1:1 mapInPandas adding a
+    ``thumb binary`` column plus its (thumb_w, thumb_h) dims.
+
+    The resize kernel is STUBBED (container has no PIL/cv2): the thumb
+    is a deterministic byte downsample of the payload to width·height
+    bytes — a stand-in with the right cardinality and batch shape.
+    ``strict=True`` raises NotImplementedError, the marker that a real
+    codec+resampler must be plugged in here (swap ``_fake_resize`` for
+    ``PIL.Image.open(io.BytesIO(b)).resize((w, h))``)."""
+    if strict:
+        raise NotImplementedError(
+            "real image resize requires PIL/cv2, absent in this "
+            "container; strict=False runs the deterministic stub")
+    n_bytes = width * height
+
+    def _fake_resize(b: bytes) -> bytes:
+        if len(b) == 0:
+            return b""
+        step = max(1, len(b) // n_bytes)
+        return bytes(b[::step][:n_bytes])
+
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += f", {out_col} binary, thumb_w int, thumb_h int"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[payload_col].map(
+                lambda b: _fake_resize(bytes(b)))
+            pdf["thumb_w"] = width
+            pdf["thumb_h"] = height
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload",
                   n_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing for video payloads: 1 row in → n_frames

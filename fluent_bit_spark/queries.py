@@ -835,6 +835,29 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count_distinct("sha256").alias("distinct_payloads"))
 
 
+@q("multimodal_resize", """
+SELECT doc_id,
+       CAST(CASE WHEN L = 0 THEN 0
+            ELSE LEAST(64, CAST(ceil(L * 1.0 / GREATEST(1, L // 64))
+                               AS INT)) END AS INT) AS thumb_bytes,
+       CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h
+FROM (SELECT doc_id, octet_length(encode(text)) AS L FROM documents)
+""")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (operators/multimodal.py resize_images): the
+    stubbed byte-downsample runs through the REAL Arrow mapInPandas
+    path; the oracle value-checks the output cardinality, dims, and
+    the stride-slicing length arithmetic (content is the documented
+    codec stub)."""
+    from .operators.multimodal import resize_images
+    docs = t(spark, sf_dir, "documents") \
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = resize_images(docs, "payload", width=8, height=8)
+    return out.select("doc_id",
+                      F.octet_length("thumb").alias("thumb_bytes"),
+                      "thumb_w", "thumb_h")
+
+
 _MM_FEAT_TERMS = " + ".join(
     f"(('0x' || substr(h, {2 * i + 1}, 2))::INT / 255.0)::FLOAT::DOUBLE"
     for i in range(8))
