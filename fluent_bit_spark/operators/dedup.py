@@ -136,6 +136,15 @@ def _portable_perm(base: Column, i: int) -> Column:
     return (base * (2 * i + 3) + 7 * i + 1) % PORTABLE_PRIME
 
 
+def shingle_frame(df: DataFrame, id_col: str, text_col: str,
+                  shingle_n: int = 3) -> DataFrame:
+    """(doc, s): one row per distinct shingle per doc, spread across
+    cores before the ~50× explode (see :func:`spread`)."""
+    return (spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("s")))
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 16, shingle_n: int = 3,
                       hash_fn: str = "xxhash64") -> DataFrame:
@@ -150,8 +159,15 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     groupBy shuffles only ``num_perm`` longs per doc. A second pitfall
     for the HOF form: pyspark binds an arity-2 transform lambda as
     (element, array_index), silently shadowing a closed-over seed."""
-    sh = (spread(df).select(F.col(id_col).alias("doc"),
-                    F.explode(word_shingles(text_col, shingle_n)).alias("s")))
+    return minhash_signature_from_shingles(
+        shingle_frame(df, id_col, text_col, shingle_n), num_perm, hash_fn)
+
+
+def minhash_signature_from_shingles(sh: DataFrame, num_perm: int = 16,
+                                    hash_fn: str = "xxhash64") -> DataFrame:
+    """Signature from a pre-built (doc, s) shingle frame — lets callers
+    that also need the shingles elsewhere (the two-stage verify) build
+    and optionally materialize them ONCE."""
     if hash_fn == "portable":
         base = portable_base_hash(F.col("s"))
         hashed = sh.select(
@@ -172,7 +188,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 16, bands: int = 4,
                       threshold: float = 0.5,
                       shingle_n: int = 3,
-                      hash_fn: str = "xxhash64") -> DataFrame:
+                      hash_fn: str = "xxhash64",
+                      shingles: DataFrame | None = None) -> DataFrame:
     """Banded LSH candidate generation + signature-similarity verify.
 
     bands×rows = num_perm; a pair collides if any band's row-slice hashes
@@ -185,8 +202,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     (queries.dedup_minhash_portable); xxhash64 is the faster default.
     """
     rows = num_perm // bands
-    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_n,
-                            hash_fn=hash_fn)
+    sig = minhash_signature_from_shingles(
+        shingles if shingles is not None
+        else shingle_frame(df, id_col, text_col, shingle_n),
+        num_perm, hash_fn=hash_fn)
 
     def band_hash(b: int) -> Column:
         if hash_fn == "portable":
@@ -305,18 +324,28 @@ def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
                        cand_threshold: float = 0.2,
                        jaccard_threshold: float = 0.5,
                        shingle_n: int = 3,
-                       hash_fn: str = "portable") -> DataFrame:
+                       hash_fn: str = "portable",
+                       materialize: bool = False) -> DataFrame:
     """The canonical two-stage scale dedup: MinHash+LSH candidate
     generation (cheap, linear) followed by EXACT shingle-Jaccard verify
     restricted to candidate pairs — the standalone all-pairs shingle
     self-join is quadratic (see ngram_jaccard_pairs), but scoped to LSH
     collisions it touches only O(candidates) rows. Returns
-    (d1, d2, jaccard ≥ jaccard_threshold)."""
+    (d1, d2, jaccard ≥ jaccard_threshold).
+
+    The shingle frame feeds FOUR plan branches (signature, per-doc
+    counts, both verify join sides); built lazily Catalyst recomputes
+    it per branch (reuse only happens at exchange boundaries).
+    ``materialize=True`` localCheckpoints it once — worth it whenever
+    the explode is non-trivial; on a cluster use a reliable checkpoint
+    dir instead if executor loss mid-query must be survivable."""
+    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands,
-                             cand_threshold, shingle_n, hash_fn) \
+                             cand_threshold, shingle_n, hash_fn,
+                             shingles=sh) \
         .select("d1", "d2")
-    sh = (spread(df).select(F.col(id_col).alias("doc"),
-                    F.explode(word_shingles(text_col, shingle_n)).alias("s")))
     cnt = sh.groupBy("doc").agg(F.count("*").alias("c"))
     sh1 = sh.select(F.col("doc").alias("d1"), "s")
     sh2 = sh.select(F.col("doc").alias("d2"), "s")

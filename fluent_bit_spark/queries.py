@@ -1220,7 +1220,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage scale dedup (operators/dedup.py lsh_verified_pairs):
     LSH candidates → exact Jaccard verify, value-checked end to end."""
     docs = t(spark, sf_dir, "documents")
-    out = DD.lsh_verified_pairs(docs, "doc_id", "text")
+    out = DD.lsh_verified_pairs(docs, "doc_id", "text", materialize=True)
     return out.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1258,7 +1258,8 @@ def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recursive-CTE transitive closure over the identical
     portable-hash pair set."""
     docs = t(spark, sf_dir, "documents")
-    pairs = DD.lsh_verified_pairs(docs, "doc_id", "text")
+    pairs = DD.lsh_verified_pairs(docs, "doc_id", "text",
+                                  materialize=True)
     return DD.resolve_duplicate_groups(docs, pairs, "doc_id")
 
 
