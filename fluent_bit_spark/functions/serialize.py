@@ -48,6 +48,30 @@ def gelf_level(level_col: Column | str) -> Column:
         F.coalesce(c.try_cast("int"), F.lit(1).cast("int")))
 
 
+def to_csv_line(df: DataFrame, cols: list[str],
+                out: str = "value") -> DataFrame:
+    """out_file ``Format csv`` (upstream:plugins/out_file/file.c): comma
+    separation, RFC-4180-style quoting of fields containing a comma,
+    quote, or newline — JVM-side, no UDF."""
+    def render(c: str) -> Column:
+        v = F.col(c).cast("string")
+        needs = v.rlike('[",\n\r]')
+        quoted = F.concat(F.lit('"'),
+                          F.regexp_replace(v, '"', '""'), F.lit('"'))
+        return F.when(v.isNull(), F.lit("")) \
+                .when(needs, quoted).otherwise(v)
+    return df.withColumn(out, F.concat_ws(",", *[render(c) for c in cols]))
+
+
+def to_ltsv_line(df: DataFrame, cols: list[str],
+                 out: str = "value") -> DataFrame:
+    """out_file ``Format ltsv``: tab-separated ``key:value`` pairs."""
+    parts = [F.concat(F.lit(f"{c}:"),
+                      F.coalesce(F.col(c).cast("string"), F.lit("")))
+             for c in cols]
+    return df.withColumn(out, F.concat_ws("\t", *parts))
+
+
 def to_gelf(df: DataFrame, host_col: str, message_col: str,
             ts_col: str, level_col: str | None = None,
             extra_cols: list[str] | None = None,

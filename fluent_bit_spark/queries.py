@@ -1066,6 +1066,27 @@ def serialize_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("value")
 
 
+@q("serialize_csv_ltsv", """
+SELECT CAST(doc_id AS VARCHAR) || ',' ||
+       CASE WHEN regexp_matches(text, '[",\n\r]')
+            THEN '"' || replace(text, '"', '""') || '"' ELSE text END
+       || ',' || source AS csv_line,
+       'doc_id:' || CAST(doc_id AS VARCHAR) || chr(9)
+       || 'source:' || source AS ltsv_line
+FROM documents WHERE lang = 'en'
+""")
+def serialize_csv_ltsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_file csv + ltsv formats (functions/serialize.py ←
+    upstream:plugins/out_file/file.c): RFC-4180 quoting and tab-
+    separated key:value rendering, byte-exact vs a DuckDB
+    reconstruction."""
+    from .functions.serialize import to_csv_line, to_ltsv_line
+    docs = t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    out = to_csv_line(docs, ["doc_id", "text", "source"], out="csv_line")
+    out = to_ltsv_line(out, ["doc_id", "source"], out="ltsv_line")
+    return out.select("csv_line", "ltsv_line")
+
+
 @q("record_accessor_template", """
 SELECT 'k/' || event_type || '/u' || CAST(user_id % 10 AS VARCHAR)
          AS key,

@@ -77,3 +77,36 @@ def test_resolve_duplicate_groups(spark):
     for d in ["d6", "d7", "d8"]:
         assert got[d] == ("d6", d == "d6")
     assert got["d9"] == ("d9", True)
+
+
+def test_resolve_groups_matches_union_find(spark):
+    """Randomized (seeded) cross-check: min-label propagation equals a
+    plain python union-find on a 200-node / 240-edge random graph."""
+    import random
+    from fluent_bit_spark.operators.dedup import resolve_duplicate_groups
+    rng = random.Random(7)
+    n = 200
+    edges = [(f"n{rng.randrange(n):03d}", f"n{rng.randrange(n):03d}")
+             for _ in range(240)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {f"n{i:03d}": f"n{i:03d}" for i in range(n)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: min(y for y in parent if find(y) == find(x))
+            for x in parent}
+
+    docs = spark.createDataFrame([(k,) for k in parent], "doc_id string")
+    pairs = spark.createDataFrame(edges, "d1 string, d2 string")
+    got = {r.doc_id: r.canonical_id
+           for r in resolve_duplicate_groups(docs, pairs).collect()}
+    assert got == want
