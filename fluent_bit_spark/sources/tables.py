@@ -67,3 +67,26 @@ def read_tokens(spark: SparkSession, path: str,
                 io: TableIO | None = None) -> DataFrame:
     """The engine's canonical input: (doc_id, tokens, n_tok, source)."""
     return (io or TableIO()).read(spark, path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_key: str,
+                   n_buckets: int = 32,
+                   sort_key: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    The co-located-join tool for keys joined REPEATEDLY at scale: two
+    tables bucketed on the same key with the same bucket count join with
+    NO exchange on either side (asserted in tests/test_plan_shape.py) —
+    the shuffle is paid once at write time instead of once per query.
+    This is the Parquet/Hive bucketing analogue of Iceberg's
+    ``bucket(N, key)`` partition transform; on the Iceberg deployment
+    use that transform plus storage-partitioned joins."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_key)
+    if sort_key:
+        w = w.sortBy(sort_key)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

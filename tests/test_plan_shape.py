@@ -150,3 +150,25 @@ def test_range_lookup_is_broadcast_equi_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with NO Exchange on either side — the write-once
+    shuffle that makes repeated big-big joins affordable at scale."""
+    from fluent_bit_spark.sources.tables import read_table, write_bucketed
+    a = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("x"))
+    b = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("y"))
+    write_bucketed(a, "bkt_a", "k", n_buckets=8, sort_key="k")
+    write_bucketed(b, "bkt_b", "k", n_buckets=8, sort_key="k")
+    try:
+        joined = read_table(spark, "bkt_a").join(
+            read_table(spark, "bkt_b").hint("merge"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+        assert joined.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
