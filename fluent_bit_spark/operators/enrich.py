@@ -61,6 +61,31 @@ def checklist_keep(fact: DataFrame, values: DataFrame, key: str,
     return fact.join(F.broadcast(dim), key, "left_semi")
 
 
+def salted_join(fact: DataFrame, dim: DataFrame, key: str,
+                salt_buckets: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join for a dim too big to broadcast when the fact
+    side has heavy-hitter keys: the fact's rows for one key spread
+    across ``salt_buckets`` deterministic sub-keys (hash of the whole
+    fact row — reproducible across retries, unlike rand()), the dim
+    replicates once per bucket, and the join runs on (key, salt) so no
+    single task owns a hot key's entire row set.
+
+    Complements AQE's skew-join split (enabled in session.py), which
+    only engages on sort-merge joins after runtime stats; salting is
+    the explicit, planner-independent form. Per-key results are
+    identical to the unsalted join (oracled)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
+                  F.lit(salt_buckets)).cast("int")
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+                  .cast("array<int>")))
+    out = f.join(d, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def range_lookup(fact: DataFrame, fact_key: str, ranges: DataFrame,
                  start_col: str, end_col: str,
                  value_cols: list[str] | None = None,

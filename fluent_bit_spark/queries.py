@@ -401,6 +401,28 @@ def geoip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"), F.sum("ip").alias("sum_ip")))
 
 
+@q("skew_salted_join", """
+WITH ev AS (SELECT event_id, user_id, user_id % 7 AS k FROM events),
+d AS (SELECT DISTINCT doc_id % 7 AS k, lang FROM documents)
+SELECT lang, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_uid
+FROM ev JOIN d USING (k) GROUP BY lang
+""")
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew-salted equi-join (operators/enrich.py salted_join):
+    heavy-hitter fact keys spread over deterministic salt buckets, dim
+    replicated per bucket; per-key results identical to the plain join
+    (which IS the oracle)."""
+    from .operators.enrich import salted_join
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", (F.col("user_id") % 7).alias("k"))
+    dim = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 7).alias("k"), "lang").distinct()
+    out = salted_join(ev, dim, "k", salt_buckets=8)
+    return (out.groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 F.sum("user_id").alias("sum_uid")))
+
+
 @q("rewrite_tag_capture", """
 WITH tagged AS (
   SELECT CASE WHEN lang IN ('zh', 'es')
