@@ -101,20 +101,27 @@ def ivf_assign_inline(df: DataFrame, vec_col: str,
 
     ``centroids``: [(cid, vec)] on the driver — a coarse quantizer is
     small by construction (k ≤ a few thousand), so shipping it inside
-    the plan beats shuffling n·k scored rows by construction."""
-    v = F.col(vec_col).cast("array<double>")
+    the plan beats shuffling n·k scored rows by construction.
+
+    Built as one SQL string (see the py4j note above lsh_bucket_sql):
+    k×dim centroid literals through Column operators cost seconds of
+    driver time; one F.expr parse is milliseconds."""
     order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
-    cents = F.array(*[
-        F.struct(_lit_vec([float(x) for x in centroids[i][1]])
-                 .alias("cvec"),
-                 F.lit(-r).alias("nr"),
-                 F.lit(centroids[i][0]).alias("cid"))
-        for r, i in enumerate(order)])
-    scored = F.transform(
-        cents, lambda c: F.struct(cosine(v, c["cvec"]).alias("sim"),
-                                  c["nr"].alias("nr"),
-                                  c["cid"].alias("cid")))
-    return df.withColumn(cid_out, F.array_max(scored)["cid"])
+
+    def cid_sql(c) -> str:
+        if isinstance(c, str):
+            return "'" + c.replace("'", "''") + "'"
+        return repr(c)
+
+    cents = "array(" + ", ".join(
+        f"named_struct('cvec', {_vec_sql(list(centroids[i][1]))}, "
+        f"'nr', {-r}, 'cid', {cid_sql(centroids[i][0])})"
+        for r, i in enumerate(order)) + ")"
+    v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    expr = (f"array_max(transform({cents}, c -> named_struct("
+            f"'sim', {_cos_sql(v, 'c.cvec')}, "
+            f"'nr', c.nr, 'cid', c.cid))).cid")
+    return df.withColumn(cid_out, F.expr(expr))
 
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
@@ -171,12 +178,63 @@ def portable_planes(dim: int, n_planes: int,
         for p in range(n_planes)]
 
 
+# SQL-text expression builders. Building these trees with Column
+# operators costs one py4j round-trip PER literal — 8 planes × 4 bands
+# × 64 dims ≈ 2048 calls ≈ 3 SECONDS of driver time per query
+# (measured; Catalyst planning of the same tree is 0.4s). Emitting one
+# SQL string per band and parsing it JVM-side with F.expr collapses
+# that to a handful of calls. The generated arithmetic is identical to
+# the Column form (double literals, same fold order), so the DuckDB
+# oracles are unaffected.
+
+
+def _vec_sql(vec: list[float]) -> str:
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _norm_sql(a: str) -> str:
+    return (f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + v * v))")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def lsh_bucket_sql(vec_sql: str, dim: int, n_planes: int = 8,
+                   planes: list[list[float]] | None = None,
+                   tag: str = "plane") -> str:
+    """SQL text for the sign-of-dot-product bucket id."""
+    planes = planes or portable_planes(dim, n_planes, tag)
+    v = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
+    terms = [
+        f"(CASE WHEN {_dot_sql(v, _vec_sql(planes[p]))} > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p in range(n_planes)]
+    return "(" + " + ".join(terms) + ")"
+
+
 def lsh_bucket(vec_col: str | Column, dim: int, n_planes: int = 8,
                planes: list[list[float]] | None = None) -> Column:
     """Sign-of-dot-product bucket id over n_planes deterministic
-    hyperplanes → int in [0, 2^n_planes)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    v = v.cast("array<double>")
+    hyperplanes → int in [0, 2^n_planes). String column names take the
+    fast SQL-text build path (see note above); Column inputs keep the
+    operator-built form.
+
+    Measured alternative, rejected: generating plane values
+    ARITHMETICALLY inside the expression (LCG of the flat index — no
+    literals) cuts driver build time ~0.7s but doubles executor time
+    (the per-element mod/div runs interpreted per row); plane LITERALS
+    multiply ~2× faster than they generate. Net cold-path loss ~1s at
+    sf0.1, so literals stay."""
+    if isinstance(vec_col, str):
+        return F.expr(lsh_bucket_sql(vec_col, dim, n_planes, planes))
+    v = vec_col.cast("array<double>")
     planes = planes or portable_planes(dim, n_planes)
     acc = F.lit(0).cast("bigint")
     for p in range(n_planes):
@@ -226,16 +284,14 @@ def lsh_banded_pairs(df: DataFrame, id_col: str, vec_col: str,
     baseline)."""
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
+    bands_sql = "array(" + ", ".join(
+        f"named_struct('band', {b}, 'bk', "
+        + lsh_bucket_sql("v", dim, n_planes,
+                         portable_planes(dim, n_planes, f"band{b}"))
+        + ")"
+        for b in range(n_bands)) + ")"
     ent = v.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                lsh_bucket(F.col("v"), dim, n_planes,
-                           planes=portable_planes(dim, n_planes,
-                                                  f"band{b}"))
-                .alias("bk"))
-            for b in range(n_bands)])).alias("e")
+        "id", F.explode(F.expr(bands_sql)).alias("e")
     ).select("id", "e.band", "e.bk")
     a = ent.select(F.col("id").alias("id1"), "band", "bk")
     b = ent.select(F.col("id").alias("id2"), "band", "bk")
