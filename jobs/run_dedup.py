@@ -1,0 +1,96 @@
+"""spark-submit entry point for the training-data dedup suite.
+
+End-to-end: documents table → two-stage near-dup pairs (MinHash+LSH
+candidates → exact shingle-Jaccard verify) → connected-component group
+resolution → the DEDUPLICATED table (keep-one per group) plus the pair
+and membership reports.
+
+Usage:
+
+    zip -r engine.zip fluent_bit_spark
+    spark-submit --master local[32] --py-files engine.zip \
+        jobs/run_dedup.py --input /path/documents.parquet \
+        --output /path/dedup_out \
+        [--id-col doc_id --text-col text] \
+        [--jaccard 0.5] [--exact-only]
+
+Outputs under --output:
+    pairs/        (d1, d2, jaccard)           near-dup pairs
+    membership/   (id, canonical_id, keep)    every doc's group
+    deduped/      input schema                keep=true rows only
+Prints one JSON line with counts + wall time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="near-dup dedup suite")
+    ap.add_argument("--input", required=True, help="documents parquet")
+    ap.add_argument("--output", required=True, help="output dir")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--jaccard", type=float, default=0.5,
+                    help="verify threshold (two-stage path)")
+    ap.add_argument("--num-perm", type=int, default=16)
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--exact-only", action="store_true",
+                    help="hash-exact dedup only (skip near-dup LSH)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators import dedup as DD
+    from fluent_bit_spark.session import get_spark
+
+    spark = get_spark(app_name="run_dedup")
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+
+    if args.exact_only:
+        kept = DD.exact_dedup(docs, [args.text_col], tiebreak=args.id_col)
+        kept.write.mode("overwrite").parquet(f"{args.output}/deduped")
+        n_out = spark.read.parquet(f"{args.output}/deduped").count()
+        print(json.dumps({"mode": "exact", "rows_in": n_in,
+                          "rows_out": n_out,
+                          "dropped": n_in - n_out,
+                          "wall_sec": round(time.time() - t0, 2)}))
+        spark.stop()
+        return 0
+
+    pairs = DD.lsh_verified_pairs(
+        docs, args.id_col, args.text_col, num_perm=args.num_perm,
+        bands=args.bands, jaccard_threshold=args.jaccard,
+        materialize=True)
+    pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
+    pairs = spark.read.parquet(f"{args.output}/pairs")  # reuse, not rebuild
+
+    membership = DD.resolve_duplicate_groups(docs, pairs, args.id_col)
+    membership.write.mode("overwrite").parquet(f"{args.output}/membership")
+    membership = spark.read.parquet(f"{args.output}/membership")
+
+    kept_ids = membership.filter(F.col("keep")).select(args.id_col)
+    deduped = docs.join(kept_ids, args.id_col, "left_semi")
+    deduped.write.mode("overwrite").parquet(f"{args.output}/deduped")
+
+    n_pairs = pairs.count()
+    n_out = spark.read.parquet(f"{args.output}/deduped").count()
+    print(json.dumps({
+        "mode": "two-stage-lsh", "rows_in": n_in, "near_dup_pairs": n_pairs,
+        "rows_out": n_out, "dropped": n_in - n_out,
+        "wall_sec": round(time.time() - t0, 2)}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
