@@ -72,6 +72,25 @@ def to_ltsv_line(df: DataFrame, cols: list[str],
     return df.withColumn(out, F.concat_ws("\t", *parts))
 
 
+def to_prometheus(df: DataFrame, metric: str, value_col: str,
+                  label_cols: list[str],
+                  out: str = "value") -> DataFrame:
+    """Prometheus text-exposition rendering of a metrics table — the
+    cmetrics/prometheus-exporter analogue (upstream:lib/cmetrics
+    prometheus encoder; plugins/out_prometheus_exporter): one
+    ``metric{k="v",…} value`` line per row. Label values escape
+    backslash and double-quote per the exposition format. JVM-side."""
+    def esc(c: str) -> Column:
+        v = F.col(c).cast("string")
+        return F.regexp_replace(
+            F.regexp_replace(v, r"\\", r"\\\\"), '"', r'\"')
+    labels = F.concat_ws(",", *[
+        F.concat(F.lit(f'{c}="'), esc(c), F.lit('"')) for c in label_cols])
+    return df.withColumn(
+        out, F.concat(F.lit(metric + "{"), labels, F.lit("} "),
+                      F.col(value_col).cast("string")))
+
+
 def to_gelf(df: DataFrame, host_col: str, message_col: str,
             ts_col: str, level_col: str | None = None,
             extra_cols: list[str] | None = None,

@@ -82,3 +82,30 @@ def write_json_atomic(spark: SparkSession, path: str, payload: dict) -> None:
 
 def read_json(spark: SparkSession, path: str) -> dict:
     return json.loads(read_text(spark, path))
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    fs, s = _fs_path(spark, src)
+    _, d = _fs_path(spark, dst)
+    if not fs.rename(s, d):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
+def count_files(spark: SparkSession, dir_path: str,
+                suffix: str = ".parquet") -> int:
+    """Recursive count of data files under a directory tree."""
+    fs, p = _fs_path(spark, dir_path)
+    if not fs.exists(p):
+        return 0
+    it, n = fs.listFiles(p, True), 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            n += 1
+    return n

@@ -401,6 +401,22 @@ def geoip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"), F.sum("ip").alias("sum_ip")))
 
 
+@q("serialize_prometheus", """
+SELECT 'records_total{source="' || source || '",lang="' || lang || '"} '
+       || CAST(count(*) AS VARCHAR) AS value
+FROM documents GROUP BY source, lang
+""")
+def serialize_prometheus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus exposition rendering of per-(source, lang) counts
+    (functions/serialize.py to_prometheus ← upstream cmetrics prom
+    encoder), byte-exact vs a DuckDB string build."""
+    from .functions.serialize import to_prometheus
+    docs = t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    return to_prometheus(agg, "records_total", "n",
+                         ["source", "lang"]).select("value")
+
+
 @q("skew_salted_join", """
 WITH ev AS (SELECT event_id, user_id, user_id % 7 AS k FROM events),
 d AS (SELECT DISTINCT doc_id % 7 AS k, lang FROM documents)

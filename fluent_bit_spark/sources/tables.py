@@ -90,3 +90,36 @@ def write_bucketed(df: DataFrame, table: str, bucket_key: str,
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_dir(spark: SparkSession, path: str,
+                target_mb: int = 256,
+                partition_by: list[str] | None = None) -> dict:
+    """Small-file compaction for a parquet sink tree (the maintenance
+    job a per-slice fan-out needs at scale: each slice × sink ×
+    partition write emits its own files; after thousands of slices the
+    scan cost is dominated by file-open overhead).
+
+    Rewrites the tree to ~``total_bytes / target_mb`` files via
+    repartition, then swaps directories through the Hadoop FS API.
+    The swap is delete+rename — NOT transactional (a reader racing the
+    swap can miss the tree); run it in a maintenance window, or on the
+    Iceberg deployment use ``rewrite_data_files`` which commits
+    atomically. Returns {files_before, files_after, rows}."""
+    from ..plans import fsio
+    before = fsio.count_files(spark, path)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    total = fsio.total_bytes(spark, path)
+    n_out = max(1, int(total / (target_mb << 20)) + (
+        1 if total % (target_mb << 20) else 0))
+    tmp = path.rstrip("/") + ".compact_tmp"
+    w = df.repartition(n_out).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    fsio.delete(spark, path)
+    fsio.rename(spark, tmp, path)
+    return {"files_before": before,
+            "files_after": fsio.count_files(spark, path),
+            "rows": rows}

@@ -7,6 +7,7 @@ real-Iceberg round-trip runs wherever the runtime is on the classpath
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from fluent_bit_spark.sources.tables import (
     TableIO, iceberg_available, read_tokens,
@@ -48,3 +49,17 @@ def test_iceberg_roundtrip_when_runtime_present(spark):
                                "n_tok int, source string")
     io.write(df, "lake.db.tokens_test", partition_by=["source"])
     assert io.read(spark, "lake.db.tokens_test").count() == 1
+
+
+def test_compact_dir_shrinks_files_keeps_rows(spark, tmp_path):
+    from fluent_bit_spark.sources.tables import compact_dir
+    path = str(tmp_path / "many")
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 5).alias("k")) \
+        .repartition(32).write.parquet(path)
+    stats = compact_dir(spark, path, target_mb=256)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] <= 2
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000 and stats["rows"] == 10_000
+    assert back.agg(F.sum("id")).collect()[0][0] == 10_000 * 9_999 // 2
