@@ -178,3 +178,25 @@ def test_decoder_chain_fallback_on_malformed(spark):
            for r in decoder_chain(df, "line", ["escaped"]).collect()}
     assert got[1] == "ok\tline"
     assert got[2] == 'raw " quote'     # malformed → original preserved
+
+
+def test_decode_escaped_roundtrip_random(spark):
+    """Round-trip property: json-escaping any string in Python then
+    decoding with decode_escaped (JVM from_json) returns the original —
+    over a seeded corpus including controls, quotes, backslashes,
+    unicode, and high escapes."""
+    import json as _json
+    import random
+    from fluent_bit_spark.functions.parsers import decode_escaped
+    rng = random.Random(11)
+    alphabet = 'ab"\\\n\t\r/é漢 \x01\x1f~'
+    corpus = ["".join(rng.choice(alphabet)
+                      for _ in range(rng.randrange(0, 40)))
+              for _ in range(200)]
+    escaped = [_json.dumps(s)[1:-1] for s in corpus]
+    df = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(escaped)], "i long, e string")
+    got = {r.i: r.d for r in
+           df.select("i", decode_escaped("e").alias("d")).collect()}
+    for i, s in enumerate(corpus):
+        assert got[i] == s, (i, repr(s), repr(escaped[i]), repr(got[i]))
