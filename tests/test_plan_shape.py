@@ -172,3 +172,19 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_multiline_join_is_single_shuffle(spark):
+    """Window (partitionBy stream) and the group rebuild (groupBy
+    stream,_gkey) must share ONE exchange: HashPartitioning(stream)
+    satisfies the aggregation's ClusteredDistribution because its keys
+    are a subset of the grouping keys — the docstring's 'same key →
+    Catalyst reuses the partitioning' claim, pinned."""
+    from fluent_bit_spark.operators.multiline import join_multiline
+    df = spark.createDataFrame(
+        [("s", i, f"l{i}") for i in range(50)],
+        "stream string, off long, line string")
+    out = join_multiline(df, "stream", "off", "line",
+                         F.col("line").endswith("0"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
