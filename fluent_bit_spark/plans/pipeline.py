@@ -78,6 +78,9 @@ class PipelineSpec:
     sink_partition_by: list[str] = field(default_factory=lambda: ["source"])
     salt_buckets: int = 32
     fanout_mode: str = "persist"            # 'persist' | 'explode'
+    # sink payload format: columnar parquet (default) or out_file-style
+    # newline-delimited JSON text (functions/serialize.to_json_lines)
+    sink_format: str = "parquet"            # 'parquet' | 'json_lines'
     # Decoded-line retention in sink output. 'always' (default) keeps the
     # decoded text on every row — fluent-bit's record body rides to the
     # sink, so dropping it silently would surprise any downstream reader.
@@ -237,6 +240,21 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                      .partitionBy("sink", *spec.sink_partition_by)
                      .parquet(f"{output_dir}/sinks_by_dir/"
                               f"batch_id={i}"))
+            elif spec.sink_format == "json_lines":
+                # out_file Format json_lines: sinks are newline-delimited
+                # JSON text files (the serializer rides the same fan-out)
+                from ..functions.serialize import to_json_lines
+                payload_cols = [c for c in good.columns
+                                if c not in ("sinks", "routes_mask",
+                                             "dlq_reason", "_lineage")]
+                for s in sinks:
+                    (to_json_lines(
+                        good.filter(F.array_contains("sinks", s)),
+                        payload_cols)
+                     .select("value", *spec.sink_partition_by)
+                     .write.mode("overwrite")
+                     .partitionBy(*spec.sink_partition_by)
+                     .text(f"{output_dir}/sinks/{s}/batch_id={i}"))
             else:
                 for s in sinks:
                     (good.filter(F.array_contains("sinks", s))

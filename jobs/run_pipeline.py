@@ -29,6 +29,9 @@ def main() -> int:
     ap.add_argument("--slices", type=int, default=1)
     ap.add_argument("--fanout", choices=["persist", "explode"],
                     default="persist")
+    ap.add_argument("--sink-format", choices=["parquet", "json_lines"],
+                    default="parquet",
+                    help="sink payload format (out_file Format analogue)")
     ap.add_argument("--gen-rows", type=int, default=0,
                     help="synthesize the input first with N rows")
     ap.add_argument("--lookup", default=None,
@@ -61,6 +64,7 @@ def main() -> int:
             new_tag="err.$TAG[1]", keep=True)],
         lookup_path=lookup,
         fanout_mode=args.fanout,
+        sink_format=args.sink_format,
     )
     stats = run_pipeline(spark, spec, args.input, args.output,
                          run_id=args.run_id, n_slices=args.slices)

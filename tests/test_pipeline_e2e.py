@@ -177,3 +177,23 @@ def test_edge_rows_route_to_dlq(spark, fixture_paths):
     assert got["e1"][0] == "parse_fail"
     assert got["e3"][0] == "parse_fail"
     assert len(got) == 3
+
+
+def test_json_lines_sink_format(spark, fixture_paths, tmp_path):
+    """sink_format='json_lines' routes the same row set as parquet and
+    each sink file is valid newline-delimited JSON (out_file Format
+    json_lines posture)."""
+    import json as _json
+    spec_p = _spec(fixture_paths)
+    spec_j = _spec(fixture_paths)
+    spec_j.sink_format = "json_lines"
+    op, oj = str(tmp_path / "p"), str(tmp_path / "j")
+    run_pipeline(spark, spec_p, fixture_paths["tokens"], op)
+    run_pipeline(spark, spec_j, fixture_paths["tokens"], oj)
+    for sink in ("sink_web", "sink_json"):
+        want = sorted(r.doc_id for r in
+                      read_sink(spark, op, sink).select("doc_id").collect())
+        lines = [r.value for r in
+                 spark.read.text(f"{oj}/sinks/{sink}").collect()]
+        got = sorted(_json.loads(ln)["doc_id"] for ln in lines)
+        assert got == want, sink
