@@ -93,8 +93,10 @@ def windowed_tag_counts(routed: DataFrame, ts_col: str = "event_ts",
 
 def foreach_batch_fanout(spec: PipelineSpec, output_dir: str):
     """Per-micro-batch multi-sink writer: persist once, N filtered writes
-    + DLQ, append mode, batch_id in the path for idempotent re-runs
-    (Spark re-delivers a failed epoch; same batch_id → same dirs)."""
+    + DLQ + per-epoch lineage metrics, append mode, batch_id in the path
+    for idempotent re-runs (Spark re-delivers a failed epoch; same
+    batch_id → same dirs, overwrite makes the retry exactly-once)."""
+    from ..plans.pipeline import slice_metrics
     sinks = sink_names(spec)
 
     def write_batch(routed: DataFrame, batch_id: int) -> None:
@@ -110,6 +112,11 @@ def foreach_batch_fanout(spec: PipelineSpec, output_dir: str):
                    .write.mode("overwrite")
                    .parquet(os.path.join(output_dir, "dlq",
                                          f"epoch={batch_id}")))
+            (slice_metrics(routed, spec.salt_buckets)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .parquet(os.path.join(output_dir, "_metrics",
+                                   f"e{batch_id}")))
         finally:
             routed.unpersist()
 

@@ -69,6 +69,11 @@ def test_stream_batch_parity(spark, landing, spec, tmp_path):
     got_dlq = spark.read.parquet(os.path.join(out, "dlq")).count()
     want_dlq = batch.filter(F.col("dlq_reason").isNotNull()).count()
     assert got_dlq == want_dlq > 0
+    # per-epoch lineage metrics sum to the batch totals
+    m = (spark.read.option("recursiveFileLookup", "true")
+         .parquet(os.path.join(out, "_metrics")))
+    assert m.agg(F.sum("parse_fail")).collect()[0][0] == want_dlq
+    assert "batch_id" in m.columns
 
 
 def test_stream_resume_idempotent(spark, landing, spec, tmp_path):
