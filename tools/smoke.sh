@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Full local gate: unit suite, tri-scale oracles, bench + regression
+# gate, and the spark-submit pipeline surface. Mirrors what the driver
+# and judge check each round. Usage: bash tools/smoke.sh [quick]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+python -m pytest tests/ -q
+
+python tools/check_oracles.py                         # sf0.01 (driver SF)
+if [ "${1:-}" != "quick" ]; then
+  SF_DIR=/root/testdata/sf0.001 python tools/check_oracles.py
+  SF_DIR=/root/testdata/sf0.1  python tools/check_oracles.py
+fi
+
+python bench.py | tail -1 > /tmp/smoke_bench.json
+python tools/bench_compare.py /tmp/smoke_bench.json   # fails on >1.5x regression
+
+zip -qr /tmp/smoke_engine.zip fluent_bit_spark -x "*__pycache__*"
+rm -rf /tmp/smoke_out
+spark-submit --master 'local[8]' --py-files /tmp/smoke_engine.zip \
+  jobs/run_pipeline.py --input .data/tokens_small.parquet \
+  --output /tmp/smoke_out --slices 2 | tail -1
+echo "SMOKE OK"
