@@ -250,8 +250,32 @@ _ML_OUT = T.StructType([
 ])
 
 
+def multiline_preset_stateful(df: DataFrame, preset: str,
+                              stream_col: str, ts_col: str,
+                              line_col: str,
+                              flush_timeout_secs: int = 5) -> DataFrame:
+    """Streaming form of the java/python/go multiline presets: any line
+    matching the preset's continuation rules attaches to the open
+    group; any other line flushes it and opens a new one (the batch
+    run-engine's semantics, lifted to GroupState + flush timeout).
+    docker/cri are terminator-mode presets — in streaming their
+    fragments are joined by the same machine with the F/complete line
+    re-expressed as "next line opens" via cont rules; use the batch
+    ``multiline_docker``/``multiline_cri`` for offline joins."""
+    from ..operators.multiline import MULTILINE_CONT_RULES
+    if preset not in MULTILINE_CONT_RULES:
+        raise ValueError(
+            f"streaming preset must be one of "
+            f"{sorted(MULTILINE_CONT_RULES)}; got {preset!r}")
+    return multiline_stateful(
+        df, stream_col, ts_col, line_col,
+        cont_re=MULTILINE_CONT_RULES[preset],
+        flush_timeout_secs=flush_timeout_secs)
+
+
 def multiline_stateful(df: DataFrame, stream_col: str, ts_col: str,
-                       line_col: str, start_re: str,
+                       line_col: str, start_re: str | None = None,
+                       cont_re: str | None = None,
                        flush_timeout_secs: int = 5,
                        sep: str = "\n") -> DataFrame:
     """Streaming multiline join — the true in-stream analogue of
@@ -268,9 +292,21 @@ def multiline_stateful(df: DataFrame, stream_col: str, ts_col: str,
     Ordering contract: lines are processed in event-time order WITHIN a
     micro-batch (sorted here); across batches in arrival order — the
     same contract as flb, which joins in arrival order per stream.
-    Requires ``withWatermark`` upstream (EventTimeTimeout)."""
+    Requires ``withWatermark`` upstream (EventTimeTimeout).
+
+    Exactly one of ``start_re`` (a start-matching line opens a group)
+    or ``cont_re`` (any NON-continuation line opens; the stack-trace
+    preset mode) must be given."""
     import re as _re
-    pat = _re.compile(start_re)
+    if (start_re is None) == (cont_re is None):
+        raise ValueError("pass exactly one of start_re / cont_re")
+    start_pat = _re.compile(start_re) if start_re else None
+    cont_pat = _re.compile(cont_re) if cont_re else None
+
+    def _is_start(line: str) -> bool:
+        if start_pat is not None:
+            return bool(start_pat.search(line))
+        return not cont_pat.search(line)
 
     def _flush(ts: list[int], lines: list[str]):
         return {
@@ -278,7 +314,9 @@ def multiline_stateful(df: DataFrame, stream_col: str, ts_col: str,
             "first_ts": pd.Timestamp(ts[0], unit="s"),
             "n_lines": len(lines),
             "event": sep.join(lines),
-            "joined": len(lines) > 1 or bool(pat.search(lines[0])),
+            "joined": len(lines) > 1
+            or (start_pat is not None
+                and bool(start_pat.search(lines[0]))),
         }
 
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
@@ -304,7 +342,7 @@ def multiline_stateful(df: DataFrame, stream_col: str, ts_col: str,
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             secs = pdf[ts_col].astype("int64").to_numpy() // 10**9
             for t, line in zip(secs, pdf[line_col].to_numpy()):
-                is_start = bool(pat.search(line))
+                is_start = _is_start(line)
                 if is_start:
                     if buf_lines:
                         row = _flush(buf_ts, buf_lines)

@@ -211,3 +211,44 @@ def test_multiline_stateful_cross_batch_and_timeout(spark, tmp_path):
     assert rows[("s1", "START a\n cont1\n cont2")] == (3, True)
     assert rows[("s1", "START b\n contb")] == (2, True)      # timeout flush
     assert rows[("s2", "lonely line")][1] is False           # passthrough
+
+
+def test_multiline_preset_stateful_python_traceback(spark, tmp_path):
+    """The python preset in streaming: a traceback spanning two
+    micro-batches joins into one event; ordinary lines pass through."""
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        multiline_preset_stateful,
+    )
+    d = str(tmp_path / "mlp")
+    schema = "stream string, sec int, line string"
+    spark.createDataFrame(
+        [("s1", 0, "Traceback (most recent call last):"),
+         ("s1", 1, '  File "app.py", line 3, in <module>')], schema) \
+        .coalesce(1).write.parquet(f"{d}/f0.parquet")
+    spark.createDataFrame(
+        [("s1", 2, "    run()"),
+         ("s1", 3, "ValueError: boom"),
+         ("s1", 4, "plain log line")], schema) \
+        .coalesce(1).write.parquet(f"{d}/f1.parquet")
+    spark.createDataFrame(
+        [("s1", 1000, "another plain line")], schema) \
+        .coalesce(1).write.parquet(f"{d}/f2.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*")
+              .withColumn("event_ts",
+                          F.timestamp_seconds(F.lit(1767225600)
+                                              + F.col("sec")))
+              .withWatermark("event_ts", "2 seconds"))
+    out = multiline_preset_stateful(stream, "python", "stream",
+                                    "event_ts", "line",
+                                    flush_timeout_secs=5)
+    q = (out.writeStream.format("memory").queryName("mlp_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = {r.event: (r.n_lines, r.joined) for r in
+            spark.sql("SELECT * FROM mlp_stream").collect()}
+    tb = ("Traceback (most recent call last):\n"
+          '  File "app.py", line 3, in <module>\n'
+          "    run()\nValueError: boom")
+    assert rows[tb] == (4, True)
+    assert rows["plain log line"] == (1, False)
