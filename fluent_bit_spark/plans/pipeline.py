@@ -120,6 +120,13 @@ def build_stages(spark: SparkSession, df: DataFrame,
                 "carry decoded=NULL for parsed rows. Set "
                 "keep_decoded='always' to retain it.", stacklevel=2)
     out = fused_detok_parse(df, spark, spec.vocab, keep_decoded=keep)
+    return _post_parse_stages(spark, out, spec)
+
+
+def _post_parse_stages(spark: SparkSession, out: DataFrame,
+                       spec: PipelineSpec) -> DataFrame:
+    """grep → enrich → tag → rewrite → route → dlq_reason — shared by
+    the tokens path (fused detok+parse) and the raw-text path."""
     if spec.grep_rules:
         # grep drops rows entirely in fluent-bit; we keep them for the DLQ
         # accounting instead when they fail parse, but a grep miss is a
@@ -138,6 +145,40 @@ def build_stages(spark: SparkSession, df: DataFrame,
         F.when(~F.col("parse_ok"), F.lit("parse_fail"))
          .when(F.size("sinks") == 0, F.lit("no_route")))
     return out
+
+
+def build_stages_text(spark: SparkSession, df_text: DataFrame,
+                      spec: PipelineSpec,
+                      source_regex: str = r"([^/]+)\.log") -> DataFrame:
+    """The RAW-TEXT ingestion path — what a fluent-bit user actually
+    tails (`spark.read.text` over .log files), sharing every stage
+    after the parse with the tokens path:
+
+    - ``source`` extracted from the file path (in_tail tag-from-path,
+      upstream:plugins/in_tail tag_regex) via ``source_regex``;
+    - ``doc_id`` content-derived (xxhash64 of file + line — stable
+      across re-runs, duplicate identical lines share an id);
+    - ``n_tok`` = whitespace token count of the line (the token-table
+      path gets it from the input schema);
+    - the SAME vectorized parser as the fused path (one Arrow-batched
+      pandas UDF — no per-row Python).
+    """
+    from ..functions.parsers import with_parsed
+    extra = [c for c in df_text.columns if c != "value"]
+    out = df_text.select(
+        F.col("value").alias("decoded"),
+        F.input_file_name().alias("_input_file"), *extra)
+    out = (out
+           .withColumn("source",
+                       F.regexp_extract("_input_file", source_regex, 1))
+           .withColumn("doc_id",
+                       F.concat(F.lit("t"),
+                                F.abs(F.xxhash64("_input_file", "decoded"))
+                                .cast("string")))
+           .withColumn("n_tok", F.size(F.split("decoded", " ")))
+           .drop("_input_file"))
+    out = with_parsed(out, "decoded")
+    return _post_parse_stages(spark, out, spec)
 
 
 def sink_names(spec: PipelineSpec) -> list[str]:
@@ -197,7 +238,8 @@ def _commit_slice(spark: SparkSession, output_dir: str, run_id: str,
 def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                  output_dir: str, run_id: str = "run0",
                  n_slices: int = 1,
-                 fail_after_slice: int | None = None) -> dict:
+                 fail_after_slice: int | None = None,
+                 input_format: str = "tokens") -> dict:
     """Execute the pipeline with per-slice checkpointing.
 
     Returns run stats. ``fail_after_slice`` injects a crash for the
@@ -212,8 +254,11 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
     """
     t0 = time.time()
     tune_scan_partitions(spark, input_path)
-    all_files = sorted(spark.read.schema(TOKENS_SCHEMA)
-                       .parquet(input_path).inputFiles())
+    if input_format == "text":
+        all_files = sorted(spark.read.text(input_path).inputFiles())
+    else:
+        all_files = sorted(spark.read.schema(TOKENS_SCHEMA)
+                           .parquet(input_path).inputFiles())
     slices = [all_files[i::n_slices] for i in range(n_slices)]
     slices = [s for s in slices if s]
     done = completed_slices(spark, output_dir, run_id)
@@ -224,11 +269,18 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
     for i, files in enumerate(slices):
         if i in done:
             continue
-        df = (spark.read.schema(TOKENS_SCHEMA).parquet(*files)
-              .withColumn("_lineage", F.struct(
-                  F.lit(i).alias("batch_id"),
-                  F.input_file_name().alias("input_file"))))
-        routed = build_stages(spark, df, spec)
+        # lineage must be stamped on the RAW scan: input_file_name()
+        # cannot be evaluated above the rewrite-tag re-injection union
+        # (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
+        lineage = F.struct(F.lit(i).alias("batch_id"),
+                           F.input_file_name().alias("input_file"))
+        if input_format == "text":
+            df = spark.read.text(files).withColumn("_lineage", lineage)
+            routed = build_stages_text(spark, df, spec)
+        else:
+            df = (spark.read.schema(TOKENS_SCHEMA).parquet(*files)
+                  .withColumn("_lineage", lineage))
+            routed = build_stages(spark, df, spec)
         routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             good = routed.filter(F.col("dlq_reason").isNull())
@@ -262,9 +314,11 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                          .partitionBy(*spec.sink_partition_by)
                          .parquet(f"{output_dir}/sinks/{s}/"
                                   f"batch_id={i}"))
+            dlq_cols = [c for c in ("doc_id", "tokens", "n_tok", "source",
+                                    "decoded", "tag", "dlq_reason",
+                                    "_lineage") if c in routed.columns]
             (routed.filter(F.col("dlq_reason").isNotNull())
-                   .select("doc_id", "tokens", "n_tok", "source", "decoded",
-                           "tag", "dlq_reason", "_lineage")
+                   .select(*dlq_cols)
                    .write.mode("overwrite")
                    .parquet(f"{output_dir}/dlq/batch_id={i}"))
             m = slice_metrics(routed, spec.salt_buckets) \

@@ -32,6 +32,10 @@ def main() -> int:
     ap.add_argument("--sink-format", choices=["parquet", "json_lines"],
                     default="parquet",
                     help="sink payload format (out_file Format analogue)")
+    ap.add_argument("--input-format", choices=["tokens", "text"],
+                    default="tokens",
+                    help="tokens parquet (north-star schema) or raw "
+                         ".log text files (in_tail posture)")
     ap.add_argument("--gen-rows", type=int, default=0,
                     help="synthesize the input first with N rows")
     ap.add_argument("--lookup", default=None,
@@ -43,7 +47,8 @@ def main() -> int:
     from fluent_bit_spark.plans.pipeline import PipelineSpec, run_pipeline
     from fluent_bit_spark.session import get_spark
 
-    if not os.path.exists(args.input):
+    import glob as _glob
+    if not (os.path.exists(args.input) or _glob.glob(args.input)):
         if args.gen_rows:
             fx.generate_tokens_table(args.input, args.gen_rows)
         else:
@@ -67,7 +72,8 @@ def main() -> int:
         sink_format=args.sink_format,
     )
     stats = run_pipeline(spark, spec, args.input, args.output,
-                         run_id=args.run_id, n_slices=args.slices)
+                         run_id=args.run_id, n_slices=args.slices,
+                         input_format=args.input_format)
     rate = stats["rows_in"] / stats["wall_sec"] if stats["wall_sec"] else 0
     print(json.dumps({**stats, "rows_per_sec": round(rate, 1)}))
     spark.stop()

@@ -197,3 +197,42 @@ def test_json_lines_sink_format(spark, fixture_paths, tmp_path):
                  spark.read.text(f"{oj}/sinks/{sink}").collect()]
         got = sorted(_json.loads(ln)["doc_id"] for ln in lines)
         assert got == want, sink
+
+
+def test_text_input_routes_like_tokens_input(spark, fixture_paths,
+                                             tmp_path):
+    """Raw-text ingestion (spark.read.text over .log files) must route
+    the SAME per-sink record counts as the tokens path fed the
+    identical decoded lines — parse, tag, route, fan-out all shared."""
+    from fluent_bit_spark.functions.parsers import fused_detok_parse
+
+    tok = spark.read.parquet(fixture_paths["tokens"]).limit(2000)
+    sub = str(tmp_path / "tok_sub")
+    tok.write.parquet(sub)
+    tok = spark.read.parquet(sub)
+    dec = fused_detok_parse(tok, spark, fx.vocab()) \
+        .select("decoded", "source")
+    logs = str(tmp_path / "logs")
+    for src in [r.source for r in dec.select("source").distinct()
+                .collect()]:
+        (dec.filter(F.col("source") == src).select("decoded")
+            .coalesce(1).write.mode("overwrite")
+            .text(f"{logs}/{src}.log"))
+
+    spec = PipelineSpec(vocab=fx.vocab(),
+                        routes=[Route(*r) for r in fx.DEFAULT_ROUTES])
+    ot, ox = str(tmp_path / "from_tokens"), str(tmp_path / "from_text")
+    run_pipeline(spark, spec, sub, ot)
+    # glob: write.text made one directory per source file
+    run_pipeline(spark, spec, f"{logs}/*", ox, input_format="text")
+
+    for sink in ("sink_web", "sink_json", "sink_kv"):
+        a = read_sink(spark, ot, sink).count()
+        b = read_sink(spark, ox, sink).count()
+        assert a == b > 0, sink
+    # DLQ parse failures also agree (same parser over the same lines)
+    da = read_dlq(spark, ot).filter(
+        F.col("dlq_reason") == "parse_fail").count()
+    db = read_dlq(spark, ox).filter(
+        F.col("dlq_reason") == "parse_fail").count()
+    assert da == db
