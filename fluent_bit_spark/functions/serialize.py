@@ -79,11 +79,16 @@ def to_prometheus(df: DataFrame, metric: str, value_col: str,
     cmetrics/prometheus-exporter analogue (upstream:lib/cmetrics
     prometheus encoder; plugins/out_prometheus_exporter): one
     ``metric{k="v",…} value`` line per row. Label values escape
-    backslash and double-quote per the exposition format. JVM-side."""
+    backslash, double-quote, and newline per the exposition format — a
+    log-derived label with a literal newline would otherwise split the
+    metric line and corrupt the scrape. JVM-side."""
     def esc(c: str) -> Column:
         v = F.col(c).cast("string")
-        return F.regexp_replace(
-            F.regexp_replace(v, r"\\", r"\\\\"), '"', r'\"')
+        # Java replacement strings re-process backslashes: `\\` emits
+        # one literal `\`, so producing backslash+X needs `\\X` here.
+        v = F.regexp_replace(v, r"\\", r"\\\\")
+        v = F.regexp_replace(v, '"', r'\\"')
+        return F.regexp_replace(v, r"\r?\n|\r", r"\\n")
     labels = F.concat_ws(",", *[
         F.concat(F.lit(f'{c}="'), esc(c), F.lit('"')) for c in label_cols])
     return df.withColumn(

@@ -371,7 +371,8 @@ def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
 def resolve_duplicate_groups(docs: DataFrame, pairs: DataFrame,
                              id_col: str = "doc_id",
                              d1: str = "d1", d2: str = "d2",
-                             max_iters: int = 25) -> DataFrame:
+                             max_iters: int = 25,
+                             checkpoint: str = "local") -> DataFrame:
     """Turn near-dup PAIRS into the actual deduplicated table: group
     pairs into connected components and pick one canonical doc per
     component. Returns (``id_col``, canonical_id, keep) for EVERY doc in
@@ -389,32 +390,53 @@ def resolve_duplicate_groups(docs: DataFrame, pairs: DataFrame,
     Scale shape: each round is one equi-join (labels ⋈ edges) + one
     groupBy-min with map-side partials — all key-partitioned shuffles,
     no broadcast of anything unbounded. ``pairs`` and each round's
-    labels are materialized via ``localCheckpoint`` so the (possibly
-    expensive) pair-generation plan runs ONCE and lineage doesn't grow
-    with iterations. On a cluster, prefer a reliable checkpoint dir
-    (``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``) if
-    executor loss during the loop must be survivable; localCheckpoint
-    trades that for zero-config speed."""
-    edges = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
-             .union(pairs.select(F.col(d2).alias("a"),
-                                 F.col(d1).alias("b")))
-             .localCheckpoint(eager=True))
-    labels = docs.select(F.col(id_col).alias("node"),
-                         F.col(id_col).alias("label")) \
-                 .localCheckpoint(eager=True)
+    labels are materialized per round so the (possibly expensive)
+    pair-generation plan runs ONCE and lineage doesn't grow with
+    iterations. ``checkpoint="local"`` (default) uses
+    ``localCheckpoint`` — zero-config, fast, but executor loss during
+    the loop fails the job; ``checkpoint="reliable"`` uses
+    ``.checkpoint()`` against the configured checkpoint dir
+    (``spark.sparkContext.setCheckpointDir``) so the loop survives
+    executor loss on a real cluster.
+
+    Raises ``RuntimeError`` if the loop exhausts ``max_iters`` without
+    converging (component min-eccentricity > max_iters): a partially
+    propagated result would silently carry non-canonical canonical_ids
+    and multiple keep=true rows per component."""
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be 'local' or 'reliable', "
+                         f"got {checkpoint!r}")
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint == "reliable":
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _ckpt(pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+                  .union(pairs.select(F.col(d2).alias("a"),
+                                      F.col(d1).alias("b"))))
+    labels = _ckpt(docs.select(F.col(id_col).alias("node"),
+                               F.col(id_col).alias("label")))
+    converged = False
     for _ in range(max_iters):
         msgs = (edges.join(labels, edges["a"] == labels["node"])
                 .select(F.col("b").alias("node"), "label"))
-        new_labels = (labels.union(msgs)
-                      .groupBy("node").agg(F.min("label").alias("label"))
-                      .localCheckpoint(eager=True))
+        new_labels = _ckpt(labels.union(msgs)
+                           .groupBy("node")
+                           .agg(F.min("label").alias("label")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"resolve_duplicate_groups did not converge in {max_iters} "
+            f"rounds — a component chain is longer than max_iters; raise "
+            f"max_iters (a partial result would be silently wrong)")
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("canonical_id"),
                          (F.col("label") == F.col("node")).alias("keep"))

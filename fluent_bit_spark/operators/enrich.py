@@ -74,7 +74,19 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     Complements AQE's skew-join split (enabled in session.py), which
     only engages on sort-merge joins after runtime stats; salting is
     the explicit, planner-independent form. Per-key results are
-    identical to the unsalted join (oracled)."""
+    identical to the unsalted join (oracled).
+
+    Only fact-preserving join types are valid: the dim side is
+    replicated once per salt bucket, so a right/full outer join would
+    emit each unmatched dim row ``salt_buckets`` times."""
+    _SALT_SAFE = {"inner", "left", "left_outer", "leftouter",
+                  "left_semi", "leftsemi", "semi",
+                  "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in _SALT_SAFE:
+        raise ValueError(
+            f"salted_join replicates the dim side {salt_buckets}x, so "
+            f"how={how!r} would duplicate unmatched dim rows; use one of "
+            f"{sorted(_SALT_SAFE)} or an unsalted join")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
                   F.lit(salt_buckets)).cast("int")
     f = fact.withColumn("__salt", salt)

@@ -161,8 +161,13 @@ def dedup_stream_exact(stream_df: DataFrame, content_cols: list[str],
     stream, unlike an unbounded seen-set. Duplicates farther apart than
     the horizon both pass; the batch dedup suite is the exact backstop
     for those (the standard streaming/batch lambda split)."""
-    h = F.sha2(F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in content_cols]), 256)
+    # Hash the JSON of a struct, not concat_ws: concat_ws silently SKIPS
+    # null arguments, so ('x', NULL) and (NULL, 'x') would collide and
+    # the second row be wrongly suppressed. to_json keeps field names,
+    # so a null in a different position yields different bytes — the
+    # same null-is-a-distinct-value semantics as batch exact_dedup.
+    h = F.sha2(F.to_json(F.struct(
+        *[F.col(c).cast("string").alias(c) for c in content_cols])), 256)
     return (stream_df.withColumn("__h", h)
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["__h"])
@@ -361,8 +366,16 @@ def multiline_stateful(df: DataFrame, stream_col: str, ts_col: str,
             yield pd.DataFrame(out_rows)
         if buf_lines:
             state.update((buf_ts, buf_lines))
+            # Event-time timeouts must land strictly AFTER the current
+            # watermark or Spark raises IllegalArgumentException and the
+            # whole query dies. A line older than watermark -
+            # flush_timeout would otherwise set an already-passed
+            # timestamp, so clamp forward: the stale group then flushes
+            # on the next watermark advance — degraded flush latency for
+            # that one group, not a dead stream.
+            wm_ms = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(
-                (buf_ts[-1] + flush_timeout_secs) * 1000)
+                max((buf_ts[-1] + flush_timeout_secs) * 1000, wm_ms + 1))
         elif state.exists:
             state.remove()
 

@@ -110,3 +110,19 @@ def test_resolve_groups_matches_union_find(spark):
     got = {r.doc_id: r.canonical_id
            for r in resolve_duplicate_groups(docs, pairs).collect()}
     assert got == want
+
+
+def test_resolve_groups_nonconvergence_raises(spark):
+    """A component chain longer than max_iters must raise, not return a
+    partially propagated (silently wrong) labeling (ADVICE r2)."""
+    import pytest as _pytest
+    from fluent_bit_spark.operators.dedup import resolve_duplicate_groups
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(6)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [(f"d{i}", f"d{i+1}") for i in range(5)], "d1 string, d2 string")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        resolve_duplicate_groups(docs, pairs, max_iters=1)
+    # and with enough rounds the same chain resolves to one component
+    out = resolve_duplicate_groups(docs, pairs, max_iters=10)
+    assert {r.canonical_id for r in out.collect()} == {"d0"}

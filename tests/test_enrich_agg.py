@@ -131,3 +131,17 @@ def test_log_counter_and_histogram(spark):
     got = {r.bucket: r.n for r in
            log_histogram(df, ["k"], "v", 0.0, 100.0, 10).collect()}
     assert got == {0: 2, 9: 1, -1: 1, 10: 1}  # under/overflow buckets
+
+
+def test_salted_join_rejects_dim_duplicating_how(spark):
+    """right/full outer would emit each unmatched dim row salt_buckets
+    times (the dim side is replicated per bucket) — must raise."""
+    import pytest as _pytest
+    from fluent_bit_spark.operators.enrich import salted_join
+    fact = spark.createDataFrame([("a", 1)], "k string, v int")
+    dim = spark.createDataFrame([("a", 10), ("b", 20)], "k string, w int")
+    for bad in ("right", "full", "outer", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(fact, dim, "k", how=bad)
+    # left outer is fact-preserving and allowed
+    assert salted_join(fact, dim, "k", how="left").count() == 1

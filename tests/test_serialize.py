@@ -56,3 +56,20 @@ def test_gelf_level_fallbacks(spark):
     got = {json.loads(r.value)["host"]: json.loads(r.value)["level"]
            for r in out.collect()}
     assert got == {"h1": 5, "h2": 0, "h3": 4, "h4": 1, "h5": 1}
+
+
+def test_prometheus_label_escaping_newline(spark):
+    """Exposition-format label_value escaping: \\ , " and literal
+    newlines must all be escaped or a log-derived label splits the
+    scrape line (ADVICE r2)."""
+    from fluent_bit_spark.functions.serialize import to_prometheus
+    df = spark.createDataFrame(
+        [("a\nb", 1.0), ('q"uo\\te', 2.0), ("crlf\r\nx", 3.0)],
+        "svc string, v double")
+    got = {r.svc: r.value for r in
+           to_prometheus(df, "m", "v", ["svc"]).collect()}
+    assert got["a\nb"] == 'm{svc="a\\nb"} 1.0'
+    assert got['q"uo\\te'] == 'm{svc="q\\"uo\\\\te"} 2.0'
+    assert got["crlf\r\nx"] == 'm{svc="crlf\\nx"} 3.0'
+    for line in got.values():
+        assert "\n" not in line and "\r" not in line

@@ -252,3 +252,68 @@ def test_multiline_preset_stateful_python_traceback(spark, tmp_path):
           "    run()\nValueError: boom")
     assert rows[tb] == (4, True)
     assert rows["plain log line"] == (1, False)
+
+
+def test_dedup_stream_null_patterns_not_collided(spark, tmp_path):
+    """('x', NULL) and (NULL, 'x') are DIFFERENT contents — concat_ws
+    would skip the nulls and collide them (ADVICE r2); the struct-JSON
+    hash keeps them distinct, matching batch exact_dedup."""
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        dedup_stream_exact,
+    )
+    d = str(tmp_path / "landing_null")
+    schema = "doc_id string, a string, b string, sec int"
+    spark.createDataFrame(
+        [("d0", "x", None, 0), ("d1", None, "x", 1),
+         ("d2", "x", None, 2)], schema) \
+        .coalesce(1).write.parquet(f"{d}/f0.parquet")
+    stream = (spark.readStream.schema(schema).parquet(f"{d}/*")
+              .withColumn("event_ts",
+                          F.timestamp_seconds(F.lit(1767225600)
+                                              + F.col("sec"))))
+    out = dedup_stream_exact(stream, ["a", "b"], watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_nulls")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ids = sorted(r.doc_id for r in
+                 spark.sql("SELECT doc_id FROM dedup_nulls").collect())
+    # d2 is a true dup of d0; d1 must survive despite the null swap
+    assert ids == ["d0", "d1"]
+
+
+def test_multiline_stateful_late_line_survives(spark, tmp_path):
+    """A line older than watermark - flush_timeout must not kill the
+    query (EventTimeTimeout may not be set <= watermark); the clamp
+    flushes it on the next watermark advance instead (ADVICE r2)."""
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        multiline_stateful,
+    )
+    d = str(tmp_path / "ml_late")
+    schema = "stream string, sec int, line string"
+    # batch 0: far-future row pushes the watermark to ~998s
+    spark.createDataFrame(
+        [("s2", 1000, "future line")], schema) \
+        .coalesce(1).write.parquet(f"{d}/f0.parquet")
+    # batch 1: a LATE open group (sec 0 << watermark); unclamped, its
+    # timeout (sec 5) is behind the watermark -> IllegalArgumentException
+    spark.createDataFrame(
+        [("s1", 0, "START late"), ("s1", 1, " cont")], schema) \
+        .coalesce(1).write.parquet(f"{d}/f1.parquet")
+    # batch 2: advances the watermark again so the clamped timeout fires
+    spark.createDataFrame(
+        [("s2", 2000, "future line 2")], schema) \
+        .coalesce(1).write.parquet(f"{d}/f2.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*")
+              .withColumn("event_ts",
+                          F.timestamp_seconds(F.lit(1767225600)
+                                              + F.col("sec")))
+              .withWatermark("event_ts", "2 seconds"))
+    out = multiline_stateful(stream, "stream", "event_ts", "line",
+                             start_re=r"^START", flush_timeout_secs=5)
+    q = (out.writeStream.format("memory").queryName("ml_late")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)       # would raise StreamingQueryException pre-fix
+    rows = {(r.stream, r.event) for r in
+            spark.sql("SELECT * FROM ml_late").collect()}
+    assert ("s1", "START late\n cont") in rows
