@@ -665,14 +665,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-@q("dedup_minhash_lsh")  # no SQL oracle: xxhash64 not available in DuckDB
+# NOT @q-registered: the xxhash64 hash family has no DuckDB equivalent,
+# so these would be rows-only (`no_oracle`) driver rows. The chain logic
+# is value-checked via the portable-hash twins (dedup_minhash_portable /
+# dedup_simhash_portable), and the xxhash64 OUTPUTS are gated by the
+# pytest equivalence tests (tests/test_dedup.py::
+# test_lsh_verified_xxhash64_equals_portable and
+# ::test_simhash_xxhash64_recall_parity). Kept callable for bench.py
+# (xxhash64 is the production-speed configuration).
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(docs, "doc_id", "text", num_perm=16,
                                 bands=4, threshold=0.25)
 
 
-@q("dedup_simhash")  # no SQL oracle: xxhash64-based
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return DD.simhash_pairs(docs, "doc_id", "text", bits=32, bands=4,

@@ -126,3 +126,50 @@ def test_resolve_groups_nonconvergence_raises(spark):
     # and with enough rounds the same chain resolves to one component
     out = resolve_duplicate_groups(docs, pairs, max_iters=10)
     assert {r.canonical_id for r in out.collect()} == {"d0"}
+
+
+SF001_DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_lsh_verified_xxhash64_equals_portable(spark):
+    """Correctness gate for the xxhash64 (production-speed) MinHash/LSH
+    family, which has no SQL oracle: after exact-Jaccard verification
+    at the threshold, its verified pair set must EQUAL the
+    DuckDB-oracled portable family's — the hash family only affects
+    candidate generation, never which true pairs survive verify."""
+    from fluent_bit_spark.operators.dedup import lsh_verified_pairs
+    docs = spark.read.parquet(SF001_DOCS)
+    kw = dict(num_perm=16, bands=4, cand_threshold=0.2,
+              jaccard_threshold=0.5)
+    xx = {(r.d1, r.d2) for r in lsh_verified_pairs(
+        docs, "doc_id", "text", hash_fn="xxhash64", **kw).collect()}
+    po = {(r.d1, r.d2) for r in lsh_verified_pairs(
+        docs, "doc_id", "text", hash_fn="portable", **kw).collect()}
+    assert xx == po
+    assert len(xx) == 28            # deterministic corpus, pinned
+
+
+def test_simhash_xxhash64_recall_parity(spark):
+    """SimHash recall depends on the hash family (different families
+    bucket different true pairs), so the xxhash64 gate is recall
+    parity vs ground truth, not set equality: every verified pair is a
+    true near-dup, and both families recover >85% of what either
+    finds. Counts pinned — the corpus and both hash families are
+    deterministic."""
+    from fluent_bit_spark.operators.dedup import (
+        ngram_jaccard_pairs, simhash_pairs,
+    )
+    docs = spark.read.parquet(SF001_DOCS)
+    truth = {(r.d1, r.d2) for r in ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3,
+        allow_quadratic=True).collect()}
+    kw = dict(bits=32, bands=4, max_hamming=3)
+    cxx = {(r.d1, r.d2) for r in simhash_pairs(
+        docs, "doc_id", "text", **kw).collect()}
+    cpo = {(r.d1, r.d2) for r in simhash_pairs(
+        docs, "doc_id", "text", hash_fn="portable", **kw).collect()}
+    vxx, vpo = cxx & truth, cpo & truth
+    assert (len(truth), len(vxx), len(vpo)) == (28, 24, 26)
+    union = vxx | vpo
+    assert len(vxx & vpo) / len(union) > 0.85
+    assert min(len(vxx), len(vpo)) / len(truth) > 0.8
