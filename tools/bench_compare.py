@@ -22,6 +22,13 @@ import re
 import sys
 
 THRESHOLD = 1.5
+# Absolute anchor: the flagship pipeline_rows_per_sec (min-of-3
+# fresh-JVM in bench.py, so already noise-robust) must stay within
+# ANCHOR_FRACTION of the best ever recorded at the same sf. The share
+# gate alone is blind to UNIFORM slowdowns (every query 1.6x slower →
+# shares unchanged); this anchor catches exactly that case (VERDICT r2
+# "what's wrong" #1).
+ANCHOR_FRACTION = 0.9
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -39,6 +46,22 @@ def latest_round() -> tuple[str, dict] | None:
     with open(best[1]) as fh:
         data = json.load(fh)
     return best[1], data.get("parsed", data)
+
+
+def best_pipeline_rate(sf) -> tuple[float, str] | None:
+    """Best pipeline_rows_per_sec recorded at this sf across all prior
+    BENCH_r*.json (driver artifacts are the durable record)."""
+    best = None
+    for f in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
+        with open(f) as fh:
+            data = json.load(fh)
+        parsed = data.get("parsed", data)
+        rate = parsed.get("pipeline_rows_per_sec")
+        if rate is None or parsed.get("sf") != sf:
+            continue
+        if best is None or rate > best[0]:
+            best = (rate, os.path.basename(f))
+    return best
 
 
 def main() -> int:
@@ -69,12 +92,18 @@ def main() -> int:
             continue
         ratio = ((t / new_tot) / (oldq[name] / old_tot)
                  if oldq[name] else float("inf"))
-        status = "REGRESSED" if ratio > THRESHOLD else (
-            "improved" if ratio < 1 / THRESHOLD else "ok")
+        raw = t / oldq[name] if oldq[name] else float("inf")
+        # A query REGRESSED only if slower in share AND raw terms:
+        # share-only flags fire when OTHER queries genuinely improve
+        # (the total shrinks, everyone's share rises); raw-only flags
+        # fire on uniform co-tenant noise (covered by the pipeline
+        # anchor gate below, which is min-of-3 and noise-robust).
+        status = ("REGRESSED" if ratio > THRESHOLD and raw > 1.3
+                  else "improved" if ratio < 1 / THRESHOLD else "ok")
         if status == "REGRESSED":
             failures.append(name)
         rows.append((name, oldq[name], t,
-                     f"{ratio:.2f}x-share {status}"))
+                     f"{ratio:.2f}x-share/{raw:.2f}x-raw {status}"))
     print(f"| query | {os.path.basename(pfile)} (s) | new (s) | ratio |")
     print("|---|---|---|---|")
     for name, o, t, st in rows:
@@ -82,8 +111,19 @@ def main() -> int:
     print(f"\ntotal: {old.get('value')} -> {new.get('value')} s; "
           f"pipeline {old.get('pipeline_rows_per_sec')} -> "
           f"{new.get('pipeline_rows_per_sec')} rows/s")
+    # absolute anchor gate (uniform-slowdown detector)
+    new_rate = new.get("pipeline_rows_per_sec")
+    anchor = best_pipeline_rate(new.get("sf"))
+    if new_rate is not None and anchor is not None:
+        best_rate, src = anchor
+        ok = new_rate >= ANCHOR_FRACTION * best_rate
+        print(f"anchor: pipeline {new_rate} rows/s vs best recorded "
+              f"{best_rate} ({src}) — "
+              f"{'ok' if ok else 'BELOW ' + str(ANCHOR_FRACTION) + 'x'}")
+        if not ok:
+            failures.append("pipeline_rows_per_sec[anchor]")
     if failures:
-        print(f"\nFAIL: >{THRESHOLD}x regression in: {', '.join(failures)}")
+        print(f"\nFAIL: regression in: {', '.join(failures)}")
         return 1
     return 0
 
