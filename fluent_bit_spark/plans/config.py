@@ -1,0 +1,268 @@
+"""Config-file front end: fluent-bit classic-conf and YAML configs →
+:class:`~fluent_bit_spark.plans.pipeline.PipelineSpec`.
+
+fluent-bit users drive everything from a config file
+(upstream:src/flb_cf.c classic mode, upstream:src/flb_cf_yaml.c YAML
+mode): ``[INPUT]/[FILTER]/[OUTPUT]`` sections (classic) or a
+``pipeline: {inputs, filters, outputs}`` tree (YAML), each section a
+property map with a ``match`` tag pattern. This module maps that
+surface onto the engine's declarative spec — both formats parse into
+one intermediate tree and share a single spec builder, mirroring how
+flb_cf presents one config API over both readers.
+
+Supported sections / properties (the subset with a batch meaning here):
+
+- ``[INPUT]`` / ``inputs:`` — ``name`` (``tail``/``tokens``/``dummy``),
+  ``path`` (informational; the runner's ``--input`` wins), ``format``
+  (``tokens`` | ``text``), ``vocab_parquet`` (token_id/piece table for
+  the detokenizer; default: the built-in fixture vocab), ``tag_expr``
+  (engine extension: SQL expression for the tag column).
+- ``[FILTER] Name grep`` — ``regex KEY PATTERN`` / ``exclude KEY
+  PATTERN`` properties (repeatable, classic flb syntax), ``logical_op``
+  (``AND``/``OR``, legacy AND default).
+- ``[FILTER] Name rewrite_tag`` — ``rule $KEY REGEX NEW_TAG KEEP``
+  (repeatable), exactly upstream:plugins/filter_rewrite_tag syntax.
+- ``[FILTER] Name lookup`` — ``file <parquet>`` + ``lookup_key``
+  (filter_lookup's CSV becomes a parquet dim; broadcast enrich).
+- ``[OUTPUT]`` / ``outputs:`` — one sink per section: ``match`` (glob;
+  ``match_regex`` for regex), ``sink`` (directory name; defaults to
+  ``<name>_<i>``), ``format`` (``parquet`` | ``json_lines``, must
+  agree across outputs — the fan-out writes one payload format).
+- ``[SERVICE]`` / ``service:`` — engine tuning extensions:
+  ``salt_buckets``, ``fanout_mode``, ``keep_decoded``,
+  ``sink_partition_by`` (comma-separated).
+
+Unknown section names raise (a silently-ignored output is a data-loss
+foot-gun); unknown properties within a known section are ignored like
+fluent-bit does (forward compatibility).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+from ..operators.filters import GrepRule
+from ..operators.router import RewriteTagRule, Route
+from .pipeline import PipelineSpec
+
+_KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup"}
+
+
+# ---------------------------------------------------------------------------
+# classic-conf reader (flb_cf classic mode)
+# ---------------------------------------------------------------------------
+
+
+def parse_classic(text: str) -> dict[str, Any]:
+    """``[SECTION]`` + indented ``Key Value`` lines → the same tree the
+    YAML reader produces. Keys are case-insensitive (flb lowercases);
+    repeatable keys (``Regex``, ``Exclude``, ``Rule``) accumulate."""
+    tree: dict[str, Any] = {
+        "service": {},
+        "pipeline": {"inputs": [], "filters": [], "outputs": []},
+    }
+    section: dict[str, Any] | None = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = re.fullmatch(r"\[([A-Za-z_]+)\]", line)
+        if m:
+            kind = m.group(1).lower()
+            if kind == "service":
+                section = tree["service"]
+            elif kind in ("input", "filter", "output"):
+                section = {}
+                tree["pipeline"][kind + "s"].append(section)
+            else:
+                raise ValueError(f"unknown config section [{m.group(1)}]")
+            continue
+        if section is None:
+            raise ValueError(f"property outside any section: {line!r}")
+        parts = line.split(None, 1)
+        key = parts[0].lower()
+        val = parts[1].strip() if len(parts) > 1 else ""
+        if key in ("regex", "exclude", "rule"):
+            section.setdefault(key, [])
+            if not isinstance(section[key], list):
+                section[key] = [section[key]]
+            section[key].append(val)
+        else:
+            section[key] = val
+    return tree
+
+
+def parse_yaml(text: str) -> dict[str, Any]:
+    """YAML mode (flb_cf_yaml): ``service:`` map + ``pipeline:`` tree.
+    Property keys are lowercased for parity with classic mode."""
+    import yaml
+    doc = yaml.safe_load(text) or {}
+
+    def lower_keys(d: dict) -> dict:
+        return {str(k).lower(): v for k, v in d.items()}
+
+    pipe = lower_keys(doc.get("pipeline") or {})
+    return {
+        "service": lower_keys(doc.get("service") or {}),
+        "pipeline": {
+            "inputs": [lower_keys(s) for s in (pipe.get("inputs") or [])],
+            "filters": [lower_keys(s) for s in (pipe.get("filters") or [])],
+            "outputs": [lower_keys(s) for s in (pipe.get("outputs") or [])],
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# tree → PipelineSpec
+# ---------------------------------------------------------------------------
+
+
+def _as_list(v) -> list[str]:
+    if v is None:
+        return []
+    return [str(x) for x in v] if isinstance(v, list) else [str(v)]
+
+
+def _parse_rewrite_rule(rule: str) -> RewriteTagRule:
+    """``$KEY REGEX NEW_TAG KEEP`` (upstream:plugins/filter_rewrite_tag
+    — exactly four space-separated fields, KEY is a record accessor)."""
+    parts = rule.split()
+    if len(parts) != 4:
+        raise ValueError(
+            f"rewrite_tag rule needs 4 fields '$KEY REGEX NEW_TAG KEEP', "
+            f"got {rule!r}")
+    key, pattern, new_tag, keep = parts
+    if key.startswith("$"):
+        key = key[1:]
+    return RewriteTagRule(key=key, pattern=pattern, new_tag=new_tag,
+                          keep=keep.lower() in ("true", "on", "1", "yes"))
+
+
+def _parse_grep_prop(val: str, exclude: bool) -> GrepRule:
+    """``KEY PATTERN`` — pattern may itself contain spaces (flb splits
+    on the first blank only)."""
+    parts = val.split(None, 1)
+    if len(parts) != 2:
+        raise ValueError(f"grep rule needs 'KEY PATTERN', got {val!r}")
+    return GrepRule(key=parts[0], pattern=parts[1], exclude=exclude)
+
+
+def spec_from_tree(tree: dict[str, Any],
+                   vocab: list[str] | None = None) -> tuple[PipelineSpec,
+                                                            dict[str, Any]]:
+    """Resolve a parsed config tree to ``(PipelineSpec, io)`` where
+    ``io`` carries the non-spec runner inputs the config names:
+    ``input_path``, ``input_format``, ``outputs`` (sink names in config
+    order)."""
+    service = tree.get("service", {})
+    pipe = tree.get("pipeline", {})
+    inputs = pipe.get("inputs", [])
+    if len(inputs) > 1:
+        raise ValueError("one [INPUT] per pipeline run (fan-in is a "
+                         "union of runs); got %d" % len(inputs))
+    inp = inputs[0] if inputs else {}
+    input_format = str(inp.get("format")
+                       or ("text" if str(inp.get("name", "")).lower()
+                           == "tail" and str(inp.get("path", ""))
+                           .endswith(".log") else "tokens")).lower()
+    if input_format not in ("tokens", "text"):
+        raise ValueError(f"input format must be tokens|text, "
+                         f"got {input_format!r}")
+
+    if vocab is None:
+        vp = inp.get("vocab_parquet")
+        if vp:
+            import pandas as pd
+            pdf = pd.read_parquet(vp).sort_values("token_id")
+            vocab = pdf["piece"].tolist()
+        else:
+            from .. import fixtures as fx
+            vocab = fx.vocab()
+
+    grep_rules: list[GrepRule] = []
+    grep_op = "AND"
+    rewrite_rules: list[RewriteTagRule] = []
+    lookup_path: str | None = None
+    lookup_key = "source"
+    for f in pipe.get("filters", []):
+        name = str(f.get("name", "")).lower()
+        if name not in _KNOWN_FILTERS:
+            raise ValueError(
+                f"unsupported filter {name!r} (supported: "
+                f"{sorted(_KNOWN_FILTERS)}; the wider filter surface is "
+                f"the Python API — operators/)")
+        if name == "grep":
+            for v in _as_list(f.get("regex")):
+                grep_rules.append(_parse_grep_prop(v, exclude=False))
+            for v in _as_list(f.get("exclude")):
+                grep_rules.append(_parse_grep_prop(v, exclude=True))
+            grep_op = str(f.get("logical_op", grep_op)).upper()
+        elif name == "rewrite_tag":
+            for v in _as_list(f.get("rule")):
+                rewrite_rules.append(_parse_rewrite_rule(v))
+        elif name == "lookup":
+            lookup_path = f.get("file") or f.get("path")
+            lookup_key = str(f.get("lookup_key", lookup_key))
+
+    routes: list[Route] = []
+    sink_format = None
+    for i, o in enumerate(pipe.get("outputs", [])):
+        sink = str(o.get("sink") or f"{o.get('name', 'out')}_{i}")
+        if o.get("match_regex"):
+            routes.append(Route(sink, str(o["match_regex"]), "regex"))
+        else:
+            routes.append(Route(sink, str(o.get("match", "*")), "glob"))
+        fmt = o.get("format")
+        if fmt is not None:
+            fmt = str(fmt).lower()
+            if fmt not in ("parquet", "json_lines"):
+                raise ValueError(f"output format must be parquet|"
+                                 f"json_lines, got {fmt!r}")
+            if sink_format is not None and fmt != sink_format:
+                raise ValueError("all outputs must share one format "
+                                 "(the fan-out writes one payload shape)")
+            sink_format = fmt
+    if not routes:
+        raise ValueError("config defines no [OUTPUT] — every record "
+                         "would be unrouted")
+
+    spec = PipelineSpec(
+        vocab=vocab,
+        routes=routes,
+        grep_rules=grep_rules,
+        grep_op=grep_op,
+        rewrite_rules=rewrite_rules,
+        lookup_path=lookup_path,
+        lookup_key=lookup_key,
+        tag_expr=inp.get("tag_expr"),
+        sink_partition_by=[
+            s.strip() for s in
+            str(service.get("sink_partition_by", "source")).split(",")
+            if s.strip()],
+        salt_buckets=int(service.get("salt_buckets", 32)),
+        fanout_mode=str(service.get("fanout_mode", "persist")),
+        sink_format=sink_format or "parquet",
+        keep_decoded=str(service.get("keep_decoded", "always")),
+    )
+    io = {
+        "input_path": inp.get("path"),
+        "input_format": input_format,
+        "outputs": [r.sink for r in routes],
+    }
+    return spec, io
+
+
+def spec_from_config(path: str,
+                     vocab: list[str] | None = None
+                     ) -> tuple[PipelineSpec, dict[str, Any]]:
+    """Load a fluent-bit-style config file: ``.yaml``/``.yml`` → YAML
+    mode, anything else → classic mode (flb_cf's dispatch is likewise
+    by extension)."""
+    with open(path) as fh:
+        text = fh.read()
+    ext = os.path.splitext(path)[1].lower()
+    tree = parse_yaml(text) if ext in (".yaml", ".yml") \
+        else parse_classic(text)
+    return spec_from_tree(tree, vocab=vocab)

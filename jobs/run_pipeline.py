@@ -40,6 +40,10 @@ def main() -> int:
                     help="synthesize the input first with N rows")
     ap.add_argument("--lookup", default=None,
                     help="enrichment dim parquet (default: generated)")
+    ap.add_argument("--config", default=None,
+                    help="fluent-bit-style config file (.yaml/.yml or "
+                         "classic .conf) defining the pipeline; CLI "
+                         "--input/--output still name the data paths")
     args = ap.parse_args()
 
     from fluent_bit_spark import fixtures as fx
@@ -54,26 +58,35 @@ def main() -> int:
         else:
             ap.error(f"input not found: {args.input} (use --gen-rows to "
                      f"synthesize)")
-    lookup = args.lookup
-    if lookup is None:
-        lookup = os.path.join(args.output, "_dims", "lookup_sources.parquet")
-        if not os.path.exists(lookup):
-            fx.generate_lookup_table(lookup)
-
     spark = get_spark(app_name="logpipe")
-    spec = PipelineSpec(
-        vocab=fx.vocab(),
-        routes=[Route(*r) for r in fx.DEFAULT_ROUTES],
-        rewrite_rules=[RewriteTagRule(
-            key="fields.level", pattern="^error$",
-            new_tag="err.$TAG[1]", keep=True)],
-        lookup_path=lookup,
-        fanout_mode=args.fanout,
-        sink_format=args.sink_format,
-    )
+    input_format = args.input_format
+    if args.config:
+        from fluent_bit_spark.plans.config import spec_from_config
+        spec, io = spec_from_config(args.config)
+        if io["input_format"]:
+            input_format = io["input_format"]
+        if spec.lookup_path is None and args.lookup:
+            spec.lookup_path = args.lookup
+    else:
+        lookup = args.lookup
+        if lookup is None:
+            lookup = os.path.join(args.output, "_dims",
+                                  "lookup_sources.parquet")
+            if not os.path.exists(lookup):
+                fx.generate_lookup_table(lookup)
+        spec = PipelineSpec(
+            vocab=fx.vocab(),
+            routes=[Route(*r) for r in fx.DEFAULT_ROUTES],
+            rewrite_rules=[RewriteTagRule(
+                key="fields.level", pattern="^error$",
+                new_tag="err.$TAG[1]", keep=True)],
+            lookup_path=lookup,
+            fanout_mode=args.fanout,
+            sink_format=args.sink_format,
+        )
     stats = run_pipeline(spark, spec, args.input, args.output,
                          run_id=args.run_id, n_slices=args.slices,
-                         input_format=args.input_format)
+                         input_format=input_format)
     rate = stats["rows_in"] / stats["wall_sec"] if stats["wall_sec"] else 0
     print(json.dumps({**stats, "rows_per_sec": round(rate, 1)}))
     spark.stop()

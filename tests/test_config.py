@@ -1,0 +1,256 @@
+"""Config-file front end (plans/config.py): classic-conf and YAML
+configs must resolve to the same PipelineSpec, and a config-driven
+pipeline run must produce byte-identical sink outputs to the
+dataclass-spec run (the golden equivalence the upstream flb_cf readers
+guarantee: one config API over both formats)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import fixtures as fx
+from fluent_bit_spark.operators.router import RewriteTagRule, Route
+from fluent_bit_spark.plans.config import (
+    parse_classic, parse_yaml, spec_from_config, spec_from_tree,
+)
+from fluent_bit_spark.plans.pipeline import PipelineSpec, run_pipeline
+
+CLASSIC = """\
+# fluent-bit classic-mode config (flb_cf classic reader subset)
+[SERVICE]
+    salt_buckets 32
+
+[INPUT]
+    Name   tokens
+    Format tokens
+
+[FILTER]
+    Name  rewrite_tag
+    Match *
+    Rule  $fields.level ^error$ err.$TAG[1] true
+
+[FILTER]
+    Name       lookup
+    Match      *
+    File       {lookup}
+    Lookup_key source
+
+[OUTPUT]
+    Name  file
+    Match app.*.apache
+    Sink  sink_web
+
+[OUTPUT]
+    Name  file
+    Match app.*.json
+    Sink  sink_json
+
+[OUTPUT]
+    Name  file
+    Match app.*.ltsv
+    Sink  sink_kv
+
+[OUTPUT]
+    Name  file
+    Match app.*.logfmt
+    Sink  sink_kv
+
+[OUTPUT]
+    Name  file
+    Match app.src1.*
+    Sink  sink_src1
+
+[OUTPUT]
+    Name  file
+    Match err.*
+    Sink  sink_errors
+"""
+
+YAML = """\
+service:
+  salt_buckets: 32
+pipeline:
+  inputs:
+    - name: tokens
+      format: tokens
+  filters:
+    - name: rewrite_tag
+      match: "*"
+      rule: "$fields.level ^error$ err.$TAG[1] true"
+    - name: lookup
+      match: "*"
+      file: "{lookup}"
+      lookup_key: source
+  outputs:
+    - name: file
+      match: "app.*.apache"
+      sink: sink_web
+    - name: file
+      match: "app.*.json"
+      sink: sink_json
+    - name: file
+      match: "app.*.ltsv"
+      sink: sink_kv
+    - name: file
+      match: "app.*.logfmt"
+      sink: sink_kv
+    - name: file
+      match: "app.src1.*"
+      sink: sink_src1
+    - name: file
+      match: "err.*"
+      sink: sink_errors
+"""
+
+
+def reference_spec(lookup: str) -> PipelineSpec:
+    """The dataclass spec both config files transcribe (jobs/
+    run_pipeline.py default)."""
+    return PipelineSpec(
+        vocab=fx.vocab(),
+        routes=[Route(*r) for r in fx.DEFAULT_ROUTES],
+        rewrite_rules=[RewriteTagRule(
+            key="fields.level", pattern="^error$",
+            new_tag="err.$TAG[1]", keep=True)],
+        lookup_path=lookup,
+    )
+
+
+def test_classic_and_yaml_parse_to_same_spec(fixture_paths, tmp_path):
+    lk = fixture_paths["lookup"]
+    cpath = tmp_path / "pipe.conf"
+    ypath = tmp_path / "pipe.yaml"
+    cpath.write_text(CLASSIC.format(lookup=lk))
+    ypath.write_text(YAML.format(lookup=lk))
+    spec_c, io_c = spec_from_config(str(cpath))
+    spec_y, io_y = spec_from_config(str(ypath))
+    assert spec_c == spec_y
+    assert io_c == io_y
+    ref = reference_spec(lk)
+    assert spec_c.routes == ref.routes
+    assert spec_c.rewrite_rules == ref.rewrite_rules
+    assert spec_c.lookup_path == ref.lookup_path
+    assert spec_c.vocab == ref.vocab
+    assert io_c["input_format"] == "tokens"
+    # routes keep config order; duplicate sinks collapse in sink list
+    assert io_c["outputs"] == ["sink_web", "sink_json", "sink_kv",
+                               "sink_kv", "sink_src1", "sink_errors"]
+
+
+def test_config_run_matches_dataclass_run(spark, fixture_paths, tmp_path):
+    """E2E golden: the YAML-driven pipeline writes exactly the row sets
+    the dataclass-spec pipeline writes, sink by sink, plus equal DLQ."""
+    lk = fixture_paths["lookup"]
+    ypath = tmp_path / "pipe.yaml"
+    ypath.write_text(YAML.format(lookup=lk))
+    spec_y, _ = spec_from_config(str(ypath))
+    out_y = str(tmp_path / "out_yaml")
+    out_r = str(tmp_path / "out_ref")
+    run_pipeline(spark, spec_y, fixture_paths["tokens"], out_y)
+    run_pipeline(spark, reference_spec(lk), fixture_paths["tokens"], out_r)
+    for sink in ("sink_web", "sink_json", "sink_kv", "sink_src1",
+                 "sink_errors"):
+        a = sorted(r.doc_id for r in spark.read.parquet(
+            f"{out_y}/sinks/{sink}").select("doc_id").collect())
+        b = sorted(r.doc_id for r in spark.read.parquet(
+            f"{out_r}/sinks/{sink}").select("doc_id").collect())
+        assert a == b and a, sink
+    da = spark.read.parquet(f"{out_y}/dlq").count()
+    db = spark.read.parquet(f"{out_r}/dlq").count()
+    assert da == db > 0
+
+
+def test_grep_properties_accumulate():
+    tree = parse_classic("""
+[INPUT]
+    Name tokens
+[FILTER]
+    Name grep
+    Match *
+    Regex decoded GET
+    Regex source src
+    Exclude decoded DELETE
+    Logical_Op OR
+[OUTPUT]
+    Name file
+    Match *
+    Sink all
+""")
+    spec, _ = spec_from_tree(tree, vocab=["a"])
+    assert [(g.key, g.pattern, g.exclude) for g in spec.grep_rules] == [
+        ("decoded", "GET", False), ("source", "src", False),
+        ("decoded", "DELETE", True)]
+    assert spec.grep_op == "OR"
+
+
+def test_grep_pattern_keeps_spaces():
+    tree = parse_classic("""
+[INPUT]
+    Name tokens
+[FILTER]
+    Name grep
+    Match *
+    Regex decoded GET /index.html 200
+[OUTPUT]
+    Name file
+    Match *
+    Sink all
+""")
+    spec, _ = spec_from_tree(tree, vocab=["a"])
+    assert spec.grep_rules[0].pattern == "GET /index.html 200"
+
+
+def test_config_errors():
+    with pytest.raises(ValueError, match="unknown config section"):
+        parse_classic("[WEIRD]\n    Name x\n")
+    with pytest.raises(ValueError, match="no \\[OUTPUT\\]"):
+        spec_from_tree(parse_classic("[INPUT]\n    Name tokens\n"),
+                       vocab=["a"])
+    with pytest.raises(ValueError, match="unsupported filter"):
+        spec_from_tree(parse_classic(
+            "[FILTER]\n    Name kafka\n[OUTPUT]\n    Match *\n"),
+            vocab=["a"])
+    with pytest.raises(ValueError, match="4 fields"):
+        spec_from_tree(parse_classic(
+            "[FILTER]\n    Name rewrite_tag\n    Rule $k x\n"
+            "[OUTPUT]\n    Match *\n"), vocab=["a"])
+    with pytest.raises(ValueError, match="share one format"):
+        spec_from_tree(parse_yaml("""
+pipeline:
+  outputs:
+    - {name: file, match: "a.*", format: parquet}
+    - {name: file, match: "b.*", format: json_lines}
+"""), vocab=["a"])
+
+
+def test_vocab_parquet_property(fixture_paths):
+    tree = parse_classic(f"""
+[INPUT]
+    Name tokens
+    Vocab_parquet {fixture_paths['vocab']}
+[OUTPUT]
+    Name file
+    Match *
+    Sink all
+""")
+    spec, _ = spec_from_tree(tree)
+    assert spec.vocab == fx.vocab()
+
+
+def test_tail_input_infers_text_format():
+    tree = parse_yaml("""
+pipeline:
+  inputs:
+    - name: tail
+      path: /var/log/app/*.log
+  outputs:
+    - name: file
+      match: "*"
+      sink: all
+""")
+    _, io = spec_from_tree(tree, vocab=["a"])
+    assert io["input_format"] == "text"
+    assert io["input_path"] == "/var/log/app/*.log"
