@@ -99,13 +99,22 @@ def to_prometheus(df: DataFrame, metric: str, value_col: str,
 def to_gelf(df: DataFrame, host_col: str, message_col: str,
             ts_col: str, level_col: str | None = None,
             extra_cols: list[str] | None = None,
-            out: str = "value") -> DataFrame:
-    """GELF 1.1 rendering: fixed keys + ``_``-prefixed extras."""
+            out: str = "value", millis: bool = False) -> DataFrame:
+    """GELF 1.1 rendering: fixed keys + ``_``-prefixed extras.
+
+    ``timestamp`` is epoch SECONDS as an integer by default (valid
+    GELF — the spec allows whole seconds with optional decimals), which
+    keeps the bytes engine-portable: float JSON rendering differs
+    between Jackson and other engines (1.7672E9 vs 1767200000.0), an
+    integer renders identically everywhere. ``millis=True`` opts into
+    sub-second precision as a double (Jackson formatting)."""
+    ts = (F.col(ts_col).cast("timestamp").cast("double")
+          if millis else F.unix_timestamp(F.col(ts_col)))
     fields = [
         F.lit("1.1").alias("version"),
         F.col(host_col).alias("host"),
         F.col(message_col).alias("short_message"),
-        F.unix_timestamp(F.col(ts_col)).cast("double").alias("timestamp"),
+        ts.alias("timestamp"),
     ]
     if level_col is not None:
         fields.append(gelf_level(level_col).alias("level"))

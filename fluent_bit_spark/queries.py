@@ -1131,6 +1131,38 @@ def serialize_csv_ltsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("csv_line", "ltsv_line")
 
 
+@q("serialize_gelf", """
+SELECT json_object(
+         'version', '1.1',
+         'host', 'h' || CAST(user_id % 10 AS VARCHAR),
+         'short_message', event_type,
+         'timestamp', CAST(floor(epoch(ts)) AS BIGINT),
+         'level', CASE event_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 6
+                                    WHEN 2 THEN 5 ELSE 1 END,
+         '_event_id', event_id)::VARCHAR AS value
+FROM events
+""")
+def serialize_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GELF 1.1 output (functions/serialize.py to_gelf ←
+    upstream:src/flb_pack_gelf.c): byte-exact vs DuckDB json_object,
+    covering the full gelf_level fallback policy on a synthetic level
+    column (name map / numeric passthrough / unknown→1) and the
+    integer epoch timestamp rendering."""
+    from .functions.serialize import to_gelf
+    ev = t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
+        .alias("host"),
+        F.col("event_type").alias("msg"),
+        "ts",
+        F.when(F.col("event_id") % 4 == 0, "error")
+         .when(F.col("event_id") % 4 == 1, "info")
+         .when(F.col("event_id") % 4 == 2, "5")
+         .otherwise("weird").alias("lvl"),
+        "event_id")
+    return to_gelf(ev, "host", "msg", "ts", level_col="lvl",
+                   extra_cols=["event_id"]).select("value")
+
+
 @q("record_accessor_template", """
 SELECT 'k/' || event_type || '/u' || CAST(user_id % 10 AS VARCHAR)
          AS key,
