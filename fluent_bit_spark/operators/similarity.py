@@ -305,3 +305,96 @@ def lsh_banded_pairs(df: DataFrame, id_col: str, vec_col: str,
                              F.col("v").alias("v2")), "id2"))
     out = joined.withColumn("cos", cosine(F.col("v1"), F.col("v2")))
     return out.filter(F.col("cos") >= threshold).select("id1", "id2", "cos")
+
+
+# ---------------------------------------------------------------------------
+# Recall measurement: approximate paths vs brute force, batched queries
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(df: DataFrame, id_col: str, vec_col: str, dim: int,
+               n_queries: int = 8, k: int = 10, n_centroids: int = 16,
+               n_probe: int = 4, n_planes: int = 6) -> DataFrame:
+    """Recall@k of the two approximate ANN paths (IVF probe and
+    single-bucket hyperplane LSH) against exact brute force, over a
+    batch of ``n_queries`` query vectors (the lowest ``n_queries`` ids;
+    the remaining rows are the searched base).
+
+    Returns one row per query: (query_id, recall_ivf, recall_lsh,
+    n_cand_ivf, n_cand_lsh) — the quantitative backing for SURVEY §9's
+    n_probe / n_planes knob guidance.
+
+    Scale shape: ONE pass over the base. The query batch (plus its
+    driver-computed probe lists — n_queries × n_centroids work on
+    n_queries+n_centroids collected rows, both bounded constants) is
+    broadcast and hash-joined on a constant key, so the base is scanned
+    once and every (query, row) score is computed map-side; brute /
+    IVF / LSH top-k membership are three filters over the same scored
+    frame sharing one window exchange. The per-query row_number window
+    hashes on query_id (n_queries partitions) — fine for a diagnostic
+    batch; a production serving path would two-phase the top-k
+    (per-partition heap, then merge) as brute_force_topk's
+    TakeOrderedAndProject already does for the single-query case."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    qrows = (base.orderBy("id").limit(n_queries).collect())
+    queries = [(r.id, [float(x) for x in r.v]) for r in qrows]
+    qids = [r.id for r in qrows]
+    base = base.filter(~F.col("id").isin(qids))
+    cent_rows = base.orderBy("id").limit(n_centroids).collect()
+    cents = [(r.id, [float(x) for x in r.v]) for r in cent_rows]
+
+    import numpy as np
+
+    def cos_np(a, b):
+        a = np.asarray(a, dtype="float64")
+        b = np.asarray(b, dtype="float64")
+        return float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+
+    qdf_rows = []
+    for qid, qv in queries:
+        probes = sorted(cents, key=lambda c: (-cos_np(c[1], qv), c[0]))
+        probe_ids = [int(c[0]) for c in probes[:n_probe]]
+        qdf_rows.append((int(qid), qv, probe_ids, 1))
+    spark = df.sparkSession
+    # qbucket via the SAME lsh_bucket expression the base side uses, so
+    # the sign-of-dot decision is made by one engine, not driver numpy.
+    qdf = spark.createDataFrame(
+        qdf_rows, "query_id bigint, qv array<double>, "
+                  "probes array<bigint>, one int") \
+        .withColumn("qbucket", lsh_bucket("qv", dim, n_planes))
+
+    scored = (ivf_assign_inline(base, "v", cents)
+              .withColumn("bk", lsh_bucket("v", dim, n_planes))
+              .withColumn("one", F.lit(1))
+              .join(F.broadcast(qdf), "one")
+              .withColumn("cos", cosine(F.col("v"), F.col("qv")))
+              .select("query_id", "id", "cid", "bk", "probes",
+                      "qbucket", "cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("id"))
+    brute_k = (scored.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") <= k).select("query_id", "id"))
+    ivf_cand = scored.filter(F.array_contains("probes", F.col("cid")))
+    ivf_k = (ivf_cand.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= k)
+             .select("query_id", "id", F.lit(1).alias("hit_i")))
+    lsh_cand = scored.filter(F.col("bk") == F.col("qbucket"))
+    lsh_k = (lsh_cand.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= k)
+             .select("query_id", "id", F.lit(1).alias("hit_l")))
+    n_ci = ivf_cand.groupBy("query_id").agg(
+        F.count("*").alias("n_cand_ivf"))
+    n_cl = lsh_cand.groupBy("query_id").agg(
+        F.count("*").alias("n_cand_lsh"))
+    return (brute_k
+            .join(ivf_k, ["query_id", "id"], "left")
+            .join(lsh_k, ["query_id", "id"], "left")
+            .groupBy("query_id")
+            .agg(F.round(F.sum(F.coalesce("hit_i", F.lit(0))) / k, 4)
+                  .alias("recall_ivf"),
+                 F.round(F.sum(F.coalesce("hit_l", F.lit(0))) / k, 4)
+                  .alias("recall_lsh"))
+            .join(n_ci, "query_id", "left")
+            .join(n_cl, "query_id", "left")
+            .fillna(0, ["n_cand_ivf", "n_cand_lsh"])
+            .orderBy("query_id"))

@@ -1427,3 +1427,97 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7),
         16, 10).cast("long") % 100
     return docs.filter(bucket < 20).select("doc_id", "source", "lang")
+
+
+# ===========================================================================
+# ANN recall@k: approximation quality of the IVF / LSH paths (SURVEY §9)
+# ===========================================================================
+
+
+def _ann_recall_oracle(dim: int = 64, nq: int = 8, k: int = 10,
+                       n_cent: int = 16, n_probe: int = 4,
+                       n_planes: int = 6) -> str:
+    """DuckDB oracle reproducing the FULL recall pipeline: query split,
+    coarse quantizer, IVF probe lists, LSH buckets (identical portable
+    plane literals), per-query brute/approx top-k, and the recall join."""
+    planes = SIM.portable_planes(dim, n_planes)
+
+    def bucket(v: str) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN list_dot_product({v}, ["
+            + ", ".join(repr(c) for c in planes[p])
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)) + ")"
+
+    return f"""
+WITH allv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT id AS query_id, v AS qv FROM allv ORDER BY id LIMIT {nq}),
+base AS (SELECT * FROM allv
+         WHERE id NOT IN (SELECT query_id FROM qs)),
+cent AS (SELECT id AS cid, v AS cvec FROM base ORDER BY id LIMIT {n_cent}),
+assign AS (
+  SELECT b.id, b.v,
+         (SELECT c.cid FROM cent c
+          ORDER BY list_cosine_similarity(c.cvec, b.v) DESC, c.cid
+          LIMIT 1) AS cid,
+         {bucket('b.v')} AS bk
+  FROM base b),
+probe AS (
+  SELECT q.query_id, c.cid,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC, c.cid) AS pr
+  FROM qs q CROSS JOIN cent c),
+scored AS (
+  SELECT q.query_id, a.id, a.cid, a.bk, {bucket('q.qv')} AS qbucket,
+         list_cosine_similarity(q.qv, a.v) AS cos
+  FROM qs q CROSS JOIN assign a),
+brute_k AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, id) AS rk FROM scored) WHERE rk <= {k}),
+ivf_cand AS (
+  SELECT s.* FROM scored s JOIN probe p
+    ON p.query_id = s.query_id AND p.cid = s.cid AND p.pr <= {n_probe}),
+ivf_k AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, id) AS rk FROM ivf_cand) WHERE rk <= {k}),
+lsh_cand AS (SELECT * FROM scored WHERE bk = qbucket),
+lsh_k AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, id) AS rk FROM lsh_cand) WHERE rk <= {k}),
+rec AS (
+  SELECT b.query_id,
+         round(sum(CASE WHEN i.id IS NOT NULL THEN 1 ELSE 0 END)
+               * 1.0 / {k}, 4) AS recall_ivf,
+         round(sum(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END)
+               * 1.0 / {k}, 4) AS recall_lsh
+  FROM brute_k b
+  LEFT JOIN ivf_k i ON i.query_id = b.query_id AND i.id = b.id
+  LEFT JOIN lsh_k l ON l.query_id = b.query_id AND l.id = b.id
+  GROUP BY b.query_id),
+nci AS (SELECT query_id, count(*) AS n_cand_ivf FROM ivf_cand
+        GROUP BY query_id),
+ncl AS (SELECT query_id, count(*) AS n_cand_lsh FROM lsh_cand
+        GROUP BY query_id)
+SELECT r.query_id, r.recall_ivf, r.recall_lsh,
+       coalesce(nci.n_cand_ivf, 0) AS n_cand_ivf,
+       coalesce(ncl.n_cand_lsh, 0) AS n_cand_lsh
+FROM rec r LEFT JOIN nci USING (query_id) LEFT JOIN ncl USING (query_id)
+ORDER BY r.query_id
+"""
+
+
+@q("ann_recall_at_k", _ann_recall_oracle())
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of ann_ivf (16 centroids, probe 4) and single-bucket
+    hyperplane LSH (6 planes) against exact brute force, batched over
+    the 8 lowest-id query vectors (operators/similarity.py ann_recall).
+    Quantifies the approximation-quality knobs SURVEY §9 claims:
+    raising n_probe / lowering n_planes trades candidate volume
+    (n_cand_*) for recall."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.ann_recall(emb, "vec_id", "embedding", dim=64,
+                          n_queries=8, k=10, n_centroids=16,
+                          n_probe=4, n_planes=6)
