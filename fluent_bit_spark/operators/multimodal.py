@@ -2,11 +2,15 @@
 
 Training-data extension (not in the reference). Images/audio/video are
 carried as ``binary`` columns with a typed metadata struct; decode /
-feature-extract run as Arrow-batched ``mapInPandas`` operators. The
-image/audio codec libraries are NOT in this container, so the decode
-kernel is stubbed (deterministic fake keyed on the payload hash, or
-NotImplementedError in strict mode) — the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested.
+feature-extract run as Arrow-batched ``mapInPandas`` operators.
+
+PNG payloads decode FOR REAL via the stdlib-only codec in
+``functions/png.py`` (zlib + scanline unfilter — no PIL/cv2 needed):
+``decode_images`` and the PNG path of ``resize_images`` operate on
+actual pixels. Other formats (JPEG/audio/video) need codec libraries
+absent from this container, so their kernels remain the documented
+deterministic stub (``strict=True`` raises NotImplementedError — the
+marker where PIL/ffmpeg plugs in).
 """
 
 from __future__ import annotations
@@ -14,9 +18,14 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.png import decode_png, encode_png, resize_nearest
+
+PNG_MAGIC = b"\x89PNG"
 
 MEDIA_META_SCHEMA = ("media_type string, byte_len bigint, sha256 string")
 
@@ -71,19 +80,15 @@ def resize_images(df: DataFrame, payload_col: str = "payload",
                   width: int = 64, height: int = 64,
                   out_col: str = "thumb",
                   strict: bool = False) -> DataFrame:
-    """Resize plumbing for image payloads: 1:1 mapInPandas adding a
-    ``thumb binary`` column plus its (thumb_w, thumb_h) dims.
+    """Resize for image payloads: 1:1 mapInPandas adding a ``thumb
+    binary`` column plus its (thumb_w, thumb_h) dims.
 
-    The resize kernel is STUBBED (container has no PIL/cv2): the thumb
-    is a deterministic byte downsample of the payload to width·height
-    bytes — a stand-in with the right cardinality and batch shape.
-    ``strict=True`` raises NotImplementedError, the marker that a real
-    codec+resampler must be plugged in here (swap ``_fake_resize`` for
-    ``PIL.Image.open(io.BytesIO(b)).resize((w, h))``)."""
-    if strict:
-        raise NotImplementedError(
-            "real image resize requires PIL/cv2, absent in this "
-            "container; strict=False runs the deterministic stub")
+    PNG payloads take the REAL path: decode (functions/png.py) →
+    nearest-neighbour resample on actual pixels → re-encode as PNG.
+    Non-PNG payloads fall back to the deterministic byte-downsample
+    stub (right cardinality and batch shape, content is a stand-in);
+    ``strict=True`` raises NotImplementedError for them — the marker
+    that a real codec (PIL/ffmpeg) must be plugged in there."""
     n_bytes = width * height
 
     def _fake_resize(b: bytes) -> bytes:
@@ -92,6 +97,15 @@ def resize_images(df: DataFrame, payload_col: str = "payload",
         step = max(1, len(b) // n_bytes)
         return bytes(b[::step][:n_bytes])
 
+    def _resize(b: bytes) -> bytes:
+        if b[:4] == PNG_MAGIC:
+            return encode_png(resize_nearest(decode_png(b), width, height))
+        if strict:
+            raise NotImplementedError(
+                "real non-PNG image resize requires PIL/cv2, absent in "
+                "this container; strict=False runs the deterministic stub")
+        return _fake_resize(b)
+
     schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
                           for f in df.schema.fields)
     schema_str += f", {out_col} binary, thumb_w int, thumb_h int"
@@ -99,9 +113,68 @@ def resize_images(df: DataFrame, payload_col: str = "payload",
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf[out_col] = pdf[payload_col].map(
-                lambda b: _fake_resize(bytes(b)))
+                lambda b: _resize(bytes(b)))
             pdf["thumb_w"] = width
             pdf["thumb_h"] = height
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+# ---------------------------------------------------------------------------
+# Real PNG pixel path (stdlib codec) + formula-keyed fixture images
+# ---------------------------------------------------------------------------
+
+
+def fixture_image(doc_id: int) -> np.ndarray:
+    """Deterministic greyscale fixture keyed on doc_id: dims
+    (8+id%5) × (8+id%7), pixel(x, y) = (id·31 + x·7 + y·13) mod 256.
+    A pure integer formula, so a SQL oracle can recompute any pixel —
+    or any resampled checksum — without a decoder (see the
+    multimodal_png_roundtrip oracle in queries.py)."""
+    w, h = 8 + doc_id % 5, 8 + doc_id % 7
+    x = np.arange(w, dtype=np.int64) * 7
+    y = np.arange(h, dtype=np.int64)[:, None] * 13
+    return ((doc_id * 31 + x + y) % 256).astype(np.uint8)
+
+
+def encode_fixture_pngs(df: DataFrame, id_col: str = "doc_id",
+                        out_col: str = "payload") -> DataFrame:
+    """mapInPandas producing a REAL PNG binary per row from the
+    formula-keyed fixture image — the encode half of the round-trip."""
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += f", {out_col} binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[id_col].map(
+                lambda i: encode_png(fixture_image(int(i))))
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image decode for PNG payloads: adds (width, height,
+    pixel_sum) from actual decoded pixels — no stub, no hash fake.
+    Arrow-batched mapInPandas; non-PNG payloads raise (this is the
+    strict path by construction)."""
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += ", width int, height int, pixel_sum bigint"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims_w, dims_h, sums = [], [], []
+            for b in pdf[payload_col]:
+                px = decode_png(bytes(b))
+                dims_h.append(px.shape[0])
+                dims_w.append(px.shape[1])
+                sums.append(int(px.astype(np.int64).sum()))
+            pdf["width"] = dims_w
+            pdf["height"] = dims_h
+            pdf["pixel_sum"] = sums
             yield pdf
 
     return df.mapInPandas(op, schema=schema_str)

@@ -1521,3 +1521,52 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_recall(emb, "vec_id", "embedding", dim=64,
                           n_queries=8, k=10, n_centroids=16,
                           n_probe=4, n_planes=6)
+
+
+@q("multimodal_png_roundtrip", """
+WITH d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS img_w,
+                  CAST(8 + doc_id % 7 AS INT) AS img_h FROM documents),
+img AS (
+  SELECT d.doc_id, d.img_w, d.img_h,
+         CAST(sum((d.doc_id * 31 + x.g * 7 + y.g * 13) % 256) AS BIGINT)
+           AS img_sum
+  FROM d, generate_series(0, 11) AS x(g), generate_series(0, 13) AS y(g)
+  WHERE x.g < d.img_w AND y.g < d.img_h
+  GROUP BY 1, 2, 3),
+th AS (
+  SELECT d.doc_id,
+         CAST(sum((d.doc_id * 31 + ((x.g * d.img_w) // 4) * 7
+                   + ((y.g * d.img_h) // 4) * 13) % 256) AS BIGINT)
+           AS thumb_sum
+  FROM d, generate_series(0, 3) AS x(g), generate_series(0, 3) AS y(g)
+  GROUP BY 1)
+SELECT img.doc_id, img.img_w, img.img_h, img.img_sum,
+       CAST(4 AS INT) AS thumb_w, CAST(4 AS INT) AS thumb_h, th.thumb_sum
+FROM img JOIN th USING (doc_id)
+""")
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pixels through the multimodal path (r3 — upgrades the
+    component from stub): per doc, a formula-keyed greyscale image is
+    PNG-ENCODED (functions/png.py, scanline filters 0..4 cycled),
+    DECODED back (zlib + unfilter), nearest-neighbour RESIZED on the
+    decoded pixels, RE-ENCODED, and decoded again — dims and pixel sums
+    of both generations are value-checked against a DuckDB oracle that
+    recomputes every pixel arithmetically (no decoder on the oracle
+    side, so the check is independent). All four mapInPandas hops are
+    Arrow-batched; at scale this is one map-only pass, no shuffle."""
+    from .operators.multimodal import (
+        decode_images, encode_fixture_pngs, resize_images,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    pngs = encode_fixture_pngs(docs)
+    dec = decode_images(pngs)
+    r = (resize_images(dec, "payload", width=4, height=4)
+         .drop("payload", "thumb_w", "thumb_h")
+         .withColumnRenamed("width", "img_w")
+         .withColumnRenamed("height", "img_h")
+         .withColumnRenamed("pixel_sum", "img_sum"))
+    out = decode_images(r, "thumb")
+    return out.select("doc_id", "img_w", "img_h", "img_sum",
+                      F.col("width").alias("thumb_w"),
+                      F.col("height").alias("thumb_h"),
+                      F.col("pixel_sum").alias("thumb_sum"))
