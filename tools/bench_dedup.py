@@ -1,0 +1,187 @@
+"""Dedup-at-volume evidence: the two-stage near-dup chain at millions
+of rows, with per-phase walls and shuffle bytes.
+
+The sf0.1 documents corpus (500 docs) verifies correctness but cannot
+stress the 100 TB claims, so this script generates a deterministic
+synthetic corpus (planted near-duplicate rate, pure Spark SQL — no
+driver-side data) at several sizes and runs the REAL production chain
+(jobs/run_dedup.py path: lsh_verified_pairs → resolve_duplicate_groups
+→ keep-one table), recording for each size:
+
+  - per-phase wall seconds (corpus gen+write / pairs / resolve+dedup)
+  - verified-pair, component, and dropped-row counts
+  - shuffle read/write bytes summed over all stages (Spark UI REST)
+
+Linearity between sizes is the evidence: a step whose wall or shuffle
+bytes grow super-linearly in rows is a 100 TB scale-killer.
+
+Usage:
+    python tools/bench_dedup.py --sizes 160000,1600000 \
+        [--dup-frac 0.15] [--out /tmp/dedup_vol] [--md BENCH/DEDUP.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = 50_000
+
+
+def corpus_sql(n_docs: int, dup_frac: float) -> str:
+    """SQL text for the synthetic corpus over spark.range(n_docs).
+
+    Docs [0, n_base) are originals: 30–60 tokens, token j of doc b is
+    'w' || (xxhash64(b, j) mod VOCAB). The hash matters: an AFFINE
+    stream (b·A + j·B mod VOCAB) makes every doc a window onto one
+    global length-VOCAB cycle, welding the whole corpus into a single
+    snake component of huge diameter (measured: label propagation
+    cannot converge). Hashed tokens share a 3-shingle across distinct
+    bases with probability ~VOCAB⁻³ — components are exactly the
+    planted star/cliques, diameter ≤ 2.
+
+    Docs [n_base, n) are planted near-dups: the token stream of a
+    pseudo-random base doc with ONE position substituted (3-shingle
+    Jaccard ≈ 0.8–0.95, above the 0.5 verify threshold)."""
+    n_base = max(1, int(n_docs * (1.0 - dup_frac)))
+    return f"""
+    SELECT id AS doc_id,
+           concat_ws(' ', transform(sequence(0, L - 1), j ->
+             concat('w', CASE WHEN is_dup AND j = pmod(id, L)
+                              THEN pmod(xxhash64(id, j), {VOCAB}) + {VOCAB}
+                              ELSE pmod(xxhash64(base, j), {VOCAB})
+                         END))) AS text
+    FROM (
+      SELECT id, base, is_dup,
+             CAST(30 + pmod(base * 7919, 31) AS INT) AS L
+      FROM (
+        SELECT id,
+               id >= {n_base} AS is_dup,
+               CASE WHEN id >= {n_base}
+                    THEN pmod(id * 1103515245 + 12345, {n_base})
+                    ELSE id END AS base
+        FROM rng))
+    """
+
+
+def shuffle_totals(ui_port: int = 4040) -> tuple[int, int]:
+    """(shuffle_read_bytes, shuffle_write_bytes) summed over all stages
+    so far, via the Spark UI REST API."""
+    base = f"http://localhost:{ui_port}/api/v1/applications"
+    with urllib.request.urlopen(base, timeout=10) as r:
+        apps = json.load(r)
+    app_id = apps[0]["id"]
+    with urllib.request.urlopen(f"{base}/{app_id}/stages", timeout=10) as r:
+        stages = json.load(r)
+    rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return rd, wr
+
+
+def run_size(n_docs: int, dup_frac: float, out: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators import dedup as DD
+    from fluent_bit_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_dedup_{n_docs}",
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.port": "4040"})
+    res: dict = {"n_docs": n_docs, "dup_frac": dup_frac}
+    marks = [(0, 0)]
+
+    def phase(name: str, t0: float) -> None:
+        rd, wr = shuffle_totals()
+        res[f"{name}_wall_s"] = round(time.time() - t0, 1)
+        res[f"{name}_shuffle_read_mb"] = round((rd - marks[-1][0]) / 2**20, 1)
+        res[f"{name}_shuffle_write_mb"] = round((wr - marks[-1][1]) / 2**20, 1)
+        marks.append((rd, wr))
+
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    spark.range(n_docs).createOrReplaceTempView("rng")
+    spark.sql(corpus_sql(n_docs, dup_frac)) \
+        .write.mode("overwrite").parquet(f"{out}/docs")
+    phase("gen", t0)
+
+    docs = spark.read.parquet(f"{out}/docs")
+    t0 = time.time()
+    pairs = DD.lsh_verified_pairs(docs, "doc_id", "text", num_perm=16,
+                                  bands=4, jaccard_threshold=0.5,
+                                  materialize=True)
+    pairs.write.mode("overwrite").parquet(f"{out}/pairs")
+    pairs = spark.read.parquet(f"{out}/pairs")
+    res["pairs"] = pairs.count()
+    phase("pairs", t0)
+
+    t0 = time.time()
+    membership = DD.resolve_duplicate_groups(docs, pairs, "doc_id")
+    membership.write.mode("overwrite").parquet(f"{out}/membership")
+    membership = spark.read.parquet(f"{out}/membership")
+    kept = membership.filter(F.col("keep")).select("doc_id")
+    docs.join(kept, "doc_id", "left_semi") \
+        .write.mode("overwrite").parquet(f"{out}/deduped")
+    res["rows_out"] = spark.read.parquet(f"{out}/deduped").count()
+    res["dropped"] = n_docs - res["rows_out"]
+    phase("resolve", t0)
+
+    res["total_wall_s"] = round(
+        res["gen_wall_s"] + res["pairs_wall_s"] + res["resolve_wall_s"], 1)
+    res["docs_per_sec"] = round(
+        n_docs / (res["pairs_wall_s"] + res["resolve_wall_s"]), 1)
+    spark.stop()
+    return res
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="160000,1600000")
+    ap.add_argument("--dup-frac", type=float, default=0.15)
+    ap.add_argument("--out", default="/tmp/dedup_vol")
+    ap.add_argument("--md", default=None, help="append a markdown report")
+    args = ap.parse_args()
+
+    results = []
+    for n in [int(s) for s in args.sizes.split(",")]:
+        r = run_size(n, args.dup_frac, f"{args.out}/{n}")
+        print(json.dumps(r))
+        results.append(r)
+
+    if args.md and len(results) >= 2:
+        a, b = results[-2], results[-1]
+        ratio = b["n_docs"] / a["n_docs"]
+        lines = [
+            "", f"## Volume run {time.strftime('%Y-%m-%d')} "
+            f"(sizes {args.sizes}, dup_frac {args.dup_frac})", "",
+            "| n_docs | gen s | pairs s | resolve s | pairs found | "
+            "dropped | shuffle R/W MB (pairs) | docs/s |", "|" + "---|" * 8]
+        for r in results:
+            lines.append(
+                f"| {r['n_docs']:,} | {r['gen_wall_s']} | "
+                f"{r['pairs_wall_s']} | {r['resolve_wall_s']} | "
+                f"{r['pairs']:,} | {r['dropped']:,} | "
+                f"{r['pairs_shuffle_read_mb']}/{r['pairs_shuffle_write_mb']}"
+                f" | {r['docs_per_sec']:,} |")
+        wall_x = ((b["pairs_wall_s"] + b["resolve_wall_s"])
+                  / max(a["pairs_wall_s"] + a["resolve_wall_s"], 0.1))
+        shuf_x = (b["pairs_shuffle_write_mb"]
+                  / max(a["pairs_shuffle_write_mb"], 0.1))
+        lines += [
+            "", f"{ratio:.0f}× rows → {wall_x:.1f}× dedup wall, "
+            f"{shuf_x:.1f}× pairs-phase shuffle write "
+            f"({'sub-linear' if wall_x <= ratio else 'SUPER-LINEAR'} "
+            "wall growth).", ""]
+        with open(args.md, "a") as f:
+            f.write("\n".join(lines))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
