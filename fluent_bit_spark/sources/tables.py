@@ -62,6 +62,60 @@ class TableIO:
         else:
             w.parquet(path_or_table)
 
+    def overwrite_partitions(self, df: DataFrame, path_or_table: str,
+                             partition_by: list[str]) -> None:
+        """Replace ONLY the partitions present in ``df``, leaving the
+        rest of the table untouched (the idempotent re-run primitive for
+        a partitioned sink: re-emitting one day/slice must not clobber
+        the others). Iceberg: ``writeTo().overwritePartitions()`` — an
+        atomic snapshot commit. Parquet: dynamic partition-overwrite
+        mode — correct per-partition replacement, but directory swaps
+        are not transactional (same caveat as compact_dir)."""
+        if self.fmt == "iceberg":
+            df.writeTo(path_or_table).overwritePartitions()
+            return
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by) \
+                .parquet(path_or_table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def upsert(self, df: DataFrame, path_or_table: str, key: str) -> None:
+        """MERGE by key: rows in ``df`` replace same-key rows in the
+        target; unmatched rows are inserted. Iceberg: a real MERGE INTO
+        (one atomic commit, scan pruned by the ON clause). Parquet
+        fallback: anti-join the target against the new keys, union,
+        full rewrite through a temp dir + FS swap — correct but O(table)
+        and non-transactional, which is exactly why the production
+        deployment wants the Iceberg branch."""
+        spark = df.sparkSession
+        if self.fmt == "iceberg":
+            src = f"__upsert_src_{abs(hash(path_or_table)) % 99999}"
+            df.createOrReplaceTempView(src)
+            cols = df.columns
+            sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
+            vals = ", ".join(f"s.{c}" for c in cols)
+            spark.sql(
+                f"MERGE INTO {path_or_table} t USING {src} s "
+                f"ON t.{key} = s.{key} "
+                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) "
+                f"VALUES ({vals})")
+            spark.catalog.dropTempView(src)
+            return
+        from ..plans import fsio
+        existing = spark.read.parquet(path_or_table)
+        keep = existing.join(df.select(key), key, "left_anti")
+        merged = keep.unionByName(df)
+        tmp = path_or_table.rstrip("/") + ".upsert_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        fsio.delete(spark, path_or_table)
+        fsio.rename(spark, tmp, path_or_table)
+
 
 def read_tokens(spark: SparkSession, path: str,
                 io: TableIO | None = None) -> DataFrame:

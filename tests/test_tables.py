@@ -63,3 +63,28 @@ def test_compact_dir_shrinks_files_keeps_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000 and stats["rows"] == 10_000
     assert back.agg(F.sum("id")).collect()[0][0] == 10_000 * 9_999 // 2
+
+
+def test_overwrite_partitions_parquet_replaces_only_present(spark, tmp_path):
+    io = TableIO()
+    path = str(tmp_path / "part")
+    base = spark.createDataFrame(
+        [("d1", "s1"), ("d2", "s1"), ("d3", "s2")],
+        "doc_id string, source string")
+    io.write(base, path, partition_by=["source"])
+    io.overwrite_partitions(
+        spark.createDataFrame([("dX", "s2")], "doc_id string, source string"),
+        path, partition_by=["source"])
+    got = {(r.doc_id, r.source) for r in spark.read.parquet(path).collect()}
+    assert got == {("d1", "s1"), ("d2", "s1"), ("dX", "s2")}
+
+
+def test_upsert_parquet_updates_and_inserts(spark, tmp_path):
+    io = TableIO()
+    path = str(tmp_path / "ups")
+    io.write(spark.createDataFrame(
+        [("d1", 3), ("d2", 5)], "doc_id string, n_tok int"), path)
+    io.upsert(spark.createDataFrame(
+        [("d2", 99), ("d4", 1)], "doc_id string, n_tok int"), path, "doc_id")
+    got = {r.doc_id: r.n_tok for r in spark.read.parquet(path).collect()}
+    assert got == {"d1": 3, "d2": 99, "d4": 1}
