@@ -239,19 +239,94 @@ def logfmt_quoted_udf():
 # Time parsing (flb_parser_time_lookup semantics)
 # ---------------------------------------------------------------------------
 
-_STRPTIME_TO_JAVA = [
-    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
-    ("%b", "MMM"), ("%B", "MMMM"), ("%H", "HH"), ("%M", "mm"),
-    ("%S", "ss"), ("%L", "SSS"), ("%z", "xx"), ("%Z", "zz"),
-    ("%p", "a"), ("%I", "hh"), ("%j", "DDD"), ("%e", "d"),
-    ("%T", "HH:mm:ss"), ("%F", "yyyy-MM-dd"),
-]
+_STRPTIME_TO_JAVA = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd",
+    "b": "MMM", "B": "MMMM", "H": "HH", "M": "mm",
+    "S": "ss", "L": "SSS", "f": "SSSSSS", "z": "xx", "Z": "zz",
+    "p": "a", "I": "hh", "j": "DDD", "e": "d",
+    "T": "HH:mm:ss", "F": "yyyy-MM-dd", "%": "%",
+}
 
 
 def strptime_to_java(fmt: str) -> str:
-    for a, b in _STRPTIME_TO_JAVA:
-        fmt = fmt.replace(a, b)
-    return fmt
+    """strptime → Java DateTimeFormatter pattern. Tokenizing translator:
+    literal alphabetic characters (e.g. the ``T``/``Z`` of an ISO-8601
+    format) are Java pattern letters and MUST be single-quoted; embedded
+    quotes are doubled per the DateTimeFormatter literal rules."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        s = "".join(lit)
+        lit.clear()
+        if any(c.isalpha() or c == "'" for c in s):
+            out.append("'" + s.replace("'", "''") + "'")
+        else:
+            out.append(s)
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            if fmt[i + 1 : i + 3] == ":z":  # GNU ext: colon offset +00:00
+                flush()
+                out.append("XXX")
+                i += 3
+                continue
+            d = fmt[i + 1]
+            if d in _STRPTIME_TO_JAVA:
+                flush()
+                out.append(_STRPTIME_TO_JAVA[d])
+                i += 2
+                continue
+        lit.append(c)
+        i += 1
+    flush()
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Syslog parser presets (upstream:conf/parsers.conf syslog-rfc5424 /
+# syslog-rfc3164 [PARSER] blocks) — plain RegexParser instances through
+# the same vectorized extract path as any user-defined parser.
+# ---------------------------------------------------------------------------
+
+
+def syslog_parser(mode: str = "rfc5424",
+                  time_format: str | None = None) -> RegexParser:
+    """The two fluent-bit syslog presets. ``time_format`` overrides the
+    preset's canonical strptime format (e.g. a renderer that emits
+    second-precision ``...SZ`` instead of ``.%L%z``)."""
+    if mode == "rfc5424":
+        return RegexParser(
+            name="syslog-rfc5424",
+            pattern=(r"^<(?P<pri>\d{1,5})>1 (?P<time>[^ ]+) "
+                     r"(?P<host>[^ ]+) (?P<ident>[^ ]+) (?P<pid>[-0-9]+) "
+                     r"(?P<msgid>[^ ]+) (?P<extradata>(?:\[.*?\]|-)) "
+                     r"(?P<message>.+)$"),
+            types={"pri": "integer", "pid": "integer"},
+            time_key="time",
+            time_format=time_format or "%Y-%m-%dT%H:%M:%S.%L%:z")
+    if mode == "rfc3164":
+        return RegexParser(
+            name="syslog-rfc3164",
+            pattern=(r"^<(?P<pri>\d+)>"
+                     r"(?P<time>[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
+                     r"(?P<host>[^ ]+) "
+                     r"(?P<ident>[a-zA-Z0-9_\/\.\-]*)"
+                     r"(?:\[(?P<pid>\d+)\])?(?:[^:]*:)? *(?P<message>.*)$"),
+            types={"pri": "integer", "pid": "integer"},
+            time_key="time",
+            time_format=time_format or "%b %d %H:%M:%S")
+    raise ValueError(f"unknown syslog mode {mode!r}")
+
+
+def syslog_pri_decompose(pri: Column | str) -> tuple[Column, Column]:
+    """RFC 5424 PRI → (facility, severity): pri = facility·8 + severity."""
+    c = F.col(pri) if isinstance(pri, str) else pri
+    return (c / 8).cast(T.IntegerType()), (c % 8).cast(T.IntegerType())
 
 
 def try_strptime(col: Column | str, fmt: str) -> Column:

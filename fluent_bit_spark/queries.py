@@ -1570,3 +1570,63 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("width").alias("thumb_w"),
                       F.col("height").alias("thumb_h"),
                       F.col("pixel_sum").alias("thumb_sum"))
+
+
+@q("parse_syslog", r"""
+WITH lines AS (
+  SELECT event_id,
+         '<' || CAST((event_id * 7) % 192 AS VARCHAR) || '>1 '
+         || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+         || ' host' || CAST(user_id % 10 AS VARCHAR)
+         || ' ' || event_type
+         || ' ' || CAST(user_id AS VARCHAR)
+         || ' ID' || CAST(event_id % 100 AS VARCHAR)
+         || ' - ' || props AS line
+  FROM events),
+p AS (
+  SELECT event_id,
+         regexp_extract(line,
+           '^<(\d{1,5})>1 ([^ ]+) ([^ ]+) ([^ ]+) ([-0-9]+) ([^ ]+) (\[.*?\]|-) (.+)$',
+           ['pri', 'time', 'host', 'ident', 'pid', 'msgid', 'extradata',
+            'message']) AS g
+  FROM lines)
+SELECT event_id,
+       CAST(g.pri::BIGINT // 8 AS INT) AS facility,
+       CAST(g.pri::BIGINT % 8 AS INT) AS severity,
+       strptime(g.time, '%Y-%m-%dT%H:%M:%SZ') AS parsed_ts,
+       g.host AS host, g.ident AS ident,
+       g.pid::BIGINT AS pid, g.msgid AS msgid, g.message AS message
+FROM p
+""")
+def parse_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syslog RFC 5424 preset (upstream:conf/parsers.conf
+    syslog-rfc5424) through the engine's vectorized regex-parser path:
+    syslog lines are RENDERED from the events table (both engines build
+    byte-identical lines), then parsed back via apply_regex_parser —
+    typed PRI split into facility/severity, strptime time key, pandas
+    UDF extract. A genuine cross-engine parse: DuckDB re-parses the
+    same lines with its own RE2 regexp_extract."""
+    from .functions.parsers import (
+        apply_regex_parser, syslog_parser, syslog_pri_decompose,
+    )
+    ev = t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<"), ((F.col("event_id") * 7) % 192).cast("string"),
+            F.lit(">1 "),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit(" host"), (F.col("user_id") % 10).cast("string"),
+            F.lit(" "), F.col("event_type"),
+            F.lit(" "), F.col("user_id").cast("string"),
+            F.lit(" ID"), (F.col("event_id") % 100).cast("string"),
+            F.lit(" - "), F.col("props")).alias("line"))
+    parser = syslog_parser("rfc5424", time_format="%Y-%m-%dT%H:%M:%SZ")
+    parsed = apply_regex_parser(lines, parser, key="line", out="p")
+    fac, sev = syslog_pri_decompose(F.col("p.pri"))
+    return parsed.select(
+        "event_id", fac.alias("facility"), sev.alias("severity"),
+        F.col("p.time").alias("parsed_ts"),
+        F.col("p.host").alias("host"), F.col("p.ident").alias("ident"),
+        F.col("p.pid").alias("pid"), F.col("p.msgid").alias("msgid"),
+        F.col("p.message").alias("message"))

@@ -200,3 +200,43 @@ def test_decode_escaped_roundtrip_random(spark):
            df.select("i", decode_escaped("e").alias("d")).collect()}
     for i, s in enumerate(corpus):
         assert got[i] == s, (i, repr(s), repr(escaped[i]), repr(got[i]))
+
+
+def test_strptime_to_java_quotes_literals():
+    # Literal pattern-letter characters (ISO-8601 T / Z) must be quoted
+    # or DateTimeFormatter rejects/misreads them.
+    assert strptime_to_java("%Y-%m-%dT%H:%M:%SZ") == \
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    assert strptime_to_java("%Y-%m-%dT%H:%M:%S.%L%z") == \
+        "yyyy-MM-dd'T'HH:mm:ss.SSSxx"
+    assert strptime_to_java("%%Y") == "%'Y'"
+
+
+def test_syslog_presets(spark):
+    from fluent_bit_spark.functions.parsers import (
+        syslog_parser, syslog_pri_decompose)
+    lines = [
+        ("<165>1 2024-01-02T03:04:05.123+00:00 web01 app 4242 ID47 "
+         "[x a=\"1\"] Started job",),
+        ("not syslog at all",),
+    ]
+    df = spark.createDataFrame(lines, ["line"])
+    p = syslog_parser("rfc5424")
+    out = apply_regex_parser(df, p, key="line", out="g")
+    fac, sev = syslog_pri_decompose(F.col("g.pri"))
+    rows = out.select("g", fac.alias("fac"), sev.alias("sev")).collect()
+    ok = [r for r in rows if r.g is not None][0]
+    assert ok.g.pri == 165 and ok.fac == 20 and ok.sev == 5
+    assert ok.g.host == "web01" and ok.g.pid == 4242
+    assert ok.g.message == "Started job"
+    assert ok.g.time == dt.datetime(2024, 1, 2, 3, 4, 5, 123000)
+    assert sum(1 for r in rows if r.g is None) == 1
+
+    df2 = spark.createDataFrame(
+        [("<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed",)],
+        ["line"])
+    r = apply_regex_parser(df2, syslog_parser("rfc3164"),
+                           key="line", out="g").collect()[0]
+    assert r.g is not None and r.g.pri == 34 and r.g.host == "mymachine"
+    assert r.g.ident == "su" and r.g.pid == 230
+    assert r.g.message == "'su root' failed"
