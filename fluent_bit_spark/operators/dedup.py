@@ -389,7 +389,12 @@ def resolve_duplicate_groups(docs: DataFrame, pairs: DataFrame,
 
     Scale shape: each round is one equi-join (labels ⋈ edges) + one
     groupBy-min with map-side partials — all key-partitioned shuffles,
-    no broadcast of anything unbounded. ``pairs`` and each round's
+    no broadcast of anything unbounded. Propagation runs ONLY over
+    nodes that appear in at least one pair (a doc in no pair can never
+    change label), so per-round shuffle volume is proportional to the
+    duplicate population, not the corpus: at a 10-15% dup rate the loop
+    touches ~1/7th of the rows it otherwise would, and the full-corpus
+    table is joined exactly once at the end. ``pairs`` and each round's
     labels are materialized per round so the (possibly expensive)
     pair-generation plan runs ONCE and lineage doesn't grow with
     iterations. ``checkpoint="local"`` (default) uses
@@ -415,8 +420,10 @@ def resolve_duplicate_groups(docs: DataFrame, pairs: DataFrame,
     edges = _ckpt(pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
                   .union(pairs.select(F.col(d2).alias("a"),
                                       F.col(d1).alias("b"))))
-    labels = _ckpt(docs.select(F.col(id_col).alias("node"),
-                               F.col(id_col).alias("label")))
+    # Both directions are present, so column "a" alone enumerates every
+    # endpoint; docs outside this set keep label == self by definition.
+    labels = _ckpt(edges.select(F.col("a").alias("node")).distinct()
+                   .withColumn("label", F.col("node")))
     converged = False
     for _ in range(max_iters):
         msgs = (edges.join(labels, edges["a"] == labels["node"])
@@ -437,6 +444,9 @@ def resolve_duplicate_groups(docs: DataFrame, pairs: DataFrame,
             f"resolve_duplicate_groups did not converge in {max_iters} "
             f"rounds — a component chain is longer than max_iters; raise "
             f"max_iters (a partial result would be silently wrong)")
-    return labels.select(F.col("node").alias(id_col),
-                         F.col("label").alias("canonical_id"),
-                         (F.col("label") == F.col("node")).alias("keep"))
+    return (docs.select(F.col(id_col))
+            .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("label", id_col).alias("canonical_id"),
+                    (F.coalesce("label", id_col) == F.col(id_col))
+                    .alias("keep")))
