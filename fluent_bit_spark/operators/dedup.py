@@ -189,7 +189,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5,
                       shingle_n: int = 3,
                       hash_fn: str = "xxhash64",
-                      shingles: DataFrame | None = None) -> DataFrame:
+                      shingles: DataFrame | None = None,
+                      materialize: bool = False) -> DataFrame:
     """Banded LSH candidate generation + signature-similarity verify.
 
     bands×rows = num_perm; a pair collides if any band's row-slice hashes
@@ -200,12 +201,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     band hash to md5+affine arithmetic that an ANSI-SQL engine can
     reproduce exactly — the DuckDB-oracled configuration
     (queries.dedup_minhash_portable); xxhash64 is the faster default.
+
+    ``materialize=True`` localCheckpoints the (small: num_perm longs/doc)
+    signature frame and switches the band self-join to an IDS-ONLY
+    exchange — each band entry then carries (doc, band, bh) instead of
+    dragging the full signature array through the widest shuffle of the
+    chain (bands× per doc per side); signatures re-attach to the
+    surviving candidate pairs via two narrow equi-joins. Identical
+    output; at 16M docs / 4 bands this cuts the band-exchange payload
+    ~5×. Off by default because without a checkpoint the three sig
+    branches would re-run the signature aggregation.
     """
     rows = num_perm // bands
     sig = minhash_signature_from_shingles(
         shingles if shingles is not None
         else shingle_frame(df, id_col, text_col, shingle_n),
         num_perm, hash_fn=hash_fn)
+    if materialize:
+        sig = sig.localCheckpoint(eager=True)
 
     def band_hash(b: int) -> Column:
         if hash_fn == "portable":
@@ -217,28 +230,45 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         return F.xxhash64(*[F.col("sig")[b * rows + r]
                             for r in range(rows)])
 
-    band_entries = sig.select(
-        "doc", "sig",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
-            for b in range(bands)])).alias("e")
-    ).select("doc", "sig", "e.band", "e.bh")
-    a = band_entries.select(F.col("doc").alias("d1"),
-                            F.col("sig").alias("sig1"), "band", "bh")
-    b = band_entries.select(F.col("doc").alias("d2"),
-                            F.col("sig").alias("sig2"), "band", "bh")
-    # Dedupe candidate pairs keyed on (d1, d2) ONLY — a pair colliding in
-    # k bands appears k times, and a .distinct() over (d1,d2,sig1,sig2)
-    # would hash and shuffle two 16×8-byte arrays per row just to compare
-    # keys that the ids alone determine (sig is a function of doc).
-    # first() keeps one sig pair per group with map-side partials, so the
-    # exchange carries each surviving pair once. Measured at sf0.1:
-    # 5.07s → ~2× faster (BENCH_r01 → r02).
-    cand = (a.join(b, ["band", "bh"])
-             .filter(F.col("d1") < F.col("d2"))
-             .groupBy("d1", "d2")
-             .agg(F.first("sig1").alias("sig1"),
-                  F.first("sig2").alias("sig2")))
+    if materialize:
+        band_entries = sig.select(
+            "doc",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+                for b in range(bands)])).alias("e")
+        ).select("doc", "e.band", "e.bh")
+        a = band_entries.select(F.col("doc").alias("d1"), "band", "bh")
+        b = band_entries.select(F.col("doc").alias("d2"), "band", "bh")
+        cand = (a.join(b, ["band", "bh"])
+                 .filter(F.col("d1") < F.col("d2"))
+                 .select("d1", "d2").distinct()
+                 .join(sig.select(F.col("doc").alias("d1"),
+                                  F.col("sig").alias("sig1")), "d1")
+                 .join(sig.select(F.col("doc").alias("d2"),
+                                  F.col("sig").alias("sig2")), "d2"))
+    else:
+        band_entries = sig.select(
+            "doc", "sig",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+                for b in range(bands)])).alias("e")
+        ).select("doc", "sig", "e.band", "e.bh")
+        a = band_entries.select(F.col("doc").alias("d1"),
+                                F.col("sig").alias("sig1"), "band", "bh")
+        b = band_entries.select(F.col("doc").alias("d2"),
+                                F.col("sig").alias("sig2"), "band", "bh")
+        # Dedupe candidate pairs keyed on (d1, d2) ONLY — a pair
+        # colliding in k bands appears k times, and a .distinct() over
+        # (d1,d2,sig1,sig2) would hash and shuffle two 16×8-byte arrays
+        # per row just to compare keys that the ids alone determine (sig
+        # is a function of doc). first() keeps one sig pair per group
+        # with map-side partials, so the exchange carries each surviving
+        # pair once. Measured at sf0.1: 5.07s → ~2× faster (r01 → r02).
+        cand = (a.join(b, ["band", "bh"])
+                 .filter(F.col("d1") < F.col("d2"))
+                 .groupBy("d1", "d2")
+                 .agg(F.first("sig1").alias("sig1"),
+                      F.first("sig2").alias("sig2")))
     est = cand.withColumn(
         "est_jaccard",
         F.size(F.filter(F.zip_with("sig1", "sig2",
@@ -344,7 +374,7 @@ def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
         sh = sh.localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands,
                              cand_threshold, shingle_n, hash_fn,
-                             shingles=sh) \
+                             shingles=sh, materialize=materialize) \
         .select("d1", "d2")
     cnt = sh.groupBy("doc").agg(F.count("*").alias("c"))
     sh1 = sh.select(F.col("doc").alias("d1"), "s")
