@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 def spread(df: DataFrame) -> DataFrame:
     """Ensure the CPU-heavy stages downstream (shingle explode + k hashes
@@ -190,7 +191,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       shingle_n: int = 3,
                       hash_fn: str = "xxhash64",
                       shingles: DataFrame | None = None,
-                      materialize: bool = False) -> DataFrame:
+                      materialize: bool | str = False) -> DataFrame:
     """Banded LSH candidate generation + signature-similarity verify.
 
     bands×rows = num_perm; a pair collides if any band's row-slice hashes
@@ -355,7 +356,7 @@ def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
                        jaccard_threshold: float = 0.5,
                        shingle_n: int = 3,
                        hash_fn: str = "portable",
-                       materialize: bool = False) -> DataFrame:
+                       materialize: bool | str = False) -> DataFrame:
     """The canonical two-stage scale dedup: MinHash+LSH candidate
     generation (cheap, linear) followed by EXACT shingle-Jaccard verify
     restricted to candidate pairs — the standalone all-pairs shingle
@@ -368,9 +369,20 @@ def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     it per branch (reuse only happens at exchange boundaries).
     ``materialize=True`` localCheckpoints it once — worth it whenever
     the explode is non-trivial; on a cluster use a reliable checkpoint
-    dir instead if executor loss mid-query must be survivable."""
+    dir instead if executor loss mid-query must be survivable.
+
+    ``materialize="disk"`` is the VOLUME mode: the shingle frame is
+    ~40-50× the corpus in rows, and localCheckpoint stores it as
+    DESERIALIZED MEMORY_AND_DISK blocks — measured at 16M docs that is
+    ~1.3 GB/partition (~40 GB total), which fills the unified region's
+    protected storage half and starves the signature hash-aggregate
+    into AGGREGATE_OUT_OF_MEMORY. DISK_ONLY persist keeps the frame
+    out of the heap entirely (serialized, one sequential write/read
+    per branch) while still computing the explode once."""
     sh = shingle_frame(df, id_col, text_col, shingle_n)
-    if materialize:
+    if materialize == "disk":
+        sh = sh.persist(StorageLevel.DISK_ONLY)
+    elif materialize:
         sh = sh.localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands,
                              cand_threshold, shingle_n, hash_fn,

@@ -91,7 +91,14 @@ def run_size(n_docs: int, dup_frac: float, out: str) -> dict:
     from fluent_bit_spark.operators import dedup as DD
     from fluent_bit_spark.session import get_spark
 
+    # Shuffle-partition count scales with corpus size so one reduce task
+    # never owns more than ~5M shingle rows (the 100 TB posture: size
+    # partitions for the SHINGLE frame, ~45× the doc count, not the doc
+    # count itself). 32 partitions at 16M docs put ~21M shingle rows in
+    # one verify-join task — spill territory.
+    shuf = max(32, min(512, n_docs // 125_000))
     spark = get_spark(app_name=f"bench_dedup_{n_docs}",
+                      shuffle_partitions=shuf,
                       extra_conf={"spark.ui.enabled": "true",
                                   "spark.ui.port": "4040"})
     res: dict = {"n_docs": n_docs, "dup_frac": dup_frac}
@@ -113,9 +120,13 @@ def run_size(n_docs: int, dup_frac: float, out: str) -> dict:
 
     docs = spark.read.parquet(f"{out}/docs")
     t0 = time.time()
+    # materialize="disk": the shingle frame at 16M docs is ~700M rows;
+    # localCheckpoint (deserialized MEMORY_AND_DISK) filled the unified
+    # region and starved the signature hash-aggregate (observed
+    # AGGREGATE_OUT_OF_MEMORY); DISK_ONLY keeps it off-heap entirely.
     pairs = DD.lsh_verified_pairs(docs, "doc_id", "text", num_perm=16,
                                   bands=4, jaccard_threshold=0.5,
-                                  materialize=True)
+                                  materialize="disk")
     pairs.write.mode("overwrite").parquet(f"{out}/pairs")
     pairs = spark.read.parquet(f"{out}/pairs")
     res["pairs"] = pairs.count()
