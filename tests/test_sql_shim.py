@@ -105,3 +105,41 @@ def test_contains_on_map_is_presence(spark):
     got = sp.sql("SELECT i FROM STREAM:m WHERE @record.contains("
                  "fields['k'])").collect()
     assert [r.i for r in got] == [1]
+
+
+def test_having_and_limit_pass_through(sp):
+    """HAVING and LIMIT are plain ANSI tails the shim must forward
+    untouched (upstream sql.y accepts both on aggregate selects)."""
+    got = sp.sql(
+        "SELECT tag, COUNT(*) AS c FROM STREAM:logs "
+        "GROUP BY tag HAVING COUNT(*) > 1;").collect()
+    assert {(r.tag, r.c) for r in got} == {
+        ("app.web.apache", 2), ("app.db.ltsv", 2)}
+    got = sp.sql(
+        "SELECT tag, n_tok FROM STREAM:logs "
+        "ORDER BY n_tok DESC LIMIT 2;").collect()
+    assert [(r.tag, r.n_tok) for r in got] == [
+        ("app.web.apache", 10), ("sys.kernel", 9)]
+
+
+def test_window_group_by_with_having_tail(sp):
+    """The window expression must be spliced into the GROUP BY key list
+    BEFORE a HAVING tail — the tail regex marks the end of the keys; a
+    naive append-at-end would produce `GROUP BY tag HAVING ... , window`
+    (a parse error)."""
+    df = sp.sql(
+        "SELECT tag, SUM(n_tok) AS s FROM STREAM:logs "
+        "WINDOW TUMBLING (1 MINUTE) GROUP BY tag HAVING SUM(n_tok) >= 9;")
+    got = {(r.win_start.isoformat(), r.tag): r.s for r in df.collect()}
+    assert got == {("2026-01-01T00:00:00", "app.web.apache"): 13,
+                   ("2026-01-01T00:02:00", "sys.kernel"): 9}
+
+
+def test_window_group_by_with_limit_tail(sp):
+    """Same splice-before-tail contract for LIMIT after GROUP BY."""
+    df = sp.sql(
+        "SELECT tag, SUM(n_tok) AS s FROM STREAM:logs "
+        "WINDOW TUMBLING (1 MINUTE) GROUP BY tag "
+        "ORDER BY s DESC LIMIT 1;")
+    got = [(r.win_start.isoformat(), r.tag, r.s) for r in df.collect()]
+    assert got == [("2026-01-01T00:00:00", "app.web.apache", 13)]
