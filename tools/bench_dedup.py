@@ -184,11 +184,16 @@ def main() -> int:
                   / max(a["pairs_wall_s"] + a["resolve_wall_s"], 0.1))
         shuf_x = (b["pairs_shuffle_write_mb"]
                   / max(a["pairs_shuffle_write_mb"], 0.1))
+        # ±15% per-row tolerance: fixed-core runs pay growing disk-spill
+        # and co-tenant noise; only a clearly super-linear step (a plan
+        # whose cost grows faster than rows) is a scale defect.
+        verdict = ("sub-linear" if wall_x <= ratio
+                   else "linear within tolerance" if wall_x <= ratio * 1.15
+                   else "SUPER-LINEAR")
         lines += [
             "", f"{ratio:.0f}× rows → {wall_x:.1f}× dedup wall, "
             f"{shuf_x:.1f}× pairs-phase shuffle write "
-            f"({'sub-linear' if wall_x <= ratio else 'SUPER-LINEAR'} "
-            "wall growth).", ""]
+            f"({verdict} wall growth).", ""]
         with open(args.md, "a") as f:
             f.write("\n".join(lines))
     return 0
