@@ -37,7 +37,7 @@ import os
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -64,6 +64,41 @@ def build_stream_stages(spark: SparkSession, stream_df: DataFrame,
                         spec: PipelineSpec) -> DataFrame:
     """Stateless stages lifted to streaming — identical plan builders."""
     return build_stages(spark, stream_df, spec)
+
+
+def rate_tokens_stream(spark: SparkSession, pool_df: DataFrame,
+                       rows_per_second: int,
+                       ramp_up_seconds: int = 0) -> DataFrame:
+    """in_dummy/in_random at a controlled rate: the built-in rate source
+    emits (timestamp, value) at ``rows_per_second``; each row picks a
+    record from a small static ``pool_df`` (the fixture tokens table) by
+    ``value mod pool_size`` via a stream-static BROADCAST join — no
+    shuffle, no state — and gets a unique doc_id suffix. Output schema
+    is exactly TOKENS_SCHEMA, so the full stage chain (detok-parse →
+    grep → enrich → route) runs unchanged on top. This is the soak
+    surface: drive the stages at a target rate and read achieved
+    throughput off the query progress (numInputRows / batchDuration).
+
+    Reference analogue: in_random's fixed-interval record generator
+    (upstream:plugins/in_random/random.c) — there a timer callback per
+    record, here a rate-limited source the engine scales by partitioning.
+    """
+    pool = pool_df.select("doc_id", "tokens", "n_tok", "source")
+    n_pool = pool.count()
+    w = Window.orderBy("doc_id")
+    indexed = pool.withColumn("__idx",
+                              F.row_number().over(w).cast("long") - 1)
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", str(rows_per_second)))
+    if ramp_up_seconds:
+        rate = rate.option("rampUpTime", f"{ramp_up_seconds}s")
+    return (rate.load()
+            .withColumn("__idx", F.pmod(F.col("value"), F.lit(n_pool)))
+            .join(F.broadcast(indexed), "__idx")
+            .select(
+                F.concat_ws("-", "doc_id",
+                            F.col("value").cast("string")).alias("doc_id"),
+                "tokens", "n_tok", "source"))
 
 
 # ---------------------------------------------------------------------------
@@ -138,6 +173,43 @@ def start_pipeline_stream(spark: SparkSession, spec: PipelineSpec,
          .foreachBatch(foreach_batch_fanout(spec, output_dir))
          .option("checkpointLocation",
                  checkpoint_dir or os.path.join(output_dir, "_stream_ckpt")))
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()
+
+
+def start_windowed_agg_stream(spark: SparkSession, spec: PipelineSpec,
+                              landing_dir: str, output_dir: str,
+                              window: str = "10 seconds",
+                              watermark: str = "30 seconds",
+                              ts_expr: str = "current_timestamp()",
+                              checkpoint_dir: str | None = None,
+                              available_now: bool = True):
+    """The SP windowed-aggregate SINK deployment: source → stages →
+    tumbling counts per tag → append-mode parquet. Append mode emits a
+    window only once its watermark closes — the streaming analogue of
+    the SP flush (upstream:src/stream_processor/flb_sp_window.c), but
+    late-data-correct. availableNow's final no-data batch advances the
+    watermark past all drained data, so a backfill run flushes every
+    complete window deterministically.
+
+    ``ts_expr`` defines event time as a SQL expression over the routed
+    columns. The default (ingest time) reproduces the reference's
+    processing-time window semantics; pass a record-derived expression
+    (e.g. over ``fields.ts_raw``) for event-time-exact, deterministic
+    windows."""
+    routed = build_stream_stages(
+        spark, read_tokens_stream(spark, landing_dir), spec)
+    counts = windowed_tag_counts(
+        routed.filter(F.col("dlq_reason").isNull())
+              .withColumn("event_ts", F.expr(ts_expr)),
+        window=window, watermark=watermark)
+    q = (counts.writeStream.outputMode("append")
+         .format("parquet")
+         .option("path", os.path.join(output_dir, "windowed_counts"))
+         .option("checkpointLocation",
+                 checkpoint_dir
+                 or os.path.join(output_dir, "_windowed_ckpt")))
     if available_now:
         q = q.trigger(availableNow=True)
     return q.start()

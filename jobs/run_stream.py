@@ -27,6 +27,17 @@ def main() -> int:
     ap.add_argument("--continuous", action="store_true")
     ap.add_argument("--gen-rows", type=int, default=0)
     ap.add_argument("--lookup", default=None)
+    ap.add_argument("--windowed-agg", action="store_true",
+                    help="also run the SP windowed-counts sink "
+                         "(append-mode parquet under output/windowed_counts)")
+    ap.add_argument("--window", default="10 seconds")
+    ap.add_argument("--ts-expr", default="current_timestamp()",
+                    help="SQL expr for event time (default: ingest time, "
+                         "the reference's processing-time posture)")
+    ap.add_argument("--soak-rate", type=int, default=0,
+                    help="rows/sec: run the rate-source soak instead of "
+                         "the landing-dir drain")
+    ap.add_argument("--soak-seconds", type=int, default=30)
     args = ap.parse_args()
 
     from fluent_bit_spark import fixtures as fx
@@ -34,7 +45,7 @@ def main() -> int:
     from fluent_bit_spark.plans.pipeline import PipelineSpec
     from fluent_bit_spark.session import get_spark
     from fluent_bit_spark.streaming.stream_pipeline import \
-        start_pipeline_stream
+        start_pipeline_stream, start_windowed_agg_stream
 
     if args.gen_rows and not os.path.exists(args.landing):
         fx.generate_tokens_table(
@@ -51,12 +62,73 @@ def main() -> int:
         routes=[Route(*r) for r in fx.DEFAULT_ROUTES],
         lookup_path=lookup,
     )
+    if args.soak_rate:
+        report = run_soak(spark, spec, args.landing, args.soak_rate,
+                          args.soak_seconds)
+        print(json.dumps(report))
+        spark.stop()
+        return 0
+
     q = start_pipeline_stream(spark, spec, args.landing, args.output,
                               available_now=not args.continuous)
+    qw = None
+    if args.windowed_agg:
+        qw = start_windowed_agg_stream(
+            spark, spec, args.landing, args.output,
+            window=args.window, ts_expr=args.ts_expr,
+            available_now=not args.continuous)
     q.awaitTermination()
-    print(json.dumps({"stopped": True, "output": args.output}))
+    if qw is not None:
+        qw.awaitTermination()
+    print(json.dumps({"stopped": True, "output": args.output,
+                      "windowed_agg": bool(qw)}))
     spark.stop()
     return 0
+
+
+def run_soak(spark, spec, pool_path: str, rate: int, seconds: int) -> dict:
+    """Rate-source soak: drive the full stage chain at ``rate`` rows/sec
+    for ``seconds``, sink = per-batch count only (out_null), report
+    achieved throughput from the query progress log. The pool table
+    (``--landing``) supplies real token content; the rate source
+    replays it with unique doc_ids."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        build_stream_stages, rate_tokens_stream)
+
+    pool = spark.read.parquet(pool_path)
+    stream = rate_tokens_stream(spark, pool, rate)
+    routed = build_stream_stages(spark, stream, spec)
+    totals = {"rows": 0, "dlq": 0}
+
+    def count_batch(df, batch_id):
+        agg = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("dlq_reason").isNotNull().cast("long")).alias("d")
+        ).collect()[0]
+        totals["rows"] += agg.n or 0
+        totals["dlq"] += agg.d or 0
+
+    q = (routed.writeStream.foreachBatch(count_batch)
+         .option("checkpointLocation", "/tmp/_soak_ckpt_" + str(os.getpid()))
+         .start())
+    t0 = time.time()
+    q.awaitTermination(seconds)
+    q.stop()
+    q.awaitTermination()
+    wall = time.time() - t0
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    return {
+        "soak_rate_requested": rate,
+        "soak_seconds": round(wall, 1),
+        "rows": totals["rows"],
+        "dlq": totals["dlq"],
+        "batches": len(batches),
+        "achieved_rows_per_sec": round(totals["rows"] / max(wall, 0.001), 1),
+    }
 
 
 if __name__ == "__main__":

@@ -317,3 +317,64 @@ def test_multiline_stateful_late_line_survives(spark, tmp_path):
     rows = {(r.stream, r.event) for r in
             spark.sql("SELECT * FROM ml_late").collect()}
     assert ("s1", "START late\n cont") in rows
+
+
+def test_rate_source_soak_smoke(spark, landing, spec, tmp_path):
+    """in_random analogue: the rate source drives the FULL stage chain
+    at a controlled rate; rows reach the router with the same columns
+    as the file-source path and unique doc_ids."""
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        build_stream_stages, rate_tokens_stream)
+    pool = spark.read.parquet(os.path.join(landing, "f0.parquet"))
+    stream = rate_tokens_stream(spark, pool, rows_per_second=2000)
+    routed = build_stream_stages(spark, stream, spec)
+    assert {"tag", "sinks", "dlq_reason"} <= set(routed.columns)
+    totals = {"rows": 0, "distinct_ids": 0}
+
+    def count_batch(df, batch_id):
+        agg = df.agg(F.count("*").alias("n"),
+                     F.countDistinct("doc_id").alias("d")).collect()[0]
+        totals["rows"] += agg.n
+        totals["distinct_ids"] += agg.d
+
+    q = (routed.writeStream.foreachBatch(count_batch)
+         .option("checkpointLocation", str(tmp_path / "soak_ckpt"))
+         .start())
+    q.awaitTermination(12)
+    q.stop()
+    q.awaitTermination()
+    assert totals["rows"] > 0
+    # value-suffix makes every emitted doc_id unique even though the
+    # pool repeats
+    assert totals["distinct_ids"] == totals["rows"]
+
+
+def test_windowed_agg_stream_backfill(spark, landing, spec, tmp_path):
+    """start_windowed_agg_stream in availableNow mode flushes exactly
+    the batch windows whose end the final watermark passed (append-mode
+    determinism; the no-data batch advances the watermark)."""
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        start_windowed_agg_stream)
+    out = str(tmp_path / "win_out")
+    ts_expr = ("timestamp_seconds(1767225600 + "
+               "CAST(regexp_extract(doc_id, '(\\\\d+)', 1) AS LONG) % 600)")
+    q = start_windowed_agg_stream(spark, spec, landing, out,
+                                  window="60 seconds",
+                                  watermark="0 seconds", ts_expr=ts_expr)
+    q.awaitTermination(300)
+    got = {(r.win.start, r.tag): (r.records, r.n_tok_sum)
+           for r in spark.read.parquet(
+               os.path.join(out, "windowed_counts")).collect()}
+
+    batch = (build_stages(spark, spark.read.parquet(landing), spec)
+             .filter(F.col("dlq_reason").isNull())
+             .withColumn("event_ts", F.expr(ts_expr)))
+    max_ts = batch.agg(F.max("event_ts")).collect()[0][0]
+    want_df = (batch.groupBy(F.window("event_ts", "60 seconds").alias("win"),
+                             "tag")
+               .agg(F.count("*").alias("records"),
+                    F.sum("n_tok").alias("n_tok_sum"))
+               .filter(F.col("win.end") <= F.lit(max_ts)))
+    want = {(r.win.start, r.tag): (r.records, r.n_tok_sum)
+            for r in want_df.collect()}
+    assert got == want and len(got) > 0
