@@ -244,6 +244,82 @@ def lsh_bucket(vec_col: str | Column, dim: int, n_planes: int = 8,
     return acc
 
 
+def lsh_dots_sql(vec_sql: str, dim: int, n_planes: int = 8,
+                 planes: list[list[float]] | None = None,
+                 tag: str = "plane") -> str:
+    """SQL text for the array of signed plane margins (dot products) —
+    the shared input of the base bucket and the multi-probe flip
+    ranking. Materialize it once with ``withColumn`` so each dot is
+    computed a single time."""
+    planes = planes or portable_planes(dim, n_planes, tag)
+    v = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
+    return ("array(" + ", ".join(
+        _dot_sql(v, _vec_sql(planes[p])) for p in range(n_planes)) + ")")
+
+
+def lsh_probes_from_dots_sql(dots_col: str, n_planes: int,
+                             n_probe: int) -> str:
+    """SQL array<bigint> of multi-probe buckets from a margins array:
+    the base sign bucket plus the (n_probe−1) Hamming-distance-1
+    neighbors obtained by flipping the planes with the SMALLEST |margin|
+    (the least-confident sign decisions — classic multi-probe LSH,
+    Lv et al. VLDB'07). Rank-by-margin is a size(filter(...)) count
+    with an index tiebreak, so the probe order is deterministic and an
+    ANSI-SQL oracle reproduces it exactly. All higher-order functions —
+    fine, because this evaluates on the QUERY side (one row), never on
+    the base scan."""
+    d = f"element_at({dots_col}, p + 1)"
+    dq = f"element_at({dots_col}, q + 1)"
+    base = "(" + " + ".join(
+        f"(CASE WHEN element_at({dots_col}, {p + 1}) > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p in range(n_planes)) + ")"
+    rank = (f"size(filter(sequence(0, {n_planes - 1}), "
+            f"q -> q != p AND (abs({dq}) < abs({d}) "
+            f"OR (abs({dq}) = abs({d}) AND q < p))))")
+    return (f"concat(array({base}), "
+            f"transform(filter(sequence(0, {n_planes - 1}), "
+            f"p -> {rank} < {n_probe - 1}), "
+            f"p -> ({base} ^ shiftleft(CAST(1 AS BIGINT), p))))")
+
+
+def ann_multiprobe_topk(df: DataFrame, id_col: str, vec_col: str,
+                        dim: int, query_vec: list[float], k: int = 10,
+                        n_planes: int = 6, n_probe: int = 3,
+                        planes: list[list[float]] | None = None
+                        ) -> DataFrame:
+    """Top-k serving via multi-probe hyperplane LSH — the scale answer
+    to single-probe's near-zero recall on near-orthogonal vectors
+    (measured by ann_recall: one bucket holds ~2^-planes of the base).
+    Probing the query's bucket plus its lowest-margin Hamming-1
+    neighbors multiplies the candidate share by ~n_probe while keeping
+    the base side UNTOUCHED: still one map-only bucket expression per
+    row, a pushable ``bucket IN (probes)`` filter, then cosine +
+    TakeOrderedAndProject. No new index, no extra shuffle.
+
+    The probe set is evaluated engine-side on a one-row frame (the
+    same double-fold arithmetic as the base bucket, so a borderline
+    sign never disagrees between query and base) and collected —
+    n_probe ints, the only driver transfer."""
+    spark = df.sparkSession
+    qsql = _vec_sql([float(x) for x in query_vec])
+    probes_row = (spark.range(1)
+                  .select(F.expr(lsh_dots_sql(qsql, dim, n_planes,
+                                              planes)).alias("d"))
+                  .select(F.expr(lsh_probes_from_dots_sql(
+                      "d", n_planes, n_probe)).alias("pl"))
+                  .collect()[0])
+    probes = [int(x) for x in probes_row.pl]
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket(vec_col, dim, n_planes, planes).alias("bk"))
+    cand = base.filter(F.col("bk").isin(probes))
+    out = cand.withColumn("cos", cosine(F.col("v"), F.expr(qsql)))
+    return (out.select(id_col, "cos")
+            .orderBy(F.desc("cos"), F.col(id_col)).limit(k))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str, vec_col: str,
                         dim: int, n_planes: int = 8,
                         threshold: float = 0.8) -> DataFrame:

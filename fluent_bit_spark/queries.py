@@ -789,6 +789,66 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2", F.round("cos", 5).alias("cos"))
 
 
+def _lsh_multiprobe_oracle(dim: int = 64, n_planes: int = 6,
+                           n_probe: int = 3, k: int = 10) -> str:
+    """DuckDB oracle for multi-probe LSH top-k: identical plane
+    literals; the probe set (base bucket + lowest-|margin| Hamming-1
+    flips) is computed with the same rank-by-margin arithmetic the
+    Spark expression uses (operators/similarity.py
+    lsh_probes_from_dots_sql)."""
+    planes = SIM.portable_planes(dim, n_planes)
+
+    def bucket(v: str) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN list_dot_product({v}, ["
+            + ", ".join(repr(c) for c in planes[p])
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)) + ")"
+
+    dots = ("[" + ", ".join(
+        f"list_dot_product(qv, ["
+        + ", ".join(repr(c) for c in planes[p]) + "])"
+        for p in range(n_planes)) + "]")
+    rank = (f"len(list_filter(range(0, {n_planes}), "
+            f"q -> q != p AND (abs(d[q + 1]) < abs(d[p + 1]) "
+            f"OR (abs(d[q + 1]) = abs(d[p + 1]) AND q < p))))")
+    probes = (f"list_concat([base], "
+              f"list_transform(list_filter(range(0, {n_planes}), "
+              f"p -> {rank} < {n_probe - 1}), "
+              f"p -> xor(base, CAST(1 << p AS BIGINT))))")
+    return f"""
+WITH allv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+q AS (SELECT v AS qv FROM allv WHERE id = 0),
+qd AS (SELECT qv, {dots} AS d FROM q),
+qb AS (SELECT qv, d, CAST({bucket('qv')} AS BIGINT) AS base FROM qd),
+qp AS (SELECT qv, {probes} AS pl FROM qb),
+assign AS (SELECT b.id, b.v, CAST({bucket('b.v')} AS BIGINT) AS bk
+           FROM allv b WHERE b.id != 0),
+cand AS (SELECT a.id, a.v, p.qv FROM assign a, qp p
+         WHERE list_contains(p.pl, a.bk))
+SELECT id AS vec_id, round(list_cosine_similarity(v, qv), 5) AS cos
+FROM cand
+ORDER BY list_cosine_similarity(v, qv) DESC, id
+LIMIT {k}
+"""
+
+
+@q("ann_lsh_multiprobe", _lsh_multiprobe_oracle())
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (query vec_id=0, probe 3 buckets): fixes
+    single-probe's ≈0 recall (ann_recall_at_k) by also scanning the
+    query's two lowest-margin Hamming-1 neighbor buckets — candidate
+    share ×~n_probe, base side unchanged (map-only bucket expr +
+    pushable IN filter + TakeOrderedAndProject)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = SIM.ann_multiprobe_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding",
+        dim=64, query_vec=qv, k=10, n_planes=6, n_probe=3)
+    return out.select("vec_id", F.round("cos", 5).alias("cos"))
+
+
 # ===========================================================================
 # Text analysis (training-data extensions)
 # ===========================================================================

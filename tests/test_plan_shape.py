@@ -188,3 +188,56 @@ def test_multiline_join_is_single_shuffle(spark):
                          F.col("line").endswith("0"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_multiprobe_topk_shape_and_recall_dominates_single_probe(spark):
+    """Multi-probe LSH: (a) the probe set is base-bucket-first with
+    n_probe distinct Hamming-1-or-0 members; (b) the base-side plan is
+    map-only + TakeOrderedAndProject (no join/window/shuffle added by
+    probing); (c) its top-k overlap with brute force is >= the
+    single-bucket path's on the same data (probing supersets the
+    candidates)."""
+    from fluent_bit_spark.operators.similarity import (
+        ann_multiprobe_topk, brute_force_topk, lsh_bucket,
+        lsh_dots_sql, lsh_probes_from_dots_sql, _vec_sql)
+    import pyspark.sql.functions as F
+    dim, planes_n, k = 8, 4, 5
+    df = spark.createDataFrame(
+        [(i, [float((i * 5 + j * 3) % 11) - 5.0 for j in range(dim)])
+         for i in range(1, 60)],
+        "vec_id long, embedding array<double>")
+    qv = [1.0, -0.5, 2.0, 0.25, -1.5, 0.75, -0.25, 1.25]
+
+    probes = (spark.range(1)
+              .select(F.expr(lsh_dots_sql(_vec_sql(qv), dim,
+                                          planes_n)).alias("d"))
+              .select(F.expr(lsh_probes_from_dots_sql(
+                  "d", planes_n, 3)).alias("pl"))
+              .collect()[0].pl)
+    assert len(probes) == 3 and len(set(probes)) == 3
+    base_bucket = probes[0]
+    for flip in probes[1:]:
+        x = int(base_bucket) ^ int(flip)
+        assert x != 0 and (x & (x - 1)) == 0  # Hamming distance exactly 1
+
+    out = ann_multiprobe_topk(df, "vec_id", "embedding", dim, qv,
+                              k=k, n_planes=planes_n, n_probe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+    brute = {r.vec_id for r in brute_force_topk(
+        df, "vec_id", "embedding", qv, k).collect()}
+    mp = {r.vec_id for r in out.collect()}
+    single = (df.select("vec_id", "embedding",
+                        lsh_bucket("embedding", dim, planes_n).alias("bk"))
+              .filter(F.col("bk") == int(base_bucket)))
+    from fluent_bit_spark.operators.similarity import cosine
+    single_k = {r.vec_id for r in
+                (single.withColumn(
+                    "cos", cosine(F.col("embedding").cast("array<double>"),
+                                  F.expr(_vec_sql(qv))))
+                 .orderBy(F.desc("cos"), "vec_id").limit(k).collect())}
+    assert len(mp & brute) >= len(single_k & brute)
+    # the probed candidate set strictly contains the single bucket's
+    assert single_k <= mp or len(single_k) < k
