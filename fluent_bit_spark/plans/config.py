@@ -49,16 +49,82 @@ from .pipeline import PipelineSpec
 
 _KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup"}
 
+_VAR_RE = re.compile(r"\$\{(\w+)\}")
+
+
+def _env_translate(s: str, variables: dict[str, str] | None) -> str:
+    """``${NAME}`` → @SET variable, else process env, else empty string
+    — flb_env_var_translate semantics (upstream:src/flb_env.c: unknown
+    variables resolve to "" with a warning, they never survive
+    literally)."""
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if variables and name in variables:
+            return variables[name]
+        return os.environ.get(name, "")
+    return _VAR_RE.sub(sub, s)
+
+
+def resolve_meta(path: str,
+                 _seen: frozenset[str] = frozenset()
+                 ) -> tuple[list[str], dict[str, str]]:
+    """Classic-mode meta commands (upstream:src/flb_meta.c): splice
+    ``@INCLUDE pattern`` (glob, relative to the including file, sorted
+    for determinism) and collect ``@SET VAR=VALUE`` definitions.
+    Returns (flattened config lines, variables). Include cycles and
+    unknown @-commands raise — a silently dropped config file is a
+    data-loss foot-gun."""
+    import glob as globmod
+    real = os.path.realpath(path)
+    if real in _seen:
+        raise ValueError(f"@INCLUDE cycle through {path!r}")
+    seen = _seen | {real}
+    base = os.path.dirname(real)
+    lines: list[str] = []
+    variables: dict[str, str] = {}
+    with open(path) as fh:
+        for raw in fh:
+            line = raw.rstrip("\n")
+            stripped = line.strip()
+            if not stripped.startswith("@"):
+                lines.append(line)
+                continue
+            parts = stripped.split(None, 1)
+            cmd = parts[0].upper()
+            arg = parts[1].strip() if len(parts) > 1 else ""
+            if cmd == "@SET":
+                if "=" not in arg:
+                    raise ValueError(f"@SET needs VAR=VALUE, got {arg!r}")
+                k, v = arg.split("=", 1)
+                variables[k.strip()] = v.strip()
+            elif cmd == "@INCLUDE":
+                pat = arg if os.path.isabs(arg) else os.path.join(base, arg)
+                matches = sorted(globmod.glob(pat))
+                if not matches:
+                    raise ValueError(f"@INCLUDE matched no files: {arg!r}")
+                for m in matches:
+                    sub_lines, sub_vars = resolve_meta(m, seen)
+                    lines.extend(sub_lines)
+                    variables.update(sub_vars)
+            else:
+                raise ValueError(f"unknown meta command {cmd!r} "
+                                 f"(supported: @SET, @INCLUDE)")
+    return lines, variables
+
 
 # ---------------------------------------------------------------------------
 # classic-conf reader (flb_cf classic mode)
 # ---------------------------------------------------------------------------
 
 
-def parse_classic(text: str) -> dict[str, Any]:
+def parse_classic(text: str,
+                  variables: dict[str, str] | None = None
+                  ) -> dict[str, Any]:
     """``[SECTION]`` + indented ``Key Value`` lines → the same tree the
     YAML reader produces. Keys are case-insensitive (flb lowercases);
-    repeatable keys (``Regex``, ``Exclude``, ``Rule``) accumulate."""
+    repeatable keys (``Regex``, ``Exclude``, ``Rule``) accumulate.
+    ``${VAR}`` in property VALUES is translated (@SET variables first,
+    then the process environment)."""
     tree: dict[str, Any] = {
         "service": {},
         "pipeline": {"inputs": [], "filters": [], "outputs": []},
@@ -84,6 +150,7 @@ def parse_classic(text: str) -> dict[str, Any]:
         parts = line.split(None, 1)
         key = parts[0].lower()
         val = parts[1].strip() if len(parts) > 1 else ""
+        val = _env_translate(val, variables)
         if key in ("regex", "exclude", "rule"):
             section.setdefault(key, [])
             if not isinstance(section[key], list):
@@ -96,12 +163,18 @@ def parse_classic(text: str) -> dict[str, Any]:
 
 def parse_yaml(text: str) -> dict[str, Any]:
     """YAML mode (flb_cf_yaml): ``service:`` map + ``pipeline:`` tree.
-    Property keys are lowercased for parity with classic mode."""
+    Property keys are lowercased for parity with classic mode;
+    ``${VAR}`` in string scalars is env-translated (YAML mode has no
+    @SET, matching upstream)."""
     import yaml
     doc = yaml.safe_load(text) or {}
 
     def lower_keys(d: dict) -> dict:
-        return {str(k).lower(): v for k, v in d.items()}
+        return {str(k).lower():
+                (_env_translate(v, None) if isinstance(v, str)
+                 else [_env_translate(x, None) if isinstance(x, str)
+                       else x for x in v] if isinstance(v, list) else v)
+                for k, v in d.items()}
 
     pipe = lower_keys(doc.get("pipeline") or {})
     return {
@@ -258,11 +331,13 @@ def spec_from_config(path: str,
                      vocab: list[str] | None = None
                      ) -> tuple[PipelineSpec, dict[str, Any]]:
     """Load a fluent-bit-style config file: ``.yaml``/``.yml`` → YAML
-    mode, anything else → classic mode (flb_cf's dispatch is likewise
-    by extension)."""
-    with open(path) as fh:
-        text = fh.read()
+    mode, anything else → classic mode with @INCLUDE/@SET meta-command
+    resolution (flb_cf's dispatch is likewise by extension)."""
     ext = os.path.splitext(path)[1].lower()
-    tree = parse_yaml(text) if ext in (".yaml", ".yml") \
-        else parse_classic(text)
+    if ext in (".yaml", ".yml"):
+        with open(path) as fh:
+            tree = parse_yaml(fh.read())
+    else:
+        lines, variables = resolve_meta(path)
+        tree = parse_classic("\n".join(lines), variables)
     return spec_from_tree(tree, vocab=vocab)

@@ -254,3 +254,77 @@ pipeline:
     _, io = spec_from_tree(tree, vocab=["a"])
     assert io["input_format"] == "text"
     assert io["input_path"] == "/var/log/app/*.log"
+
+
+def test_meta_include_set_and_env_translation(tmp_path, monkeypatch):
+    """@INCLUDE splices (glob, sorted), @SET defines variables, ${VAR}
+    translates in property values — @SET wins over the process env,
+    unknown vars become empty (flb_env semantics)."""
+    from fluent_bit_spark.plans.config import spec_from_config
+    (tmp_path / "filters.conf").write_text(
+        "[FILTER]\n    Name grep\n    Regex level ${LEVEL_PAT}\n")
+    (tmp_path / "out_a.conf").write_text(
+        "[OUTPUT]\n    Name file\n    Match app.${TIER}.*\n    Sink a\n")
+    (tmp_path / "out_b.conf").write_text(
+        "[OUTPUT]\n    Name file\n    Match sys.*\n    Sink b\n")
+    main = tmp_path / "main.conf"
+    main.write_text(
+        "@SET LEVEL_PAT=^(error|warn)$\n"
+        "[SERVICE]\n    salt_buckets 8\n"
+        "[INPUT]\n    Name tokens\n"
+        "@INCLUDE filters.conf\n"
+        "@INCLUDE out_*.conf\n")
+    monkeypatch.setenv("TIER", "web")
+    spec, io = spec_from_config(str(main), vocab=["x"])
+    assert spec.salt_buckets == 8
+    assert [(r.key, r.pattern) for r in spec.grep_rules] == [
+        ("level", "^(error|warn)$")]
+    # glob order is sorted → a before b; env var translated in Match
+    assert [(r.sink, r.pattern) for r in spec.routes] == [
+        ("a", "app.web.*"), ("b", "sys.*")]
+
+
+def test_meta_set_wins_over_env_and_unknown_is_empty(tmp_path,
+                                                     monkeypatch):
+    from fluent_bit_spark.plans.config import parse_classic, resolve_meta
+    f = tmp_path / "c.conf"
+    f.write_text("@SET K=fromset\n[INPUT]\n    Name tokens\n"
+                 "    Tag_expr '${K}${NOPE}'\n")
+    monkeypatch.setenv("K", "fromenv")
+    lines, variables = resolve_meta(str(f))
+    tree = parse_classic("\n".join(lines), variables)
+    assert tree["pipeline"]["inputs"][0]["tag_expr"] == "'fromset'"
+
+
+def test_meta_errors(tmp_path):
+    from fluent_bit_spark.plans.config import resolve_meta
+    import pytest as _pytest
+    bad = tmp_path / "bad.conf"
+    bad.write_text("@FROB x\n")
+    with _pytest.raises(ValueError, match="unknown meta command"):
+        resolve_meta(str(bad))
+    missing = tmp_path / "missing.conf"
+    missing.write_text("@INCLUDE nothing_here_*.conf\n")
+    with _pytest.raises(ValueError, match="matched no files"):
+        resolve_meta(str(missing))
+    a = tmp_path / "a.conf"
+    b = tmp_path / "b.conf"
+    a.write_text("@INCLUDE b.conf\n")
+    b.write_text("@INCLUDE a.conf\n")
+    with _pytest.raises(ValueError, match="cycle"):
+        resolve_meta(str(a))
+
+
+def test_yaml_env_translation(monkeypatch):
+    from fluent_bit_spark.plans.config import parse_yaml
+    monkeypatch.setenv("SINKDIR", "webdir")
+    tree = parse_yaml("""
+pipeline:
+  inputs:
+    - name: tokens
+  outputs:
+    - name: file
+      match: "*"
+      sink: ${SINKDIR}
+""")
+    assert tree["pipeline"]["outputs"][0]["sink"] == "webdir"
