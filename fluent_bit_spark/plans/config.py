@@ -45,9 +45,9 @@ from typing import Any
 
 from ..operators.filters import GrepRule
 from ..operators.router import RewriteTagRule, Route
-from .pipeline import PipelineSpec
+from .pipeline import ParserFilterSpec, PipelineSpec
 
-_KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup"}
+_KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup", "parser"}
 
 _VAR_RE = re.compile(r"\$\{(\w+)\}")
 
@@ -128,20 +128,25 @@ def parse_classic(text: str,
     tree: dict[str, Any] = {
         "service": {},
         "pipeline": {"inputs": [], "filters": [], "outputs": []},
+        "parsers": [],
     }
     section: dict[str, Any] | None = None
+    section_kind = ""
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
         m = re.fullmatch(r"\[([A-Za-z_]+)\]", line)
         if m:
-            kind = m.group(1).lower()
-            if kind == "service":
+            section_kind = m.group(1).lower()
+            if section_kind == "service":
                 section = tree["service"]
-            elif kind in ("input", "filter", "output"):
+            elif section_kind in ("input", "filter", "output"):
                 section = {}
-                tree["pipeline"][kind + "s"].append(section)
+                tree["pipeline"][section_kind + "s"].append(section)
+            elif section_kind == "parser":
+                section = {}
+                tree["parsers"].append(section)
             else:
                 raise ValueError(f"unknown config section [{m.group(1)}]")
             continue
@@ -151,7 +156,10 @@ def parse_classic(text: str,
         key = parts[0].lower()
         val = parts[1].strip() if len(parts) > 1 else ""
         val = _env_translate(val, variables)
-        if key in ("regex", "exclude", "rule"):
+        if section_kind == "filter" and key in ("regex", "exclude",
+                                                "rule", "parser"):
+            # repeatable FILTER properties (flb accumulates these);
+            # "regex" inside a [PARSER] block stays single-valued
             section.setdefault(key, [])
             if not isinstance(section[key], list):
                 section[key] = [section[key]]
@@ -184,6 +192,7 @@ def parse_yaml(text: str) -> dict[str, Any]:
             "filters": [lower_keys(s) for s in (pipe.get("filters") or [])],
             "outputs": [lower_keys(s) for s in (pipe.get("outputs") or [])],
         },
+        "parsers": [lower_keys(s) for s in (doc.get("parsers") or [])],
     }
 
 
@@ -222,6 +231,47 @@ def _parse_grep_prop(val: str, exclude: bool) -> GrepRule:
     return GrepRule(key=parts[0], pattern=parts[1], exclude=exclude)
 
 
+def parsers_from_tree(tree: dict[str, Any]) -> dict[str, Any]:
+    """``[PARSER]`` sections → {name: RegexParser}. Supported formats:
+    ``regex`` (pattern + optional ``types``/``time_key``/``time_format``)
+    and the shipped syslog presets by name
+    (upstream:src/flb_parser.c conf loading; conf/parsers.conf). The
+    non-regex formats (json/ltsv/logfmt) have dedicated vectorized
+    paths (functions/parsers.py) and no named-parser registration need.
+    ``types`` is flb syntax: space-separated ``field:type`` pairs."""
+    from ..functions.parsers import RegexParser, syslog_parser
+    out: dict[str, Any] = {}
+    for p in tree.get("parsers", []):
+        name = str(p.get("name", "")).strip()
+        if not name:
+            raise ValueError("[PARSER] section needs a Name")
+        fmt = str(p.get("format", "regex")).lower()
+        if fmt != "regex":
+            raise ValueError(
+                f"[PARSER] {name}: only Format regex maps to a named "
+                f"parser here (json/ltsv/logfmt are built-in vectorized "
+                f"paths); got {fmt!r}")
+        if name in ("syslog-rfc5424", "syslog-rfc3164") \
+                and not p.get("regex"):
+            out[name] = syslog_parser(name.rsplit("-", 1)[1],
+                                      time_format=p.get("time_format"))
+            continue
+        if not p.get("regex"):
+            raise ValueError(f"[PARSER] {name}: Format regex needs Regex")
+        types: dict[str, str] = {}
+        for pair in str(p.get("types", "")).split():
+            k, _, t = pair.partition(":")
+            if not t:
+                raise ValueError(
+                    f"[PARSER] {name}: Types wants 'field:type' pairs, "
+                    f"got {pair!r}")
+            types[k] = t
+        out[name] = RegexParser(
+            name=name, pattern=str(p["regex"]), types=types,
+            time_key=p.get("time_key"), time_format=p.get("time_format"))
+    return out
+
+
 def spec_from_tree(tree: dict[str, Any],
                    vocab: list[str] | None = None) -> tuple[PipelineSpec,
                                                             dict[str, Any]]:
@@ -254,9 +304,11 @@ def spec_from_tree(tree: dict[str, Any],
             from .. import fixtures as fx
             vocab = fx.vocab()
 
+    named_parsers = parsers_from_tree(tree)
     grep_rules: list[GrepRule] = []
     grep_op = "AND"
     rewrite_rules: list[RewriteTagRule] = []
+    parser_filters: list[ParserFilterSpec] = []
     lookup_path: str | None = None
     lookup_key = "source"
     for f in pipe.get("filters", []):
@@ -278,6 +330,30 @@ def spec_from_tree(tree: dict[str, Any],
         elif name == "lookup":
             lookup_path = f.get("file") or f.get("path")
             lookup_key = str(f.get("lookup_key", lookup_key))
+        elif name == "parser":
+            # upstream:plugins/filter_parser — Key_Name + Parser
+            # (repeatable, first match wins). Reserve_Data Off is
+            # rejected: this engine adds a struct column and never
+            # destroys the record body.
+            refs = _as_list(f.get("parser"))
+            if not refs:
+                raise ValueError("[FILTER] parser needs >=1 Parser ref")
+            missing = [r for r in refs if r not in named_parsers]
+            if missing:
+                raise ValueError(
+                    f"[FILTER] parser references unknown parser(s) "
+                    f"{missing}; define them in [PARSER] sections or "
+                    f"the service Parsers_File")
+            if str(f.get("reserve_data", "on")).lower() in ("off",
+                                                            "false", "0"):
+                raise ValueError(
+                    "[FILTER] parser Reserve_Data Off is unsupported: "
+                    "parsed fields land in a new struct column and the "
+                    "source column always survives")
+            parser_filters.append(ParserFilterSpec(
+                key=str(f.get("key_name", "decoded")),
+                parsers=[named_parsers[r] for r in refs],
+                out=str(f.get("out", f"parsed_{refs[0]}"))))
 
     routes: list[Route] = []
     sink_format = None
@@ -318,6 +394,7 @@ def spec_from_tree(tree: dict[str, Any],
         fanout_mode=str(service.get("fanout_mode", "persist")),
         sink_format=sink_format or "parquet",
         keep_decoded=str(service.get("keep_decoded", "always")),
+        parser_filters=parser_filters,
     )
     io = {
         "input_path": inp.get("path"),
@@ -340,4 +417,14 @@ def spec_from_config(path: str,
     else:
         lines, variables = resolve_meta(path)
         tree = parse_classic("\n".join(lines), variables)
+    # [SERVICE] Parsers_File — the standard deployment shape keeps
+    # [PARSER] blocks in a separate file (upstream:conf/parsers.conf,
+    # loaded by flb_parser_conf_file); always classic-mode syntax.
+    pfile = tree.get("service", {}).get("parsers_file")
+    if pfile:
+        ppath = pfile if os.path.isabs(pfile) \
+            else os.path.join(os.path.dirname(os.path.abspath(path)), pfile)
+        plines, pvars = resolve_meta(ppath)
+        ptree = parse_classic("\n".join(plines), pvars)
+        tree.setdefault("parsers", []).extend(ptree.get("parsers", []))
     return spec_from_tree(tree, vocab=vocab)

@@ -88,6 +88,23 @@ class PipelineSpec:
     # successfully-parsed rows); 'auto' infers dlq_only only when no
     # grep/rewrite rule or tag_expr references the raw line, and warns.
     keep_decoded: str = "always"            # 'always' | 'dlq_only' | 'auto'
+    # Second-stage parsers (filter_parser analogue,
+    # upstream:plugins/filter_parser): each entry re-parses one column
+    # with a named-parser chain, adding a typed struct column. Applied
+    # before grep so grep/tag rules can reference the extracted fields.
+    parser_filters: list["ParserFilterSpec"] = field(default_factory=list)
+
+
+@dataclass
+class ParserFilterSpec:
+    """One ``[FILTER] Name parser`` block: re-parse column ``key`` with
+    a first-match chain of named parsers into struct column ``out``.
+    The source column is always preserved (Reserve_Data On posture —
+    this engine adds columns, it never destroys the record body)."""
+
+    key: str
+    parsers: list                           # list[RegexParser]
+    out: str = "parsed"
 
 
 def default_tag_expr() -> str:
@@ -125,8 +142,19 @@ def build_stages(spark: SparkSession, df: DataFrame,
 
 def _post_parse_stages(spark: SparkSession, out: DataFrame,
                        spec: PipelineSpec) -> DataFrame:
-    """grep → enrich → tag → rewrite → route → dlq_reason — shared by
-    the tokens path (fused detok+parse) and the raw-text path."""
+    """[parser filters →] grep → enrich → tag → rewrite → route →
+    dlq_reason — shared by the tokens path (fused detok+parse) and the
+    raw-text path."""
+    if spec.parser_filters:
+        from ..functions.parsers import (apply_regex_parser,
+                                         parse_first_match)
+        for pf in spec.parser_filters:
+            if len(pf.parsers) == 1:
+                out = apply_regex_parser(out, pf.parsers[0],
+                                         key=pf.key, out=pf.out)
+            else:
+                out = parse_first_match(out, pf.parsers,
+                                        key=pf.key, out=pf.out)
     if spec.grep_rules:
         # grep drops rows entirely in fluent-bit; we keep them for the DLQ
         # accounting instead when they fail parse, but a grep miss is a

@@ -328,3 +328,89 @@ pipeline:
       sink: ${SINKDIR}
 """)
     assert tree["pipeline"]["outputs"][0]["sink"] == "webdir"
+
+
+def test_parser_sections_and_filter_parser(tmp_path):
+    """[PARSER] blocks + [FILTER] Name parser → ParserFilterSpec with a
+    first-match chain; Types pairs become type hints; Parsers_File
+    loads a separate classic-mode file (the standard deployment
+    shape)."""
+    from fluent_bit_spark.plans.config import spec_from_config
+    (tmp_path / "parsers.conf").write_text("""
+[PARSER]
+    Name kv_num
+    Format regex
+    Regex ^(?P<k>\\w+)=(?P<n>\\d+)$
+    Types n:integer
+""")
+    (tmp_path / "main.conf").write_text("""
+[SERVICE]
+    Parsers_File parsers.conf
+[INPUT]
+    Name tokens
+[PARSER]
+    Name word
+    Format regex
+    Regex ^(?P<w>[a-z]+)$
+[FILTER]
+    Name parser
+    Key_Name decoded
+    Parser kv_num
+    Parser word
+[OUTPUT]
+    Name file
+    Match *
+    Sink all
+""")
+    spec, _ = spec_from_config(str(tmp_path / "main.conf"), vocab=["x"])
+    assert len(spec.parser_filters) == 1
+    pf = spec.parser_filters[0]
+    assert pf.key == "decoded"
+    assert [p.name for p in pf.parsers] == ["kv_num", "word"]
+    assert pf.parsers[0].types == {"n": "integer"}
+    assert pf.out == "parsed_kv_num"
+
+
+def test_parser_filter_runs_in_pipeline(spark):
+    """The config-declared second-stage parser actually re-parses rows
+    in _post_parse_stages: first match wins, typed fields extracted."""
+    from fluent_bit_spark.functions.parsers import RegexParser
+    from fluent_bit_spark.operators.router import Route
+    from fluent_bit_spark.plans.pipeline import (ParserFilterSpec,
+                                                 PipelineSpec,
+                                                 _post_parse_stages)
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [("d1", "count=42", "s1", True), ("d2", "hello", "s1", True),
+         ("d3", "x=notnum", "s1", True)],
+        "doc_id string, decoded string, source string, parse_ok boolean"
+    ).withColumn("fields", F.expr("named_struct('kind', 'raw')"))
+    spec = PipelineSpec(
+        vocab=["x"], routes=[Route("all", "*")],
+        parser_filters=[ParserFilterSpec(
+            key="decoded",
+            parsers=[RegexParser("kv", r"^(?P<k>\w+)=(?P<n>\d+)$",
+                                 types={"n": "integer"}),
+                     RegexParser("word", r"^(?P<w>[a-z]+)$")],
+            out="p")])
+    out = _post_parse_stages(spark, df, spec)
+    rows = {r.doc_id: r.p for r in out.select("doc_id", "p").collect()}
+    assert rows["d1"].k == "count" and rows["d1"].n == 42 \
+        and rows["d1"].parser == "kv"
+    assert rows["d2"].w == "hello" and rows["d2"].parser == "word"
+    assert rows["d3"] is None
+
+
+def test_parser_filter_unknown_ref_and_reserve_off_raise(tmp_path):
+    from fluent_bit_spark.plans.config import parse_classic, spec_from_tree
+    import pytest as _pytest
+    base = ("[INPUT]\n    Name tokens\n[FILTER]\n    Name parser\n"
+            "    Key_Name decoded\n    Parser nope\n"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink all\n")
+    with _pytest.raises(ValueError, match="unknown parser"):
+        spec_from_tree(parse_classic(base), vocab=["x"])
+    rsv = base.replace("    Parser nope\n",
+                       "    Parser p\n    Reserve_Data Off\n") + (
+        "[PARSER]\n    Name p\n    Format regex\n    Regex ^(?P<a>.)$\n")
+    with _pytest.raises(ValueError, match="Reserve_Data Off"):
+        spec_from_tree(parse_classic(rsv), vocab=["x"])
