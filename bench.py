@@ -50,6 +50,7 @@ HEADLINE = [
     "embedding_neardup",
     "ann_topk_bruteforce",
     "ann_ivf",
+    "ann_lsh_multiprobe",
     "multiline_join",
     "multiline_cri",
     "decoder_escaped",
