@@ -47,7 +47,20 @@ from ..operators.filters import GrepRule
 from ..operators.router import RewriteTagRule, Route
 from .pipeline import ParserFilterSpec, PipelineSpec
 
-_KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup", "parser"}
+_KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup", "parser", "modify"}
+
+# filter_modify rule ops (upstream:plugins/filter_modify) — all
+# repeatable config keys; condition kinds are validated by
+# operators/modify.condition_predicate at plan time.
+_MODIFY_OPS = ("set", "add", "remove", "remove_wildcard", "remove_regex",
+               "rename", "hard_rename", "copy", "hard_copy")
+
+# Columns the pipeline contract depends on: the token-equality
+# invariant (tokens ride untouched), routing inputs, and DLQ
+# accounting. Config-driven modify may read them (copy source) but
+# never redefine or drop them.
+_RESERVED_COLS = {"doc_id", "tokens", "n_tok", "source", "decoded",
+                  "fields", "parse_ok", "tag", "sinks", "dlq_reason"}
 
 _VAR_RE = re.compile(r"\$\{(\w+)\}")
 
@@ -156,8 +169,9 @@ def parse_classic(text: str,
         key = parts[0].lower()
         val = parts[1].strip() if len(parts) > 1 else ""
         val = _env_translate(val, variables)
-        if section_kind == "filter" and key in ("regex", "exclude",
-                                                "rule", "parser"):
+        if section_kind == "filter" and key in (
+                "regex", "exclude", "rule", "parser",
+                "condition", *_MODIFY_OPS):
             # repeatable FILTER properties (flb accumulates these);
             # "regex" inside a [PARSER] block stays single-valued
             section.setdefault(key, [])
@@ -229,6 +243,57 @@ def _parse_grep_prop(val: str, exclude: bool) -> GrepRule:
     if len(parts) != 2:
         raise ValueError(f"grep rule needs 'KEY PATTERN', got {val!r}")
     return GrepRule(key=parts[0], pattern=parts[1], exclude=exclude)
+
+
+def _parse_modify_filter(f: dict[str, Any]):
+    """``[FILTER] Name modify`` → ModifySpec: ``Condition KIND KEY
+    [VALUE]`` lines (all must hold, upstream:plugins/filter_modify) plus
+    rule lines ``Set/Add/Rename/... KEY [VALUE]`` applied in config
+    order. Structural or value ops may not target the pipeline's
+    reserved columns (the token-equality invariant and routing inputs);
+    Copy/Hard_copy may READ them."""
+    from ..operators.modify import Condition, ModifyRule, ModifySpec
+    conditions = []
+    for c in _as_list(f.get("condition")):
+        parts = c.split(None, 2)
+        if len(parts) < 2:
+            raise ValueError(f"Condition wants 'KIND KEY [VALUE]', "
+                             f"got {c!r}")
+        conditions.append(Condition(
+            kind=parts[0].lower(), key=parts[1],
+            value=parts[2] if len(parts) > 2 else ""))
+    rules = []
+    for op in _MODIFY_OPS:
+        for v in _as_list(f.get(op)):
+            parts = v.split(None, 1)
+            key = parts[0]
+            value = parts[1].strip() if len(parts) > 1 else ""
+            two_arg = op in ("set", "add", "rename", "hard_rename",
+                             "copy", "hard_copy")
+            if two_arg and not value:
+                raise ValueError(f"{op} wants 'KEY VALUE', got {v!r}")
+            target = value if op in ("copy", "hard_copy") else key
+            if target in _RESERVED_COLS or (
+                    op in ("rename", "hard_rename")
+                    and value in _RESERVED_COLS):
+                raise ValueError(
+                    f"modify {op} may not target reserved column "
+                    f"{target!r} (pipeline contract: "
+                    f"{sorted(_RESERVED_COLS)})")
+            if op == "remove_wildcard" and any(
+                    r.startswith(key) for r in _RESERVED_COLS):
+                raise ValueError(
+                    f"remove_wildcard {key!r} would drop reserved "
+                    f"column(s)")
+            if op == "remove_regex" and any(
+                    re.search(key, r) for r in _RESERVED_COLS):
+                raise ValueError(
+                    f"remove_regex {key!r} would drop reserved "
+                    f"column(s)")
+            rules.append(ModifyRule(op=op, key=key, value=value))
+    if not rules:
+        raise ValueError("[FILTER] modify defines no rules")
+    return ModifySpec(conditions=conditions, rules=rules)
 
 
 def parsers_from_tree(tree: dict[str, Any]) -> dict[str, Any]:
@@ -309,6 +374,7 @@ def spec_from_tree(tree: dict[str, Any],
     grep_op = "AND"
     rewrite_rules: list[RewriteTagRule] = []
     parser_filters: list[ParserFilterSpec] = []
+    modify_specs: list = []
     lookup_path: str | None = None
     lookup_key = "source"
     for f in pipe.get("filters", []):
@@ -354,6 +420,8 @@ def spec_from_tree(tree: dict[str, Any],
                 key=str(f.get("key_name", "decoded")),
                 parsers=[named_parsers[r] for r in refs],
                 out=str(f.get("out", f"parsed_{refs[0]}"))))
+        elif name == "modify":
+            modify_specs.append(_parse_modify_filter(f))
 
     routes: list[Route] = []
     sink_format = None
@@ -395,6 +463,7 @@ def spec_from_tree(tree: dict[str, Any],
         sink_format=sink_format or "parquet",
         keep_decoded=str(service.get("keep_decoded", "always")),
         parser_filters=parser_filters,
+        modify_specs=modify_specs,
     )
     io = {
         "input_path": inp.get("path"),

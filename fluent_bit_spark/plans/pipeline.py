@@ -93,6 +93,9 @@ class PipelineSpec:
     # with a named-parser chain, adding a typed struct column. Applied
     # before grep so grep/tag rules can reference the extracted fields.
     parser_filters: list["ParserFilterSpec"] = field(default_factory=list)
+    # filter_modify blocks (operators/modify.py ModifySpec), applied
+    # after parser_filters / before grep in config order.
+    modify_specs: list = field(default_factory=list)
 
 
 @dataclass
@@ -155,6 +158,10 @@ def _post_parse_stages(spark: SparkSession, out: DataFrame,
             else:
                 out = parse_first_match(out, pf.parsers,
                                         key=pf.key, out=pf.out)
+    if spec.modify_specs:
+        from ..operators.modify import apply_modify
+        for ms in spec.modify_specs:
+            out = apply_modify(out, ms)
     if spec.grep_rules:
         # grep drops rows entirely in fluent-bit; we keep them for the DLQ
         # accounting instead when they fail parse, but a grep miss is a

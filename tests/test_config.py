@@ -414,3 +414,49 @@ def test_parser_filter_unknown_ref_and_reserve_off_raise(tmp_path):
         "[PARSER]\n    Name p\n    Format regex\n    Regex ^(?P<a>.)$\n")
     with _pytest.raises(ValueError, match="Reserve_Data Off"):
         spec_from_tree(parse_classic(rsv), vocab=["x"])
+
+
+def test_modify_filter_from_config(spark):
+    """[FILTER] Name modify: Condition-gated Set/Rename/Copy rules run
+    in _post_parse_stages on the real stage chain."""
+    from fluent_bit_spark.plans.config import parse_classic, spec_from_tree
+    from fluent_bit_spark.plans.pipeline import _post_parse_stages
+    import pyspark.sql.functions as F
+    tree = parse_classic("""
+[INPUT]
+    Name tokens
+[FILTER]
+    Name modify
+    Condition Key_value_equals level error
+    Set alert page_oncall
+    Copy level level_copy
+[OUTPUT]
+    Name file
+    Match *
+    Sink all
+""")
+    spec, _ = spec_from_tree(tree, vocab=["x"])
+    assert len(spec.modify_specs) == 1
+    df = spark.createDataFrame(
+        [("d1", "error", "s1", True), ("d2", "info", "s1", True)],
+        "doc_id string, level string, source string, parse_ok boolean"
+    ).withColumn("fields", F.expr("named_struct('kind', 'raw')"))
+    out = _post_parse_stages(spark, df, spec)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows["d1"].alert == "page_oncall" and rows["d2"].alert is None
+    # copy is unconditional-structural but value rides every row
+    assert rows["d1"].level_copy == "error"
+
+
+def test_modify_filter_reserved_columns_raise():
+    from fluent_bit_spark.plans.config import parse_classic, spec_from_tree
+    import pytest as _pytest
+    base = ("[INPUT]\n    Name tokens\n[FILTER]\n    Name modify\n"
+            "    {rule}\n[OUTPUT]\n    Name file\n    Match *\n"
+            "    Sink all\n")
+    for rule in ("Set tokens oops", "Remove source",
+                 "Rename extra tag", "Remove_regex ^tok",
+                 "Hard_copy doc_id tag"):
+        with _pytest.raises(ValueError, match="reserved"):
+            spec_from_tree(parse_classic(base.format(rule=rule)),
+                           vocab=["x"])
