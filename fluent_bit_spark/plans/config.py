@@ -24,6 +24,19 @@ Supported sections / properties (the subset with a batch meaning here):
   (repeatable), exactly upstream:plugins/filter_rewrite_tag syntax.
 - ``[FILTER] Name lookup`` — ``file <parquet>`` + ``lookup_key``
   (filter_lookup's CSV becomes a parquet dim; broadcast enrich).
+- ``[FILTER] Name parser`` — ``key_name`` + repeatable ``parser`` refs
+  (first match wins) resolving against ``[PARSER]`` sections or the
+  service ``parsers_file``; adds a typed struct column.
+- ``[FILTER] Name modify`` — repeatable ``condition KIND KEY [VALUE]``
+  plus ``set/add/remove/remove_wildcard/remove_regex/rename/
+  hard_rename/copy/hard_copy`` rules (reserved pipeline columns are
+  protected).
+- ``[PARSER]`` — ``name`` + ``format regex`` + ``regex`` (+ ``types``,
+  ``time_key``, ``time_format``); syslog preset names map to the
+  built-in presets.
+- Meta commands (classic mode): ``@INCLUDE glob`` (spliced, sorted,
+  cycle-guarded), ``@SET VAR=VALUE``; ``${VAR}`` translates in values
+  (@SET first, then process env, unknown → empty).
 - ``[OUTPUT]`` / ``outputs:`` — one sink per section: ``match`` (glob;
   ``match_regex`` for regex), ``sink`` (directory name; defaults to
   ``<name>_<i>``), ``format`` (``parquet`` | ``json_lines``, must
