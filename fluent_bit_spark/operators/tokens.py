@@ -1,0 +1,296 @@
+"""Token-sequence operators for large-scale training-data pipelines.
+
+Operates on the north-star input shape (BASELINE.json input_hint):
+``(doc_id, tokens: array<int32>, n_tok: int32, source: string)``. Not in
+the reference (fluent-bit stops at log records); these are the
+extensions a 10^12-sequence corpus pipeline needs on top of the
+parse→enrich→route engine:
+
+- ``pack_sequences``   — concat-and-chunk packing of variable-length
+  documents into fixed context windows (the step between a deduplicated
+  corpus and a training dataloader);
+- ``line_dedup``       — C4-style cross-corpus line deduplication
+  (drop lines occurring more than ``max_occ`` times anywhere);
+- ``decontaminate``    — benchmark n-gram decontamination (flag
+  training docs sharing a token n-gram with a held-out set);
+- ``mixture_sample``   — per-source token-budget mixture sampling with
+  deterministic content-hash selection;
+- ``repetition_stats`` — within-document repetition ratios
+  (Gopher-style duplicate-line quality signals).
+
+All pure DataFrame compositions — no Python UDFs; every op stays inside
+whole-stage codegen / JVM hash aggregates and scales by shuffle
+partitioning. Scale notes are on each function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# distributed exclusive prefix sum
+# ---------------------------------------------------------------------------
+
+
+def exclusive_prefix_sum(df: DataFrame, part_col: str, order_col: str,
+                         val_col: str, out_col: str = "offset",
+                         group_size: int = 1 << 20) -> DataFrame:
+    """Exclusive prefix sum of ``val_col`` over (``part_col``,
+    ``order_col``) order, computed as a DISTRIBUTED two-phase scan.
+
+    A naive ``sum().over(Window.partitionBy(part).orderBy(order))``
+    funnels an entire partition value into ONE task — the classic
+    global-cumsum scale wall (a 10^12-row source would serialize).
+    Instead:
+
+    1. bucket rows into contiguous ``order_col`` ranges of
+       ``group_size`` ids and aggregate per-(part, group) subtotals —
+       output has ~rows/group_size rows (tiny: 10^6 groups at 10^12
+       rows with the default 2^20);
+    2. a window over that SMALL table yields each group's base offset,
+       broadcast-joined back; a bounded within-group window (≤
+       group_size rows per task) adds the local exclusive cumsum.
+
+    No task ever owns more than ``group_size`` rows, and the only wide
+    exchanges are one tiny aggregate and one bounded sort.
+    """
+    df = df.withColumn("__g", F.expr(f"{order_col} DIV {group_size}"))
+    totals = df.groupBy(part_col, "__g").agg(F.sum(val_col).alias("__t"))
+    w_base = (Window.partitionBy(part_col).orderBy("__g")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    bases = (totals
+             .withColumn("__base",
+                         F.coalesce(F.sum("__t").over(w_base), F.lit(0)))
+             .drop("__t"))
+    w_local = (Window.partitionBy(part_col, "__g").orderBy(order_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    return (df.join(F.broadcast(bases), [part_col, "__g"])
+            .withColumn(out_col,
+                        (F.col("__base")
+                         + F.coalesce(F.sum(val_col).over(w_local),
+                                      F.lit(0))).cast("long"))
+            .drop("__g", "__base"))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk into fixed context windows)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(df: DataFrame, ctx_len: int, id_col: str = "doc_id",
+                   tokens_col: str = "tokens", len_col: str = "n_tok",
+                   part_col: str = "source",
+                   group_size: int = 1 << 20) -> DataFrame:
+    """Pack variable-length token sequences into fixed ``ctx_len``
+    windows, GPT-style: concatenate all documents of a ``part_col``
+    stream in ``id_col`` order, then cut every ``ctx_len`` tokens.
+    Documents spanning a boundary are split across chunks; nothing is
+    padded or dropped (the per-stream tail chunk may be short —
+    ``full = false``).
+
+    Output: one row per (part, chunk_id) with the packed ``tokens``
+    array, ``n_docs`` contributing, ``n_tok_chunk`` and ``full``.
+
+    Scale shape: the exclusive prefix sum is the two-phase distributed
+    scan above; the chunk explode duplicates only boundary-spanning
+    rows (≤ 2 chunks for any doc shorter than ctx_len); the final
+    groupBy(part, chunk) moves each token exactly once, keyed on
+    uniformly-sized chunks (≤ ctx_len tokens each) — skew-free by
+    construction. Token identity/order is preserved end to end
+    (per-row token-array equality is the pipeline invariant; see
+    tests/test_tokens.py round-trip property).
+    """
+    d = (df.filter(F.col(len_col) > 0)
+         .select(part_col, id_col, tokens_col, len_col))
+    d = exclusive_prefix_sum(d, part_col, id_col, len_col, "__off",
+                             group_size)
+    first = F.expr(f"__off DIV {ctx_len}")
+    last = F.expr(f"(__off + {len_col} - 1) DIV {ctx_len}")
+    e = d.withColumn("chunk_id", F.explode(F.sequence(first, last)))
+    start = F.greatest(F.lit(0),
+                       F.col("chunk_id") * ctx_len - F.col("__off"))
+    length = (F.least(F.col(len_col),
+                      (F.col("chunk_id") + 1) * ctx_len - F.col("__off"))
+              - start)
+    e = e.withColumn("__piece",
+                     F.slice(tokens_col, (start + 1).cast("int"),
+                             length.cast("int")))
+    packed = (e.groupBy(part_col, "chunk_id")
+              .agg(F.flatten(
+                       F.transform(
+                           F.sort_array(F.collect_list(
+                               F.struct(F.col("__off").alias("o"),
+                                        F.col("__piece").alias("p")))),
+                           lambda s: s["p"])).alias(tokens_col),
+                   F.count("*").alias("n_docs")))
+    return (packed
+            .withColumn("n_tok_chunk", F.size(tokens_col))
+            .withColumn("full", F.col("n_tok_chunk") == ctx_len))
+
+
+# ---------------------------------------------------------------------------
+# token n-grams + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def token_ngrams(df: DataFrame, id_cols: list[str], tokens_col: str,
+                 n: int) -> DataFrame:
+    """Explode a token array into its contiguous n-grams, each rendered
+    as an ``_``-joined id string (one output row per n-gram occurrence).
+    Pure HOF + explode: no UDF, map-side only."""
+    idx = F.sequence(F.lit(1), F.size(tokens_col) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            "_", F.slice(tokens_col, i, n).cast("array<string>")))
+    return df.select(*id_cols, F.explode(grams).alias("ngram"))
+
+
+def decontaminate(train: DataFrame, bench: DataFrame, n: int = 5,
+                  id_col: str = "doc_id", tokens_col: str = "tokens",
+                  keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Benchmark n-gram decontamination: per training document, count
+    token n-grams that also occur in the benchmark set; rows with
+    ``n_hits ≥ 1`` are the contaminated documents to quarantine.
+
+    Scale shape: the benchmark gram set is distinct-hashed and
+    BROADCAST (held-out benchmarks are 10^5–10^7 grams vs 10^12
+    training rows), so the training side is a map-only explode +
+    broadcast semi-probe + partial-aggregated per-doc count — a single
+    shuffle on ``id_col``, no big-big join.
+    """
+    bench_grams = (token_ngrams(bench, [], tokens_col, n)
+                   .select(F.md5("ngram").alias("gh"))
+                   .distinct())
+    train_grams = (token_ngrams(train, [id_col, *keep_cols], tokens_col, n)
+                   .withColumn("gh", F.md5("ngram")))
+    return (train_grams.join(F.broadcast(bench_grams), "gh")
+            .groupBy(id_col, *keep_cols)
+            .agg(F.count("*").alias("n_hits")))
+
+
+# ---------------------------------------------------------------------------
+# line-level ops (C4-style corpus line dedup; Gopher repetition stats)
+# ---------------------------------------------------------------------------
+
+
+def doc_lines(df: DataFrame, id_col: str, text_col: str,
+              line_words: int) -> DataFrame:
+    """Split whitespace-tokenized text into fixed ``line_words``-word
+    "lines" (the de-dup unit), exploded with their position. Documents
+    with natural newlines would split on those instead; the driver
+    corpus is single-line, so the unit is a word-aligned chunk —
+    identical mechanics either way."""
+    words = F.split(F.col(text_col), " ")
+    nlines = F.expr(
+        f"(size(split({text_col}, ' ')) + {line_words - 1})"
+        f" DIV {line_words}")
+    lines = F.transform(
+        F.sequence(F.lit(1), nlines),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, (i - 1) * line_words + 1, line_words)))
+    return df.select(id_col,
+                     F.posexplode(lines).alias("line_no", "line"))
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", line_words: int = 6,
+               max_occ: int = 2) -> DataFrame:
+    """C4-style cross-corpus line deduplication: any line occurring more
+    than ``max_occ`` times ANYWHERE in the corpus is removed from every
+    document; documents are reassembled in original line order.
+
+    Output: one row per input document — reassembled ``text`` plus
+    ``n_kept`` / ``n_dropped`` line counts (a fully-boilerplate document
+    comes back with empty text rather than vanishing).
+
+    Scale shape: one shuffle keyed on the line hash for the global
+    occurrence count (map-side partial aggregation; AQE handles skewed
+    boilerplate lines), one hash-join of lines against that count table
+    (AQE broadcasts it when the distinct-line set is small), one shuffle
+    back on ``id_col`` to reassemble. Tokens move twice — the minimum
+    for a global-count + rewrite semantics.
+    """
+    ln = (doc_lines(df, id_col, text_col, line_words)
+          .withColumn("lh", F.md5("line")))
+    counts = ln.groupBy("lh").agg(F.count("*").alias("cnt"))
+    keep = F.col("cnt") <= max_occ
+    joined = ln.join(counts, "lh")
+    return (joined.groupBy(id_col)
+            .agg(F.sum(keep.cast("long")).alias("n_kept"),
+                 F.sum((~keep).cast("long")).alias("n_dropped"),
+                 F.concat_ws(
+                     " ",
+                     F.flatten(F.transform(
+                         F.sort_array(F.collect_list(F.struct(
+                             F.col("line_no").alias("o"),
+                             F.when(keep, F.array("line"))
+                              .otherwise(F.array().cast("array<string>"))
+                              .alias("p")))),
+                         lambda s: s["p"]))).alias(text_col)))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     line_words: int = 6) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules):
+    per document, the fraction of line occurrences that are duplicates
+    and the fraction of characters inside duplicated lines. Two local
+    hash aggregates keyed by (doc, line) then (doc) — a document's
+    lines land in one reduce task each, no global state."""
+    ln = doc_lines(df, id_col, text_col, line_words)
+    per_line = (ln.groupBy(id_col, "line")
+                .agg(F.count("*").alias("c"),
+                     F.length(F.first("line")).alias("chars")))
+    dup = F.col("c") > 1
+    return (per_line.groupBy(id_col)
+            .agg(F.sum("c").alias("n_lines"),
+                 F.count("*").alias("n_distinct"),
+                 (F.lit(1.0) - F.count("*") / F.sum("c"))
+                 .alias("dup_line_frac"),
+                 (F.sum(F.when(dup, F.col("c") * F.col("chars"))
+                        .otherwise(F.lit(0)))
+                  / F.sum(F.col("c") * F.col("chars")))
+                 .alias("dup_char_frac")))
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(df: DataFrame, weight_pct: Column, budget_tokens: Column,
+                   part_col: str = "source", len_col: str = "n_tok",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-source mixture sampling toward a token budget:
+    source ``s`` targets ``budget_tokens * weight_pct(s) / 100`` tokens;
+    its documents are kept when a stable content-hash bucket of
+    ``id_col`` falls under the source's rate (ppm). Reproducible across
+    runs, partitionings, and engines — no ``rand()``.
+
+    ``weight_pct`` is a Column over ``df``'s columns (evaluated per
+    source); ``budget_tokens`` a Column over the corpus-total frame
+    (e.g. ``F.expr("corpus_tokens DIV 4")``). Rates are computed in
+    pure BIGINT arithmetic (no float rounding to diverge between
+    engines).
+
+    Scale shape: two tiny aggregates (per-source totals, corpus total)
+    broadcast back onto the fact table; the sample itself is a map-only
+    filter. Adding a source or rescaling the budget never reshuffles
+    the corpus.
+    """
+    totals = df.groupBy(part_col).agg(F.sum(len_col).alias("__tot"))
+    corpus = totals.agg(F.sum("__tot").alias("corpus_tokens"))
+    rates = (totals.crossJoin(F.broadcast(corpus))
+             .withColumn("__budget", budget_tokens.cast("long"))
+             .withColumn("__pct", weight_pct.cast("long"))
+             .withColumn("ppm",
+                         F.least(F.lit(1000000).cast("long"),
+                                 F.expr("(__budget * __pct * 10000)"
+                                        " DIV __tot")))
+             .select(part_col, "ppm"))
+    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7),
+                     16, 10).cast("long") % 1000000)
+    return (df.join(F.broadcast(rates), part_col)
+            .filter(bucket < F.col("ppm")))

@@ -1690,3 +1690,227 @@ def parse_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.host").alias("host"), F.col("p.ident").alias("ident"),
         F.col("p.pid").alias("pid"), F.col("p.msgid").alias("msgid"),
         F.col("p.message").alias("message"))
+
+
+# ===========================================================================
+# Token-sequence training-data ops (operators/tokens.py): packing,
+# line dedup, decontamination, mixture sampling, repetition stats
+# ===========================================================================
+
+_TOK_IDS_SQL = ("list_transform(string_split(text, ' '), "
+                "w -> CAST(('0x' || substring(md5(w), 1, 7))::BIGINT "
+                "% 50000 AS INT))")
+
+
+def _tok_int_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents projected to the input_hint schema — (doc_id,
+    tokens:array<int>, n_tok, source) — with token ids derived
+    deterministically from the words so DuckDB reproduces them."""
+    docs = t(spark, sf_dir, "documents")
+    tok = F.transform(
+        F.split("text", " "),
+        lambda w: (F.conv(F.substring(F.md5(w), 1, 7), 16, 10)
+                   .cast("long") % 50000).cast("int"))
+    return (docs.select("doc_id", "source", tok.alias("tokens"))
+            .withColumn("n_tok", F.size("tokens")))
+
+
+@q("pack_sequences", f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+o AS (
+  SELECT *, CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS off
+  FROM d),
+e AS (
+  SELECT *, unnest(generate_series(off // 64, (off + n_tok - 1) // 64))
+         AS chunk_id
+  FROM o),
+p AS (
+  SELECT source, chunk_id, off,
+         tokens[CAST(greatest(0, chunk_id*64 - off) AS BIGINT) + 1 :
+                CAST(least(n_tok, (chunk_id+1)*64 - off) AS BIGINT)]
+           AS piece
+  FROM e)
+SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+       count(*) AS n_docs,
+       CAST(len(flatten(list(piece ORDER BY off))) AS BIGINT)
+         AS n_tok_chunk,
+       len(flatten(list(piece ORDER BY off))) = 64 AS full,
+       md5(array_to_string(list_transform(
+           flatten(list(piece ORDER BY off)),
+           x -> CAST(x AS VARCHAR)), ' ')) AS tok_hash
+FROM p GROUP BY source, chunk_id
+""")
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/tokens.py pack_sequences): concat-
+    and-chunk the per-source token streams into fixed 64-token training
+    windows via a DISTRIBUTED two-phase prefix sum (no global window).
+    The oracle reproduces the full pipeline — offsets, boundary
+    splitting, chunk reassembly — and the chunk content is value-checked
+    by an md5 over the packed token ids (token-array equality, the
+    north-star per-row invariant)."""
+    from .operators.tokens import pack_sequences
+    d = _tok_int_docs(spark, sf_dir)
+    packed = pack_sequences(d, ctx_len=64, id_col="doc_id",
+                            group_size=1 << 20)
+    return packed.select(
+        "source", F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_docs").alias("n_docs"),
+        F.col("n_tok_chunk").cast("long").alias("n_tok_chunk"),
+        "full",
+        F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
+         .alias("tok_hash"))
+
+
+@q("line_dedup_c4", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents),
+g AS (SELECT doc_id, words,
+             unnest(generate_series(1, (len(words) + 5) // 6)) AS i
+      FROM w),
+ln AS (SELECT doc_id, i - 1 AS line_no,
+              array_to_string(words[(i-1)*6+1 : least(len(words), i*6)],
+                              ' ') AS line
+       FROM g),
+c AS (SELECT md5(line) AS lh, count(*) AS cnt FROM ln GROUP BY 1),
+j AS (SELECT ln.*, c.cnt FROM ln JOIN c ON md5(ln.line) = c.lh)
+SELECT doc_id,
+       CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN cnt > 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       md5(coalesce(array_to_string(flatten(list(
+           CASE WHEN cnt <= 2 THEN [line] ELSE []::VARCHAR[] END
+           ORDER BY line_no)), ' '), '')) AS text_hash
+FROM j GROUP BY doc_id
+""")
+def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus line dedup (operators/tokens.py
+    line_dedup): lines occurring >2 times anywhere are removed from
+    every document; documents reassemble in original order (value-
+    checked via md5 of the rebuilt text). One line-hash shuffle for the
+    global count + one doc_id shuffle to reassemble."""
+    from .operators.tokens import line_dedup
+    docs = t(spark, sf_dir, "documents")
+    out = line_dedup(docs, line_words=6, max_occ=2)
+    return out.select("doc_id",
+                      F.col("n_kept").cast("long").alias("n_kept"),
+                      F.col("n_dropped").cast("long").alias("n_dropped"),
+                      F.md5("text").alias("text_hash"))
+
+
+@q("decontaminate_ngrams", f"""
+WITH tok AS (SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens
+             FROM documents),
+bench AS (
+  SELECT DISTINCT array_to_string(list_transform(tokens[i : i+4],
+           x -> CAST(x AS VARCHAR)), '_') AS gram
+  FROM (SELECT tokens,
+               unnest(generate_series(1, len(tokens) - 4)) AS i
+        FROM tok WHERE doc_id % 50 = 0 AND len(tokens) >= 5) b),
+train AS (
+  SELECT doc_id, source,
+         array_to_string(list_transform(tokens[i : i+4],
+           x -> CAST(x AS VARCHAR)), '_') AS gram
+  FROM (SELECT doc_id, source, tokens,
+               unnest(generate_series(1, len(tokens) - 4)) AS i
+        FROM tok WHERE doc_id % 50 <> 0 AND len(tokens) >= 5) tr)
+SELECT train.doc_id, train.source, count(*) AS n_hits
+FROM train JOIN bench ON train.gram = bench.gram
+GROUP BY 1, 2
+""")
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination (operators/tokens.py
+    decontaminate): every 50th document plays the held-out benchmark;
+    training docs sharing any token 5-gram with it are flagged with
+    their overlap counts. The benchmark gram set is broadcast — the
+    10^12-row training side stays map-only + one per-doc count
+    shuffle."""
+    from .operators.tokens import decontaminate
+    d = _tok_int_docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, n=5, keep_cols=("source",))
+
+
+@q("mixture_sample_budget", """
+WITH d AS (SELECT doc_id, source,
+                  len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot
+        FROM d GROUP BY source),
+corpus AS (SELECT CAST(sum(n_tok) AS BIGINT) AS corpus_tokens FROM d),
+rates AS (SELECT source,
+                 CAST(least(1000000,
+                   ((corpus_tokens // 4)
+                    * (1 + (CAST(substring(source, 4) AS BIGINT) % 5))
+                    * 10000) // tot) AS BIGINT) AS ppm
+          FROM tot, corpus)
+SELECT d.source, CAST(max(ppm) AS BIGINT) AS ppm,
+       count(*) AS docs_kept,
+       CAST(sum(n_tok) AS BIGINT) AS toks_kept
+FROM d JOIN rates ON d.source = rates.source
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+      % 1000000 < ppm
+GROUP BY d.source
+""")
+def mixture_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (operators/tokens.py
+    mixture_sample): per-source weights 1–5% of a corpus/4 token
+    budget, deterministic content-hash selection, all-BIGINT rate
+    arithmetic so any engine lands the same sample. Two tiny broadcast
+    aggregates + a map-only filter."""
+    from .operators.tokens import mixture_sample
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", "source",
+                 F.size(F.split("text", " ")).alias("n_tok")))
+    w = 1 + (F.substring("source", 4, 10).cast("long") % 5)
+    kept = mixture_sample(d, weight_pct=w,
+                          budget_tokens=F.expr("corpus_tokens DIV 4"))
+    return (kept.groupBy("source")
+            .agg(F.max("ppm").cast("long").alias("ppm"),
+                 F.count("*").alias("docs_kept"),
+                 F.sum("n_tok").cast("long").alias("toks_kept")))
+
+
+@q("repetition_stats", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents),
+g AS (SELECT doc_id, words,
+             unnest(generate_series(1, (len(words) + 5) // 6)) AS i
+      FROM w),
+ln AS (SELECT doc_id,
+              array_to_string(words[(i-1)*6+1 : least(len(words), i*6)],
+                              ' ') AS line
+       FROM g),
+pl AS (SELECT doc_id, line, count(*) AS c,
+              length(min(line)) AS chars
+       FROM ln GROUP BY doc_id, line)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_lines,
+       count(*) AS n_distinct,
+       ROUND(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6)
+         AS dup_line_frac,
+       ROUND(sum(CASE WHEN c > 1 THEN c * chars ELSE 0 END)
+             / CAST(sum(c * chars) AS DOUBLE), 6) AS dup_char_frac
+FROM pl GROUP BY doc_id
+""")
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality signals (operators/tokens.py
+    repetition_stats, Gopher-style duplicate-line rules): per document,
+    duplicate-line and duplicate-character fractions from two local
+    hash aggregates — no UDF, no global state."""
+    from .operators.tokens import repetition_stats
+    docs = t(spark, sf_dir, "documents")
+    out = repetition_stats(docs, line_words=6)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_distinct").alias("n_distinct"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_char_frac", 6).alias("dup_char_frac"))

@@ -1,0 +1,140 @@
+"""Token-sequence operators (operators/tokens.py): distributed prefix
+sum, sequence packing round-trip (token-array equality invariant),
+n-gram decontamination, C4-style line dedup, mixture sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.operators import tokens as TK
+
+
+def test_exclusive_prefix_sum_matches_naive_window(spark):
+    df = (spark.range(200)
+          .withColumn("part", (F.col("id") % 3).cast("string"))
+          .withColumn("val", (F.col("id") * 7) % 11 + 1))
+    got = TK.exclusive_prefix_sum(df, "part", "id", "val", "off",
+                                  group_size=16)
+    w = (Window.partitionBy("part").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    want = df.withColumn("off", F.coalesce(F.sum("val").over(w), F.lit(0)))
+    assert (sorted(got.select("id", "off").collect())
+            == sorted(want.select("id", "off").collect()))
+
+
+def _with_numeric_id(tokens_df):
+    return tokens_df.withColumn(
+        "oid", F.substring("doc_id", 4, 12).cast("long"))
+
+
+def test_pack_sequences_roundtrip_token_equality(spark, tokens_df):
+    """The per-row invariant: packing preserves every token and its
+    global order — concatenating chunks in chunk_id order reproduces
+    the concatenation of the input docs in id order, per source."""
+    d = _with_numeric_id(tokens_df.limit(1500))
+    packed = TK.pack_sequences(d, ctx_len=128, id_col="oid",
+                               group_size=64)
+    got = {r["source"]: r["all"] for r in
+           (packed.groupBy("source")
+            .agg(F.flatten(F.transform(
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("chunk_id").alias("o"),
+                    F.col("tokens").alias("p")))),
+                lambda s: s["p"])).alias("all"))).collect()}
+    want = {r["source"]: r["all"] for r in
+            (d.filter(F.col("n_tok") > 0).groupBy("source")
+             .agg(F.flatten(F.transform(
+                 F.sort_array(F.collect_list(F.struct(
+                     F.col("oid").alias("o"),
+                     F.col("tokens").alias("p")))),
+                 lambda s: s["p"])).alias("all"))).collect()}
+    assert got == want
+
+
+def test_pack_sequences_chunk_sizes(spark, tokens_df):
+    d = _with_numeric_id(tokens_df.limit(1500))
+    packed = TK.pack_sequences(d, ctx_len=128, id_col="oid",
+                               group_size=64).cache()
+    last = packed.groupBy("source").agg(F.max("chunk_id").alias("mx"))
+    non_tail = packed.join(
+        last, ["source"]).filter(F.col("chunk_id") < F.col("mx"))
+    # every non-tail chunk is exactly ctx_len and marked full
+    assert non_tail.filter(
+        (F.col("n_tok_chunk") != 128) | (~F.col("full"))).count() == 0
+    # token conservation
+    total_in = d.agg(F.sum("n_tok")).first()[0]
+    total_out = packed.agg(F.sum("n_tok_chunk")).first()[0]
+    assert total_in == total_out
+    packed.unpersist()
+
+
+def test_token_ngrams_enumeration(spark):
+    df = spark.createDataFrame([(1, [10, 20, 30, 40])], "id int, tokens array<int>")
+    got = [r["ngram"] for r in
+           TK.token_ngrams(df, ["id"], "tokens", 2)
+           .orderBy("ngram").collect()]
+    assert got == ["10_20", "20_30", "30_40"]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [("t1", [1, 2, 3, 4, 5]),       # contains bench gram 2_3_4
+         ("t2", [9, 9, 9, 9]),          # clean
+         ("t3", [0, 2, 3, 4, 0, 2, 3, 4])],  # gram twice
+        "doc_id string, tokens array<int>")
+    bench = spark.createDataFrame(
+        [("b1", [2, 3, 4])], "doc_id string, tokens array<int>")
+    hits = {r["doc_id"]: r["n_hits"] for r in
+            TK.decontaminate(train, bench, n=3).collect()}
+    assert hits == {"t1": 1, "t3": 2}
+
+
+def test_line_dedup_drops_boilerplate_and_reassembles(spark):
+    # line unit = 2 words; "a b" appears in 4 docs -> dropped (max_occ=2)
+    docs = [("d1", "a b x y"), ("d2", "a b p q"),
+            ("d3", "a b"), ("d4", "a b z w a b")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           TK.line_dedup(df, line_words=2, max_occ=2).collect()}
+    assert out["d1"]["text"] == "x y" and out["d1"]["n_dropped"] == 1
+    assert out["d2"]["text"] == "p q"
+    # fully-boilerplate doc survives with empty text, not dropped
+    assert out["d3"]["text"] == "" and out["d3"]["n_kept"] == 0
+    # d4 has "a b" twice -> both occurrences dropped, middle kept in order
+    assert out["d4"]["text"] == "z w" and out["d4"]["n_dropped"] == 2
+
+
+def test_repetition_stats_fractions(spark):
+    # lines (2 words): ["x y", "x y", "q r"] -> 3 lines, 2 distinct
+    df = spark.createDataFrame([("d1", "x y x y q r")],
+                               "doc_id string, text string")
+    r = TK.repetition_stats(df, line_words=2).first()
+    assert r["n_lines"] == 3 and r["n_distinct"] == 2
+    assert abs(r["dup_line_frac"] - (1 - 2 / 3)) < 1e-9
+    # dup chars: "x y" (3 chars) * 2 occurrences of 9 total chars
+    assert abs(r["dup_char_frac"] - 6 / 9) < 1e-9
+
+
+def test_mixture_sample_deterministic_and_budgeted(spark, tokens_df):
+    d = tokens_df.limit(2000)
+    kept = TK.mixture_sample(d, weight_pct=F.lit(20),
+                             budget_tokens=F.expr("corpus_tokens DIV 2"))
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               TK.mixture_sample(d, weight_pct=F.lit(20),
+                                 budget_tokens=F.expr("corpus_tokens DIV 2"))
+               .select("doc_id").collect())
+    assert a == b and len(a) > 0          # deterministic, non-empty
+    # per-source kept tokens land near target = 20% * corpus/2 = 10% of
+    # corpus (hash sampling is binomial; allow wide tolerance)
+    corpus = d.agg(F.sum("n_tok")).first()[0]
+    per_src = {r["source"]: r["kt"] for r in
+               kept.groupBy("source").agg(F.sum("n_tok").alias("kt"))
+               .collect()}
+    for src, kt in per_src.items():
+        target = corpus * 0.10
+        assert kt < 3 * target
+    # sampled set is a subset of the input
+    all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    assert set(a) <= all_ids
