@@ -60,6 +60,9 @@ HEADLINE = [
     "sp_sql_window",
     "text_quality",
     "token_count_regex",
+    # r3 token-sequence training-data ops (operators/tokens.py)
+    "pack_sequences",
+    "line_dedup_c4",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "3"))

@@ -54,7 +54,17 @@ def exclusive_prefix_sum(df: DataFrame, part_col: str, order_col: str,
 
     No task ever owns more than ``group_size`` rows, and the only wide
     exchanges are one tiny aggregate and one bounded sort.
+
+    ``order_col`` must be an integral column — it is both the ordering
+    key and the range-bucketing key (string ids would make ``DIV``
+    return null and collapse every row into one group). Derive a
+    numeric key first (e.g. ``substring(doc_id, 4).cast("long")``).
     """
+    dt = df.schema[order_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"exclusive_prefix_sum: order_col {order_col!r} must be "
+            f"integral (got {dt}) — it is range-bucketed with DIV")
     df = df.withColumn("__g", F.expr(f"{order_col} DIV {group_size}"))
     totals = df.groupBy(part_col, "__g").agg(F.sum(val_col).alias("__t"))
     w_base = (Window.partitionBy(part_col).orderBy("__g")
@@ -138,12 +148,19 @@ def token_ngrams(df: DataFrame, id_cols: list[str], tokens_col: str,
                  n: int) -> DataFrame:
     """Explode a token array into its contiguous n-grams, each rendered
     as an ``_``-joined id string (one output row per n-gram occurrence).
-    Pure HOF + explode: no UDF, map-side only."""
+    Pure HOF + explode: no UDF, map-side only.
+
+    Sequences shorter than ``n`` yield no grams — guarded explicitly,
+    because Spark's ``sequence(1, size-n+1)`` DESCENDS when the stop is
+    < 1 (it would emit bogus negative-start slices for short docs)."""
     idx = F.sequence(F.lit(1), F.size(tokens_col) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            "_", F.slice(tokens_col, i, n).cast("array<string>")))
+    grams = F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                "_", F.slice(tokens_col, i, n).cast("array<string>"))))\
+        .otherwise(F.array().cast("array<string>"))
     return df.select(*id_cols, F.explode(grams).alias("ngram"))
 
 

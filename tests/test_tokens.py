@@ -77,6 +77,15 @@ def test_token_ngrams_enumeration(spark):
     assert got == ["10_20", "20_30", "30_40"]
 
 
+def test_token_ngrams_short_docs_yield_nothing(spark):
+    """Spark's sequence(1, stop) DESCENDS when stop < 1 — without the
+    guard, a 2-token doc under n=3 emits negative-start slices."""
+    df = spark.createDataFrame(
+        [(1, [7, 8]), (2, [9]), (3, [])],
+        "id int, tokens array<int>")
+    assert TK.token_ngrams(df, ["id"], "tokens", 3).count() == 0
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     train = spark.createDataFrame(
         [("t1", [1, 2, 3, 4, 5]),       # contains bench gram 2_3_4

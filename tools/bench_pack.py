@@ -1,0 +1,163 @@
+"""Packing-at-volume evidence: pack_sequences at millions of documents.
+
+The sf0.1 corpus verifies packing *correctness* (oracled query
+`pack_sequences` value-checks chunk content by md5); this script
+evidences the *scale shape*: generate a deterministic tokens table in
+the north-star input shape — (doc_id, tokens:array<int>, n_tok,
+source) — directly in Spark SQL (no driver-side data), run the REAL
+operator (`operators/tokens.py pack_sequences`) into fixed context
+windows, and record per-size:
+
+  - generation and packing wall seconds
+  - chunks out, full-chunk fraction, token conservation (in == out)
+  - shuffle read/write bytes over the packing job (Spark UI REST)
+
+Linearity between sizes is the evidence: the pack plan is one tiny
+prefix-sum aggregate + bounded windows + one chunk-keyed exchange of
+the tokens, so wall and shuffle bytes must track rows.
+
+Usage:
+    python tools/bench_pack.py --sizes 1600000,16000000 \
+        [--ctx 512] [--out /tmp/pack_vol] [--md BENCH/PACK.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.bench_dedup import shuffle_totals  # noqa: E402
+
+VOCAB = 50_000
+N_SOURCES = 20
+
+
+def tokens_sql(n_docs: int) -> str:
+    """Deterministic tokens table over spark.range(n_docs): 30–60
+    int32 token ids per doc (xxhash64-derived), skewed sources
+    (pmod(id,7)==0 rows pile into src0 — packing keys on uniformly
+    sized chunks, so source skew must not matter)."""
+    return f"""
+    SELECT id AS doc_id,
+           transform(sequence(0, L - 1),
+                     j -> CAST(pmod(xxhash64(id, j), {VOCAB}) AS INT))
+             AS tokens,
+           CAST(L AS INT) AS n_tok,
+           concat('src', CASE WHEN pmod(id, 7) = 0 THEN 0
+                              ELSE pmod(id, {N_SOURCES}) END) AS source
+    FROM (SELECT id, CAST(30 + pmod(id * 7919, 31) AS INT) AS L
+          FROM rng)
+    """
+
+
+def run_size(n_docs: int, ctx: int, out: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.tokens import pack_sequences
+    from fluent_bit_spark.session import get_spark
+
+    # one reduce task should own ≤ ~32M tokens (~128 MB of int32):
+    # tokens move once through the chunk-keyed exchange.
+    avg_tok = 45
+    shuf = max(32, min(512, n_docs * avg_tok // 32_000_000))
+    spark = get_spark(app_name=f"bench_pack_{n_docs}",
+                      shuffle_partitions=shuf,
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.port": "4040"})
+    res: dict = {"n_docs": n_docs, "ctx": ctx, "shuffle_partitions": shuf}
+    marks = [(0, 0)]
+
+    def phase(name: str, t0: float) -> None:
+        rd, wr = shuffle_totals()
+        res[f"{name}_wall_s"] = round(time.time() - t0, 1)
+        res[f"{name}_shuffle_read_mb"] = round((rd - marks[-1][0]) / 2**20, 1)
+        res[f"{name}_shuffle_write_mb"] = round((wr - marks[-1][1]) / 2**20, 1)
+        marks.append((rd, wr))
+
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    spark.range(n_docs).createOrReplaceTempView("rng")
+    spark.sql(tokens_sql(n_docs)).write.mode("overwrite") \
+        .parquet(f"{out}/tokens")
+    phase("gen", t0)
+
+    docs = spark.read.parquet(f"{out}/tokens")
+    tok_in = docs.agg(F.sum("n_tok")).first()[0]
+
+    t0 = time.time()
+    packed = pack_sequences(docs, ctx_len=ctx)
+    packed.write.mode("overwrite").parquet(f"{out}/packed")
+    phase("pack", t0)
+
+    p = spark.read.parquet(f"{out}/packed")
+    agg = p.agg(F.count("*").alias("chunks"),
+                F.sum("n_tok_chunk").alias("tok_out"),
+                F.sum(F.col("full").cast("long")).alias("full_chunks")
+                ).first()
+    res["tokens_in"] = int(tok_in)
+    res["tokens_out"] = int(agg["tok_out"])
+    res["chunks"] = int(agg["chunks"])
+    res["full_frac"] = round(agg["full_chunks"] / agg["chunks"], 4)
+    res["conserved"] = res["tokens_in"] == res["tokens_out"]
+    res["docs_per_sec"] = round(n_docs / res["pack_wall_s"], 1)
+    res["tokens_per_sec"] = round(tok_in / res["pack_wall_s"], 1)
+    spark.stop()
+    if not res["conserved"]:
+        raise SystemExit(f"TOKEN LOSS: {res}")
+    return res
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1600000,16000000")
+    ap.add_argument("--ctx", type=int, default=512)
+    ap.add_argument("--out", default="/tmp/pack_vol")
+    ap.add_argument("--md", default=None, help="append a markdown report")
+    args = ap.parse_args()
+
+    results = []
+    for n in [int(s) for s in args.sizes.split(",")]:
+        r = run_size(n, args.ctx, f"{args.out}/{n}")
+        print(json.dumps(r))
+        results.append(r)
+
+    if args.md and len(results) >= 2:
+        a, b = results[-2], results[-1]
+        ratio = b["n_docs"] / a["n_docs"]
+        lines = [
+            "", f"## Volume run {time.strftime('%Y-%m-%d')} "
+            f"(sizes {args.sizes}, ctx {args.ctx})", "",
+            "| n_docs | tokens in | gen s | pack s | chunks | full % | "
+            "conserved | shuffle R/W MB (pack) | tokens/s |",
+            "|" + "---|" * 9]
+        for r in results:
+            lines.append(
+                f"| {r['n_docs']:,} | {r['tokens_in']:,} | "
+                f"{r['gen_wall_s']} | {r['pack_wall_s']} | "
+                f"{r['chunks']:,} | {100 * r['full_frac']:.1f} | "
+                f"{r['conserved']} | "
+                f"{r['pack_shuffle_read_mb']}/{r['pack_shuffle_write_mb']}"
+                f" | {r['tokens_per_sec']:,} |")
+        wall_x = b["pack_wall_s"] / max(a["pack_wall_s"], 0.1)
+        shuf_x = (b["pack_shuffle_write_mb"]
+                  / max(a["pack_shuffle_write_mb"], 0.1))
+        verdict = ("sub-linear" if wall_x <= ratio
+                   else "linear within tolerance" if wall_x <= ratio * 1.15
+                   else "SUPER-LINEAR")
+        lines += [
+            "", f"{ratio:.0f}× rows → {wall_x:.1f}× pack wall, "
+            f"{shuf_x:.1f}× shuffle write ({verdict} wall growth); "
+            "token conservation exact at both sizes.", ""]
+        with open(args.md, "a") as f:
+            f.write("\n".join(lines))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
