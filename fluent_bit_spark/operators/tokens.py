@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 def exclusive_prefix_sum(df: DataFrame, part_col: str, order_col: str,
                          val_col: str, out_col: str = "offset",
-                         group_size: int = 1 << 20) -> DataFrame:
+                         group_size: int = 1 << 20,
+                         tiebreak_col: str | None = None) -> DataFrame:
     """Exclusive prefix sum of ``val_col`` over (``part_col``,
     ``order_col``) order, computed as a DISTRIBUTED two-phase scan.
 
@@ -59,6 +60,11 @@ def exclusive_prefix_sum(df: DataFrame, part_col: str, order_col: str,
     key and the range-bucketing key (string ids would make ``DIV``
     return null and collapse every row into one group). Derive a
     numeric key first (e.g. ``substring(doc_id, 4).cast("long")``).
+
+    ``tiebreak_col`` makes the scan deterministic when ``order_col``
+    values can collide (e.g. a hash-derived order key): rows with equal
+    order land in the same range group, and the local window breaks the
+    tie on it.
     """
     dt = df.schema[order_col].dataType.simpleString()
     if dt not in ("tinyint", "smallint", "int", "bigint"):
@@ -73,7 +79,9 @@ def exclusive_prefix_sum(df: DataFrame, part_col: str, order_col: str,
              .withColumn("__base",
                          F.coalesce(F.sum("__t").over(w_base), F.lit(0)))
              .drop("__t"))
-    w_local = (Window.partitionBy(part_col, "__g").orderBy(order_col)
+    order_keys = ([order_col, tiebreak_col] if tiebreak_col
+                  else [order_col])
+    w_local = (Window.partitionBy(part_col, "__g").orderBy(*order_keys)
                .rowsBetween(Window.unboundedPreceding, -1))
     return (df.join(F.broadcast(bases), [part_col, "__g"])
             .withColumn(out_col,
@@ -91,7 +99,9 @@ def exclusive_prefix_sum(df: DataFrame, part_col: str, order_col: str,
 def pack_sequences(df: DataFrame, ctx_len: int, id_col: str = "doc_id",
                    tokens_col: str = "tokens", len_col: str = "n_tok",
                    part_col: str = "source",
-                   group_size: int = 1 << 20) -> DataFrame:
+                   group_size: int = 1 << 20,
+                   order_col: str | None = None,
+                   tiebreak_col: str | None = None) -> DataFrame:
     """Pack variable-length token sequences into fixed ``ctx_len``
     windows, GPT-style: concatenate all documents of a ``part_col``
     stream in ``id_col`` order, then cut every ``ctx_len`` tokens.
@@ -110,11 +120,20 @@ def pack_sequences(df: DataFrame, ctx_len: int, id_col: str = "doc_id",
     construction. Token identity/order is preserved end to end
     (per-row token-array equality is the pipeline invariant; see
     tests/test_tokens.py round-trip property).
+
+    ``order_col`` overrides the concatenation order key (must be
+    integral; defaults to ``id_col``). Passing a hash-derived order
+    (e.g. ``xxhash64(doc_id)``) packs in DETERMINISTICALLY SHUFFLED
+    corpus order — the training-data "global shuffle then chunk" step —
+    with ``tiebreak_col=id_col`` keeping hash collisions stable.
     """
-    d = (df.filter(F.col(len_col) > 0)
-         .select(part_col, id_col, tokens_col, len_col))
-    d = exclusive_prefix_sum(d, part_col, id_col, len_col, "__off",
-                             group_size)
+    okey = order_col or id_col
+    cols = {part_col, id_col, tokens_col, len_col, okey}
+    if tiebreak_col:
+        cols.add(tiebreak_col)
+    d = df.filter(F.col(len_col) > 0).select(*cols)
+    d = exclusive_prefix_sum(d, part_col, okey, len_col, "__off",
+                             group_size, tiebreak_col=tiebreak_col)
     first = F.expr(f"__off DIV {ctx_len}")
     last = F.expr(f"(__off + {len_col} - 1) DIV {ctx_len}")
     e = d.withColumn("chunk_id", F.explode(F.sequence(first, last)))

@@ -1,0 +1,112 @@
+"""spark-submit entry point for sequence packing.
+
+Packs a tokens table in the north-star input shape — (doc_id,
+tokens:array<int32>, n_tok, source) — into fixed context-length
+training windows (operators/tokens.py pack_sequences), optionally in
+deterministically SHUFFLED corpus order (xxhash64 of the id: the
+"global shuffle then chunk" step every training pipeline runs before
+materializing a dataset). Asserts exact token conservation before
+declaring success — a packing run that lost or duplicated a token
+exits non-zero and removes nothing.
+
+Usage:
+
+    zip -r engine.zip fluent_bit_spark
+    spark-submit --master local[32] --py-files engine.zip \
+        jobs/run_pack.py --input /path/tokens.parquet \
+        --output /path/packed [--ctx 2048] \
+        [--order id|hash] [--id-col doc_id --part-col source]
+
+Outputs under --output:
+    packed/   (source, chunk_id, tokens, n_docs, n_tok_chunk, full)
+Prints one JSON line with counts, conservation, and throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="sequence packing")
+    ap.add_argument("--input", required=True, help="tokens parquet")
+    ap.add_argument("--output", required=True, help="output dir")
+    ap.add_argument("--ctx", type=int, default=2048,
+                    help="context window length (tokens)")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--tokens-col", default="tokens")
+    ap.add_argument("--len-col", default="n_tok")
+    ap.add_argument("--part-col", default="source")
+    ap.add_argument("--order", choices=["id", "hash"], default=None,
+                    help="concat order: 'id' (ids must be integral) or "
+                         "'hash' (deterministic shuffle; default for "
+                         "string ids, required for them)")
+    ap.add_argument("--group-size", type=int, default=1 << 20,
+                    help="prefix-sum range-group size (bounds window "
+                         "task rows)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.tokens import pack_sequences
+    from fluent_bit_spark.session import get_spark
+
+    spark = get_spark(app_name="run_pack")
+    t0 = time.time()
+    if not os.path.exists(args.input):
+        ap.error(f"input not found: {args.input}")
+    df = spark.read.parquet(args.input)
+
+    id_integral = (df.schema[args.id_col].dataType.simpleString()
+                   in ("tinyint", "smallint", "int", "bigint"))
+    order = args.order or ("id" if id_integral else "hash")
+    if order == "id" and not id_integral:
+        ap.error(f"--order id requires an integral {args.id_col}; "
+                 "use --order hash")
+    if order == "hash":
+        df = df.withColumn("__okey", F.xxhash64(args.id_col))
+        okey, tiebreak = "__okey", args.id_col
+    else:
+        okey, tiebreak = args.id_col, None
+
+    tok_in = df.agg(F.sum(args.len_col)).first()[0] or 0
+    n_in = df.count()
+
+    packed = pack_sequences(df, ctx_len=args.ctx, id_col=args.id_col,
+                            tokens_col=args.tokens_col,
+                            len_col=args.len_col, part_col=args.part_col,
+                            group_size=args.group_size,
+                            order_col=okey, tiebreak_col=tiebreak)
+    out = f"{args.output}/packed"
+    packed.write.mode("overwrite").parquet(out)
+
+    p = spark.read.parquet(out)
+    agg = p.agg(F.count("*").alias("chunks"),
+                F.coalesce(F.sum("n_tok_chunk"), F.lit(0)).alias("tok"),
+                F.coalesce(F.sum(F.col("full").cast("long")),
+                           F.lit(0)).alias("fullc")).first()
+    wall = time.time() - t0
+    res = {
+        "rows_in": n_in,
+        "tokens_in": int(tok_in),
+        "tokens_out": int(agg["tok"]),
+        "conserved": int(tok_in) == int(agg["tok"]),
+        "chunks": int(agg["chunks"]),
+        "full_frac": round(agg["fullc"] / max(agg["chunks"], 1), 4),
+        "ctx": args.ctx,
+        "order": order,
+        "wall_sec": round(wall, 2),
+        "tokens_per_sec": round(tok_in / wall, 1),
+    }
+    print(json.dumps(res))
+    return 0 if res["conserved"] else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -147,3 +147,26 @@ def test_mixture_sample_deterministic_and_budgeted(spark, tokens_df):
     # sampled set is a subset of the input
     all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
     assert set(a) <= all_ids
+
+
+def test_pack_hash_order_is_deterministic_shuffle(spark, tokens_df):
+    """order_col=xxhash64(id) packs in deterministically shuffled
+    corpus order: two runs agree chunk-for-chunk, tokens are conserved,
+    and the chunk contents differ from id-order packing."""
+    d = (_with_numeric_id(tokens_df.limit(800))
+         .withColumn("hkey", F.xxhash64("doc_id")))
+    def run():
+        return TK.pack_sequences(d, ctx_len=128, id_col="oid",
+                                 order_col="hkey", tiebreak_col="oid",
+                                 group_size=1 << 40)
+    a = {(r["source"], r["chunk_id"]): r["tokens"]
+         for r in run().collect()}
+    b = {(r["source"], r["chunk_id"]): r["tokens"]
+         for r in run().collect()}
+    assert a == b
+    tok_in = d.agg(F.sum("n_tok")).first()[0]
+    assert sum(len(v) for v in a.values()) == tok_in
+    by_id = {(r["source"], r["chunk_id"]): r["tokens"]
+             for r in TK.pack_sequences(d, ctx_len=128, id_col="oid",
+                                        group_size=64).collect()}
+    assert a != by_id
