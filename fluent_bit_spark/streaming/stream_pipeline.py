@@ -457,3 +457,77 @@ def multiline_stateful(df: DataFrame, stream_col: str, ts_col: str,
                 stateStructType=_ML_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming sequence packing (continuous concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+_PACK_STATE = T.StructType([
+    T.StructField("next_chunk", T.LongType()),
+    T.StructField("buf", T.ArrayType(T.IntegerType())),
+])
+
+_PACK_OUT = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("chunk_id", T.LongType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    T.StructField("n_tok_chunk", T.IntegerType()),
+])
+
+
+def pack_stateful(df: DataFrame, ctx_len: int, part_col: str = "source",
+                  order_col: str = "doc_id",
+                  tokens_col: str = "tokens") -> DataFrame:
+    """Streaming analogue of ``operators.tokens.pack_sequences``:
+    continuous concat-and-chunk packing of arriving token sequences
+    into fixed ``ctx_len`` windows, per ``part_col`` stream.
+
+    Per-source GroupState carries the OPEN partial chunk (< ctx_len
+    tokens) and the next chunk ordinal across micro-batches; every full
+    window emits exactly once, in order. Within a batch, rows
+    concatenate in ``order_col`` order, so the emitted chunk stream is
+    deterministic given deterministic arrival (the same posture as the
+    multiline/throttle stateful ops). The open tail stays in state — a
+    stream has no "last document"; a backfill that must flush partials
+    reads the final state via the batch packer instead.
+
+    State is BOUNDED: ≤ ctx_len - 1 buffered tokens per source,
+    regardless of stream age or document sizes. Vectorized: one numpy
+    concatenate + slicing per (source, batch) — no per-token Python.
+
+    Batch parity: with arrival order == id order, emitted chunks equal
+    the FULL chunks of ``pack_sequences(..., order_col=id)`` exactly
+    (token-array equality; tests/test_streaming.py)."""
+    import numpy as np
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterable[pd.DataFrame]:
+        next_chunk, buf = state.get if state.exists else (0, [])
+        arr = np.asarray(list(buf), dtype="int64")
+        parts = [arr]
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            parts.extend(np.asarray(t, dtype="int64")
+                         for t in pdf[tokens_col] if len(t))
+        arr = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        n_full = len(arr) // ctx_len
+        if n_full:
+            cut = arr[:n_full * ctx_len].reshape(n_full, ctx_len)
+            yield pd.DataFrame({
+                "source": key[0],
+                "chunk_id": np.arange(next_chunk, next_chunk + n_full),
+                "tokens": [row.astype("int32") for row in cut],
+                "n_tok_chunk": np.int32(ctx_len),
+            })
+        state.update((int(next_chunk + n_full),
+                      [int(x) for x in arr[n_full * ctx_len:]]))
+
+    return (df.groupBy(F.col(part_col).alias("source"))
+            .applyInPandasWithState(
+                fn, outputStructType=_PACK_OUT,
+                stateStructType=_PACK_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

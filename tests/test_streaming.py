@@ -378,3 +378,39 @@ def test_windowed_agg_stream_backfill(spark, landing, spec, tmp_path):
     want = {(r.win.start, r.tag): (r.records, r.n_tok_sum)
             for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_pack_stateful_cross_batch_parity(spark, tmp_path):
+    """Chunks spanning micro-batches assemble from GroupState; the
+    emitted stream equals the batch packer's FULL chunks on the same
+    input in the same order (token-array equality), and the open tail
+    (< ctx_len tokens) stays buffered, not emitted."""
+    from fluent_bit_spark.operators.tokens import pack_sequences
+    from fluent_bit_spark.streaming.stream_pipeline import pack_stateful
+
+    d = str(tmp_path / "landing_pack")
+    schema = "doc_id long, source string, tokens array<int>, n_tok int"
+    rows = [(i, f"s{i % 2}", list(range(i * 10, i * 10 + 7 + i % 5)),
+             7 + i % 5) for i in range(40)]
+    # two files = two micro-batches, id order preserved per batch
+    mk = lambda rs, name: (spark.createDataFrame(rs, schema).coalesce(1)
+                           .write.parquet(f"{d}/{name}"))
+    mk(rows[:25], "f0.parquet")
+    mk(rows[25:], "f1.parquet")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*"))
+    out = pack_stateful(stream, ctx_len=32)
+    q = (out.writeStream.format("memory").queryName("pack_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.source, r.chunk_id): list(r.tokens) for r in
+           spark.sql("SELECT * FROM pack_stream").collect()}
+
+    batch = spark.createDataFrame(rows, schema)
+    want = {(r["source"], r["chunk_id"]): list(r["tokens"]) for r in
+            pack_sequences(batch, ctx_len=32).collect()
+            if r["full"]}
+    assert got == want
+    # every emitted chunk is exactly ctx_len
+    assert all(len(v) == 32 for v in got.values())
