@@ -212,7 +212,8 @@ def decontaminate(train: DataFrame, bench: DataFrame, n: int = 5,
 
 
 def doc_lines(df: DataFrame, id_col: str, text_col: str,
-              line_words: int) -> DataFrame:
+              line_words: int,
+              keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Split whitespace-tokenized text into fixed ``line_words``-word
     "lines" (the de-dup unit), exploded with their position. Documents
     with natural newlines would split on those instead; the driver
@@ -226,13 +227,14 @@ def doc_lines(df: DataFrame, id_col: str, text_col: str,
         F.sequence(F.lit(1), nlines),
         lambda i: F.concat_ws(
             " ", F.slice(words, (i - 1) * line_words + 1, line_words)))
-    return df.select(id_col,
+    return df.select(id_col, *keep_cols,
                      F.posexplode(lines).alias("line_no", "line"))
 
 
 def line_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", line_words: int = 6,
-               max_occ: int = 2) -> DataFrame:
+               max_occ: int = 2,
+               keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """C4-style cross-corpus line deduplication: any line occurring more
     than ``max_occ`` times ANYWHERE in the corpus is removed from every
     document; documents are reassembled in original line order.
@@ -248,13 +250,15 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     back on ``id_col`` to reassemble. Tokens move twice — the minimum
     for a global-count + rewrite semantics.
     """
-    ln = (doc_lines(df, id_col, text_col, line_words)
+    ln = (doc_lines(df, id_col, text_col, line_words, keep_cols)
           .withColumn("lh", F.md5("line")))
     counts = ln.groupBy("lh").agg(F.count("*").alias("cnt"))
     keep = F.col("cnt") <= max_occ
     joined = ln.join(counts, "lh")
+    passthrough = [F.first(c).alias(c) for c in keep_cols]
     return (joined.groupBy(id_col)
-            .agg(F.sum(keep.cast("long")).alias("n_kept"),
+            .agg(*passthrough,
+                 F.sum(keep.cast("long")).alias("n_kept"),
                  F.sum((~keep).cast("long")).alias("n_dropped"),
                  F.concat_ws(
                      " ",

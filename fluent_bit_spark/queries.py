@@ -1715,11 +1715,13 @@ def _tok_int_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_tok", F.size("tokens")))
 
 
-@q("pack_sequences", f"""
-WITH d AS (
-  SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens,
-         len(string_split(text, ' ')) AS n_tok
-  FROM documents WHERE len(string_split(text, ' ')) > 0),
+def _pack_oracle_suffix(ctx: int) -> str:
+    """DuckDB reproduction of pack_sequences over a CTE named ``d``
+    with columns (doc_id, source, tokens, n_tok): naive window prefix
+    sum (small-scale oracle for the distributed two-phase scan),
+    boundary-split chunk explode, in-order reassembly, md5 over the
+    packed token ids."""
+    return f"""
 o AS (
   SELECT *, CAST(coalesce(sum(n_tok) OVER (
            PARTITION BY source ORDER BY doc_id
@@ -1727,24 +1729,44 @@ o AS (
          AS BIGINT) AS off
   FROM d),
 e AS (
-  SELECT *, unnest(generate_series(off // 64, (off + n_tok - 1) // 64))
+  SELECT *, unnest(generate_series(off // {ctx},
+                                   (off + n_tok - 1) // {ctx}))
          AS chunk_id
   FROM o),
 p AS (
   SELECT source, chunk_id, off,
-         tokens[CAST(greatest(0, chunk_id*64 - off) AS BIGINT) + 1 :
-                CAST(least(n_tok, (chunk_id+1)*64 - off) AS BIGINT)]
+         tokens[CAST(greatest(0, chunk_id*{ctx} - off) AS BIGINT) + 1 :
+                CAST(least(n_tok, (chunk_id+1)*{ctx} - off) AS BIGINT)]
            AS piece
   FROM e)
 SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
        count(*) AS n_docs,
        CAST(len(flatten(list(piece ORDER BY off))) AS BIGINT)
          AS n_tok_chunk,
-       len(flatten(list(piece ORDER BY off))) = 64 AS full,
+       len(flatten(list(piece ORDER BY off))) = {ctx} AS full,
        md5(array_to_string(list_transform(
            flatten(list(piece ORDER BY off)),
            x -> CAST(x AS VARCHAR)), ' ')) AS tok_hash
 FROM p GROUP BY source, chunk_id
+"""
+
+
+def _pack_select(packed: DataFrame) -> DataFrame:
+    return packed.select(
+        "source", F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_docs").alias("n_docs"),
+        F.col("n_tok_chunk").cast("long").alias("n_tok_chunk"),
+        "full",
+        F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
+         .alias("tok_hash"))
+
+
+@q("pack_sequences", f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+{_pack_oracle_suffix(64)}
 """)
 def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/tokens.py pack_sequences): concat-
@@ -1758,13 +1780,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tok_int_docs(spark, sf_dir)
     packed = pack_sequences(d, ctx_len=64, id_col="doc_id",
                             group_size=1 << 20)
-    return packed.select(
-        "source", F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.col("n_docs").alias("n_docs"),
-        F.col("n_tok_chunk").cast("long").alias("n_tok_chunk"),
-        "full",
-        F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
-         .alias("tok_hash"))
+    return _pack_select(packed)
 
 
 @q("line_dedup_c4", """
@@ -1914,3 +1930,59 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").alias("n_distinct"),
         F.round("dup_line_frac", 6).alias("dup_line_frac"),
         F.round("dup_char_frac", 6).alias("dup_char_frac"))
+
+
+_CLEAN_CTE = """
+w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+      FROM documents),
+g AS (SELECT doc_id, source, words,
+             unnest(generate_series(1, (len(words) + 5) // 6)) AS i
+      FROM w),
+ln AS (SELECT doc_id, source, i - 1 AS line_no,
+              array_to_string(words[(i-1)*6+1 : least(len(words), i*6)],
+                              ' ') AS line
+       FROM g),
+c AS (SELECT md5(line) AS lh, count(*) AS cnt FROM ln GROUP BY 1),
+j AS (SELECT ln.*, c.cnt FROM ln JOIN c ON md5(ln.line) = c.lh),
+clean AS (
+  SELECT doc_id, min(source) AS source,
+         coalesce(array_to_string(flatten(list(
+             CASE WHEN cnt <= 2 THEN [line] ELSE []::VARCHAR[] END
+             ORDER BY line_no)), ' '), '') AS text
+  FROM j GROUP BY doc_id)
+"""
+
+_TOK_IDS_CLEAN_SQL = _TOK_IDS_SQL  # same derivation, applied to clean.text
+
+
+@q("corpus_clean_pack", f"""
+WITH {_CLEAN_CTE},
+d AS (
+  SELECT doc_id, source, {_TOK_IDS_CLEAN_SQL} AS tokens,
+         len(string_split(text, ' ')) AS n_tok
+  FROM clean WHERE text <> ''),
+{_pack_oracle_suffix(64)}
+""")
+def corpus_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline composed from the token ops:
+    raw corpus → C4-style cross-corpus line dedup (boilerplate removed,
+    docs reassembled in order) → re-tokenize the CLEANED text →
+    concat-and-chunk pack into 64-token training windows. One oracle
+    value-checks the whole chain — every boilerplate drop, every
+    reassembly, every chunk boundary, every packed token id (md5 per
+    chunk). The 100 TB shape is the sum of its parts: line-hash count +
+    doc reassemble (2 shuffles) feeding the packing prefix-sum +
+    chunk-keyed exchange — no step materializes the corpus more than
+    its own operator already does."""
+    from .operators.tokens import line_dedup, pack_sequences
+    docs = t(spark, sf_dir, "documents")
+    clean = (line_dedup(docs, line_words=6, max_occ=2,
+                        keep_cols=("source",))
+             .filter(F.col("text") != ""))
+    tok = F.transform(
+        F.split("text", " "),
+        lambda w: (F.conv(F.substring(F.md5(w), 1, 7), 16, 10)
+                   .cast("long") % 50000).cast("int"))
+    d = (clean.select("doc_id", "source", tok.alias("tokens"))
+         .withColumn("n_tok", F.size("tokens")))
+    return _pack_select(pack_sequences(d, ctx_len=64))
