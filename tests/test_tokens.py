@@ -170,3 +170,34 @@ def test_pack_hash_order_is_deterministic_shuffle(spark, tokens_df):
              for r in TK.pack_sequences(d, ctx_len=128, id_col="oid",
                                         group_size=64).collect()}
     assert a != by_id
+
+
+def test_pack_long_docs_span_many_chunks(spark):
+    """A document longer than several context windows splits across
+    all of them in order; mixed with short docs the stream still
+    round-trips exactly."""
+    rows = [(1, "s", list(range(0, 300))),     # spans 5 ctx-64 windows
+            (2, "s", list(range(300, 310))),
+            (3, "s", list(range(310, 500))),   # spans 3 more
+            (4, "t", list(range(1000, 1129)))]  # 129 tokens, 3 windows
+    df = (spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
+          .withColumn("n_tok", F.size("tokens")))
+    packed = TK.pack_sequences(df, ctx_len=64, group_size=2)
+    got = {r["source"]: r["all"] for r in
+           (packed.groupBy("source")
+            .agg(F.flatten(F.transform(
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("chunk_id").alias("o"),
+                    F.col("tokens").alias("p")))),
+                lambda s: s["p"])).alias("all"))).collect()}
+    assert got["s"] == list(range(500))
+    assert got["t"] == list(range(1000, 1129))
+    sizes = {(r["source"], r["chunk_id"]): r["n_tok_chunk"]
+             for r in packed.collect()}
+    # source s: 500 tokens -> 7 full + 1 tail of 52
+    assert sorted(v for (s, _), v in sizes.items() if s == "s") \
+        == [52] + [64] * 7
+    # a doc spanning chunks contributes n_docs=1 to each
+    nd = {(r["source"], r["chunk_id"]): r["n_docs"]
+          for r in packed.collect()}
+    assert nd[("t", 0)] == 1 and nd[("t", 2)] == 1
