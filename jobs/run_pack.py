@@ -57,7 +57,13 @@ def main() -> int:
     from fluent_bit_spark.operators.tokens import pack_sequences
     from fluent_bit_spark.session import get_spark
 
-    spark = get_spark(app_name="run_pack")
+    # Shuffle partitions ≥ 4× cores: the packing exchange moves wide
+    # token rows, and one-task-per-core sizing makes every sort task
+    # resident at once (measured 3-4× slowdown at local[32]; see
+    # BENCH/PACK.md). AQE coalesces the excess on small inputs.
+    cores = os.cpu_count() or 8
+    spark = get_spark(app_name="run_pack",
+                      shuffle_partitions=max(4 * cores, 32))
     t0 = time.time()
     if not os.path.exists(args.input):
         ap.error(f"input not found: {args.input}")

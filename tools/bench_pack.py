@@ -62,10 +62,15 @@ def run_size(n_docs: int, ctx: int, out: str) -> dict:
     from fluent_bit_spark.operators.tokens import pack_sequences
     from fluent_bit_spark.session import get_spark
 
-    # one reduce task should own ≤ ~32M tokens (~128 MB of int32):
-    # tokens move once through the chunk-keyed exchange.
+    # Reduce tasks sized at ~4M tokens (~16 MB of int32) AND at least
+    # 4× the core count. Measured on this guest (1.6M docs, local[32]):
+    # 32 partitions at 32 cores = every wide-row sort task resident
+    # simultaneously → memory thrash, 44-49s; 128 partitions → 13.4s.
+    # Over-partitioning is safe (AQE coalesces); under-partitioning
+    # serializes the machine.
     avg_tok = 45
-    shuf = max(32, min(512, n_docs * avg_tok // 32_000_000))
+    cores = os.cpu_count() or 8
+    shuf = max(4 * cores, min(2048, n_docs * avg_tok // 4_000_000))
     spark = get_spark(app_name=f"bench_pack_{n_docs}",
                       shuffle_partitions=shuf,
                       extra_conf={"spark.ui.enabled": "true",
