@@ -201,3 +201,20 @@ def test_pack_long_docs_span_many_chunks(spark):
     nd = {(r["source"], r["chunk_id"]): r["n_docs"]
           for r in packed.collect()}
     assert nd[("t", 0)] == 1 and nd[("t", 2)] == 1
+
+
+def test_prefix_sum_handles_negative_order_keys(spark):
+    """Hash-derived order keys are signed; trunc-division range groups
+    stay monotone for negatives (group 0 just spans (-g, g)), so the
+    scan must equal the naive window on mixed-sign keys."""
+    df = (spark.range(300)
+          .withColumn("okey", F.col("id") * 37 % 501 - 250)
+          .withColumn("part", (F.col("id") % 2).cast("string"))
+          .withColumn("val", F.col("id") % 7 + 1))
+    got = TK.exclusive_prefix_sum(df, "part", "okey", "val", "off",
+                                  group_size=64, tiebreak_col="id")
+    w = (Window.partitionBy("part").orderBy("okey", "id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    want = df.withColumn("off", F.coalesce(F.sum("val").over(w), F.lit(0)))
+    assert (sorted(got.select("id", "off").collect())
+            == sorted(want.select("id", "off").collect()))
