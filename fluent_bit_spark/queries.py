@@ -1986,3 +1986,33 @@ def corpus_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (clean.select("doc_id", "source", tok.alias("tokens"))
          .withColumn("n_tok", F.size("tokens")))
     return _pack_select(pack_sequences(d, ctx_len=64))
+
+
+@q("snapshot_flush", """
+WITH b AS (
+  SELECT event_type, event_id, user_id,
+         array_agg(struct_pack(o := event_id, user_id := user_id)) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS buf
+  FROM events),
+t AS (SELECT event_type, event_id AS flush_at, buf FROM b
+      WHERE event_id % 97 = 0),
+e AS (SELECT event_type, flush_at, unnest(buf) AS ctx,
+             generate_subscripts(buf, 1) - 1 AS ctx_pos FROM t)
+SELECT event_type, flush_at, CAST(ctx_pos AS INT) AS ctx_pos,
+       ctx['user_id'] AS ctx_user_id
+FROM e
+""")
+def snapshot_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP snapshots (operators/snapshot.py ←
+    upstream:src/stream_processor/flb_sp_snapshot.c CREATE SNAPSHOT
+    size=3 / FLUSH SNAPSHOT WHEN event_id % 97 = 0): every trigger
+    record re-emits the 3 records of its tag stream that preceded it.
+    Batch verification form (bounded sliding window, O(N) frame state
+    per task); the streaming ring-buffer twin is parity-tested in
+    tests/test_streaming.py."""
+    from .operators.snapshot import snapshot_context
+    ev = t(spark, sf_dir, "events")
+    return snapshot_context(ev, "event_type", "event_id",
+                            F.col("event_id") % 97 == 0,
+                            limit_rows=3, payload_cols=["user_id"])

@@ -531,3 +531,83 @@ def pack_stateful(df: DataFrame, ctx_len: int, part_col: str = "source",
                 stateStructType=_PACK_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Stream-processor snapshots (ring-buffered context replay on trigger)
+# ---------------------------------------------------------------------------
+
+_SNAP_STATE = T.StructType([
+    T.StructField("o", T.ArrayType(T.LongType())),
+    T.StructField("payload", T.ArrayType(T.StringType())),  # json rows
+])
+
+_SNAP_OUT = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("flush_at", T.LongType()),
+    T.StructField("ctx_pos", T.IntegerType()),
+    T.StructField("ctx_json", T.StringType()),
+])
+
+
+def snapshot_stateful(df: DataFrame, key_col: str, order_col: str,
+                      trigger_col: str, limit_rows: int,
+                      payload_cols: list[str]) -> DataFrame:
+    """Streaming form of ``operators.snapshot.snapshot_context``
+    (upstream:src/stream_processor/flb_sp_snapshot.c CREATE SNAPSHOT /
+    FLUSH SNAPSHOT WHEN): a per-key GroupState ring buffer capped at
+    ``limit_rows`` records; when a trigger record arrives, the buffered
+    context re-emits (oldest first, with its position), then the
+    trigger row itself joins the buffer. State is O(limit_rows) per key
+    FOREVER — independent of stream age (the reference's size-bounded
+    snapshot window).
+
+    Buffered payloads ride as JSON strings (the snapshot is a
+    diagnostic replay sink, schema-stable across any payload set);
+    ``ctx_json`` parses back with ``from_json`` downstream. Python cost
+    is per-TRIGGER, not per-row: non-trigger spans append via two numpy
+    slices; parity with the batch window form is exact
+    (tests/test_streaming.py)."""
+    import json as _json
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterable[pd.DataFrame]:
+        o, payload = (state.get if state.exists else ([], []))
+        o, payload = list(o), list(payload)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            orders = pdf[order_col].to_numpy()
+            trig = pdf[trigger_col].to_numpy()
+            rows = pdf[payload_cols].to_dict("records")
+            jsons = [_json.dumps(r, default=int, sort_keys=True)
+                     for r in rows]
+            prev = 0
+            out = []
+            for ti in trig.nonzero()[0]:
+                # rows strictly before the trigger enter the buffer
+                o.extend(int(x) for x in orders[prev:ti])
+                payload.extend(jsons[prev:ti])
+                o, payload = o[-limit_rows:], payload[-limit_rows:]
+                out.extend(
+                    {"key": key[0], "flush_at": int(orders[ti]),
+                     "ctx_pos": p, "ctx_json": j}
+                    for p, j in enumerate(payload))
+                # the trigger row itself then joins the stream history
+                o.append(int(orders[ti]))
+                payload.append(jsons[ti])
+                prev = ti + 1
+            o.extend(int(x) for x in orders[prev:])
+            payload.extend(jsons[prev:])
+            o, payload = o[-limit_rows:], payload[-limit_rows:]
+            if out:
+                yield pd.DataFrame(out)
+        state.update((o, payload))
+
+    return (df.withColumn("key", F.col(key_col)).groupBy("key")
+            .applyInPandasWithState(
+                fn, outputStructType=_SNAP_OUT,
+                stateStructType=_SNAP_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -414,3 +414,43 @@ def test_pack_stateful_cross_batch_parity(spark, tmp_path):
     assert got == want
     # every emitted chunk is exactly ctx_len
     assert all(len(v) == 32 for v in got.values())
+
+
+def test_snapshot_stateful_matches_batch_window(spark, tmp_path):
+    """The streaming ring buffer (CREATE SNAPSHOT / FLUSH WHEN) must
+    flush exactly the batch window form's context — including a buffer
+    that spans micro-batches and previous trigger rows re-entering the
+    history."""
+    import json
+
+    from fluent_bit_spark.operators.snapshot import snapshot_context
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        snapshot_stateful,
+    )
+
+    d = str(tmp_path / "landing_snap")
+    schema = ("event_id long, event_type string, user_id long, "
+              "is_err boolean")
+    rows = [(i, f"t{i % 2}", 100 + i, i % 7 == 0) for i in range(60)]
+    mk = lambda rs, name: (spark.createDataFrame(rs, schema).coalesce(1)
+                           .write.parquet(f"{d}/{name}"))
+    mk(rows[:35], "f0.parquet")
+    mk(rows[35:], "f1.parquet")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*"))
+    out = snapshot_stateful(stream, "event_type", "event_id", "is_err",
+                            limit_rows=4, payload_cols=["user_id"])
+    q = (out.writeStream.format("memory").queryName("snap_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.key, r.flush_at, r.ctx_pos,
+            json.loads(r.ctx_json)["user_id"])
+           for r in spark.sql("SELECT * FROM snap_stream").collect()}
+
+    batch = snapshot_context(
+        spark.createDataFrame(rows, schema), "event_type", "event_id",
+        F.col("is_err"), limit_rows=4, payload_cols=["user_id"])
+    want = {(r.event_type, r.flush_at, r.ctx_pos, r.ctx_user_id)
+            for r in batch.collect()}
+    assert got == want and len(got) > 10

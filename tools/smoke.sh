@@ -17,8 +17,11 @@ python bench.py | tail -1 > /tmp/smoke_bench.json
 python tools/bench_compare.py /tmp/smoke_bench.json   # fails on >1.5x regression
 
 zip -qr /tmp/smoke_engine.zip fluent_bit_spark -x "*__pycache__*"
-rm -rf /tmp/smoke_out
+rm -rf /tmp/smoke_out /tmp/smoke_pack
 spark-submit --master 'local[8]' --py-files /tmp/smoke_engine.zip \
   jobs/run_pipeline.py --input .data/tokens_small.parquet \
-  --output /tmp/smoke_out --slices 2 | tail -1
+  --output /tmp/smoke_out --slices 2 --gen-rows 20000 | tail -1
+spark-submit --master 'local[8]' --py-files /tmp/smoke_engine.zip \
+  jobs/run_pack.py --input .data/tokens_small.parquet \
+  --output /tmp/smoke_pack --ctx 256 | tail -1   # exits 2 on token loss
 echo "SMOKE OK"
