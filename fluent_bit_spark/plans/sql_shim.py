@@ -38,6 +38,13 @@ _CREATE_RE = re.compile(
     r"^\s*CREATE\s+STREAM\s+(?P<name>\w+)\s*"
     r"(?:WITH\s*\((?P<props>[^)]*)\)\s*)?AS\s+(?P<select>.+?);?\s*$",
     re.IGNORECASE | re.DOTALL)
+_CREATE_SNAP_RE = re.compile(
+    r"^\s*CREATE\s+SNAPSHOT\s+(?P<name>\w+)\s*"
+    r"(?:WITH\s*\((?P<props>[^)]*)\)\s*)?AS\s+(?P<select>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_FLUSH_SNAP_RE = re.compile(
+    r"^\s*FLUSH\s+SNAPSHOT\s+(?P<name>\w+)\s+WHEN\s+(?P<cond>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL)
 _FROM_STREAM_RE = re.compile(r"\bSTREAM:(\w+)", re.IGNORECASE)
 _FROM_TAG_RE = re.compile(r"\bTAG:'([^']*)'", re.IGNORECASE)
 _WINDOW_RE = re.compile(
@@ -67,6 +74,8 @@ class StreamProcessor:
         self.tag_col = tag_col
         self.ts_col = ts_col
         self._tag_views: dict[str, str] = {}
+        # name -> (source DataFrame, size, key_col, order_col)
+        self._snapshots: dict[str, tuple] = {}
 
     # -- registration -------------------------------------------------------
 
@@ -159,6 +168,13 @@ class StreamProcessor:
         result (and WITH(tag=…) stamps the emitted tag, the re-emission
         analogue — upstream:src/stream_processor/flb_sp_stream.c);
         plain SELECT returns the DataFrame."""
+        sm = _CREATE_SNAP_RE.match(text)
+        if sm:
+            return self._create_snapshot(sm)
+        fm = _FLUSH_SNAP_RE.match(text)
+        if fm:
+            return self._flush_snapshot(fm.group("name"),
+                                        fm.group("cond"))
         cm = _CREATE_RE.match(text)
         if not cm:
             return self.spark.sql(self.translate(text))
@@ -170,3 +186,42 @@ class StreamProcessor:
             df = df.withColumn(self.tag_col, F.lit(tm.group(1)))
         self.register_stream(cm.group("name"), df)
         return df
+
+    # -- snapshots (upstream:src/stream_processor/flb_sp_snapshot.c) --------
+
+    def _create_snapshot(self, m: re.Match) -> DataFrame:
+        """CREATE SNAPSHOT n [WITH (size=N [, key='c'][, order='c'])]
+        AS SELECT …  — registers the ring-buffer source. ``size`` is
+        the record cap per key stream (the reference's size-bounded
+        window; its seconds-bounded variant maps to an order-column
+        range and is expressed here by flushing with a time predicate).
+        key defaults to the tag column, order to the time column."""
+        props = m.group("props") or ""
+        df = self.spark.sql(self.translate(m.group("select")))
+
+        def prop(name: str, default: str) -> str:
+            pm = re.search(rf"{name}\s*=\s*'?(\w+)'?", props, re.IGNORECASE)
+            return pm.group(1) if pm else default
+
+        size = int(prop("size", "10"))
+        key = prop("key", self.tag_col)
+        order = prop("order", self.ts_col)
+        self._snapshots[m.group("name")] = (df, size, key, order)
+        return df
+
+    def _flush_snapshot(self, name: str, cond: str) -> DataFrame:
+        """FLUSH SNAPSHOT n WHEN <condition> — for every record of the
+        snapshot's stream matching the condition, re-emit the buffered
+        context that preceded it (operators/snapshot.py semantics)."""
+        from pyspark.sql import functions as F
+
+        from ..operators.snapshot import snapshot_context
+        if name not in self._snapshots:
+            raise ValueError(f"unknown snapshot: {name}")
+        df, size, key, order = self._snapshots[name]
+        payload = [c for c in df.columns if c != key]
+        # translate() on the bare condition applies the RECORD_* /
+        # @record.contains rewrites; WINDOW/SELECT splicing can't fire
+        # on a predicate fragment.
+        trigger = F.expr(self.translate(cond))
+        return snapshot_context(df, key, order, trigger, size, payload)

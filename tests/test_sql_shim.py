@@ -143,3 +143,30 @@ def test_window_group_by_with_limit_tail(sp):
         "ORDER BY s DESC LIMIT 1;")
     got = [(r.win_start.isoformat(), r.tag, r.s) for r in df.collect()]
     assert got == [("2026-01-01T00:00:00", "app.web.apache", 13)]
+
+
+def test_snapshot_create_and_flush(sp, spark):
+    """CREATE SNAPSHOT / FLUSH SNAPSHOT WHEN (upstream:
+    src/stream_processor/flb_sp_snapshot.c): each flush record
+    re-emits the size-bounded context of its key stream preceding it —
+    must equal the direct operator call."""
+    from fluent_bit_spark.operators.snapshot import snapshot_context
+
+    sp.sql("CREATE SNAPSHOT errctx WITH (size=2) AS "
+           "SELECT * FROM STREAM:logs;")
+    got = sp.sql("FLUSH SNAPSHOT errctx WHEN level = 'error';")
+    src = spark.table("sp_stream_logs")
+    want = snapshot_context(
+        src, "tag", "event_ts", F.col("level") == "error",
+        limit_rows=2,
+        payload_cols=[c for c in src.columns if c != "tag"])
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    # the 00:01:45 db error flushes the 00:01:05 warn that preceded it
+    ctx = [(r.tag, r.ctx_level) for r in got.collect()]
+    assert ("app.db.ltsv", "warn") in ctx
+
+
+def test_snapshot_flush_unknown_raises(sp):
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        sp.sql("FLUSH SNAPSHOT nope WHEN 1=1;")
