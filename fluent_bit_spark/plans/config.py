@@ -34,6 +34,10 @@ Supported sections / properties (the subset with a batch meaning here):
 - ``[PARSER]`` — ``name`` + ``format regex`` + ``regex`` (+ ``types``,
   ``time_key``, ``time_format``); syslog preset names map to the
   built-in presets.
+- ``[SERVICE] Streams_File`` → ``[STREAM_TASK]`` sections (``Name`` +
+  ``Exec <SP SQL>``, upstream:src/stream_processor/flb_sp.c): tasks run
+  over the pipeline's tagged frame via the SQL shim
+  (``jobs/run_pipeline.py`` writes one parquet dir per task).
 - Meta commands (classic mode): ``@INCLUDE glob`` (spliced, sorted,
   cycle-guarded), ``@SET VAR=VALUE``; ``${VAR}`` translates in values
   (@SET first, then process env, unknown → empty).
@@ -155,6 +159,7 @@ def parse_classic(text: str,
         "service": {},
         "pipeline": {"inputs": [], "filters": [], "outputs": []},
         "parsers": [],
+        "stream_tasks": [],
     }
     section: dict[str, Any] | None = None
     section_kind = ""
@@ -173,6 +178,11 @@ def parse_classic(text: str,
             elif section_kind == "parser":
                 section = {}
                 tree["parsers"].append(section)
+            elif section_kind == "stream_task":
+                # upstream:src/stream_processor/flb_sp.c — the streams
+                # file is [STREAM_TASK] sections with Name + Exec <SQL>
+                section = {}
+                tree["stream_tasks"].append(section)
             else:
                 raise ValueError(f"unknown config section [{m.group(1)}]")
             continue
@@ -482,6 +492,7 @@ def spec_from_tree(tree: dict[str, Any],
         "input_path": inp.get("path"),
         "input_format": input_format,
         "outputs": [r.sink for r in routes],
+        "stream_tasks": stream_tasks(tree),
     }
     return spec, io
 
@@ -509,4 +520,28 @@ def spec_from_config(path: str,
         plines, pvars = resolve_meta(ppath)
         ptree = parse_classic("\n".join(plines), pvars)
         tree.setdefault("parsers", []).extend(ptree.get("parsers", []))
+    # [SERVICE] Streams_File — the SP SQL deployment shape
+    # (upstream:src/stream_processor/flb_sp.c loads [STREAM_TASK]
+    # sections with Name + Exec from the service streams_file).
+    sfile = tree.get("service", {}).get("streams_file")
+    if sfile:
+        spath = sfile if os.path.isabs(sfile) \
+            else os.path.join(os.path.dirname(os.path.abspath(path)), sfile)
+        slines, svars = resolve_meta(spath)
+        stree = parse_classic("\n".join(slines), svars)
+        tree.setdefault("stream_tasks", []).extend(
+            stree.get("stream_tasks", []))
     return spec_from_tree(tree, vocab=vocab)
+
+
+def stream_tasks(tree: dict[str, Any]) -> list[tuple[str, str]]:
+    """(name, exec_sql) pairs from the parsed tree's [STREAM_TASK]
+    sections, validated: both properties are required upstream."""
+    out = []
+    for i, s in enumerate(tree.get("stream_tasks", [])):
+        name = s.get("name") or f"task{i}"
+        sql = s.get("exec")
+        if not sql:
+            raise ValueError(f"[STREAM_TASK] {name}: missing Exec")
+        out.append((name, sql))
+    return out

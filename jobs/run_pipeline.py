@@ -87,6 +87,29 @@ def main() -> int:
     stats = run_pipeline(spark, spec, args.input, args.output,
                          run_id=args.run_id, n_slices=args.slices,
                          input_format=input_format)
+    # [SERVICE] Streams_File / [STREAM_TASK] sections: run each SP SQL
+    # task over the tagged frame (lifecycle B on top of lifecycle A —
+    # upstream:src/stream_processor/flb_sp.c runs tasks against the
+    # engine's tagged record stream), one parquet dir per task.
+    tasks = (io.get("stream_tasks") or []) if args.config else []
+    if tasks:
+        from fluent_bit_spark.plans.pipeline import (
+            TOKENS_SCHEMA, build_stages, build_stages_text,
+        )
+        from fluent_bit_spark.plans.sql_shim import StreamProcessor
+        if input_format == "text":
+            tagged = build_stages_text(
+                spark, spark.read.text(args.input), spec)
+        else:
+            tagged = build_stages(
+                spark,
+                spark.read.schema(TOKENS_SCHEMA).parquet(args.input),
+                spec)
+        sp = StreamProcessor(spark, tagged=tagged, tag_col="tag")
+        for name, sql in tasks:
+            (sp.sql(sql).write.mode("overwrite")
+             .parquet(os.path.join(args.output, "stream_tasks", name)))
+        stats["stream_tasks"] = [n for n, _ in tasks]
     rate = stats["rows_in"] / stats["wall_sec"] if stats["wall_sec"] else 0
     print(json.dumps({**stats, "rows_per_sec": round(rate, 1)}))
     spark.stop()

@@ -460,3 +460,51 @@ def test_modify_filter_reserved_columns_raise():
         with _pytest.raises(ValueError, match="reserved"):
             spec_from_tree(parse_classic(base.format(rule=rule)),
                            vocab=["x"])
+
+
+def test_streams_file_tasks(spark, fixture_paths, tmp_path):
+    """[SERVICE] Streams_File -> [STREAM_TASK] sections (upstream:
+    src/stream_processor/flb_sp.c): the config front end loads the
+    tasks, and executing them over the pipeline's tagged frame equals
+    the direct Spark computation."""
+    from fluent_bit_spark.plans.pipeline import build_stages
+    from fluent_bit_spark.plans.sql_shim import StreamProcessor
+
+    streams = tmp_path / "streams.conf"
+    streams.write_text(
+        "[STREAM_TASK]\n"
+        "    Name  per_tag\n"
+        "    Exec  SELECT RECORD_TAG() AS tag, COUNT(*) AS c, "
+        "CAST(SUM(n_tok) AS BIGINT) AS s FROM TAG:'app.*' "
+        "GROUP BY RECORD_TAG();\n"
+        "\n"
+        "[STREAM_TASK]\n"
+        "    Name  errs\n"
+        "    Exec  SELECT COUNT(*) AS c FROM TAG:'err.*';\n")
+    conf = tmp_path / "pipe.conf"
+    conf.write_text(
+        CLASSIC.format(lookup=fixture_paths["lookup"])
+        + f"\n[SERVICE]\n    Streams_File {streams}\n")
+    spec, io = spec_from_config(str(conf))
+    assert [n for n, _ in io["stream_tasks"]] == ["per_tag", "errs"]
+
+    df = spark.read.parquet(fixture_paths["tokens"])
+    tagged = build_stages(spark, df, spec)
+    sp = StreamProcessor(spark, tagged=tagged, tag_col="tag")
+    name, sql = io["stream_tasks"][0]
+    got = {(r.tag, r.c, r.s) for r in sp.sql(sql).collect()}
+    want = {(r.tag, r.c, r.s) for r in
+            (tagged.filter(F.col("tag").startswith("app."))
+             .groupBy("tag")
+             .agg(F.count("*").alias("c"),
+                  F.sum("n_tok").cast("long").alias("s"))).collect()}
+    assert got == want and len(got) > 2
+    # second task: err.* re-tagged copies exist in the fixture
+    assert sp.sql(io["stream_tasks"][1][1]).collect()[0].c > 0
+
+
+def test_stream_task_missing_exec_raises(tmp_path):
+    from fluent_bit_spark.plans.config import parse_classic, stream_tasks
+    tree = parse_classic("[STREAM_TASK]\n    Name broken\n")
+    with pytest.raises(ValueError, match="missing Exec"):
+        stream_tasks(tree)
