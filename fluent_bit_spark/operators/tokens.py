@@ -101,7 +101,8 @@ def pack_sequences(df: DataFrame, ctx_len: int, id_col: str = "doc_id",
                    part_col: str = "source",
                    group_size: int = 1 << 20,
                    order_col: str | None = None,
-                   tiebreak_col: str | None = None) -> DataFrame:
+                   tiebreak_col: str | None = None,
+                   sep_token: int | None = None) -> DataFrame:
     """Pack variable-length token sequences into fixed ``ctx_len``
     windows, GPT-style: concatenate all documents of a ``part_col``
     stream in ``id_col`` order, then cut every ``ctx_len`` tokens.
@@ -126,12 +127,24 @@ def pack_sequences(df: DataFrame, ctx_len: int, id_col: str = "doc_id",
     (e.g. ``xxhash64(doc_id)``) packs in DETERMINISTICALLY SHUFFLED
     corpus order — the training-data "global shuffle then chunk" step —
     with ``tiebreak_col=id_col`` keeping hash collisions stable.
+
+    ``sep_token`` appends an end-of-document token to every document
+    before chunking (the standard dataloader posture — attention masks
+    key off it); the emitted ``doc_starts`` column lists the 0-based
+    positions within each chunk where a document BEGINS, so boundary
+    handling works with or without a separator.
     """
     okey = order_col or id_col
     cols = {part_col, id_col, tokens_col, len_col, okey}
     if tiebreak_col:
         cols.add(tiebreak_col)
     d = df.filter(F.col(len_col) > 0).select(*cols)
+    if sep_token is not None:
+        d = (d.withColumn(tokens_col,
+                          F.concat(tokens_col,
+                                   F.array(F.lit(sep_token)
+                                           .cast("int"))))
+             .withColumn(len_col, F.col(len_col) + 1))
     d = exclusive_prefix_sum(d, part_col, okey, len_col, "__off",
                              group_size, tiebreak_col=tiebreak_col)
     first = F.expr(f"__off DIV {ctx_len}")
@@ -142,16 +155,30 @@ def pack_sequences(df: DataFrame, ctx_len: int, id_col: str = "doc_id",
     length = (F.least(F.col(len_col),
                       (F.col("chunk_id") + 1) * ctx_len - F.col("__off"))
               - start)
-    e = e.withColumn("__piece",
-                     F.slice(tokens_col, (start + 1).cast("int"),
-                             length.cast("int")))
+    e = (e.withColumn("__piece",
+                      F.slice(tokens_col, (start + 1).cast("int"),
+                              length.cast("int")))
+         .withColumn("__is_start", start == 0))
+    pieces = F.sort_array(F.collect_list(
+        F.struct(F.col("__off").alias("o"),
+                 F.col("__piece").alias("p"),
+                 F.col("__is_start").alias("s"))))
+    # doc_starts: running-position fold over the sorted pieces — the
+    # 0-based chunk position of each piece whose document begins here.
+    doc_starts = F.aggregate(
+        pieces,
+        F.struct(F.lit(0).alias("pos"),
+                 F.array().cast("array<int>").alias("arr")),
+        lambda acc, x: F.struct(
+            (acc["pos"] + F.size(x["p"])).alias("pos"),
+            F.when(x["s"], F.concat(acc["arr"],
+                                    F.array(acc["pos"].cast("int"))))
+             .otherwise(acc["arr"]).alias("arr")),
+        lambda acc: acc["arr"])
     packed = (e.groupBy(part_col, "chunk_id")
-              .agg(F.flatten(
-                       F.transform(
-                           F.sort_array(F.collect_list(
-                               F.struct(F.col("__off").alias("o"),
-                                        F.col("__piece").alias("p")))),
-                           lambda s: s["p"])).alias(tokens_col),
+              .agg(F.flatten(F.transform(pieces, lambda s: s["p"]))
+                   .alias(tokens_col),
+                   doc_starts.alias("doc_starts"),
                    F.count("*").alias("n_docs")))
     return (packed
             .withColumn("n_tok_chunk", F.size(tokens_col))

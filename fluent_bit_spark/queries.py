@@ -1746,7 +1746,11 @@ SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
        len(flatten(list(piece ORDER BY off))) = {ctx} AS full,
        md5(array_to_string(list_transform(
            flatten(list(piece ORDER BY off)),
-           x -> CAST(x AS VARCHAR)), ' ')) AS tok_hash
+           x -> CAST(x AS VARCHAR)), ' ')) AS tok_hash,
+       md5(coalesce(array_to_string(list_transform(
+           list(off - chunk_id*{ctx} ORDER BY off)
+             FILTER (WHERE off >= chunk_id*{ctx}),
+           x -> CAST(x AS VARCHAR)), ','), '')) AS starts_hash
 FROM p GROUP BY source, chunk_id
 """
 
@@ -1758,7 +1762,9 @@ def _pack_select(packed: DataFrame) -> DataFrame:
         F.col("n_tok_chunk").cast("long").alias("n_tok_chunk"),
         "full",
         F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
-         .alias("tok_hash"))
+         .alias("tok_hash"),
+        F.md5(F.concat_ws(",", F.col("doc_starts").cast("array<string>")))
+         .alias("starts_hash"))
 
 
 @q("pack_sequences", f"""

@@ -218,3 +218,26 @@ def test_prefix_sum_handles_negative_order_keys(spark):
     want = df.withColumn("off", F.coalesce(F.sum("val").over(w), F.lit(0)))
     assert (sorted(got.select("id", "off").collect())
             == sorted(want.select("id", "off").collect()))
+
+
+def test_pack_doc_starts_and_sep_token(spark):
+    """doc_starts marks where each document begins inside a chunk;
+    sep_token appends EOD before chunking (dataloader posture)."""
+    rows = [(1, "s", [10, 11, 12]), (2, "s", [20, 21]),
+            (3, "s", [30, 31, 32, 33])]
+    df = (spark.createDataFrame(rows,
+                                "doc_id long, source string, tokens array<int>")
+          .withColumn("n_tok", F.size("tokens")))
+    # no separator, ctx=4: stream = [10,11,12,20,21,30,31,32,33]
+    got = {r["chunk_id"]: (list(r["tokens"]), list(r["doc_starts"]))
+           for r in TK.pack_sequences(df, ctx_len=4).collect()}
+    assert got[0] == ([10, 11, 12, 20], [0, 3])   # docs 1 and 2 start
+    assert got[1] == ([21, 30, 31, 32], [1])      # doc 3 starts at 1
+    assert got[2] == ([33], [])                   # continuation only
+    # with sep=-1: stream = [10,11,12,-1,20,21,-1,30,31,32,33,-1]
+    got2 = {r["chunk_id"]: (list(r["tokens"]), list(r["doc_starts"]))
+            for r in TK.pack_sequences(df, ctx_len=4,
+                                       sep_token=-1).collect()}
+    assert got2[0] == ([10, 11, 12, -1], [0])
+    assert got2[1] == ([20, 21, -1, 30], [0, 3])
+    assert got2[2] == ([31, 32, 33, -1], [])
