@@ -50,6 +50,9 @@ def main() -> int:
     ap.add_argument("--group-size", type=int, default=1 << 20,
                     help="prefix-sum range-group size (bounds window "
                          "task rows)")
+    ap.add_argument("--sep-token", type=int, default=None,
+                    help="append this end-of-document token to every "
+                         "doc before chunking")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -83,12 +86,17 @@ def main() -> int:
 
     tok_in = df.agg(F.sum(args.len_col)).first()[0] or 0
     n_in = df.count()
+    n_packed_docs = df.filter(F.col(args.len_col) > 0).count()
+    # with an EOD separator every packed doc contributes one extra token
+    tok_expected = tok_in + (n_packed_docs
+                             if args.sep_token is not None else 0)
 
     packed = pack_sequences(df, ctx_len=args.ctx, id_col=args.id_col,
                             tokens_col=args.tokens_col,
                             len_col=args.len_col, part_col=args.part_col,
                             group_size=args.group_size,
-                            order_col=okey, tiebreak_col=tiebreak)
+                            order_col=okey, tiebreak_col=tiebreak,
+                            sep_token=args.sep_token)
     out = f"{args.output}/packed"
     packed.write.mode("overwrite").parquet(out)
 
@@ -102,7 +110,7 @@ def main() -> int:
         "rows_in": n_in,
         "tokens_in": int(tok_in),
         "tokens_out": int(agg["tok"]),
-        "conserved": int(tok_in) == int(agg["tok"]),
+        "conserved": int(tok_expected) == int(agg["tok"]),
         "chunks": int(agg["chunks"]),
         "full_frac": round(agg["fullc"] / max(agg["chunks"], 1), 4),
         "ctx": args.ctx,
