@@ -98,7 +98,13 @@ def main() -> int:
         # (the total shrinks, everyone's share rises); raw-only flags
         # fire on uniform co-tenant noise (covered by the pipeline
         # anchor gate below, which is min-of-3 and noise-robust).
-        status = ("REGRESSED" if ratio > THRESHOLD and raw > 1.3
+        # Sub-second queries additionally need an ABSOLUTE delta above
+        # the scheduler-noise floor: a 0.5s -> 0.8s single-run swing is
+        # routine jitter on this guest (observed same-day 0.48/0.53/
+        # 0.77s for an unchanged plan), while any real de-optimization
+        # of a big query clears half a second easily.
+        status = ("REGRESSED" if (ratio > THRESHOLD and raw > 1.3
+                                  and t - oldq[name] > 0.5)
                   else "improved" if ratio < 1 / THRESHOLD else "ok")
         if status == "REGRESSED":
             failures.append(name)
