@@ -38,6 +38,10 @@ def main() -> int:
                     help="rows/sec: run the rate-source soak instead of "
                          "the landing-dir drain")
     ap.add_argument("--soak-seconds", type=int, default=30)
+    ap.add_argument("--pack-ctx", type=int, default=0,
+                    help="also run the continuous sequence-packing sink "
+                         "at this context length (append-mode parquet "
+                         "under output/packed)")
     args = ap.parse_args()
 
     from fluent_bit_spark import fixtures as fx
@@ -77,11 +81,27 @@ def main() -> int:
             spark, spec, args.landing, args.output,
             window=args.window, ts_expr=args.ts_expr,
             available_now=not args.continuous)
+    qp = None
+    if args.pack_ctx:
+        from fluent_bit_spark.streaming.stream_pipeline import (
+            pack_stateful, read_tokens_stream,
+        )
+        packed = pack_stateful(read_tokens_stream(spark, args.landing),
+                               ctx_len=args.pack_ctx)
+        qp = (packed.writeStream.outputMode("append").format("parquet")
+              .option("path", os.path.join(args.output, "packed"))
+              .option("checkpointLocation",
+                      os.path.join(args.output, "_pack_ckpt")))
+        if not args.continuous:
+            qp = qp.trigger(availableNow=True)
+        qp = qp.start()
     q.awaitTermination()
     if qw is not None:
         qw.awaitTermination()
+    if qp is not None:
+        qp.awaitTermination()
     print(json.dumps({"stopped": True, "output": args.output,
-                      "windowed_agg": bool(qw)}))
+                      "windowed_agg": bool(qw), "packed": bool(qp)}))
     spark.stop()
     return 0
 
