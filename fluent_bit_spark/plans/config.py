@@ -31,6 +31,13 @@ Supported sections / properties (the subset with a batch meaning here):
   plus ``set/add/remove/remove_wildcard/remove_regex/rename/
   hard_rename/copy/hard_copy`` rules (reserved pipeline columns are
   protected).
+- ``[FILTER] Name record_modifier`` — ``Record KEY VALUE`` /
+  ``Remove_key KEY`` (repeatable) via the same ModifySpec machinery;
+  ``Allowlist_key`` is rejected (append-only column model).
+- ``[FILTER] Name nest`` — ``Operation nest`` (``Wildcard`` keys under
+  ``Nest_under``) or ``Operation lift`` (``Nested_under`` flattened),
+  with ``Add_prefix``/``Remove_prefix`` — applied as output shaping
+  (after tag/route, so internal schema references survive).
 - ``[PARSER]`` — ``name`` + ``format regex`` + ``regex`` (+ ``types``,
   ``time_key``, ``time_format``); syslog preset names map to the
   built-in presets.
@@ -64,7 +71,8 @@ from ..operators.filters import GrepRule
 from ..operators.router import RewriteTagRule, Route
 from .pipeline import ParserFilterSpec, PipelineSpec
 
-_KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup", "parser", "modify"}
+_KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup", "parser", "modify",
+                  "record_modifier", "nest"}
 
 # filter_modify rule ops (upstream:plugins/filter_modify) — all
 # repeatable config keys; condition kinds are validated by
@@ -194,7 +202,7 @@ def parse_classic(text: str,
         val = _env_translate(val, variables)
         if section_kind == "filter" and key in (
                 "regex", "exclude", "rule", "parser",
-                "condition", *_MODIFY_OPS):
+                "condition", "record", "remove_key", *_MODIFY_OPS):
             # repeatable FILTER properties (flb accumulates these);
             # "regex" inside a [PARSER] block stays single-valued
             section.setdefault(key, [])
@@ -398,6 +406,7 @@ def spec_from_tree(tree: dict[str, Any],
     rewrite_rules: list[RewriteTagRule] = []
     parser_filters: list[ParserFilterSpec] = []
     modify_specs: list = []
+    nest_ops: list = []
     lookup_path: str | None = None
     lookup_key = "source"
     for f in pipe.get("filters", []):
@@ -445,6 +454,58 @@ def spec_from_tree(tree: dict[str, Any],
                 out=str(f.get("out", f"parsed_{refs[0]}"))))
         elif name == "modify":
             modify_specs.append(_parse_modify_filter(f))
+        elif name == "record_modifier":
+            # upstream:plugins/filter_record_modifier — Record K V adds
+            # a static field; Remove_key drops one. Both are the modify
+            # ops in disguise, so they reuse ModifySpec (same reserved-
+            # column protection). Allowlist_key (keep-only) conflicts
+            # with the engine's append-only column model — rejected
+            # loudly rather than half-honored.
+            if f.get("allowlist_key") or f.get("whitelist_key"):
+                raise ValueError(
+                    "[FILTER] record_modifier Allowlist_key is "
+                    "unsupported: pipeline columns are append-only "
+                    "(project in the sink instead)")
+            from ..operators.modify import ModifyRule, ModifySpec
+            rules = []
+            for v in _as_list(f.get("record")):
+                parts = v.split(None, 1)
+                if len(parts) != 2:
+                    raise ValueError(
+                        f"[FILTER] record_modifier Record needs "
+                        f"'KEY VALUE': {v!r}")
+                rules.append(ModifyRule("set", parts[0], parts[1]))
+            for v in _as_list(f.get("remove_key")):
+                rules.append(ModifyRule("remove", v.strip()))
+            if not rules:
+                raise ValueError("[FILTER] record_modifier: no Record/"
+                                 "Remove_key properties")
+            modify_specs.append(ModifySpec(rules=rules))
+        elif name == "nest":
+            # upstream:plugins/filter_nest — Operation nest (gather
+            # Wildcard keys under Nest_under) or lift (flatten
+            # Nested_under), with Add_prefix/Remove_prefix.
+            op = str(f.get("operation", "")).lower()
+            if op == "nest":
+                if not f.get("wildcard") or not f.get("nest_under"):
+                    raise ValueError("[FILTER] nest Operation nest "
+                                     "needs Wildcard + Nest_under")
+                nest_ops.append(("nest", {
+                    "wildcard": str(f["wildcard"]),
+                    "nest_under": str(f["nest_under"]),
+                    "remove_prefix": str(f.get("remove_prefix", "")),
+                    "add_prefix": str(f.get("add_prefix", ""))}))
+            elif op == "lift":
+                if not f.get("nested_under"):
+                    raise ValueError("[FILTER] nest Operation lift "
+                                     "needs Nested_under")
+                nest_ops.append(("lift", {
+                    "nested_under": str(f["nested_under"]),
+                    "add_prefix": str(f.get("add_prefix", ""))}))
+            else:
+                raise ValueError(
+                    f"[FILTER] nest Operation must be nest|lift, "
+                    f"got {op!r}")
 
     routes: list[Route] = []
     sink_format = None
@@ -487,6 +548,7 @@ def spec_from_tree(tree: dict[str, Any],
         keep_decoded=str(service.get("keep_decoded", "always")),
         parser_filters=parser_filters,
         modify_specs=modify_specs,
+        nest_ops=nest_ops,
     )
     io = {
         "input_path": inp.get("path"),

@@ -96,6 +96,10 @@ class PipelineSpec:
     # filter_modify blocks (operators/modify.py ModifySpec), applied
     # after parser_filters / before grep in config order.
     modify_specs: list = field(default_factory=list)
+    # filter_nest blocks: ("nest"|"lift", kwargs for operators/nest.py),
+    # applied LAST (output shaping — after tag/route/DLQ, so internal
+    # schema references survive any reshaping).
+    nest_ops: list = field(default_factory=list)
 
 
 @dataclass
@@ -179,6 +183,14 @@ def _post_parse_stages(spark: SparkSession, out: DataFrame,
         "dlq_reason",
         F.when(~F.col("parse_ok"), F.lit("parse_fail"))
          .when(F.size("sinks") == 0, F.lit("no_route")))
+    if spec.nest_ops:
+        # nest/lift are OUTPUT-SHAPING transforms (flb users nest/
+        # flatten the record for the sink), so they run after tagging/
+        # routing — internal stages (tag_expr, rewrite rules, DLQ) keep
+        # their schema references regardless of reshaping.
+        from ..operators.nest import lift, nest
+        for op, kw in spec.nest_ops:
+            out = (nest(out, **kw) if op == "nest" else lift(out, **kw))
     return out
 
 

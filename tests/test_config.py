@@ -508,3 +508,51 @@ def test_stream_task_missing_exec_raises(tmp_path):
     tree = parse_classic("[STREAM_TASK]\n    Name broken\n")
     with pytest.raises(ValueError, match="missing Exec"):
         stream_tasks(tree)
+
+
+def test_record_modifier_and_nest_filters(spark, fixture_paths, tmp_path):
+    """[FILTER] record_modifier (Record/Remove_key via ModifySpec) and
+    [FILTER] nest Operation lift (flatten the parsed struct) from a
+    classic config, run through the real pipeline stages."""
+    from fluent_bit_spark.plans.pipeline import build_stages
+
+    conf = tmp_path / "rm.conf"
+    conf.write_text(
+        "[INPUT]\n    Name tokens\n    Format tokens\n\n"
+        "[FILTER]\n    Name  record_modifier\n    Match *\n"
+        "    Record cluster us-east-1\n"
+        "    Record stage  prod\n\n"
+        "[FILTER]\n    Name nest\n    Match *\n"
+        "    Operation  lift\n    Nested_under fields\n"
+        "    Add_prefix f_\n\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink sink_all\n")
+    spec, _ = spec_from_config(str(conf))
+    df = spark.read.parquet(fixture_paths["tokens"]).limit(200)
+    out = build_stages(spark, df, spec)
+    assert "cluster" in out.columns and "stage" in out.columns
+    # lifted struct fields appear with the prefix; original struct gone
+    assert any(c.startswith("f_") for c in out.columns)
+    assert "fields" not in out.columns
+    row = out.filter(F.col("cluster").isNotNull()).first()
+    assert row["cluster"] == "us-east-1" and row["stage"] == "prod"
+
+
+def test_record_modifier_allowlist_rejected(tmp_path):
+    conf = tmp_path / "al.conf"
+    conf.write_text(
+        "[INPUT]\n    Name tokens\n\n"
+        "[FILTER]\n    Name record_modifier\n    Match *\n"
+        "    Allowlist_key doc_id\n\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    with pytest.raises(ValueError, match="Allowlist_key"):
+        spec_from_config(str(conf))
+
+
+def test_nest_operation_validation(tmp_path):
+    conf = tmp_path / "n.conf"
+    conf.write_text(
+        "[INPUT]\n    Name tokens\n\n"
+        "[FILTER]\n    Name nest\n    Match *\n    Operation sideways\n\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    with pytest.raises(ValueError, match="nest|lift"):
+        spec_from_config(str(conf))
