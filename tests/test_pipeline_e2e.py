@@ -236,3 +236,26 @@ def test_text_input_routes_like_tokens_input(spark, fixture_paths,
     db = read_dlq(spark, ox).filter(
         F.col("dlq_reason") == "parse_fail").count()
     assert da == db
+
+
+def test_run_pack_job_main(spark, fixture_paths, tmp_path, monkeypatch):
+    """jobs/run_pack.py CLI surface in-suite: hash order, conservation
+    check, JSON report — without spawning spark-submit."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    import run_pack
+
+    out = str(tmp_path / "pack_out")
+    monkeypatch.setattr(sys, "argv", [
+        "run_pack.py", "--input", fixture_paths["tokens"],
+        "--output", out, "--ctx", "128", "--sep-token", "-1"])
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    assert run_pack.main() == 0
+    rep = json.loads(printed[-1])
+    assert rep["conserved"] and rep["order"] == "hash"
+    assert rep["tokens_out"] == rep["tokens_in"] + rep["rows_in"]

@@ -303,3 +303,21 @@ def test_mixture_sample_is_broadcast_plus_map_filter(spark, tokens_df):
     import re
     m = re.search(r"Filter .*?\n(?:(?!Exchange).)*Scan", plan, re.S)
     assert m is not None, plan
+
+
+def test_line_dedup_reuses_materialized_lines(spark, tokens_df):
+    """line_dedup's exploded line frame must be persisted and REUSED by
+    both plan branches (count build + join probe) — the unmaterialized
+    probe side re-evaluates the explode at ~10x its cost (BENCH/
+    CLEAN.md). Both branches must plan as InMemoryTableScan."""
+    from fluent_bit_spark.operators.tokens import line_dedup
+    docs = (tokens_df.limit(300)
+            .withColumn("text", F.concat_ws(" ",
+                        F.col("tokens").cast("array<string>"))))
+    out = line_dedup(docs, line_words=4, max_occ=2)
+    plan = _plan(out)
+    # (the single FileScan that builds the cache appears inside the
+    # InMemoryRelation description — only the InMemoryTableScan count
+    # distinguishes reuse from re-evaluation)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    spark.catalog.clearCache()
