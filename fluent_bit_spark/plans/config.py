@@ -238,6 +238,10 @@ def parse_yaml(text: str) -> dict[str, Any]:
             "outputs": [lower_keys(s) for s in (pipe.get("outputs") or [])],
         },
         "parsers": [lower_keys(s) for s in (doc.get("parsers") or [])],
+        # YAML parity for the classic Streams_File sections: a
+        # top-level ``stream_tasks:`` list of {name, exec} maps
+        "stream_tasks": [lower_keys(s)
+                         for s in (doc.get("stream_tasks") or [])],
     }
 
 

@@ -556,3 +556,18 @@ def test_nest_operation_validation(tmp_path):
         "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
     with pytest.raises(ValueError, match="nest|lift"):
         spec_from_config(str(conf))
+
+
+def test_yaml_stream_tasks(tmp_path):
+    """YAML parity for [STREAM_TASK]: a top-level stream_tasks list."""
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        "pipeline:\n"
+        "  inputs:\n    - name: tokens\n"
+        "  outputs:\n    - name: file\n      match: '*'\n      sink: s\n"
+        "stream_tasks:\n"
+        "  - name: t1\n"
+        "    exec: SELECT COUNT(*) AS c FROM TAG:'app.*';\n")
+    _, io = spec_from_config(str(y))
+    assert io["stream_tasks"] == [("t1",
+                                   "SELECT COUNT(*) AS c FROM TAG:'app.*';")]
