@@ -16,8 +16,11 @@ FRESH-JVM subprocess runs (``--pipeline-only`` mode) — a single
 same-JVM run swings ±20-40% with co-tenant load on this shared guest
 (BENCH/BASELINE.md variance note; VERDICT r2), while min-of-N across
 fresh JVMs is the standard noise-robust estimator. All three walls are
-reported in ``pipeline_runs_sec``. The local[8]-vs-local[32] scaling
-evidence lives in tools/bench_scaling.py → BENCH/BASELINE.md.
+reported in ``pipeline_runs_sec``. Per-query headline walls are
+MIN-OF-2 with caches cleared between the runs (single runs flapped
+1.5-4× on disjoint query sets across back-to-back identical-code
+executions). The local[8]-vs-local[32] scaling evidence lives in
+tools/bench_scaling.py → BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -75,8 +78,13 @@ def force(df) -> int:
 
 
 def _tokens_paths() -> tuple[str, str, int]:
+    # 32-file fixture: a 10^12-row table is MANY files (scan
+    # parallelism + per-file slice checkpointing key off file
+    # boundaries); the old single-file fixture planned a 1-2-partition
+    # scan that ran the Arrow parse on 1-2 of 32 cores and understated
+    # steady-state throughput ~30% (measured 95k → 124k+ rows/s).
     tok_path = os.environ.get(
-        "SPARK_GRAFT_TOKENS", "/tmp/bench_tokens.parquet")
+        "SPARK_GRAFT_TOKENS", "/tmp/bench_tokens_32f.parquet")
     lk_path = "/tmp/bench_lookup.parquet"
     n_rows = int(os.environ.get("SPARK_GRAFT_TOKENS_ROWS", "200000"))
     return tok_path, lk_path, n_rows
@@ -86,7 +94,7 @@ def _ensure_tokens() -> None:
     from fluent_bit_spark import fixtures as fx
     tok_path, lk_path, n_rows = _tokens_paths()
     if not os.path.exists(tok_path):
-        fx.generate_tokens_table(tok_path, n_rows)
+        fx.generate_tokens_table(tok_path, n_rows, n_files=32)
     if not os.path.exists(lk_path):
         fx.generate_lookup_table(lk_path)
 
@@ -198,19 +206,29 @@ def main() -> int:
         fn = queries.get(name) or getattr(qmod, name, None)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
-        # Cache hygiene between queries: operators with an internal
-        # persist (lsh_verified_pairs materialize=, bucketed tables)
-        # cannot unpersist before their result is consumed, so orphan
-        # blocks accumulate across the shared-JVM headline loop and
-        # tax later queries (measured: a same-JVM re-run of
-        # dedup_lsh_verified went 4s -> 30s without this, 5-9s with).
-        import gc
-        spark.catalog.clearCache()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        # MIN-OF-2 per query: single-run walls on this guest flap with
+        # co-tenant bursts (observed same-day: disjoint "regressed"
+        # sets on back-to-back runs of identical code, 1.5-4x swings on
+        # sub-second queries). Caches are cleared between the two runs,
+        # so the min is a genuine re-execution, not cache reuse.
+        def _cleanup():
+            # Cache hygiene: operators with an internal persist
+            # (lsh_verified_pairs materialize=, line_dedup) cannot
+            # unpersist before their result is consumed; orphan blocks
+            # otherwise accumulate across the shared-JVM loop and tax
+            # later queries (measured 4s -> 30s on a same-JVM re-run).
+            import gc
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            walls.append(time.perf_counter() - t0)
+            _cleanup()
+        times[name] = round(min(walls), 3)
     spark.stop()
 
     # North-star figure: min-of-N fresh-JVM subprocess runs (noise-
