@@ -42,6 +42,12 @@ def main() -> int:
                     help="also run the continuous sequence-packing sink "
                          "at this context length (append-mode parquet "
                          "under output/packed)")
+    ap.add_argument("--config", default=None,
+                    help="fluent-bit-style config file (.yaml/.yml or "
+                         "classic .conf) defining the pipeline — same "
+                         "front end as jobs/run_pipeline.py; the stage "
+                         "builders are shared between batch and "
+                         "streaming, so one config drives both")
     args = ap.parse_args()
 
     from fluent_bit_spark import fixtures as fx
@@ -61,11 +67,17 @@ def main() -> int:
             fx.generate_lookup_table(lookup)
 
     spark = get_spark(app_name="logpipe-stream")
-    spec = PipelineSpec(
-        vocab=fx.vocab(),
-        routes=[Route(*r) for r in fx.DEFAULT_ROUTES],
-        lookup_path=lookup,
-    )
+    if args.config:
+        from fluent_bit_spark.plans.config import spec_from_config
+        spec, _ = spec_from_config(args.config)
+        if spec.lookup_path is None:
+            spec.lookup_path = lookup
+    else:
+        spec = PipelineSpec(
+            vocab=fx.vocab(),
+            routes=[Route(*r) for r in fx.DEFAULT_ROUTES],
+            lookup_path=lookup,
+        )
     if args.soak_rate:
         report = run_soak(spark, spec, args.landing, args.soak_rate,
                           args.soak_seconds)
