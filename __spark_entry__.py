@@ -27,11 +27,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return route_agg(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate checks the FIRST 50 entries of queries()
+# in dict order.  Registration order in fluent_bit_spark.queries follows
+# module structure, which (round 3) silently left the newest 19 entries
+# outside the window.  This explicit order puts never-driver-checked
+# entries first, then the thinnest-history veterans; the tail holds
+# long-green trivial filters that have passed in every round since r1.
+# tools/check_oracles.py still value-checks ALL entries at three SFs.
+_DRIVER_CHECK_FIRST = [
+    # -- never driver-checked before round 4 (the r3 token suite etc.) --
+    "pack_sequences", "corpus_clean_pack", "line_dedup_c4",
+    "decontaminate_ngrams", "mixture_sample_budget", "repetition_stats",
+    "snapshot_flush", "parse_syslog", "serialize_gelf",
+    "multimodal_png_roundtrip", "ann_recall_at_k",
+    "dedup_minhash_portable", "dedup_simhash_portable",
+    "dedup_lsh_verified", "dedup_resolve_groups",
+    "dedup_tokens_exact", "dedup_tokens_minhash",
+    "deterministic_sample", "record_accessor_template",
+    # -- veterans with the thinnest driver history (first green r2/r3) --
+    "ann_lsh_multiprobe", "serialize_csv_ltsv", "decoder_escaped",
+    "decoder_json_chain", "geoip_range_lookup", "serialize_prometheus",
+    "skew_salted_join", "multimodal_resize", "multiline_cri",
+    # -- headline operators kept under continuous driver watch --
+    "route_agg", "parse_json_props", "rewrite_tag_capture",
+    "agg_pushdown_q1", "dedup_exact", "dedup_ngram_jaccard",
+    "embedding_neardup", "ann_topk_bruteforce", "ann_lsh_bucketed",
+    "ann_ivf", "text_quality", "lang_id_heuristic", "token_count_regex",
+    "doc_fingerprint", "multimodal_binary_meta", "multimodal_features",
+    "multiline_join", "asof_enrich", "rollup_agg", "sp_sql_stream_agg",
+    "sp_sql_window", "serialize_json_lines",
+]
+
+
+def _ordered(mapping):
+    out = {n: mapping[n] for n in _DRIVER_CHECK_FIRST if n in mapping}
+    out.update((n, v) for n, v in mapping.items() if n not in out)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fluent_bit_spark.queries import QUERIES
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     from fluent_bit_spark.queries import ORACLE_SQL
-    return dict(ORACLE_SQL)
+    return _ordered(ORACLE_SQL)
