@@ -34,6 +34,28 @@ from pyspark.storagelevel import StorageLevel
 # ---------------------------------------------------------------------------
 
 
+def hash_order_bucket_width(n_rows: int,
+                            rows_per_group: int = 1 << 20) -> int:
+    """Range-group width for a HASH-DERIVED order key (uniform over the
+    full signed-64 domain), sized so each contiguous ``order DIV width``
+    group holds ~``rows_per_group`` rows in expectation.
+
+    ``exclusive_prefix_sum``'s ``group_size`` is a width in ORDER-KEY
+    units; for dense ids width ≈ rows-per-group, but for xxhash64 keys
+    spread over 2^64 values a 2^20 width puts nearly every row in its
+    own group — the per-group totals table becomes corpus-sized, its
+    base-offset window degenerates to a single task per ``part_col``,
+    and the broadcast of it would OOM the driver at 10^12 rows. Size
+    the width to the KEY DOMAIN instead: 2^64 / (rows / rows_per_group).
+
+    Clamped to 2^62 so the DIV stays inside BIGINT (a 2^62 width still
+    yields 4 groups; the group-0 straddle of zero under trunc-division
+    at most doubles one group's row count — still bounded).
+    """
+    groups = max(int(n_rows) // max(int(rows_per_group), 1), 1)
+    return min(max((1 << 64) // groups, 1), 1 << 62)
+
+
 def exclusive_prefix_sum(df: DataFrame, part_col: str, order_col: str,
                          val_col: str, out_col: str = "offset",
                          group_size: int = 1 << 20,
@@ -61,6 +83,13 @@ def exclusive_prefix_sum(df: DataFrame, part_col: str, order_col: str,
     key and the range-bucketing key (string ids would make ``DIV``
     return null and collapse every row into one group). Derive a
     numeric key first (e.g. ``substring(doc_id, 4).cast("long")``).
+
+    ``group_size`` is a width in ORDER-KEY units, so it must be sized
+    to the key's density: for DENSE ids (0..n) the default 2^20 means
+    ~2^20 rows per group; for HASH-DERIVED keys uniform over int64,
+    pass ``hash_order_bucket_width(n_rows)`` instead — the dense
+    default would put every row in its own group and regrow the exact
+    single-task window this two-phase scan exists to avoid.
 
     ``tiebreak_col`` makes the scan deterministic when ``order_col``
     values can collide (e.g. a hash-derived order key): rows with equal

@@ -47,9 +47,12 @@ def main() -> int:
                     help="concat order: 'id' (ids must be integral) or "
                          "'hash' (deterministic shuffle; default for "
                          "string ids, required for them)")
-    ap.add_argument("--group-size", type=int, default=1 << 20,
-                    help="prefix-sum range-group size (bounds window "
-                         "task rows)")
+    ap.add_argument("--rows-per-group", "--group-size", type=int,
+                    default=1 << 20, dest="rows_per_group",
+                    help="target rows per prefix-sum range group "
+                         "(bounds window task rows); in --order hash "
+                         "mode the actual key-domain bucket width is "
+                         "derived from this and the row count")
     ap.add_argument("--sep-token", type=int, default=None,
                     help="append this end-of-document token to every "
                          "doc before chunking")
@@ -57,7 +60,8 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from fluent_bit_spark.operators.tokens import pack_sequences
+    from fluent_bit_spark.operators.tokens import (hash_order_bucket_width,
+                                                   pack_sequences)
     from fluent_bit_spark.session import get_spark
 
     # Shuffle partitions ≥ 4× cores: the packing exchange moves wide
@@ -91,10 +95,20 @@ def main() -> int:
     tok_expected = tok_in + (n_packed_docs
                              if args.sep_token is not None else 0)
 
+    # group_size is a width in ORDER-KEY units: dense ids → rows per
+    # group directly; hash keys span the full int64 domain, so derive
+    # the width from the key domain and the row count (a dense-sized
+    # width would make the per-group totals table corpus-sized and the
+    # base-offset broadcast a driver OOM at scale).
+    if order == "hash":
+        group_size = hash_order_bucket_width(n_packed_docs,
+                                             args.rows_per_group)
+    else:
+        group_size = args.rows_per_group
     packed = pack_sequences(df, ctx_len=args.ctx, id_col=args.id_col,
                             tokens_col=args.tokens_col,
                             len_col=args.len_col, part_col=args.part_col,
-                            group_size=args.group_size,
+                            group_size=group_size,
                             order_col=okey, tiebreak_col=tiebreak,
                             sep_token=args.sep_token)
     out = f"{args.output}/packed"

@@ -269,6 +269,31 @@ def test_prefix_sum_windows_are_bounded(spark, tokens_df):
     assert any("__g" in w for w in windows), plan
 
 
+def test_prefix_sum_windows_are_bounded_hash_order(spark, tokens_df):
+    """Same guard on the HASH-ORDER path (run_pack --order hash):
+    xxhash64 keys span the full int64 domain, so the range groups must
+    be sized by hash_order_bucket_width — the dense 2^20 default would
+    put every row in its own group, making the per-group totals table
+    corpus-sized (its source-only window degenerates to one task and
+    its broadcast would OOM the driver at 10^12 rows)."""
+    from fluent_bit_spark.operators.tokens import (exclusive_prefix_sum,
+                                                   hash_order_bucket_width)
+    d = (tokens_df.limit(500)
+         .withColumn("okey", F.xxhash64("doc_id")))
+    width = hash_order_bucket_width(500, rows_per_group=64)
+    out = exclusive_prefix_sum(d, "source", "okey", "n_tok", "off",
+                               group_size=width, tiebreak_col="doc_id")
+    plan = _plan(out)
+    import re
+    windows = re.findall(r"Window \[.*?\]", plan)
+    assert windows, plan
+    assert any("__g" in w for w in windows), plan
+    # and the bucketing actually bounds the totals frame
+    n_groups = (d.select(F.expr(f"okey DIV {width}").alias("g"))
+                .distinct().count())
+    assert n_groups <= 64, n_groups
+
+
 def test_decontaminate_gram_join_is_broadcast(spark):
     """The benchmark gram set must broadcast: a shuffled join would
     exchange the 10^12-row exploded training grams."""
