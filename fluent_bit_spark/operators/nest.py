@@ -14,9 +14,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def nest(df: DataFrame, wildcard: str, nest_under: str,
+def nest(df: DataFrame, wildcard: str | list[str], nest_under: str,
          remove_prefix: str = "", add_prefix: str = "") -> DataFrame:
-    keys = [k for k in df.columns if fnmatch.fnmatchcase(k, wildcard)]
+    # upstream accepts repeated Wildcard lines per [FILTER] nest block —
+    # a column nests when ANY pattern matches it
+    pats = [wildcard] if isinstance(wildcard, str) else list(wildcard)
+    keys = [k for k in df.columns
+            if any(fnmatch.fnmatchcase(k, p) for p in pats)]
     if not keys:
         return df
     fields = []

@@ -17,12 +17,26 @@ from pyspark.sql import functions as F
 
 
 def throttle(df: DataFrame, rate: int, keys: list[str],
-             ts_col: str = "ts", interval: str = "1 minute",
+             ts_col: str | None = "ts", interval: str = "1 minute",
              tiebreak: list[str] | None = None) -> DataFrame:
-    bucket = F.window(F.col(ts_col), interval).getField("start")
-    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
-    w = (Window.partitionBy(*[F.col(k) for k in keys], bucket)
-         .orderBy(*order))
+    """At most ``rate`` rows per (keys, interval-bucket of ``ts_col``),
+    kept in stable (ts, tiebreak) order.
+
+    ``ts_col=None`` drops the time bucketing: at most ``rate`` rows per
+    key over the whole frame (the batch-slice analogue when records
+    carry no event time — a pipeline slice IS the window). ``tiebreak``
+    is then required, since determinism has no timestamp to lean on."""
+    if ts_col is None:
+        if not tiebreak:
+            raise ValueError("throttle(ts_col=None) needs tiebreak "
+                             "columns for a deterministic keep order")
+        parts = [F.col(k) for k in keys]
+        order = [F.col(c) for c in tiebreak]
+    else:
+        bucket = F.window(F.col(ts_col), interval).getField("start")
+        parts = [*[F.col(k) for k in keys], bucket]
+        order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*parts).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= rate)
               .drop("__rn"))

@@ -34,10 +34,20 @@ Supported sections / properties (the subset with a batch meaning here):
 - ``[FILTER] Name record_modifier`` — ``Record KEY VALUE`` /
   ``Remove_key KEY`` (repeatable) via the same ModifySpec machinery;
   ``Allowlist_key`` is rejected (append-only column model).
-- ``[FILTER] Name nest`` — ``Operation nest`` (``Wildcard`` keys under
-  ``Nest_under``) or ``Operation lift`` (``Nested_under`` flattened),
-  with ``Add_prefix``/``Remove_prefix`` — applied as output shaping
-  (after tag/route, so internal schema references survive).
+- ``[FILTER] Name nest`` — ``Operation nest`` (repeatable ``Wildcard``
+  keys under ``Nest_under``) or ``Operation lift`` (``Nested_under``
+  flattened), with ``Add_prefix``/``Remove_prefix`` — applied as output
+  shaping (after tag/route, so internal schema references survive).
+- ``[FILTER] Name throttle`` — ``Rate``/``Window``/``Interval``
+  (upstream:plugins/filter_throttle): at most Rate×Window rows per
+  (``Keys``, Window×Interval bucket of ``Ts_key``); without ``Ts_key``
+  the batch slice is the window (cap per key per slice). ``Keys``
+  defaults to ``tag`` (upstream throttles per-tag instance).
+- ``[FILTER] Name type_converter`` — repeatable ``int_key``/
+  ``uint_key``/``str_key``/``float_key`` ``SRC DST`` lines
+  (upstream:plugins/filter_type_converter); try_cast semantics.
+- ``[FILTER] Name sampling`` — engine extension: ``Key`` + ``Rate``
+  keep 1-in-Rate rows by deterministic key hash.
 - ``[PARSER]`` — ``name`` + ``format regex`` + ``regex`` (+ ``types``,
   ``time_key``, ``time_format``); syslog preset names map to the
   built-in presets.
@@ -72,7 +82,8 @@ from ..operators.router import RewriteTagRule, Route
 from .pipeline import ParserFilterSpec, PipelineSpec
 
 _KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup", "parser", "modify",
-                  "record_modifier", "nest"}
+                  "record_modifier", "nest", "throttle", "type_converter",
+                  "sampling"}
 
 # filter_modify rule ops (upstream:plugins/filter_modify) — all
 # repeatable config keys; condition kinds are validated by
@@ -202,7 +213,9 @@ def parse_classic(text: str,
         val = _env_translate(val, variables)
         if section_kind == "filter" and key in (
                 "regex", "exclude", "rule", "parser",
-                "condition", "record", "remove_key", *_MODIFY_OPS):
+                "condition", "record", "remove_key", "wildcard",
+                "int_key", "uint_key", "str_key", "float_key",
+                *_MODIFY_OPS):
             # repeatable FILTER properties (flb accumulates these);
             # "regex" inside a [PARSER] block stays single-valued
             section.setdefault(key, [])
@@ -269,6 +282,27 @@ def _parse_rewrite_rule(rule: str) -> RewriteTagRule:
         key = key[1:]
     return RewriteTagRule(key=key, pattern=pattern, new_tag=new_tag,
                           keep=keep.lower() in ("true", "on", "1", "yes"))
+
+
+def _flb_interval(val: str) -> tuple[str, int]:
+    """flb throttle ``Interval`` (``1s``/``5m``/``1h``, or a bare number
+    of seconds) → (Spark interval string, seconds). Spark-style strings
+    like ``1 minute`` pass through."""
+    v = str(val).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([smh]?)", v)
+    if not m:
+        # already a Spark interval string ("1 minute")
+        m2 = re.fullmatch(r"(\d+)\s+(second|minute|hour)s?", v)
+        if not m2:
+            raise ValueError(f"throttle Interval wants Ns|Nm|Nh or a "
+                             f"Spark interval, got {val!r}")
+        n, unit = int(m2.group(1)), m2.group(2)
+        secs = n * {"second": 1, "minute": 60, "hour": 3600}[unit]
+        return f"{n} {unit}s", secs
+    n = int(m.group(1))
+    unit = m.group(2) or "s"
+    secs = n * {"s": 1, "m": 60, "h": 3600}[unit]
+    return f"{secs} seconds", secs
 
 
 def _parse_grep_prop(val: str, exclude: bool) -> GrepRule:
@@ -411,6 +445,9 @@ def spec_from_tree(tree: dict[str, Any],
     parser_filters: list[ParserFilterSpec] = []
     modify_specs: list = []
     nest_ops: list = []
+    type_conversions: list[tuple[str, str, str]] = []
+    sample_spec: tuple[str, int] | None = None
+    throttle_specs: list[dict[str, Any]] = []
     lookup_path: str | None = None
     lookup_key = "source"
     for f in pipe.get("filters", []):
@@ -491,11 +528,13 @@ def spec_from_tree(tree: dict[str, Any],
             # Nested_under), with Add_prefix/Remove_prefix.
             op = str(f.get("operation", "")).lower()
             if op == "nest":
-                if not f.get("wildcard") or not f.get("nest_under"):
+                # Wildcard is repeatable upstream — honor every pattern
+                wildcards = _as_list(f.get("wildcard"))
+                if not wildcards or not f.get("nest_under"):
                     raise ValueError("[FILTER] nest Operation nest "
                                      "needs Wildcard + Nest_under")
                 nest_ops.append(("nest", {
-                    "wildcard": str(f["wildcard"]),
+                    "wildcard": wildcards,
                     "nest_under": str(f["nest_under"]),
                     "remove_prefix": str(f.get("remove_prefix", "")),
                     "add_prefix": str(f.get("add_prefix", ""))}))
@@ -510,6 +549,61 @@ def spec_from_tree(tree: dict[str, Any],
                 raise ValueError(
                     f"[FILTER] nest Operation must be nest|lift, "
                     f"got {op!r}")
+        elif name == "type_converter":
+            # upstream:plugins/filter_type_converter — repeatable
+            # ``<T>_key SRC DST`` lines (int_key/uint_key/str_key/
+            # float_key). try_cast semantics: a bad value nulls the
+            # converted field, the record survives.
+            kinds = (("int_key", "int"), ("uint_key", "int"),
+                     ("str_key", "string"), ("float_key", "float"))
+            n_before = len(type_conversions)
+            for prop, typ in kinds:
+                for v in _as_list(f.get(prop)):
+                    parts = v.split()
+                    if len(parts) != 2:
+                        raise ValueError(
+                            f"[FILTER] type_converter {prop} wants "
+                            f"'SRC DST', got {v!r}")
+                    src, dst = parts
+                    if dst in _RESERVED_COLS:
+                        raise ValueError(
+                            f"type_converter may not overwrite reserved "
+                            f"column {dst!r}")
+                    type_conversions.append((src, dst, typ))
+            if len(type_conversions) == n_before:
+                raise ValueError("[FILTER] type_converter defines no "
+                                 "<T>_key conversions")
+        elif name == "sampling":
+            # engine extension (operators/filters.deterministic_sample):
+            # keep 1-in-Rate rows by key hash — reproducible across
+            # runs/partitionings, unlike Bernoulli sampling.
+            if sample_spec is not None:
+                raise ValueError("one [FILTER] sampling per pipeline")
+            rate = int(f.get("rate", 0))
+            if rate < 1:
+                raise ValueError("[FILTER] sampling needs Rate >= 1")
+            sample_spec = (str(f.get("key", "doc_id")), rate)
+        elif name == "throttle":
+            # upstream:plugins/filter_throttle — Rate msgs per Interval
+            # averaged over Window panes. Batch analogue: at most
+            # Rate×Window rows per (keys, Window×Interval bucket of
+            # Ts_key), kept in stable order; without Ts_key the slice
+            # itself is the window (cap per key per slice).
+            if not f.get("rate"):
+                raise ValueError("[FILTER] throttle needs Rate")
+            rate = int(f["rate"])
+            window = int(f.get("window", 5))
+            ts_key = f.get("ts_key") or None
+            spec_d: dict[str, Any] = {
+                "rate": rate * window,
+                "keys": [s.strip() for s in
+                         str(f.get("keys", "tag")).split(",") if s.strip()],
+                "ts_key": ts_key,
+            }
+            if ts_key:
+                _, secs = _flb_interval(f.get("interval", "1s"))
+                spec_d["interval"] = f"{secs * window} seconds"
+            throttle_specs.append(spec_d)
 
     routes: list[Route] = []
     sink_format = None
@@ -553,6 +647,9 @@ def spec_from_tree(tree: dict[str, Any],
         parser_filters=parser_filters,
         modify_specs=modify_specs,
         nest_ops=nest_ops,
+        type_conversions=type_conversions,
+        sample_spec=sample_spec,
+        throttle_specs=throttle_specs,
     )
     io = {
         "input_path": inp.get("path"),

@@ -100,6 +100,20 @@ class PipelineSpec:
     # applied LAST (output shaping — after tag/route/DLQ, so internal
     # schema references survive any reshaping).
     nest_ops: list = field(default_factory=list)
+    # filter_type_converter blocks: [(src, dst, type)] via
+    # operators/filters.type_convert (try_cast: bad values → null, the
+    # record survives — upstream drops just the conversion). Applied
+    # after modify_specs.
+    type_conversions: list = field(default_factory=list)
+    # sampling: (key, rate) — keep 1-in-rate rows by key hash
+    # (operators/filters.deterministic_sample; golden-safe, unlike
+    # Bernoulli). Applied after grep, before enrichment.
+    sample_spec: tuple | None = None
+    # filter_throttle blocks: dicts {rate, keys, ts_key, interval} via
+    # operators/throttle.throttle. Applied after tag/rewrite (throttle
+    # keys default to the tag, like upstream's per-tag instances) and
+    # before routing, so dropped rows never reach a sink.
+    throttle_specs: list = field(default_factory=list)
 
 
 @dataclass
@@ -166,18 +180,32 @@ def _post_parse_stages(spark: SparkSession, out: DataFrame,
         from ..operators.modify import apply_modify
         for ms in spec.modify_specs:
             out = apply_modify(out, ms)
+    if spec.type_conversions:
+        from ..operators.filters import type_convert
+        out = type_convert(out, spec.type_conversions)
     if spec.grep_rules:
         # grep drops rows entirely in fluent-bit; we keep them for the DLQ
         # accounting instead when they fail parse, but a grep miss is a
         # real drop (matches reference: grep'd records vanish silently —
         # we still count them via metrics on the pre-grep frame if needed)
         out = out.filter(grep_predicate(spec.grep_rules, spec.grep_op))
+    if spec.sample_spec:
+        from ..operators.filters import deterministic_sample
+        key, rate = spec.sample_spec
+        out = deterministic_sample(out, key, rate)
     if spec.lookup_path:
         dim = spark.read.parquet(spec.lookup_path)
         out = lookup_join(out, dim, spec.lookup_key)
     out = out.withColumn("tag", F.expr(spec.tag_expr or default_tag_expr()))
     if spec.rewrite_rules:
         out = apply_rewrite_tag(out, spec.rewrite_rules)
+    if spec.throttle_specs:
+        from ..operators.throttle import throttle
+        for tsp in spec.throttle_specs:
+            out = throttle(out, tsp["rate"], tsp["keys"],
+                           ts_col=tsp.get("ts_key"),
+                           interval=tsp.get("interval", "1 minute"),
+                           tiebreak=tsp.get("tiebreak") or ["doc_id"])
     out = with_routes(out, spec.routes)
     out = out.withColumn(
         "dlq_reason",

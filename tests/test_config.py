@@ -571,3 +571,168 @@ def test_yaml_stream_tasks(tmp_path):
     _, io = spec_from_config(str(y))
     assert io["stream_tasks"] == [("t1",
                                    "SELECT COUNT(*) AS c FROM TAG:'app.*';")]
+
+
+def test_nest_repeated_wildcards(spark):
+    """Upstream filter_nest accepts REPEATED Wildcard lines — every
+    pattern must be honored, not last-one-wins."""
+    tree = parse_classic(
+        "[INPUT]\n    Name tokens\n"
+        "[FILTER]\n    Name nest\n    Match *\n"
+        "    Operation nest\n"
+        "    Wildcard lvl_*\n"
+        "    Wildcard extra\n"
+        "    Nest_under meta\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec, _ = spec_from_tree(tree, vocab=["x"])
+    assert spec.nest_ops == [("nest", {
+        "wildcard": ["lvl_*", "extra"], "nest_under": "meta",
+        "remove_prefix": "", "add_prefix": ""})]
+    from fluent_bit_spark.operators.nest import nest
+    df = spark.createDataFrame(
+        [("d1", "a", "b", "c")],
+        "doc_id string, lvl_one string, extra string, keepme string")
+    out = nest(df, **spec.nest_ops[0][1])
+    assert set(out.columns) == {"doc_id", "keepme", "meta"}
+    r = out.first()
+    assert r.meta.lvl_one == "a" and r.meta.extra == "b"
+    assert r.keepme == "c"
+
+
+def test_type_converter_filter_from_config(spark):
+    """[FILTER] type_converter: repeatable <T>_key SRC DST lines with
+    try_cast semantics (bad value → null, record survives); config run
+    equals the direct operator call."""
+    from fluent_bit_spark.operators.filters import type_convert
+    from fluent_bit_spark.plans.pipeline import _post_parse_stages
+    tree = parse_classic(
+        "[INPUT]\n    Name tokens\n"
+        "[FILTER]\n    Name type_converter\n    Match *\n"
+        "    int_key   code  code_i\n"
+        "    float_key ratio ratio_f\n"
+        "    str_key   n_tok n_str\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec, _ = spec_from_tree(tree, vocab=["x"])
+    # grouped by kind, not config line order — conversions are
+    # independent (distinct dst columns), so order is immaterial
+    assert set(spec.type_conversions) == {("code", "code_i", "int"),
+                                          ("ratio", "ratio_f", "float"),
+                                          ("n_tok", "n_str", "string")}
+    df = spark.createDataFrame(
+        [("d1", "200", "0.5", 7, "s1", True),
+         ("d2", "oops", "x", 3, "s1", True)],
+        "doc_id string, code string, ratio string, n_tok int, "
+        "source string, parse_ok boolean"
+    ).withColumn("fields", F.expr("named_struct('kind', 'raw')"))
+    out = _post_parse_stages(spark, df, spec)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows["d1"].code_i == 200 and abs(rows["d1"].ratio_f - 0.5) < 1e-9
+    assert rows["d2"].code_i is None and rows["d2"].ratio_f is None
+    assert rows["d1"].n_str == "7"
+    # parity with the direct operator on the same frame
+    want = {(r.doc_id, r.code_i, r.n_str) for r in
+            type_convert(df, spec.type_conversions).collect()}
+    got = {(r.doc_id, r.code_i, r.n_str) for r in out.collect()}
+    assert got == want
+
+
+def test_sampling_filter_from_config(spark, fixture_paths):
+    """[FILTER] sampling: config run keeps exactly the rows the direct
+    deterministic_sample call keeps."""
+    from fluent_bit_spark.operators.filters import deterministic_sample
+    from fluent_bit_spark.plans.pipeline import build_stages
+    tree = parse_classic(
+        "[INPUT]\n    Name tokens\n    Format tokens\n"
+        "[FILTER]\n    Name sampling\n    Match *\n"
+        "    Key  doc_id\n    Rate 3\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec, _ = spec_from_tree(tree)
+    assert spec.sample_spec == ("doc_id", 3)
+    df = spark.read.parquet(fixture_paths["tokens"]).limit(300)
+    got = {r.doc_id for r in build_stages(spark, df, spec)
+           .select("doc_id").collect()}
+    base = spec_from_tree(parse_classic(
+        "[INPUT]\n    Name tokens\n    Format tokens\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"))[0]
+    all_rows = build_stages(spark, df, base)
+    want = {r.doc_id for r in
+            deterministic_sample(all_rows, "doc_id", 3)
+            .select("doc_id").collect()}
+    assert got == want and 0 < len(got) < 300
+
+
+def test_throttle_filter_from_config_slice_window(spark, fixture_paths):
+    """[FILTER] throttle without Ts_key: at most Rate×Window rows per
+    tag per slice, deterministic keep order; config run equals the
+    direct operator call."""
+    from fluent_bit_spark.operators.throttle import throttle
+    from fluent_bit_spark.plans.pipeline import build_stages
+    tree = parse_classic(
+        "[INPUT]\n    Name tokens\n    Format tokens\n"
+        "[FILTER]\n    Name throttle\n    Match *\n"
+        "    Rate   4\n    Window 2\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec, _ = spec_from_tree(tree)
+    assert spec.throttle_specs == [
+        {"rate": 8, "keys": ["tag"], "ts_key": None}]
+    df = spark.read.parquet(fixture_paths["tokens"]).limit(500)
+    out = build_stages(spark, df, spec)
+    counts = {r.tag: r.c for r in
+              out.groupBy("tag").agg(F.count("*").alias("c")).collect()}
+    assert counts and max(counts.values()) <= 8
+    base = spec_from_tree(parse_classic(
+        "[INPUT]\n    Name tokens\n    Format tokens\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"))[0]
+    tagged = build_stages(spark, df, base)
+    want = {r.doc_id for r in
+            throttle(tagged, 8, ["tag"], ts_col=None,
+                     tiebreak=["doc_id"]).select("doc_id").collect()}
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == want
+
+
+def test_throttle_filter_from_config_time_window(spark):
+    """[FILTER] throttle with Ts_key: Rate×Window rows per
+    Window×Interval time bucket (flb's pane-averaged limit)."""
+    from datetime import datetime, timezone
+    from fluent_bit_spark.plans.pipeline import _post_parse_stages
+    tree = parse_classic(
+        "[INPUT]\n    Name tokens\n"
+        "[FILTER]\n    Name throttle\n    Match *\n"
+        "    Rate     2\n    Window   3\n    Interval 10s\n"
+        "    Ts_key   ts\n    Keys     source\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec, _ = spec_from_tree(tree, vocab=["x"])
+    assert spec.throttle_specs == [
+        {"rate": 6, "keys": ["source"], "ts_key": "ts",
+         "interval": "30 seconds"}]
+    rows = [(f"d{i:02d}", "s1", True,
+             datetime(2024, 1, 1, 0, 0, i, tzinfo=timezone.utc))
+            for i in range(40)]  # 40 rows in 40s: buckets of 30s
+    df = (spark.createDataFrame(
+        rows, "doc_id string, source string, parse_ok boolean, "
+              "ts timestamp")
+        .withColumn("fields", F.expr("named_struct('kind', 'raw')")))
+    out = _post_parse_stages(spark, df, spec)
+    kept = sorted(r.doc_id for r in out.collect())
+    # bucket [00:00:00,00:00:30) keeps d00..d05; [00:00:30,...) d30..d35
+    assert kept == [f"d{i:02d}" for i in (0, 1, 2, 3, 4, 5,
+                                          30, 31, 32, 33, 34, 35)]
+
+
+def test_new_filter_config_errors(tmp_path):
+    base = ("[INPUT]\n    Name tokens\n[FILTER]\n{body}\n"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    cases = [
+        ("    Name throttle\n    Window 5", "needs Rate"),
+        ("    Name type_converter", "no <T>_key"),
+        ("    Name type_converter\n    int_key onlyone", "SRC DST"),
+        ("    Name type_converter\n    int_key code tokens", "reserved"),
+        ("    Name sampling\n    Rate 0", "Rate >= 1"),
+        ("    Name throttle\n    Rate 1\n    Ts_key ts\n"
+         "    Interval fortnight", "Interval"),
+    ]
+    for body, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            spec_from_tree(parse_classic(base.format(body=body)),
+                           vocab=["x"])
