@@ -43,10 +43,15 @@ def snapshot_context(df: DataFrame, key_col: str, order_col: str,
     A trigger with an empty buffer (first rows of a stream) emits
     nothing — same as the reference's empty-snapshot flush.
     """
+    if "__o" in payload_cols:
+        raise ValueError("payload column name '__o' is reserved for "
+                         "the snapshot buffer's order field")
     w = (Window.partitionBy(key_col).orderBy(order_col)
          .rowsBetween(-limit_rows, -1))
+    # the order value gets a RESERVED alias — a payload column literally
+    # named 'o' must not collide with it inside the buffer struct
     buf = F.collect_list(
-        F.struct(F.col(order_col).alias("o"),
+        F.struct(F.col(order_col).alias("__o"),
                  *[F.col(c).alias(c) for c in payload_cols])).over(w)
     trig = (df.withColumn("__buf", buf)
             .filter(trigger)

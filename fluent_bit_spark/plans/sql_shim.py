@@ -219,7 +219,9 @@ class StreamProcessor:
         if name not in self._snapshots:
             raise ValueError(f"unknown snapshot: {name}")
         df, size, key, order = self._snapshots[name]
-        payload = [c for c in df.columns if c != key]
+        # the order column already surfaces as flush_at / buffer order —
+        # keeping it in the payload would just duplicate it as ctx_<order>
+        payload = [c for c in df.columns if c not in (key, order)]
         # translate() on the bare condition applies the RECORD_* /
         # @record.contains rewrites; WINDOW/SELECT splicing can't fire
         # on a predicate fragment.

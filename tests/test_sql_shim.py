@@ -156,10 +156,13 @@ def test_snapshot_create_and_flush(sp, spark):
            "SELECT * FROM STREAM:logs;")
     got = sp.sql("FLUSH SNAPSHOT errctx WHEN level = 'error';")
     src = spark.table("sp_stream_logs")
+    # the order column surfaces as flush_at / buffer order, so the
+    # shim excludes it from the payload (no ctx_event_ts duplication)
     want = snapshot_context(
         src, "tag", "event_ts", F.col("level") == "error",
         limit_rows=2,
-        payload_cols=[c for c in src.columns if c != "tag"])
+        payload_cols=[c for c in src.columns
+                      if c not in ("tag", "event_ts")])
     assert sorted(map(tuple, got.collect())) \
         == sorted(map(tuple, want.collect()))
     # the 00:01:45 db error flushes the 00:01:05 warn that preceded it
@@ -170,3 +173,21 @@ def test_snapshot_create_and_flush(sp, spark):
 def test_snapshot_flush_unknown_raises(sp):
     with pytest.raises(ValueError, match="unknown snapshot"):
         sp.sql("FLUSH SNAPSHOT nope WHEN 1=1;")
+
+
+def test_snapshot_payload_named_o_does_not_collide(spark):
+    """A payload column literally named 'o' must survive: the buffer
+    struct's order field uses the reserved '__o' alias (a bare 'o'
+    alias made ctx.o ambiguous)."""
+    import pytest as _pytest
+    from fluent_bit_spark.operators.snapshot import snapshot_context
+    df = spark.createDataFrame(
+        [("k", 1, "a"), ("k", 2, "b"), ("k", 3, "c")],
+        "key string, seq int, o string")
+    out = snapshot_context(df, "key", "seq", F.col("seq") == 3,
+                           limit_rows=2, payload_cols=["o"])
+    rows = sorted((r.ctx_pos, r.ctx_o) for r in out.collect())
+    assert rows == [(0, "a"), (1, "b")]
+    with _pytest.raises(ValueError, match="__o.*reserved"):
+        snapshot_context(df, "key", "seq", F.col("seq") == 3,
+                         limit_rows=2, payload_cols=["__o"])
