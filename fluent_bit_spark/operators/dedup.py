@@ -24,17 +24,77 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-def spread(df: DataFrame) -> DataFrame:
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """A byte-valued Spark conf (plain number or k/m/g[b] suffix)."""
+    import re as _re
+    v = str(spark.conf.get(key, str(default))).strip().lower()
+    m = _re.fullmatch(r"(\d+)\s*([kmg]?)b?", v)
+    if not m:
+        return default
+    return int(m.group(1)) * {"": 1, "k": 1 << 10, "m": 1 << 20,
+                              "g": 1 << 30}[m.group(2)]
+
+
+def _estimated_scan_partitions(df: DataFrame,
+                               parallelism: int) -> int | None:
+    """Estimate the scan's FilePartition count from driver-side file
+    metadata, using Spark's own packing formula (maxSplitBytes =
+    min(maxPartitionBytes, max(openCost, total/parallelism)); files
+    bin-pack up to that size). ``None`` when ``df`` isn't a file scan.
+
+    This replaces a ``df.rdd.getNumPartitions()`` probe: the RDD
+    conversion forces a full physical planning pass of the analyzed
+    plan on the driver per call — avoidable overhead on production-
+    width plans. Metadata reads short-circuit once the running total
+    guarantees ≥ ``parallelism`` partitions, so a 100 TB listing stops
+    after a handful of files."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes",
+                         128 << 20)
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes",
+                            4 << 20)
+    cap = parallelism * max_pb   # total ≥ cap ⇒ partitions ≥ parallelism
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    fs = None
+    for f in files:
+        jp = jvm.org.apache.hadoop.fs.Path(f)
+        if fs is None:
+            fs = jp.getFileSystem(hconf)
+        try:
+            total += int(fs.getFileStatus(jp).getLen()) + open_cost
+        except Exception:
+            return None
+        if total >= cap:
+            return parallelism
+    max_split = min(max_pb, max(open_cost,
+                                total // max(parallelism, 1) + 1))
+    return max(1, -(-total // max_split))
+
+
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Ensure the CPU-heavy stages downstream (shingle explode + k hashes
     per shingle: ~50× row expansion, interpreted higher-order functions)
     can use every core. A small-file scan yields 1-2 input partitions —
     at sf0.1 the whole MinHash pipeline was running on 1 of 32 cores
     (measured: 3.3s single-core shingle explode → ~0.2s spread). Gated on
-    the actual partition count, so a 100 TB scan whose split count
-    already ≥ parallelism pays NO extra shuffle."""
-    sc = df.sparkSession.sparkContext
-    p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    the ESTIMATED scan partition count (driver-side file metadata — no
+    ``.rdd`` planning side channel), so a 100 TB scan whose split count
+    already ≥ parallelism pays NO extra shuffle; frames with no file
+    scan in their lineage (in-memory fixtures) pass through untouched.
+
+    ``min_parallelism`` overrides the target (defaults to
+    ``sparkContext.defaultParallelism``)."""
+    p = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    est = _estimated_scan_partitions(df, p)
+    if est is not None and est < p:
         return df.repartition(p)
     return df
 
@@ -414,7 +474,8 @@ def resolve_duplicate_groups(docs: DataFrame, pairs: DataFrame,
                              id_col: str = "doc_id",
                              d1: str = "d1", d2: str = "d2",
                              max_iters: int = 25,
-                             checkpoint: str = "local") -> DataFrame:
+                             checkpoint: str = "local",
+                             probe_every: int = 1) -> DataFrame:
     """Turn near-dup PAIRS into the actual deduplicated table: group
     pairs into connected components and pick one canonical doc per
     component. Returns (``id_col``, canonical_id, keep) for EVERY doc in
@@ -446,6 +507,14 @@ def resolve_duplicate_groups(docs: DataFrame, pairs: DataFrame,
     (``spark.sparkContext.setCheckpointDir``) so the loop survives
     executor loss on a real cluster.
 
+    ``probe_every=k`` runs the driver-side convergence count every k
+    rounds instead of every round (k-1 extra cheap propagation rounds
+    traded against k-1 fewer driver round-trips — on a real cluster
+    each probe is a full job submission). Convergence detection and the
+    non-convergence raise are unchanged: a probe observing zero changed
+    labels means the labels are a fixed point regardless of how many
+    un-probed rounds preceded it.
+
     Raises ``RuntimeError`` if the loop exhausts ``max_iters`` without
     converging (component min-eccentricity > max_iters): a partially
     propagated result would silently carry non-canonical canonical_ids
@@ -453,6 +522,8 @@ def resolve_duplicate_groups(docs: DataFrame, pairs: DataFrame,
     if checkpoint not in ("local", "reliable"):
         raise ValueError(f"checkpoint must be 'local' or 'reliable', "
                          f"got {checkpoint!r}")
+    if probe_every < 1:
+        raise ValueError(f"probe_every must be >= 1, got {probe_every}")
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if checkpoint == "reliable":
@@ -467,20 +538,24 @@ def resolve_duplicate_groups(docs: DataFrame, pairs: DataFrame,
     labels = _ckpt(edges.select(F.col("a").alias("node")).distinct()
                    .withColumn("label", F.col("node")))
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         msgs = (edges.join(labels, edges["a"] == labels["node"])
                 .select(F.col("b").alias("node"), "label"))
         new_labels = _ckpt(labels.union(msgs)
                            .groupBy("node")
                            .agg(F.min("label").alias("label")))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
+        # probe on the configured cadence, and always on the last
+        # permitted round (the non-convergence raise needs the answer)
+        if (it + 1) % probe_every == 0 or it == max_iters - 1:
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.col("n.label") != F.col("o.label"))
+                       .limit(1).count())
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
         labels = new_labels
-        if changed == 0:
-            converged = True
-            break
     if not converged:
         raise RuntimeError(
             f"resolve_duplicate_groups did not converge in {max_iters} "

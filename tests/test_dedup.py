@@ -173,3 +173,24 @@ def test_simhash_xxhash64_recall_parity(spark):
     union = vxx | vpo
     assert len(vxx & vpo) / len(union) > 0.85
     assert min(len(vxx), len(vpo)) / len(truth) > 0.8
+
+
+def test_resolve_groups_probe_every_identical_output(spark):
+    """probe_every=k trades driver-side convergence probes for extra
+    cheap rounds — the labeling must be identical to the per-round
+    probe on a diameter-8 chain, and a probe cadence coarser than the
+    needed rounds must still converge (the last-round probe fires)."""
+    from fluent_bit_spark.operators.dedup import resolve_duplicate_groups
+    import pytest as _pytest
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(9)] + [("z9",)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [(f"d{i}", f"d{i+1}") for i in range(8)], "d1 string, d2 string")
+    want = sorted(map(tuple, resolve_duplicate_groups(
+        docs, pairs, max_iters=12).collect()))
+    got = sorted(map(tuple, resolve_duplicate_groups(
+        docs, pairs, max_iters=12, probe_every=4).collect()))
+    assert got == want
+    assert {t[1] for t in got} == {"d0", "z9"}
+    with _pytest.raises(ValueError, match="probe_every"):
+        resolve_duplicate_groups(docs, pairs, probe_every=0)
