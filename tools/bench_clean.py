@@ -128,6 +128,10 @@ def main() -> int:
     ap.add_argument("--boiler-frac", type=float, default=0.2)
     ap.add_argument("--out", default="/tmp/clean_vol")
     ap.add_argument("--md", default=None, help="append a markdown report")
+    ap.add_argument("--gate", action="store_true",
+                    help="exit non-zero when shuffle write grows "
+                         "super-linearly across the sizes (conservation "
+                         "breaches always exit non-zero)")
     args = ap.parse_args()
 
     results = []
@@ -135,6 +139,20 @@ def main() -> int:
         r = run_size(n, args.boiler_frac, f"{args.out}/{n}")
         print(json.dumps(r))
         results.append(r)
+
+    if args.gate and len(results) >= 2:
+        # shuffle bytes, not wall — walls swing ±20% on this guest
+        a, b = results[-2], results[-1]
+        ratio = b["n_docs"] / a["n_docs"]
+        shuf_x = (b["clean_shuffle_write_mb"]
+                  / max(a["clean_shuffle_write_mb"], 0.1))
+        if shuf_x > ratio * 1.3:
+            print(json.dumps({"gate": "FAIL",
+                              "why": "super-linear shuffle write",
+                              "rows_x": ratio, "shuffle_x": shuf_x}))
+            return 3
+        print(json.dumps({"gate": "ok", "rows_x": ratio,
+                          "shuffle_x": round(shuf_x, 2)}))
 
     if args.md and len(results) >= 2:
         a, b = results[-2], results[-1]

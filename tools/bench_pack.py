@@ -124,6 +124,10 @@ def main() -> int:
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--out", default="/tmp/pack_vol")
     ap.add_argument("--md", default=None, help="append a markdown report")
+    ap.add_argument("--gate", action="store_true",
+                    help="exit non-zero when shuffle write grows "
+                         "super-linearly across the sizes (conservation "
+                         "breaches always exit non-zero)")
     args = ap.parse_args()
 
     results = []
@@ -131,6 +135,21 @@ def main() -> int:
         r = run_size(n, args.ctx, f"{args.out}/{n}")
         print(json.dumps(r))
         results.append(r)
+
+    if args.gate and len(results) >= 2:
+        # gate on shuffle BYTES, not wall: bytes are deterministic on a
+        # co-tenant guest, walls swing ±20% (NOTES.md measurement rules)
+        a, b = results[-2], results[-1]
+        ratio = b["n_docs"] / a["n_docs"]
+        shuf_x = (b["pack_shuffle_write_mb"]
+                  / max(a["pack_shuffle_write_mb"], 0.1))
+        if shuf_x > ratio * 1.3:
+            print(json.dumps({"gate": "FAIL",
+                              "why": "super-linear shuffle write",
+                              "rows_x": ratio, "shuffle_x": shuf_x}))
+            return 3
+        print(json.dumps({"gate": "ok", "rows_x": ratio,
+                          "shuffle_x": round(shuf_x, 2)}))
 
     if args.md and len(results) >= 2:
         a, b = results[-2], results[-1]

@@ -24,4 +24,16 @@ spark-submit --master 'local[8]' --py-files /tmp/smoke_engine.zip \
 spark-submit --master 'local[8]' --py-files /tmp/smoke_engine.zip \
   jobs/run_pack.py --input .data/tokens_small.parquet \
   --output /tmp/smoke_pack --ctx 256 | tail -1   # exits 2 on token loss
+
+if [ "${1:-}" != "quick" ]; then
+  # Volume-shape gates (VERDICT r3 #3): token/line conservation plus
+  # shuffle-byte linearity across a 4x size step — a regression in the
+  # distributed prefix sum or the line reassembly fails the round gate
+  # here, not just in a doc table. Bytes, not walls: deterministic on a
+  # co-tenant guest.
+  python tools/bench_pack.py  --sizes 200000,800000 --ctx 256 \
+    --out /tmp/smoke_pack_vol  --gate | tail -1
+  python tools/bench_clean.py --sizes 150000,600000 \
+    --out /tmp/smoke_clean_vol --gate | tail -1
+fi
 echo "SMOKE OK"
