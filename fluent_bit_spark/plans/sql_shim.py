@@ -46,6 +46,22 @@ _FLUSH_SNAP_RE = re.compile(
     r"^\s*FLUSH\s+SNAPSHOT\s+(?P<name>\w+)\s+WHEN\s+(?P<cond>.+?);?\s*$",
     re.IGNORECASE | re.DOTALL)
 _FROM_STREAM_RE = re.compile(r"\bSTREAM:(\w+)", re.IGNORECASE)
+# Engine-extension verbs for the token-pipeline operators
+# (operators/tokens.py) — no upstream analogue (flb's SP stops at
+# aggregates); the dialect shape follows the CREATE STREAM grammar so
+# a [STREAM_TASK] Exec can drive packing / line dedup from config.
+_PACK_RE = re.compile(
+    r"^\s*PACK\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"INTO\s+(?P<ctx>\d+)\s+TOKENS"
+    r"(?:\s+PARTITION\s+BY\s+(?P<part>\w+))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>HASH\(\s*\w+\s*\)|\w+))?"
+    r"(?:\s+SEP\s+(?P<sep>-?\d+))?\s*;?\s*$",
+    re.IGNORECASE)
+_DEDUP_LINES_RE = re.compile(
+    r"^\s*DEDUP\s+LINES\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"MAX\s+(?P<max>\d+)"
+    r"(?:\s+WORDS\s+(?P<words>\d+))?\s*;?\s*$",
+    re.IGNORECASE)
 _FROM_TAG_RE = re.compile(r"\bTAG:'([^']*)'", re.IGNORECASE)
 _WINDOW_RE = re.compile(
     r"\bWINDOW\s+(?P<kind>TUMBLING|HOPPING)\s*\(\s*(?P<n>\d+)\s+"
@@ -161,13 +177,72 @@ class StreamProcessor:
         s = re.sub(r"\s+", " ", s).strip()
         return _MASK_RE.sub(lambda m: lits[int(m.group(1))], s)
 
+    # -- token-op verbs (engine extensions) ---------------------------------
+
+    def _source_df(self, token: str) -> DataFrame:
+        """STREAM:name | TAG:'pattern' → its DataFrame."""
+        tm = re.match(r"TAG:'([^']*)'", token, re.IGNORECASE)
+        if tm:
+            return self.spark.table(self._tag_view(tm.group(1)))
+        sm = re.match(r"STREAM:(\w+)", token, re.IGNORECASE)
+        assert sm, token
+        return self.spark.table(f"sp_stream_{sm.group(1)}")
+
+    def _pack(self, m: re.Match) -> DataFrame:
+        """PACK STREAM:src INTO n TOKENS [PARTITION BY col]
+        [ORDER BY col | HASH(col)] [SEP tok] — concat-and-chunk packing
+        (operators/tokens.py pack_sequences) over the north-star token
+        shape. ORDER BY HASH(col) packs in deterministically shuffled
+        order; the range-group width derives from the row count
+        (hash_order_bucket_width), costing one count() at plan time."""
+        from pyspark.sql import functions as F
+
+        from ..operators.tokens import (hash_order_bucket_width,
+                                        pack_sequences)
+        df = self._source_df(m.group("src"))
+        kw: dict = {"ctx_len": int(m.group("ctx"))}
+        if m.group("part"):
+            kw["part_col"] = m.group("part")
+        if m.group("sep") is not None:
+            kw["sep_token"] = int(m.group("sep"))
+        order = m.group("order")
+        hm = re.match(r"HASH\(\s*(\w+)\s*\)", order or "", re.IGNORECASE)
+        if hm:
+            col = hm.group(1)
+            df = df.withColumn("__okey", F.xxhash64(col))
+            kw.update(order_col="__okey", tiebreak_col=col,
+                      group_size=hash_order_bucket_width(df.count()))
+        elif order:
+            kw["order_col"] = order
+        return pack_sequences(df, **kw)
+
+    def _dedup_lines(self, m: re.Match) -> DataFrame:
+        """DEDUP LINES STREAM:src MAX n [WORDS k] — C4-style
+        cross-corpus line dedup (operators/tokens.py line_dedup)."""
+        from ..operators.tokens import line_dedup
+        kw: dict = {"max_occ": int(m.group("max"))}
+        if m.group("words"):
+            kw["line_words"] = int(m.group("words"))
+        return line_dedup(self._source_df(m.group("src")), **kw)
+
+    def _exec_select(self, text: str) -> DataFrame:
+        """A statement body: a token-op verb, else translated SQL."""
+        pm = _PACK_RE.match(text)
+        if pm:
+            return self._pack(pm)
+        dm = _DEDUP_LINES_RE.match(text)
+        if dm:
+            return self._dedup_lines(dm)
+        return self.spark.sql(self.translate(text))
+
     # -- execution ----------------------------------------------------------
 
     def sql(self, text: str) -> DataFrame:
         """Execute one dialect statement. CREATE STREAM registers the
         result (and WITH(tag=…) stamps the emitted tag, the re-emission
         analogue — upstream:src/stream_processor/flb_sp_stream.c);
-        plain SELECT returns the DataFrame."""
+        plain SELECT returns the DataFrame. The statement body may be a
+        SELECT or one of the token-op verbs (PACK / DEDUP LINES)."""
         sm = _CREATE_SNAP_RE.match(text)
         if sm:
             return self._create_snapshot(sm)
@@ -177,8 +252,8 @@ class StreamProcessor:
                                         fm.group("cond"))
         cm = _CREATE_RE.match(text)
         if not cm:
-            return self.spark.sql(self.translate(text))
-        df = self.spark.sql(self.translate(cm.group("select")))
+            return self._exec_select(text)
+        df = self._exec_select(cm.group("select"))
         props = cm.group("props") or ""
         tm = re.search(r"tag\s*=\s*'([^']*)'", props, re.IGNORECASE)
         if tm:

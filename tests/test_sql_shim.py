@@ -191,3 +191,69 @@ def test_snapshot_payload_named_o_does_not_collide(spark):
     with _pytest.raises(ValueError, match="__o.*reserved"):
         snapshot_context(df, "key", "seq", F.col("seq") == 3,
                          limit_rows=2, payload_cols=["__o"])
+
+
+def test_pack_verb_matches_operator(sp, spark):
+    """Engine-extension verb: PACK STREAM:x INTO n TOKENS must equal
+    the direct pack_sequences call (a [STREAM_TASK] Exec can reach the
+    token pipeline from config)."""
+    from fluent_bit_spark.operators.tokens import pack_sequences
+    rows = [(i, "s%d" % (i % 2), list(range(i * 5, i * 5 + 3)), 3)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, tokens array<int>, n_tok int")
+    sp.register_stream("toks", df)
+    got = sp.sql("PACK STREAM:toks INTO 8 TOKENS;")
+    want = pack_sequences(df, ctx_len=8)
+    key = lambda r: (r["source"], r["chunk_id"])
+    g = {key(r): (r["tokens"], r["n_docs"]) for r in got.collect()}
+    w = {key(r): (r["tokens"], r["n_docs"]) for r in want.collect()}
+    assert g == w and len(g) > 5
+
+
+def test_pack_verb_hash_order_and_sep(sp, spark):
+    """ORDER BY HASH(col) packs in deterministically shuffled order
+    with a domain-derived range-group width; SEP appends EOD."""
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.tokens import (
+        hash_order_bucket_width, pack_sequences)
+    df = spark.table("sp_stream_toks")
+    got = sp.sql("PACK STREAM:toks INTO 8 TOKENS "
+                 "ORDER BY HASH(doc_id) SEP -1;")
+    d = df.withColumn("__okey", F.xxhash64("doc_id"))
+    want = pack_sequences(d, ctx_len=8, order_col="__okey",
+                          tiebreak_col="doc_id",
+                          group_size=hash_order_bucket_width(df.count()),
+                          sep_token=-1)
+    key = lambda r: (r["source"], r["chunk_id"])
+    g = {key(r): r["tokens"] for r in got.collect()}
+    w = {key(r): r["tokens"] for r in want.collect()}
+    assert g == w
+    assert any(-1 in toks for toks in g.values())
+
+
+def test_create_stream_from_pack_verb(sp, spark):
+    """CREATE STREAM name AS PACK ... registers the packed frame for
+    downstream SELECTs, like any other stream."""
+    sp.sql("CREATE STREAM packed AS PACK STREAM:toks INTO 8 TOKENS;")
+    got = sp.sql("SELECT COUNT(*) AS c FROM STREAM:packed "
+                 "WHERE full;").collect()[0]
+    assert got.c > 0
+
+
+def test_dedup_lines_verb_matches_operator(sp, spark):
+    """DEDUP LINES STREAM:x MAX n [WORDS k] == line_dedup."""
+    from fluent_bit_spark.operators.tokens import line_dedup
+    docs = spark.createDataFrame(
+        [("a", "spam spam spam unique one two"),
+         ("b", "spam spam spam other words here"),
+         ("c", "spam spam spam more text again")],
+        "doc_id string, text string")
+    sp.register_stream("docs", docs)
+    got = sp.sql("DEDUP LINES STREAM:docs MAX 2 WORDS 3;")
+    want = line_dedup(docs, max_occ=2, line_words=3)
+    g = {(r.doc_id, r.n_kept, r.n_dropped, r.text) for r in got.collect()}
+    w = {(r.doc_id, r.n_kept, r.n_dropped, r.text) for r in want.collect()}
+    assert g == w
+    # 'spam spam spam' occurs 3 > 2 times -> dropped everywhere
+    assert all(t[2] == 1 for t in g)
