@@ -39,7 +39,8 @@ _DRIVER_CHECK_FIRST = [
     "pack_sequences", "corpus_clean_pack", "line_dedup_c4",
     "decontaminate_ngrams", "mixture_sample_budget", "repetition_stats",
     "snapshot_flush", "parse_syslog", "serialize_gelf",
-    "multimodal_png_roundtrip", "ann_recall_at_k",
+    "multimodal_png_roundtrip", "multimodal_jpeg_roundtrip",
+    "ann_recall_at_k",
     "dedup_minhash_portable", "dedup_simhash_portable",
     "dedup_lsh_verified", "dedup_resolve_groups",
     "dedup_tokens_exact", "dedup_tokens_minhash",
@@ -55,7 +56,7 @@ _DRIVER_CHECK_FIRST = [
     "ann_ivf", "text_quality", "lang_id_heuristic", "token_count_regex",
     "doc_fingerprint", "multimodal_binary_meta", "multimodal_features",
     "multiline_join", "asof_enrich", "rollup_agg", "sp_sql_stream_agg",
-    "sp_sql_window", "serialize_json_lines",
+    "sp_sql_window",
 ]
 
 

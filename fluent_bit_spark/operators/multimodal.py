@@ -23,9 +23,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.jpeg import decode_jpeg, encode_jpeg
 from ..functions.png import decode_png, encode_png, resize_nearest
 
 PNG_MAGIC = b"\x89PNG"
+JPEG_MAGIC = b"\xff\xd8"
 
 MEDIA_META_SCHEMA = ("media_type string, byte_len bigint, sha256 string")
 
@@ -83,12 +85,14 @@ def resize_images(df: DataFrame, payload_col: str = "payload",
     """Resize for image payloads: 1:1 mapInPandas adding a ``thumb
     binary`` column plus its (thumb_w, thumb_h) dims.
 
-    PNG payloads take the REAL path: decode (functions/png.py) →
-    nearest-neighbour resample on actual pixels → re-encode as PNG.
-    Non-PNG payloads fall back to the deterministic byte-downsample
-    stub (right cardinality and batch shape, content is a stand-in);
-    ``strict=True`` raises NotImplementedError for them — the marker
-    that a real codec (PIL/ffmpeg) must be plugged in there."""
+    PNG and baseline JPEG payloads take the REAL path: decode
+    (functions/png.py, functions/jpeg.py) → nearest-neighbour resample
+    on actual pixels → re-encode in the same format. Other payloads
+    (audio/video, exotic image formats) fall back to the deterministic
+    byte-downsample stub (right cardinality and batch shape, content is
+    a stand-in); ``strict=True`` raises NotImplementedError for them —
+    the marker that a real codec (PIL/ffmpeg) must be plugged in
+    there."""
     n_bytes = width * height
 
     def _fake_resize(b: bytes) -> bytes:
@@ -100,10 +104,15 @@ def resize_images(df: DataFrame, payload_col: str = "payload",
     def _resize(b: bytes) -> bytes:
         if b[:4] == PNG_MAGIC:
             return encode_png(resize_nearest(decode_png(b), width, height))
+        if b[:2] == JPEG_MAGIC:
+            return encode_jpeg(
+                resize_nearest(decode_jpeg(b), width, height),
+                quality=95)
         if strict:
             raise NotImplementedError(
-                "real non-PNG image resize requires PIL/cv2, absent in "
-                "this container; strict=False runs the deterministic stub")
+                "real non-PNG/JPEG resize requires PIL/cv2/ffmpeg, "
+                "absent in this container; strict=False runs the "
+                "deterministic stub")
         return _fake_resize(b)
 
     schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
@@ -156,10 +165,10 @@ def encode_fixture_pngs(df: DataFrame, id_col: str = "doc_id",
 
 
 def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL image decode for PNG payloads: adds (width, height,
-    pixel_sum) from actual decoded pixels — no stub, no hash fake.
-    Arrow-batched mapInPandas; non-PNG payloads raise (this is the
-    strict path by construction)."""
+    """REAL image decode for PNG and baseline-JPEG payloads: adds
+    (width, height, pixel_sum) from actual decoded pixels — no stub, no
+    hash fake. Arrow-batched mapInPandas; other payloads raise (this is
+    the strict path by construction)."""
     schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
                           for f in df.schema.fields)
     schema_str += ", width int, height int, pixel_sum bigint"
@@ -168,13 +177,48 @@ def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         for pdf in batches:
             dims_w, dims_h, sums = [], [], []
             for b in pdf[payload_col]:
-                px = decode_png(bytes(b))
+                raw = bytes(b)
+                px = (decode_jpeg(raw) if raw[:2] == JPEG_MAGIC
+                      else decode_png(raw))
                 dims_h.append(px.shape[0])
                 dims_w.append(px.shape[1])
                 sums.append(int(px.astype(np.int64).sum()))
             pdf["width"] = dims_w
             pdf["height"] = dims_h
             pdf["pixel_sum"] = sums
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+def fixture_image_blocks(doc_id: int) -> np.ndarray:
+    """Deterministic BLOCK-CONSTANT greyscale fixture keyed on doc_id:
+    dims (8 + id%9) × (8 + id%11) — partial edge blocks on most ids —
+    with pixel(x, y) = (id·37 + (x DIV 8)·11 + (y DIV 8)·17) mod 256.
+    Constant 8×8 blocks make a quality-100 JPEG round-trip EXACT
+    (DC-only blocks; see functions/jpeg.py), so a SQL oracle can
+    recompute pixel sums with integer arithmetic and no decoder."""
+    w, h = 8 + doc_id % 9, 8 + doc_id % 11
+    bx = (np.arange(w, dtype=np.int64) // 8) * 11
+    by = (np.arange(h, dtype=np.int64)[:, None] // 8) * 17
+    return ((doc_id * 37 + bx + by) % 256).astype(np.uint8)
+
+
+def encode_fixture_jpegs(df: DataFrame, id_col: str = "doc_id",
+                         out_col: str = "payload") -> DataFrame:
+    """mapInPandas producing a REAL baseline-JPEG binary per row from
+    the block-constant fixture image at quality 100 — the encode half
+    of the JPEG round-trip (huffman, DC prediction, byte stuffing and
+    edge-block padding all exercised)."""
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += f", {out_col} binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[id_col].map(
+                lambda i: encode_jpeg(fixture_image_blocks(int(i)),
+                                      quality=100))
             yield pdf
 
     return df.mapInPandas(op, schema=schema_str)

@@ -1632,6 +1632,37 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("pixel_sum").alias("thumb_sum"))
 
 
+@q("multimodal_jpeg_roundtrip", """
+WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS img_w,
+                  CAST(8 + doc_id % 11 AS INT) AS img_h FROM documents)
+SELECT d.doc_id, d.img_w, d.img_h,
+       CAST(sum((d.doc_id * 37 + (x.g // 8) * 11 + (y.g // 8) * 17)
+                % 256) AS BIGINT) AS img_sum
+FROM d, generate_series(0, 15) AS x(g), generate_series(0, 17) AS y(g)
+WHERE x.g < d.img_w AND y.g < d.img_h
+GROUP BY 1, 2, 3
+""")
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG bitstream through the multimodal path (r4 — clears the
+    JPEG stub): per doc, a BLOCK-CONSTANT greyscale fixture is
+    JPEG-ENCODED at quality 100 (functions/jpeg.py — Annex K tables,
+    canonical huffman, DC prediction, byte stuffing, edge-block
+    padding) and DECODED back (marker parse, huffman decode, dequant,
+    IDCT); dims and pixel sums are value-checked against a DuckDB
+    oracle that recomputes every pixel arithmetically. Constant 8×8
+    blocks make the lossy codec EXACT here (DC-only blocks at
+    quality 100), so the check is bit-precise; the AC/lossy path is
+    tolerance-bounded in tests/test_multimodal.py. Both hops are
+    Arrow-batched mapInPandas — map-only, no shuffle."""
+    from .operators.multimodal import decode_images, encode_fixture_jpegs
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    dec = decode_images(encode_fixture_jpegs(docs))
+    return dec.select("doc_id",
+                      F.col("width").alias("img_w"),
+                      F.col("height").alias("img_h"),
+                      F.col("pixel_sum").alias("img_sum"))
+
+
 @q("parse_syslog", r"""
 WITH lines AS (
   SELECT event_id,

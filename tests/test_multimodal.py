@@ -76,3 +76,95 @@ def test_fixture_encoding_is_deterministic(spark):
     b = {r.doc_id: bytes(r.payload) for r in
          encode_fixture_pngs(df.repartition(3)).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (functions/jpeg.py) — the r4 real-codec addition
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """Block-constant grey at quality 100 round-trips EXACTLY (DC-only
+    blocks; the invariant the multimodal_jpeg_roundtrip oracle leans
+    on), including non-multiple-of-8 dims (edge-block padding)."""
+    from fluent_bit_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from fluent_bit_spark.operators.multimodal import fixture_image_blocks
+    for i in (0, 3, 7, 12, 40):
+        img = fixture_image_blocks(i)
+        dec = decode_jpeg(encode_jpeg(img, quality=100))
+        assert dec.shape == img.shape
+        assert (dec == img).all()
+
+
+def test_jpeg_lossy_roundtrip_bounded():
+    """The AC/lossy path: random grey and smooth color content at
+    quality 95 decode within a small bounded error (the standard codec
+    sanity check when an external reference decoder is unavailable)."""
+    from fluent_bit_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(7)
+    grey = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(grey, quality=95))
+    err = np.abs(dec.astype(int) - grey.astype(int))
+    assert err.max() <= 12 and err.mean() < 4.0
+    x = np.linspace(0, 255, 32)
+    y = np.linspace(0, 255, 24)
+    rgb = np.stack([np.tile(x, (24, 1)), np.tile(y[:, None], (1, 32)),
+                    (np.tile(x, (24, 1)) + np.tile(y[:, None], (1, 32)))
+                    / 2], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(rgb, quality=95, subsampling="444"))
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.max() <= 8 and err.mean() < 2.0
+
+
+def test_jpeg_420_constant_mcus_exact():
+    """4:2:0: 16×16-constant color MCUs survive chroma downsample +
+    upsample exactly (2×2 mean of a constant is the constant)."""
+    from fluent_bit_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(2):
+            img[by * 16:(by + 1) * 16, bx * 16:(bx + 1) * 16] = [
+                (bx * 90 + 10) % 256, (by * 70 + 40) % 256,
+                (bx * 50 + by * 30 + 20) % 256]
+    dec = decode_jpeg(encode_jpeg(img, quality=100, subsampling="420"))
+    assert (dec == img).all()
+
+
+def test_jpeg_unsupported_modes_raise():
+    from fluent_bit_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    with pytest.raises(ValueError, match="baseline sequential"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05abc")  # progressive SOF2
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG")
+    with pytest.raises(ValueError, match="444|420"):
+        encode_jpeg(np.zeros((8, 8), np.uint8), subsampling="422")
+
+
+def test_jpeg_resize_path_in_operator(spark):
+    """resize_images routes JPEG payloads through the REAL codec: the
+    thumb is itself a decodable JPEG whose pixels approximate the
+    nearest-neighbour resample of the original (re-encode at q95)."""
+    from fluent_bit_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from fluent_bit_spark.functions.png import resize_nearest
+    from fluent_bit_spark.operators.multimodal import fixture_image_blocks
+    rows = [(i, encode_jpeg(fixture_image_blocks(i), quality=100))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    th = {r.doc_id: bytes(r.thumb)
+          for r in resize_images(df, "payload", 8, 8).collect()}
+    for i in range(6):
+        got = decode_jpeg(th[i])
+        want = resize_nearest(fixture_image_blocks(i), 8, 8)
+        assert got.shape == want.shape
+        err = np.abs(got.astype(int) - want.astype(int))
+        assert err.max() <= 12, err.max()
+
+
+def test_jpeg_fixture_encoding_is_deterministic(spark):
+    from fluent_bit_spark.operators.multimodal import encode_fixture_jpegs
+    df = spark.range(0, 5).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: bytes(r.payload) for r in
+         encode_fixture_jpegs(df).collect()}
+    b = {r.doc_id: bytes(r.payload) for r in
+         encode_fixture_jpegs(df.repartition(3)).collect()}
+    assert a == b
