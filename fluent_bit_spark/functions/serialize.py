@@ -48,13 +48,24 @@ def gelf_level(level_col: Column | str) -> Column:
         F.coalesce(c.try_cast("int"), F.lit(1).cast("int")))
 
 
+def _stringify(df: DataFrame, c: str) -> Column:
+    """Column → string for line serializers: atomic types cast;
+    struct/array/map render as JSON (deterministic and parseable,
+    rather than Spark's display-oriented cast rendering)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    if isinstance(df.schema[c].dataType, (ArrayType, MapType, StructType)):
+        return F.to_json(F.col(c))
+    return F.col(c).cast("string")
+
+
 def to_csv_line(df: DataFrame, cols: list[str],
                 out: str = "value") -> DataFrame:
     """out_file ``Format csv`` (upstream:plugins/out_file/file.c): comma
     separation, RFC-4180-style quoting of fields containing a comma,
-    quote, or newline — JVM-side, no UDF."""
+    quote, or newline — JVM-side, no UDF. Complex-typed columns render
+    as JSON before quoting."""
     def render(c: str) -> Column:
-        v = F.col(c).cast("string")
+        v = _stringify(df, c)
         needs = v.rlike('[",\n\r]')
         quoted = F.concat(F.lit('"'),
                           F.regexp_replace(v, '"', '""'), F.lit('"'))
@@ -65,9 +76,10 @@ def to_csv_line(df: DataFrame, cols: list[str],
 
 def to_ltsv_line(df: DataFrame, cols: list[str],
                  out: str = "value") -> DataFrame:
-    """out_file ``Format ltsv``: tab-separated ``key:value`` pairs."""
+    """out_file ``Format ltsv``: tab-separated ``key:value`` pairs.
+    Complex-typed columns render as JSON values."""
     parts = [F.concat(F.lit(f"{c}:"),
-                      F.coalesce(F.col(c).cast("string"), F.lit("")))
+                      F.coalesce(_stringify(df, c), F.lit("")))
              for c in cols]
     return df.withColumn(out, F.concat_ws("\t", *parts))
 

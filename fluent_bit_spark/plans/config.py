@@ -60,8 +60,9 @@ Supported sections / properties (the subset with a batch meaning here):
   (@SET first, then process env, unknown → empty).
 - ``[OUTPUT]`` / ``outputs:`` — one sink per section: ``match`` (glob;
   ``match_regex`` for regex), ``sink`` (directory name; defaults to
-  ``<name>_<i>``), ``format`` (``parquet`` | ``json_lines``, must
-  agree across outputs — the fan-out writes one payload format).
+  ``<name>_<i>``), ``format`` (``parquet`` | ``json_lines`` | ``csv``
+  | ``ltsv``, must agree across outputs — the fan-out writes one
+  payload format).
 - ``[SERVICE]`` / ``service:`` — engine tuning extensions:
   ``salt_buckets``, ``fanout_mode``, ``keep_decoded``,
   ``sink_partition_by`` (comma-separated).
@@ -616,9 +617,9 @@ def spec_from_tree(tree: dict[str, Any],
         fmt = o.get("format")
         if fmt is not None:
             fmt = str(fmt).lower()
-            if fmt not in ("parquet", "json_lines"):
+            if fmt not in ("parquet", "json_lines", "csv", "ltsv"):
                 raise ValueError(f"output format must be parquet|"
-                                 f"json_lines, got {fmt!r}")
+                                 f"json_lines|csv|ltsv, got {fmt!r}")
             if sink_format is not None and fmt != sink_format:
                 raise ValueError("all outputs must share one format "
                                  "(the fan-out writes one payload shape)")

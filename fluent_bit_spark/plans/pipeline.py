@@ -78,9 +78,10 @@ class PipelineSpec:
     sink_partition_by: list[str] = field(default_factory=lambda: ["source"])
     salt_buckets: int = 32
     fanout_mode: str = "persist"            # 'persist' | 'explode'
-    # sink payload format: columnar parquet (default) or out_file-style
-    # newline-delimited JSON text (functions/serialize.to_json_lines)
-    sink_format: str = "parquet"            # 'parquet' | 'json_lines'
+    # sink payload format: columnar parquet (default) or an out_file
+    # text serializer (functions/serialize.py): newline-delimited JSON,
+    # RFC-4180 csv, or tab-separated ltsv — complex columns as JSON
+    sink_format: str = "parquet"   # 'parquet'|'json_lines'|'csv'|'ltsv'
     # Decoded-line retention in sink output. 'always' (default) keeps the
     # decoded text on every row — fluent-bit's record body rides to the
     # sink, so dropping it silently would surprise any downstream reader.
@@ -367,17 +368,20 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                      .partitionBy("sink", *spec.sink_partition_by)
                      .parquet(f"{output_dir}/sinks_by_dir/"
                               f"batch_id={i}"))
-            elif spec.sink_format == "json_lines":
-                # out_file Format json_lines: sinks are newline-delimited
-                # JSON text files (the serializer rides the same fan-out)
-                from ..functions.serialize import to_json_lines
+            elif spec.sink_format in ("json_lines", "csv", "ltsv"):
+                # out_file text formats: sinks are newline-delimited
+                # text files (the serializer rides the same fan-out)
+                from ..functions.serialize import (to_csv_line,
+                                                   to_json_lines,
+                                                   to_ltsv_line)
+                ser = {"json_lines": to_json_lines, "csv": to_csv_line,
+                       "ltsv": to_ltsv_line}[spec.sink_format]
                 payload_cols = [c for c in good.columns
                                 if c not in ("sinks", "routes_mask",
                                              "dlq_reason", "_lineage")]
                 for s in sinks:
-                    (to_json_lines(
-                        good.filter(F.array_contains("sinks", s)),
-                        payload_cols)
+                    (ser(good.filter(F.array_contains("sinks", s)),
+                         payload_cols)
                      .select("value", *spec.sink_partition_by)
                      .write.mode("overwrite")
                      .partitionBy(*spec.sink_partition_by)

@@ -259,3 +259,36 @@ def test_run_pack_job_main(spark, fixture_paths, tmp_path, monkeypatch):
     rep = json.loads(printed[-1])
     assert rep["conserved"] and rep["order"] == "hash"
     assert rep["tokens_out"] == rep["tokens_in"] + rep["rows_in"]
+
+
+def test_csv_and_ltsv_sink_formats(spark, fixture_paths, tmp_path):
+    """sink_format csv/ltsv route the same row set as parquet and each
+    sink line is byte-identical to the serializer applied to the routed
+    frame (out_file Format csv/ltsv posture; complex columns as
+    JSON)."""
+    from fluent_bit_spark.functions.serialize import (to_csv_line,
+                                                      to_ltsv_line)
+    from fluent_bit_spark.plans.pipeline import build_stages
+    sink = "sink_web"
+    for fmt, ser in (("csv", to_csv_line), ("ltsv", to_ltsv_line)):
+        spec_t = _spec(fixture_paths)
+        spec_t.sink_format = fmt
+        out = str(tmp_path / fmt)
+        run_pipeline(spark, spec_t, fixture_paths["tokens"], out)
+        # expected lines: the serializer applied to the LIVE routed
+        # frame (the parquet read-back reorders partition columns)
+        spec_w = _spec(fixture_paths)
+        routed = build_stages(
+            spark, spark.read.parquet(fixture_paths["tokens"]), spec_w)
+        good = (routed.filter(F.col("dlq_reason").isNull())
+                .filter(F.array_contains("sinks", sink)))
+        payload_cols = [c for c in good.columns
+                        if c not in ("sinks", "routes_mask", "dlq_reason",
+                                     "_lineage")]
+        want = sorted(r.value for r in
+                      ser(good, payload_cols).select("value").collect())
+        got = sorted(r.value for r in
+                     spark.read.text(f"{out}/sinks/{sink}").collect())
+        assert got == want, fmt
+        if fmt == "ltsv":
+            assert all("\t" in ln and "doc_id:" in ln for ln in got)
