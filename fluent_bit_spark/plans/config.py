@@ -48,6 +48,10 @@ Supported sections / properties (the subset with a batch meaning here):
   (upstream:plugins/filter_type_converter); try_cast semantics.
 - ``[FILTER] Name sampling`` — engine extension: ``Key`` + ``Rate``
   keep 1-in-Rate rows by deterministic key hash.
+- ``[FILTER] Name multiline`` — ``multiline.parser`` preset
+  (docker/cri/java/python/go, upstream:plugins/filter_multiline):
+  physical lines join into logical events before parsing (text input;
+  the runner switches to the ordered wholetext read).
 - ``[PARSER]`` — ``name`` + ``format regex`` + ``regex`` (+ ``types``,
   ``time_key``, ``time_format``); syslog preset names map to the
   built-in presets.
@@ -84,7 +88,9 @@ from .pipeline import ParserFilterSpec, PipelineSpec
 
 _KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup", "parser", "modify",
                   "record_modifier", "nest", "throttle", "type_converter",
-                  "sampling"}
+                  "sampling", "multiline"}
+
+_MULTILINE_PRESETS = {"docker", "cri", "java", "python", "go"}
 
 # filter_modify rule ops (upstream:plugins/filter_modify) — all
 # repeatable config keys; condition kinds are validated by
@@ -449,6 +455,7 @@ def spec_from_tree(tree: dict[str, Any],
     type_conversions: list[tuple[str, str, str]] = []
     sample_spec: tuple[str, int] | None = None
     throttle_specs: list[dict[str, Any]] = []
+    multiline_parser: str | None = None
     lookup_path: str | None = None
     lookup_key = "source"
     for f in pipe.get("filters", []):
@@ -584,6 +591,26 @@ def spec_from_tree(tree: dict[str, Any],
             if rate < 1:
                 raise ValueError("[FILTER] sampling needs Rate >= 1")
             sample_spec = (str(f.get("key", "doc_id")), rate)
+        elif name == "multiline":
+            # upstream:plugins/filter_multiline — multiline.parser names
+            # a built-in preset; physical lines join into logical events
+            # before parsing (text input only; needs the ordered read,
+            # handled by the runner). multiline.key_content must be the
+            # decoded line — the engine joins the record body, custom
+            # content keys have no batch meaning here.
+            preset = str(f.get("multiline.parser", "")).strip()
+            if preset not in _MULTILINE_PRESETS:
+                raise ValueError(
+                    f"[FILTER] multiline needs multiline.parser in "
+                    f"{sorted(_MULTILINE_PRESETS)}, got {preset!r}")
+            kc = str(f.get("multiline.key_content", "decoded"))
+            if kc not in ("decoded", "log"):
+                raise ValueError(
+                    f"[FILTER] multiline key_content must be the record "
+                    f"body (decoded/log), got {kc!r}")
+            if multiline_parser is not None:
+                raise ValueError("one [FILTER] multiline per pipeline")
+            multiline_parser = preset
         elif name == "throttle":
             # upstream:plugins/filter_throttle — Rate msgs per Interval
             # averaged over Window panes. Batch analogue: at most
@@ -651,6 +678,7 @@ def spec_from_tree(tree: dict[str, Any],
         type_conversions=type_conversions,
         sample_spec=sample_spec,
         throttle_specs=throttle_specs,
+        multiline_parser=multiline_parser,
     )
     io = {
         "input_path": inp.get("path"),

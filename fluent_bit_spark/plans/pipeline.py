@@ -115,6 +115,11 @@ class PipelineSpec:
     # keys default to the tag, like upstream's per-tag instances) and
     # before routing, so dropped rows never reach a sink.
     throttle_specs: list = field(default_factory=list)
+    # multiline preset (docker/cri/java/python/go) for the TEXT path:
+    # physical lines join into logical events before parsing
+    # (operators/multiline.py; needs the ordered read — see
+    # build_stages_text / read_text_ordered). Ignored on tokens input.
+    multiline_parser: str | None = None
 
 
 @dataclass
@@ -223,6 +228,20 @@ def _post_parse_stages(spark: SparkSession, out: DataFrame,
     return out
 
 
+def read_text_ordered(spark: SparkSession, path) -> DataFrame:
+    """Text read with a DETERMINISTIC per-file order column —
+    ``(value, line_no)`` — which the multiline joiners require (plain
+    ``spark.read.text`` guarantees no row order). ``wholetext`` loads
+    each FILE as one row (memory bounded by the rotated-log file size —
+    the in_tail deployment shape), then split + posexplode numbers the
+    physical lines. 100 TB shape: parallelism = one task per file,
+    which matches how log corpora arrive (many rotated files)."""
+    whole = spark.read.text(path, wholetext=True)
+    lines = F.split(F.regexp_replace("value", r"\n$", ""), "\n")
+    return whole.select(
+        F.posexplode(lines).alias("line_no", "value"))
+
+
 def build_stages_text(spark: SparkSession, df_text: DataFrame,
                       spec: PipelineSpec,
                       source_regex: str = r"([^/]+)\.log") -> DataFrame:
@@ -232,6 +251,10 @@ def build_stages_text(spark: SparkSession, df_text: DataFrame,
 
     - ``source`` extracted from the file path (in_tail tag-from-path,
       upstream:plugins/in_tail tag_regex) via ``source_regex``;
+    - optional MULTILINE JOIN (``spec.multiline_parser`` one of the
+      flb presets docker/cri/java/python/go): physical lines group into
+      logical events BEFORE parsing — requires the ordered read
+      (``read_text_ordered``), since joining needs line order;
     - ``doc_id`` content-derived (xxhash64 of file + line — stable
       across re-runs, duplicate identical lines share an id);
     - ``n_tok`` = whitespace token count of the line (the token-table
@@ -240,10 +263,31 @@ def build_stages_text(spark: SparkSession, df_text: DataFrame,
       pandas UDF — no per-row Python).
     """
     from ..functions.parsers import with_parsed
-    extra = [c for c in df_text.columns if c != "value"]
+    extra = [c for c in df_text.columns if c not in ("value", "line_no")]
     out = df_text.select(
         F.col("value").alias("decoded"),
-        F.input_file_name().alias("_input_file"), *extra)
+        F.input_file_name().alias("_input_file"),
+        *(["line_no"] if "line_no" in df_text.columns else []),
+        *extra)
+    if spec.multiline_parser:
+        if "line_no" not in out.columns:
+            raise ValueError(
+                "multiline joining needs an ordered text read — load the "
+                "input with read_text_ordered(spark, path) so each line "
+                "carries (file, line_no)")
+        from ..operators.multiline import multiline_preset
+        # extras (e.g. the _lineage struct) are constant per file, so a
+        # tiny per-file first() table re-attaches them after the join
+        extras_by_file = None
+        if extra:
+            extras_by_file = (out.groupBy("_input_file")
+                              .agg(*[F.first(c).alias(c) for c in extra]))
+        ml = multiline_preset(out, spec.multiline_parser,
+                              "_input_file", "line_no", "decoded")
+        out = ml.select("_input_file",
+                        F.col("event").alias("decoded"))
+        if extras_by_file is not None:
+            out = out.join(F.broadcast(extras_by_file), "_input_file")
     out = (out
            .withColumn("source",
                        F.regexp_extract("_input_file", source_regex, 1))
@@ -252,7 +296,8 @@ def build_stages_text(spark: SparkSession, df_text: DataFrame,
                                 F.abs(F.xxhash64("_input_file", "decoded"))
                                 .cast("string")))
            .withColumn("n_tok", F.size(F.split("decoded", " ")))
-           .drop("_input_file"))
+           .drop("_input_file", *(["line_no"] if "line_no" in out.columns
+                                  else [])))
     out = with_parsed(out, "decoded")
     return _post_parse_stages(spark, out, spec)
 
@@ -351,7 +396,10 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
         lineage = F.struct(F.lit(i).alias("batch_id"),
                            F.input_file_name().alias("input_file"))
         if input_format == "text":
-            df = spark.read.text(files).withColumn("_lineage", lineage)
+            reader = (read_text_ordered(spark, files)
+                      if spec.multiline_parser
+                      else spark.read.text(files))
+            df = reader.withColumn("_lineage", lineage)
             routed = build_stages_text(spark, df, spec)
         else:
             df = (spark.read.schema(TOKENS_SCHEMA).parquet(*files)

@@ -95,11 +95,14 @@ def main() -> int:
     if tasks:
         from fluent_bit_spark.plans.pipeline import (
             TOKENS_SCHEMA, build_stages, build_stages_text,
+            read_text_ordered,
         )
         from fluent_bit_spark.plans.sql_shim import StreamProcessor
         if input_format == "text":
-            tagged = build_stages_text(
-                spark, spark.read.text(args.input), spec)
+            rdr = (read_text_ordered(spark, args.input)
+                   if spec.multiline_parser
+                   else spark.read.text(args.input))
+            tagged = build_stages_text(spark, rdr, spec)
         else:
             tagged = build_stages(
                 spark,

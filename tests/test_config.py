@@ -736,3 +736,70 @@ def test_new_filter_config_errors(tmp_path):
         with pytest.raises(ValueError, match=msg):
             spec_from_tree(parse_classic(base.format(body=body)),
                            vocab=["x"])
+
+
+def test_multiline_filter_from_config(spark, tmp_path):
+    """[FILTER] Name multiline (upstream:plugins/filter_multiline):
+    java stack-trace lines join into one logical event before parsing,
+    through the real text pipeline with the ordered read; the joined
+    set equals the direct multiline_preset call."""
+    from fluent_bit_spark.operators.multiline import multiline_preset
+    from fluent_bit_spark.plans.pipeline import (build_stages_text,
+                                                 read_text_ordered)
+    log = tmp_path / "app1.log"
+    log.write_text(
+        "2024-01-01 ok startup complete\n"
+        "2024-01-01 ERROR boom\n"
+        "\tat com.example.Main(Main.java:5)\n"
+        "\tat com.example.Run(Run.java:9)\n"
+        "Caused by: java.io.IOException\n"
+        "\tat com.example.IO(IO.java:1)\n"
+        "2024-01-01 ok recovered\n")
+    tree = parse_classic(
+        "[INPUT]\n    Name tail\n    Path *.log\n"
+        "[FILTER]\n    Name multiline\n    Match *\n"
+        "    multiline.key_content decoded\n"
+        "    multiline.parser java\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec, io = spec_from_tree(tree)
+    assert spec.multiline_parser == "java" and io["input_format"] == "text"
+    ordered = read_text_ordered(spark, str(log))
+    out = build_stages_text(spark, ordered, spec)
+    got = sorted(r.decoded for r in out.select("decoded").collect())
+    direct = multiline_preset(
+        ordered.select(F.lit("f").alias("f"), "line_no",
+                       F.col("value").alias("decoded")),
+        "java", "f", "line_no", "decoded")
+    want = sorted(r.event for r in direct.collect())
+    assert got == want and len(got) == 3
+    joined = [ln for ln in got if "\n" in ln]
+    assert len(joined) == 1 and joined[0].count("\n") == 4
+
+
+def test_multiline_filter_validation():
+    base = ("[INPUT]\n    Name tokens\n[FILTER]\n    Name multiline\n"
+            "{prop}\n[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    with pytest.raises(ValueError, match="multiline.parser"):
+        spec_from_tree(parse_classic(base.format(prop="    Match *")),
+                       vocab=["x"])
+    with pytest.raises(ValueError, match="multiline.parser"):
+        spec_from_tree(parse_classic(base.format(
+            prop="    multiline.parser perl")), vocab=["x"])
+    with pytest.raises(ValueError, match="key_content"):
+        spec_from_tree(parse_classic(base.format(
+            prop="    multiline.parser java\n"
+                 "    multiline.key_content custom")), vocab=["x"])
+
+
+def test_multiline_without_ordered_read_raises(spark, tmp_path):
+    from fluent_bit_spark.plans.pipeline import build_stages_text
+    log = tmp_path / "x.log"
+    log.write_text("a\nb\n")
+    tree = parse_classic(
+        "[INPUT]\n    Name tail\n    Path *.log\n"
+        "[FILTER]\n    Name multiline\n    Match *\n"
+        "    multiline.parser java\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec, _ = spec_from_tree(tree)
+    with pytest.raises(ValueError, match="ordered"):
+        build_stages_text(spark, spark.read.text(str(log)), spec)
