@@ -803,3 +803,40 @@ def test_multiline_without_ordered_read_raises(spark, tmp_path):
     spec, _ = spec_from_tree(tree)
     with pytest.raises(ValueError, match="ordered"):
         build_stages_text(spark, spark.read.text(str(log)), spec)
+
+
+def test_stream_task_pack_verb(spark, fixture_paths, tmp_path):
+    """A [STREAM_TASK] Exec can drive the token pipeline: PACK over the
+    pipeline's tagged frame equals the direct pack_sequences call on
+    the same rows (config → SQL shim → operators/tokens.py)."""
+    from pyspark.sql import functions as FF
+    from fluent_bit_spark.operators.tokens import pack_sequences
+    from fluent_bit_spark.plans.pipeline import build_stages
+    from fluent_bit_spark.plans.sql_shim import StreamProcessor
+
+    streams = tmp_path / "streams.conf"
+    streams.write_text(
+        "[STREAM_TASK]\n"
+        "    Name  packed\n"
+        "    Exec  PACK TAG:'app.*' INTO 128 TOKENS "
+        "ORDER BY HASH(doc_id);\n")
+    conf = tmp_path / "pipe.conf"
+    conf.write_text(
+        CLASSIC.format(lookup=fixture_paths["lookup"])
+        + f"\n[SERVICE]\n    Streams_File {streams}\n")
+    spec, io = spec_from_config(str(conf))
+    df = spark.read.parquet(fixture_paths["tokens"]).limit(800)
+    tagged = build_stages(spark, df, spec)
+    sp = StreamProcessor(spark, tagged=tagged, tag_col="tag")
+    name, sql = io["stream_tasks"][0]
+    got = sp.sql(sql)
+    src = tagged.filter(FF.col("tag").startswith("app."))
+    from fluent_bit_spark.operators.tokens import hash_order_bucket_width
+    want = pack_sequences(
+        src.withColumn("__okey", FF.xxhash64("doc_id")),
+        ctx_len=128, order_col="__okey", tiebreak_col="doc_id",
+        group_size=hash_order_bucket_width(src.count()))
+    key = lambda r: (r["source"], r["chunk_id"])
+    g = {key(r): r["tokens"] for r in got.collect()}
+    w = {key(r): r["tokens"] for r in want.collect()}
+    assert g == w and len(g) > 0
