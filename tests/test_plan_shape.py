@@ -346,3 +346,49 @@ def test_line_dedup_reuses_materialized_lines(spark, tokens_df):
     # distinguishes reuse from re-evaluation)
     assert plan.count("InMemoryTableScan") >= 2, plan
     spark.catalog.clearCache()
+
+
+def test_pq_topk_is_map_only_plus_topk(spark):
+    """PQ search: the ADC scan (encode argmin + LUT sum, all literal
+    arithmetic) must be map-only feeding TakeOrderedAndProject — no
+    Exchange, window, or join anywhere; codebooks/LUT live in the plan
+    as literals (the tiny-broadcast 10^12-vector posture)."""
+    from fluent_bit_spark.operators.similarity import pq_topk
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(16)])
+         for i in range(1, 60)],
+        "vec_id long, embedding array<double>")
+    out = pq_topk(df, "vec_id", "embedding", [1.0] * 16,
+                  k=5, dim=16, m=4, n_codes=8, refine=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_pq_recall_improves_with_refine(spark):
+    """Approximation-quality knob: widening the refine candidate pool
+    must not lose recall, and a full-width pool recovers brute force
+    exactly (the candidate ranking is a true distance bound)."""
+    from pyspark.sql import functions as FF
+    from fluent_bit_spark.operators.similarity import (_lit_vec, cosine,
+                                                       pq_topk)
+    df = spark.createDataFrame(
+        [(i, [float((i * 11 + 3 * j * j) % 17) - 8.0 for j in range(16)])
+         for i in range(1, 120)],
+        "vec_id long, embedding array<double>")
+    qv = [1.0, -2.0] * 8
+    brute = [r.vec_id for r in
+             df.select("vec_id",
+                       cosine(FF.col("embedding"), _lit_vec(qv))
+                       .alias("cos"))
+             .orderBy(FF.desc("cos"), "vec_id").limit(5).collect()]
+    r_small = {r.vec_id for r in
+               pq_topk(df, "vec_id", "embedding", qv, k=5, dim=16,
+                       m=4, n_codes=8, refine=2).collect()}
+    full = [r.vec_id for r in
+            pq_topk(df, "vec_id", "embedding", qv, k=5, dim=16,
+                    m=4, n_codes=8, refine=24).collect()]
+    assert full == brute                       # refine→all = exact
+    assert len(r_small & set(brute)) >= 2      # approximate but sane
