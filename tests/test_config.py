@@ -840,3 +840,45 @@ def test_stream_task_pack_verb(spark, fixture_paths, tmp_path):
     g = {key(r): r["tokens"] for r in got.collect()}
     w = {key(r): r["tokens"] for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_new_filters_yaml_classic_parity():
+    """The round-4 filters resolve identically from classic and YAML
+    configs (the one-config-API contract)."""
+    classic = parse_classic(
+        "[INPUT]\n    Name tokens\n"
+        "[FILTER]\n    Name throttle\n    Match *\n"
+        "    Rate 4\n    Window 2\n"
+        "[FILTER]\n    Name type_converter\n    Match *\n"
+        "    int_key code code_i\n    str_key n_tok n_str\n"
+        "[FILTER]\n    Name sampling\n    Match *\n"
+        "    Key doc_id\n    Rate 5\n"
+        "[FILTER]\n    Name multiline\n    Match *\n"
+        "    multiline.parser cri\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"
+        "    Format csv\n")
+    yaml_tree = parse_yaml("""
+pipeline:
+  inputs:
+    - {name: tokens}
+  filters:
+    - {name: throttle, match: "*", rate: 4, window: 2}
+    - name: type_converter
+      match: "*"
+      int_key: ["code code_i"]
+      str_key: ["n_tok n_str"]
+    - {name: sampling, match: "*", key: doc_id, rate: 5}
+    - {name: multiline, match: "*", multiline.parser: cri}
+  outputs:
+    - {name: file, match: "*", sink: s, format: csv}
+""")
+    sc, _ = spec_from_tree(classic, vocab=["x"])
+    sy, _ = spec_from_tree(yaml_tree, vocab=["x"])
+    assert sc == sy
+    assert sc.throttle_specs == [{"rate": 8, "keys": ["tag"],
+                                  "ts_key": None}]
+    assert set(sc.type_conversions) == {("code", "code_i", "int"),
+                                        ("n_tok", "n_str", "string")}
+    assert sc.sample_spec == ("doc_id", 5)
+    assert sc.multiline_parser == "cri"
+    assert sc.sink_format == "csv"

@@ -168,3 +168,26 @@ def test_jpeg_fixture_encoding_is_deterministic(spark):
     b = {r.doc_id: bytes(r.payload) for r in
          encode_fixture_jpegs(df.repartition(3)).collect()}
     assert a == b
+
+
+def test_jpeg_block_constant_roundtrip_property():
+    """Hypothesis: ANY block-constant greyscale image round-trips
+    exactly at quality 100 — dims and block values drawn freely
+    (exercises edge padding, DC prediction across arbitrary value
+    jumps, huffman categories up to the extremes)."""
+    from hypothesis import given, settings, strategies as st
+    from fluent_bit_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32))
+    def check(w, h, seed):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        nbx, nby = -(-w // 8), -(-h // 8)
+        blocks = rng.integers(0, 256, (nby, nbx), dtype=np.uint8)
+        img = blocks.repeat(8, axis=0).repeat(8, axis=1)[:h, :w]
+        dec = decode_jpeg(encode_jpeg(img, quality=100))
+        assert dec.shape == img.shape
+        assert (dec == img).all()
+
+    check()
