@@ -55,8 +55,8 @@ _DRIVER_CHECK_FIRST = [
     "embedding_neardup", "ann_topk_bruteforce", "ann_lsh_bucketed",
     "ann_ivf", "text_quality", "lang_id_heuristic", "token_count_regex",
     "doc_fingerprint", "multimodal_binary_meta", "multimodal_features",
-    "multiline_join", "asof_enrich", "rollup_agg", "sp_sql_stream_agg",
-    "ann_pq",
+    "multiline_join", "asof_enrich", "sp_sql_stream_agg",
+    "ann_pq", "parse_otlp_logs",
 ]
 
 

@@ -1195,6 +1195,58 @@ LIMIT 10
 """
 
 
+@q("parse_otlp_logs", """
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS ts_unix_nano,
+       CAST(1 + event_id % 24 AS INT) AS severity_number,
+       event_type AS severity_text,
+       'evt ' || event_type AS body,
+       md5(CAST(event_id AS VARCHAR)) AS trace_id,
+       substring(md5(CAST(event_id AS VARCHAR)), 1, 16) AS span_id,
+       'app' AS scope_name,
+       'svc' || CAST(user_id % 5 AS VARCHAR) AS service,
+       CAST(user_id AS VARCHAR) AS user_attr
+FROM events
+""")
+def parse_otlp_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP/JSON logs source (sources/otlp.py ← the file-encoding
+    subset of upstream:plugins/in_opentelemetry): per event an OTLP
+    ``LogsData`` envelope is constructed, then parsed and flattened by
+    the reader — resourceLogs→scopeLogs→logRecords explode, AnyValue
+    attribute maps, int64-as-string timestamp cast. The oracle computes
+    every extracted field independently from the source columns, so a
+    traversal or coalescing bug in the reader mismatches. Map-only (no
+    shuffle; explicit schema, no inference scan)."""
+    from .sources.otlp import parse_otlp_column
+    ev = t(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    doc = F.concat(
+        F.lit('{"resourceLogs":[{"resource":{"attributes":[{"key":'
+              '"service.name","value":{"stringValue":"svc'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('"}}]},"scopeLogs":[{"scope":{"name":"app"},'
+              '"logRecords":[{"timeUnixNano":"'),
+        (F.unix_timestamp("ts").cast("bigint")
+         * F.lit(1000000000)).cast("string"),
+        F.lit('","severityNumber":'),
+        (1 + F.col("event_id") % 24).cast("string"),
+        F.lit(',"severityText":"'), F.col("event_type"),
+        F.lit('","body":{"stringValue":"evt '), F.col("event_type"),
+        F.lit('"},"attributes":[{"key":"user","value":{"intValue":"'),
+        F.col("user_id").cast("string"),
+        F.lit('"}}],"traceId":"'), F.md5(eid),
+        F.lit('","spanId":"'), F.substring(F.md5(eid), 1, 16),
+        F.lit('"}]}]}]}'))
+    parsed = parse_otlp_column(
+        ev.select("event_id", doc.alias("otlp")), "otlp")
+    return parsed.select(
+        "event_id", "ts_unix_nano",
+        "severity_number", "severity_text", "body",
+        "trace_id", "span_id", "scope_name",
+        F.col("resource")["service.name"].alias("service"),
+        F.col("attributes")["user"].alias("user_attr"))
+
+
 @q("ann_pq", _ann_pq_oracle())
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py pq_topk): 8
