@@ -66,6 +66,8 @@ HEADLINE = [
     # r3 token-sequence training-data ops (operators/tokens.py)
     "pack_sequences",
     "line_dedup_c4",
+    # r4 product-quantization ANN (operators/similarity.py pq_topk)
+    "ann_pq",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "3"))
