@@ -16,7 +16,9 @@ Supported sections / properties (the subset with a batch meaning here):
   ``path`` (informational; the runner's ``--input`` wins), ``format``
   (``tokens`` | ``text``), ``vocab_parquet`` (token_id/piece table for
   the detokenizer; default: the built-in fixture vocab), ``tag_expr``
-  (engine extension: SQL expression for the tag column).
+  (engine extension: SQL expression for the tag column),
+  ``multiline.parser`` (in_tail posture — same joiner as the filter
+  form below).
 - ``[FILTER] Name grep`` — ``regex KEY PATTERN`` / ``exclude KEY
   PATTERN`` properties (repeatable, classic flb syntax), ``logical_op``
   (``AND``/``OR``, legacy AND default).
@@ -455,7 +457,17 @@ def spec_from_tree(tree: dict[str, Any],
     type_conversions: list[tuple[str, str, str]] = []
     sample_spec: tuple[str, int] | None = None
     throttle_specs: list[dict[str, Any]] = []
+    # [INPUT] multiline.parser — the common in_tail posture
+    # (upstream:plugins/in_tail: multiline joins at ingestion); the
+    # [FILTER] Name multiline form sets the same spec field.
     multiline_parser: str | None = None
+    inp_ml = str(inp.get("multiline.parser", "")).strip()
+    if inp_ml:
+        if inp_ml not in _MULTILINE_PRESETS:
+            raise ValueError(
+                f"[INPUT] multiline.parser must be one of "
+                f"{sorted(_MULTILINE_PRESETS)}, got {inp_ml!r}")
+        multiline_parser = inp_ml
     lookup_path: str | None = None
     lookup_key = "source"
     for f in pipe.get("filters", []):

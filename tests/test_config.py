@@ -882,3 +882,27 @@ pipeline:
     assert sc.sample_spec == ("doc_id", 5)
     assert sc.multiline_parser == "cri"
     assert sc.sink_format == "csv"
+
+
+def test_input_multiline_parser_property():
+    """[INPUT] multiline.parser (the in_tail posture) sets the same
+    spec field as the filter form; both at once raises (one joiner)."""
+    tree = parse_classic(
+        "[INPUT]\n    Name tail\n    Path x.log\n"
+        "    multiline.parser docker\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec, _ = spec_from_tree(tree, vocab=["x"])
+    assert spec.multiline_parser == "docker"
+    with pytest.raises(ValueError, match="one \\[FILTER\\] multiline|"
+                                         "multiline"):
+        spec_from_tree(parse_classic(
+            "[INPUT]\n    Name tail\n    multiline.parser docker\n"
+            "[FILTER]\n    Name multiline\n    Match *\n"
+            "    multiline.parser java\n"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"),
+            vocab=["x"])
+    with pytest.raises(ValueError, match="multiline.parser"):
+        spec_from_tree(parse_classic(
+            "[INPUT]\n    Name tail\n    multiline.parser perl\n"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"),
+            vocab=["x"])
