@@ -4,13 +4,20 @@ Training-data extension (not in the reference). Images/audio/video are
 carried as ``binary`` columns with a typed metadata struct; decode /
 feature-extract run as Arrow-batched ``mapInPandas`` operators.
 
-PNG payloads decode FOR REAL via the stdlib-only codec in
-``functions/png.py`` (zlib + scanline unfilter — no PIL/cv2 needed):
-``decode_images`` and the PNG path of ``resize_images`` operate on
-actual pixels. Other formats (JPEG/audio/video) need codec libraries
-absent from this container, so their kernels remain the documented
-deterministic stub (``strict=True`` raises NotImplementedError — the
-marker where PIL/ffmpeg plugs in).
+Every modality has a REAL stdlib-only decode path now — no codec
+libraries needed in-container:
+
+- images: PNG (``functions/png.py``, zlib + scanline unfilter) and
+  baseline JPEG (``functions/jpeg.py``, huffman + IDCT) — r3/r4;
+- audio: RIFF/WAVE 16-bit PCM (``functions/wav.py``) — r4;
+- video: YUV4MPEG2 frame streams (``functions/y4m.py``) — r4.
+
+``decode_images`` / ``decode_audio`` / ``sample_video_frames`` and the
+image path of ``resize_images`` operate on actual samples/pixels.
+COMPRESSED audio/video codecs (mp3/aac/h264…) are the remaining
+plug-point — those genuinely need ffmpeg-class libraries, and the
+``strict=True`` NotImplementedError markers below document exactly
+where they slot in.
 """
 
 from __future__ import annotations
@@ -25,6 +32,8 @@ from pyspark.sql import functions as F
 
 from ..functions.jpeg import decode_jpeg, encode_jpeg
 from ..functions.png import decode_png, encode_png, resize_nearest
+from ..functions.wav import decode_wav, encode_wav
+from ..functions.y4m import decode_y4m, encode_y4m
 
 PNG_MAGIC = b"\x89PNG"
 JPEG_MAGIC = b"\xff\xd8"
@@ -220,6 +229,148 @@ def encode_fixture_jpegs(df: DataFrame, id_col: str = "doc_id",
                 lambda i: encode_jpeg(fixture_image_blocks(int(i)),
                                       quality=100))
             yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+# ---------------------------------------------------------------------------
+# Real audio path (stdlib WAV codec) + formula-keyed fixture clips
+# ---------------------------------------------------------------------------
+
+
+def fixture_audio(doc_id: int) -> np.ndarray:
+    """Deterministic int16 PCM clip keyed on doc_id: 1 + id%2 channels,
+    256 + id%97 frames, sample(frame, ch) = (id·13 + ch·29 + frame·7)
+    mod 4096 − 2048. Pure integer formula → a SQL oracle recomputes
+    any sample, sum, or peak without a decoder (multimodal_wav_features
+    in queries.py)."""
+    channels = 1 + doc_id % 2
+    n = 256 + doc_id % 97
+    i = np.arange(n, dtype=np.int64)[:, None] * 7
+    c = np.arange(channels, dtype=np.int64) * 29
+    return ((doc_id * 13 + c + i) % 4096 - 2048).astype(np.int16)
+
+
+def encode_fixture_wavs(df: DataFrame, id_col: str = "doc_id",
+                        out_col: str = "payload") -> DataFrame:
+    """mapInPandas producing a REAL RIFF/WAVE binary per row from the
+    formula-keyed PCM fixture — the encode half of the audio
+    round-trip (chunk layout, interleave, word-align pad byte all
+    exercised)."""
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += f", {out_col} binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[id_col].map(
+                lambda i: encode_wav(fixture_audio(int(i)),
+                                     sample_rate=8000))
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode for WAVE/PCM payloads: adds (sample_rate,
+    n_channels, n_samples, sample_sum, abs_sum, peak) from actual
+    decoded samples — no stub, no hash fake. Arrow-batched
+    mapInPandas, map-only (one pass, no shuffle at any scale).
+    Compressed codecs (mp3/aac/flac) raise inside decode_wav — that is
+    the documented ffmpeg plug-point."""
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += (", sample_rate int, n_channels int, n_samples int"
+                   ", sample_sum bigint, abs_sum bigint, peak int")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("sample_rate", "n_channels",
+                                    "n_samples", "sample_sum",
+                                    "abs_sum", "peak")}
+            for b in pdf[payload_col]:
+                samples, rate = decode_wav(bytes(b))
+                s64 = samples.astype(np.int64)
+                cols["sample_rate"].append(rate)
+                cols["n_channels"].append(samples.shape[1])
+                cols["n_samples"].append(samples.shape[0])
+                cols["sample_sum"].append(int(s64.sum()))
+                cols["abs_sum"].append(int(np.abs(s64).sum()))
+                cols["peak"].append(int(np.abs(s64).max(initial=0)))
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+# ---------------------------------------------------------------------------
+# Real video path (stdlib Y4M codec) + formula-keyed fixture streams
+# ---------------------------------------------------------------------------
+
+
+def fixture_video(doc_id: int) -> np.ndarray:
+    """Deterministic mono frame stack keyed on doc_id: 4 + id%5 frames
+    of (6 + id%4) × (8 + id%5), pixel(f, y, x) = (id·31 + f·19 + x·7 +
+    y·13) mod 256 — integer formula, SQL-recomputable per frame."""
+    n, w, h = 4 + doc_id % 5, 8 + doc_id % 5, 6 + doc_id % 4
+    f = np.arange(n, dtype=np.int64)[:, None, None] * 19
+    y = np.arange(h, dtype=np.int64)[:, None] * 13
+    x = np.arange(w, dtype=np.int64) * 7
+    return ((doc_id * 31 + f + y + x) % 256).astype(np.uint8)
+
+
+def encode_fixture_y4ms(df: DataFrame, id_col: str = "doc_id",
+                        out_col: str = "payload") -> DataFrame:
+    """mapInPandas producing a REAL YUV4MPEG2 binary per row from the
+    formula-keyed frame stack — the encode half of the video
+    round-trip."""
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += f", {out_col} binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[id_col].map(
+                lambda i: encode_y4m(fixture_video(int(i))))
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+def sample_video_frames(df: DataFrame, payload_col: str = "payload",
+                        every: int = 2) -> DataFrame:
+    """REAL 1:N frame sampling for Y4M payloads: decodes the stream
+    (functions/y4m.py) and emits one row per every-th frame with
+    (n_frames, frame_idx, frame_w, frame_h, frame_sum) computed from
+    actual pixels — the production shape of ffmpeg-style keyframe
+    extraction, minus the compressed codec (that plug-point stays in
+    ``sample_frames``'s stub path). Arrow-batched mapInPandas, 1:N
+    fan-out inside the batch, no shuffle."""
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += (", n_frames int, frame_idx int, frame_w int,"
+                   " frame_h int, frame_sum bigint")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx, extra = [], {k: [] for k in (
+                "n_frames", "frame_idx", "frame_w", "frame_h",
+                "frame_sum")}
+            for row_pos, b in enumerate(pdf[payload_col]):
+                frames, meta = decode_y4m(bytes(b))
+                for fi in range(0, frames.shape[0], every):
+                    idx.append(row_pos)
+                    extra["n_frames"].append(frames.shape[0])
+                    extra["frame_idx"].append(fi)
+                    extra["frame_w"].append(meta["width"])
+                    extra["frame_h"].append(meta["height"])
+                    extra["frame_sum"].append(
+                        int(frames[fi].astype(np.int64).sum()))
+            out = pdf.iloc[idx].reset_index(drop=True)
+            for k, v in extra.items():
+                out[k] = v
+            yield out
 
     return df.mapInPandas(op, schema=schema_str)
 

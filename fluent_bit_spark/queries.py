@@ -2162,3 +2162,69 @@ def snapshot_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_context(ev, "event_type", "event_id",
                             F.col("event_id") % 97 == 0,
                             limit_rows=3, payload_cols=["user_id"])
+
+
+@q("multimodal_wav_features", """
+WITH d AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS n_channels,
+                  CAST(256 + doc_id % 97 AS INT) AS n_samples
+           FROM documents),
+v AS (
+  SELECT d.doc_id, d.n_channels, d.n_samples,
+         (d.doc_id * 13 + c.g * 29 + i.g * 7) % 4096 - 2048 AS s
+  FROM d, generate_series(0, 352) AS i(g), generate_series(0, 1) AS c(g)
+  WHERE i.g < d.n_samples AND c.g < d.n_channels)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n_channels, n_samples,
+       CAST(sum(s) AS BIGINT) AS sample_sum,
+       CAST(sum(abs(s)) AS BIGINT) AS abs_sum,
+       CAST(max(abs(s)) AS INT) AS peak
+FROM v GROUP BY 1, 2, 3, 4
+""")
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio samples through the multimodal path (r4 — clears the
+    audio stub): per doc, a formula-keyed int16 PCM clip (mono or
+    stereo by id parity, odd frame counts exercising the RIFF pad
+    byte) is WAV-ENCODED (functions/wav.py — RIFF chunk layout,
+    channel interleave) and DECODED back; rate/channels/frame-count
+    and integer sample statistics come from the actual decoded PCM and
+    are value-checked against a DuckDB oracle that recomputes every
+    sample arithmetically (no decoder on the oracle side). Both hops
+    are Arrow-batched mapInPandas — map-only, no shuffle at any
+    scale."""
+    from .operators.multimodal import decode_audio, encode_fixture_wavs
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    dec = decode_audio(encode_fixture_wavs(docs)).drop("payload")
+    return dec.select("doc_id", "sample_rate", "n_channels", "n_samples",
+                      "sample_sum", "abs_sum", "peak")
+
+
+@q("multimodal_video_frames", """
+WITH d AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS n_frames,
+                  CAST(8 + doc_id % 5 AS INT) AS frame_w,
+                  CAST(6 + doc_id % 4 AS INT) AS frame_h
+           FROM documents),
+f AS (SELECT d.*, fr.g AS frame_idx
+      FROM d, generate_series(0, 8, 2) AS fr(g)
+      WHERE fr.g < d.n_frames)
+SELECT f.doc_id, f.n_frames, CAST(f.frame_idx AS INT) AS frame_idx,
+       f.frame_w, f.frame_h,
+       CAST(sum((f.doc_id * 31 + f.frame_idx * 19 + x.g * 7 + y.g * 13)
+                % 256) AS BIGINT) AS frame_sum
+FROM f, generate_series(0, 11) AS x(g), generate_series(0, 8) AS y(g)
+WHERE x.g < f.frame_w AND y.g < f.frame_h
+GROUP BY 1, 2, 3, 4, 5
+""")
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frames through the multimodal path (r4 — clears the
+    video stub): per doc, a formula-keyed mono frame stack is
+    Y4M-ENCODED (functions/y4m.py — YUV4MPEG2 stream header + FRAME
+    markers) then 1:N frame-SAMPLED (every 2nd frame) with per-frame
+    pixel sums computed from the actual decoded planes; value-checked
+    against a DuckDB oracle that recomputes each sampled frame
+    arithmetically. The 1:N fan-out happens inside the Arrow batch
+    (UDTF shape) — map-only, no shuffle; compressed codecs remain the
+    documented ffmpeg plug-point."""
+    from .operators.multimodal import encode_fixture_y4ms, sample_video_frames
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    out = sample_video_frames(encode_fixture_y4ms(docs), every=2)
+    return out.select("doc_id", "n_frames", "frame_idx",
+                      "frame_w", "frame_h", "frame_sum")

@@ -191,3 +191,116 @@ def test_jpeg_block_constant_roundtrip_property():
         assert (dec == img).all()
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Audio (WAV) — r4
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_mono_stereo_oddlen():
+    from fluent_bit_spark.functions.wav import decode_wav, encode_wav
+    rng = np.random.default_rng(7)
+    for channels in (1, 2, 4):
+        for n in (1, 255, 256, 257):  # odd byte counts hit the pad byte
+            s = rng.integers(-32768, 32768, (n, channels)).astype(np.int16)
+            b = encode_wav(s, sample_rate=44100)
+            assert len(b) % 2 == 0  # RIFF word alignment
+            dec, rate = decode_wav(b)
+            assert rate == 44100
+            assert np.array_equal(dec, s)
+
+
+def test_wav_tolerates_extra_chunks_and_rejects_garbage():
+    import struct
+
+    from fluent_bit_spark.functions.wav import decode_wav, encode_wav
+    s = np.arange(-5, 5, dtype=np.int16)[:, None]
+    b = bytearray(encode_wav(s, 8000))
+    # splice a LIST chunk between fmt and data (odd size → pad byte)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"
+    fmt_end = 12 + 8 + 16
+    spliced = bytes(b[:fmt_end]) + extra + bytes(b[fmt_end:])
+    spliced = (spliced[:4] + struct.pack("<I", len(spliced) - 8)
+               + spliced[8:])
+    dec, rate = decode_wav(spliced)
+    assert np.array_equal(dec, s) and rate == 8000
+    with pytest.raises(ValueError):
+        decode_wav(b"\x00" * 32)
+    with pytest.raises(ValueError):
+        encode_wav(s.astype(np.int32))
+
+
+def test_fixture_audio_formula():
+    from fluent_bit_spark.operators.multimodal import fixture_audio
+    s = fixture_audio(5)
+    assert s.shape == (256 + 5 % 97, 2)
+    assert s[3, 1] == (5 * 13 + 29 + 3 * 7) % 4096 - 2048
+
+
+def test_decode_audio_real_samples(spark):
+    from fluent_bit_spark.operators.multimodal import (
+        decode_audio, encode_fixture_wavs, fixture_audio,
+    )
+    df = spark.range(12).withColumnRenamed("id", "doc_id")
+    rows = {r["doc_id"]: r
+            for r in decode_audio(encode_fixture_wavs(df)).collect()}
+    for i in range(12):
+        s = fixture_audio(i).astype(np.int64)
+        r = rows[i]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == \
+            (8000, s.shape[1], s.shape[0])
+        assert r["sample_sum"] == int(s.sum())
+        assert r["abs_sum"] == int(np.abs(s).sum())
+        assert r["peak"] == int(np.abs(s).max())
+
+
+# ---------------------------------------------------------------------------
+# Video (Y4M) — r4
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_roundtrip_mono_and_420():
+    from fluent_bit_spark.functions.y4m import decode_y4m, encode_y4m
+    rng = np.random.default_rng(11)
+    y = rng.integers(0, 256, (5, 10, 16)).astype(np.uint8)
+    fr, meta = decode_y4m(encode_y4m(y, fps=(30, 1)))
+    assert np.array_equal(fr, y)
+    assert meta == {"width": 16, "height": 10, "fps": (30, 1),
+                    "chroma": "mono"}
+    c = rng.integers(0, 256, (5, 2, 5, 8)).astype(np.uint8)
+    fr, meta = decode_y4m(encode_y4m(y, chroma=c))
+    assert np.array_equal(fr, y)
+    assert meta["chroma"] == "420jpeg"
+    assert np.array_equal(meta["chroma_planes"], c)
+
+
+def test_y4m_rejects_bad_payloads():
+    from fluent_bit_spark.functions.y4m import decode_y4m, encode_y4m
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF not a y4m\n")
+    y = np.zeros((1, 4, 4), np.uint8)
+    good = encode_y4m(y)
+    with pytest.raises(ValueError):  # corrupt FRAME marker
+        decode_y4m(good.replace(b"FRAME", b"FRUME"))
+    with pytest.raises(ValueError):
+        encode_y4m(y.astype(np.int16))
+
+
+def test_sample_video_frames_real_pixels(spark):
+    from fluent_bit_spark.operators.multimodal import (
+        encode_fixture_y4ms, fixture_video, sample_video_frames,
+    )
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    out = sample_video_frames(encode_fixture_y4ms(df), every=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(10):
+        v = fixture_video(i).astype(np.int64)
+        rows = sorted(by_doc[i], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == \
+            list(range(0, v.shape[0], 2))
+        for r in rows:
+            assert (r["n_frames"], r["frame_h"], r["frame_w"]) == v.shape
+            assert r["frame_sum"] == int(v[r["frame_idx"]].sum())
