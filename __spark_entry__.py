@@ -41,7 +41,7 @@ _DRIVER_CHECK_FIRST = [
     "snapshot_flush", "parse_syslog", "serialize_gelf",
     "multimodal_png_roundtrip", "multimodal_jpeg_roundtrip",
     # -- new in round 4: real audio/video codecs --
-    "multimodal_wav_features", "multimodal_video_frames",
+    "multimodal_wav_features", "multimodal_video_frames", "redact_pii",
     "ann_recall_at_k",
     "dedup_minhash_portable", "dedup_simhash_portable",
     "dedup_lsh_verified", "dedup_resolve_groups",
@@ -56,10 +56,10 @@ _DRIVER_CHECK_FIRST = [
     "agg_pushdown_q1", "dedup_exact", "dedup_ngram_jaccard",
     "embedding_neardup", "ann_topk_bruteforce", "ann_lsh_bucketed",
     "ann_ivf", "text_quality", "lang_id_heuristic", "token_count_regex",
-    "doc_fingerprint",
-    # (multimodal_binary_meta / multimodal_features moved past the
-    #  window in r4 — r1-green metadata/stub paths, superseded under
-    #  driver watch by the four real-codec round-trips above)
+    # (multimodal_binary_meta / multimodal_features / doc_fingerprint
+    #  moved past the window in r4 — r1-green metadata/stub/hash paths,
+    #  superseded under driver watch by the real-codec round-trips and
+    #  redact_pii above)
     "multiline_join", "asof_enrich", "sp_sql_stream_agg",
     "ann_pq", "parse_otlp_logs",
 ]

@@ -101,3 +101,46 @@ def fingerprint(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", "")
     return F.md5(normalized)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (r4) — training-data scrub pass
+# ---------------------------------------------------------------------------
+# Patterns are deliberately RE2-compatible (no lookaround, no backrefs)
+# so the SAME pattern string runs identically under Spark's Java regex
+# and DuckDB's RE2 — which is what makes the redaction oracle-checkable.
+# Order matters (emails contain dots that the IP pattern must not see
+# first); apply_redaction applies rules in list order in both engines.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d-]{7,14}\d", "<PHONE>"),
+]
+
+
+def redact(col: str | Column,
+           rules: list[tuple[str, str, str]] | None = None) -> Column:
+    """Scrub PII spans, replacing each with its typed placeholder.
+    Pure Column expression (chained regexp_replace → codegen, no UDF):
+    the scrub of a 10^12-row text column stays JVM-side, map-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in (rules or PII_RULES):
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: str | Column,
+               rules: list[tuple[str, str, str]] | None = None
+               ) -> list[Column]:
+    """One ``<name>_hits`` count column per rule — the audit trail a
+    scrub pass reports alongside the redacted text. Counted on the
+    same progressively-redacted string the replacements see, so
+    overlapping rules (IP-like digits inside an email) never double
+    count."""
+    out = []
+    c = F.col(col) if isinstance(col, str) else col
+    for name, pat, repl in (rules or PII_RULES):
+        out.append(F.regexp_count(c, F.lit(pat)).alias(f"{name}_hits"))
+        c = F.regexp_replace(c, pat, repl)
+    return out

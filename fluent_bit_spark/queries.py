@@ -2228,3 +2228,56 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sample_video_frames(encode_fixture_y4ms(docs), every=2)
     return out.select("doc_id", "n_frames", "frame_idx",
                       "frame_w", "frame_h", "frame_sum")
+
+
+@q("redact_pii", """
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS has_email,
+         CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS has_ip,
+         CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS has_phone
+  FROM documents)
+SELECT doc_id,
+       text
+       || CASE WHEN has_email = 1 THEN ' <EMAIL>' ELSE '' END
+       || CASE WHEN has_ip = 1 THEN ' from <IP>' ELSE '' END
+       || CASE WHEN has_phone = 1 THEN ' call <PHONE>' ELSE '' END
+         AS redacted,
+       CAST(has_email AS INT) AS email_hits,
+       CAST(has_ip AS INT) AS ipv4_hits,
+       CAST(has_phone AS INT) AS phone_hits
+FROM d
+""")
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass for training corpora (r4): emails / IPv4s /
+    phone numbers replaced by typed placeholders, with per-category
+    hit counts as the audit trail (functions/text.py redact,
+    pii_counts). The scrub is a chain of native regexp_replace /
+    regexp_count Column expressions — whole-stage codegen, map-only,
+    no UDF, so it rides the same 10^12-row scan as the other text
+    functions. PII spans are injected deterministically per doc_id
+    (documents.text itself is digit-free), which lets the DuckDB
+    oracle reconstruct the redacted string and counts with pure
+    string arithmetic — no regex engine on the oracle side, so the
+    check is independent of regex-dialect quirks."""
+    from .functions.text import pii_counts, redact
+    did = F.col("doc_id")
+    line = F.concat(
+        F.col("text"),
+        F.when(did % 3 != 0, F.concat(
+            F.lit(" u"), (did % 89).cast("string"),
+            F.lit("@m"), (did % 7).cast("string"), F.lit(".org"),
+        )).otherwise(F.lit("")),
+        F.when(did % 4 != 0, F.concat(
+            F.lit(" from 10."), (did % 256).cast("string"),
+            F.lit(".0."), (did % 100).cast("string"),
+        )).otherwise(F.lit("")),
+        F.when(did % 5 != 0, F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        )).otherwise(F.lit("")))
+    docs = (t(spark, sf_dir, "documents")
+            .select("doc_id", line.alias("line")))
+    return docs.select("doc_id",
+                       redact("line").alias("redacted"),
+                       *pii_counts("line"))

@@ -278,3 +278,55 @@ def test_prefix_sum_hash_order_with_domain_width_matches_naive(spark):
     n_groups = (df.select(F.expr(f"okey DIV {width}").alias("g"))
                 .distinct().count())
     assert n_groups <= 64, n_groups  # uniform hashes: ~10 expected
+
+
+def test_redact_pii_edges(spark):
+    from fluent_bit_spark.functions.text import pii_counts, redact
+    cases = [
+        # two emails in one line both scrub and both count
+        ("a@b.io and c.d+e@f-g.co end", "<EMAIL> and <EMAIL> end", 2, 0, 0),
+        # digits inside an email never double-count as IP/phone
+        ("x 1.2.3.4@mail.com y", "x <EMAIL> y", 1, 0, 0),
+        ("ip 10.0.0.255 here", "ip <IP> here", 0, 1, 0),
+        # dotted decimals with >3-digit octets are not IPs
+        ("v 1.2.3.4567 w", "v 1.2.3.4567 w", 0, 0, 0),
+        ("call +1-555-123-4567 now", "call <PHONE> now", 0, 0, 1),
+        # too-short digit run is not a phone
+        ("+12-34 nope", "+12-34 nope", 0, 0, 0),
+        ("", "", 0, 0, 0),
+    ]
+    df = spark.createDataFrame([(s,) for s, *_ in cases], ["line"])
+    got = (df.select("line", redact("line").alias("r"),
+                     *pii_counts("line"))
+             .collect())
+    by_line = {r["line"]: r for r in got}
+    for line, want, em, ip, ph in cases:
+        r = by_line[line]
+        assert r["r"] == want, line
+        assert (r["email_hits"], r["ipv4_hits"], r["phone_hits"]) == \
+            (em, ip, ph), line
+
+
+def test_redact_patterns_match_in_duckdb_identically(spark):
+    """The RE2-compatibility contract: the same pattern strings produce
+    the same scrub under Spark (Java regex) and DuckDB (RE2)."""
+    import duckdb
+
+    from fluent_bit_spark.functions.text import PII_RULES, redact
+    lines = [
+        "a@b.io x 10.1.2.3 +1-555-0000042 t",
+        "no pii at all",
+        "edge a@b.c 999.999.999.999 +1-2-3",
+    ]
+    df = spark.createDataFrame([(s,) for s in lines], ["line"])
+    spark_out = [r["r"] for r in
+                 df.select(redact("line").alias("r")).collect()]
+    con = duckdb.connect()
+    duck_out = []
+    for s in lines:
+        expr = "l"
+        for _, pat, repl in PII_RULES:  # apply in rule order, innermost out
+            expr = (f"regexp_replace({expr}, '{pat}', '{repl}', 'g')")
+        duck_out.append(con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS l)", [s]).fetchone()[0])
+    assert spark_out == duck_out
