@@ -90,7 +90,7 @@ from .pipeline import ParserFilterSpec, PipelineSpec
 
 _KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup", "parser", "modify",
                   "record_modifier", "nest", "throttle", "type_converter",
-                  "sampling", "multiline"}
+                  "sampling", "multiline", "expect", "checklist"}
 
 _MULTILINE_PRESETS = {"docker", "cri", "java", "python", "go"}
 
@@ -224,6 +224,8 @@ def parse_classic(text: str,
                 "regex", "exclude", "rule", "parser",
                 "condition", "record", "remove_key", "wildcard",
                 "int_key", "uint_key", "str_key", "float_key",
+                "key_exists", "key_not_exists", "key_val_eq",
+                "key_val_is_null", "key_val_is_not_null",
                 *_MODIFY_OPS):
             # repeatable FILTER properties (flb accumulates these);
             # "regex" inside a [PARSER] block stays single-valued
@@ -457,6 +459,8 @@ def spec_from_tree(tree: dict[str, Any],
     type_conversions: list[tuple[str, str, str]] = []
     sample_spec: tuple[str, int] | None = None
     throttle_specs: list[dict[str, Any]] = []
+    expect_specs: list[dict[str, Any]] = []
+    checklist_specs: list[dict[str, Any]] = []
     # [INPUT] multiline.parser — the common in_tail posture
     # (upstream:plugins/in_tail: multiline joins at ingestion); the
     # [FILTER] Name multiline form sets the same spec field.
@@ -644,6 +648,80 @@ def spec_from_tree(tree: dict[str, Any],
                 _, secs = _flb_interval(f.get("interval", "1s"))
                 spec_d["interval"] = f"{secs * window} seconds"
             throttle_specs.append(spec_d)
+        elif name == "expect":
+            # upstream:plugins/filter_expect — repeatable rule
+            # properties AND together; action exit (abort) | warn /
+            # result_key (stamp a boolean). In this engine's flat
+            # columnar record a missing key IS a null column, so
+            # key_exists ≡ IS NOT NULL (dotted keys reach into the
+            # fields struct).
+            conds: list[str] = []
+            for k in _as_list(f.get("key_exists")):
+                conds.append(f"({k}) IS NOT NULL")
+            for k in _as_list(f.get("key_not_exists")):
+                conds.append(f"({k}) IS NULL")
+            for k in _as_list(f.get("key_val_is_null")):
+                conds.append(f"({k}) IS NULL")
+            for k in _as_list(f.get("key_val_is_not_null")):
+                conds.append(f"({k}) IS NOT NULL")
+            for v in _as_list(f.get("key_val_eq")):
+                parts = v.split(None, 1)
+                if len(parts) != 2:
+                    raise ValueError(
+                        f"[FILTER] expect key_val_eq wants 'KEY VALUE', "
+                        f"got {v!r}")
+                k, val = parts
+                conds.append(f"CAST(({k}) AS STRING) = '{val}'")
+            if not conds:
+                raise ValueError("[FILTER] expect defines no rules")
+            action = str(f.get("action", "exit")).lower()
+            if action not in ("exit", "warn", "result_key"):
+                raise ValueError(
+                    f"[FILTER] expect action must be exit|warn|"
+                    f"result_key, got {action!r}")
+            expect_specs.append({
+                "cond": " AND ".join(conds),
+                "action": action,
+                "result_key": str(f.get("result_key", "_expect_ok")),
+            })
+        elif name == "checklist":
+            # upstream:plugins/filter_checklist — File of values (one
+            # per line, or a parquet with a 'value' column), Lookup_key,
+            # repeatable ``Record KEY VALUE`` sets on match, Ignore_case.
+            # Upstream's Mode partial (substring match) is not
+            # implemented — broadcast hash lookup is exact by design;
+            # ``Action keep|drop`` are the semi/anti-join extensions.
+            if not f.get("file"):
+                raise ValueError("[FILTER] checklist needs File")
+            mode = str(f.get("mode", "exact")).lower()
+            if mode != "exact":
+                raise ValueError(
+                    "[FILTER] checklist supports Mode exact only "
+                    "(partial-match lists need a different join shape)")
+            action = str(f.get("action", "flag")).lower()
+            if action not in ("flag", "keep", "drop"):
+                raise ValueError(
+                    f"[FILTER] checklist Action must be flag|keep|drop, "
+                    f"got {action!r}")
+            sets = []
+            for v in _as_list(f.get("record")):
+                parts = v.split(None, 1)
+                if len(parts) != 2:
+                    raise ValueError(
+                        f"[FILTER] checklist Record wants 'KEY VALUE', "
+                        f"got {v!r}")
+                sets.append((parts[0], parts[1]))
+            if sets and action != "flag":
+                raise ValueError("[FILTER] checklist Record sets only "
+                                 "apply with Action flag")
+            checklist_specs.append({
+                "path": str(f["file"]),
+                "lookup_key": str(f.get("lookup_key", "source")),
+                "action": action,
+                "ignore_case": str(f.get("ignore_case", "off")).lower()
+                               in ("on", "true", "1"),
+                "sets": sets,
+            })
 
     routes: list[Route] = []
     sink_format = None
@@ -691,6 +769,8 @@ def spec_from_tree(tree: dict[str, Any],
         sample_spec=sample_spec,
         throttle_specs=throttle_specs,
         multiline_parser=multiline_parser,
+        expect_specs=expect_specs,
+        checklist_specs=checklist_specs,
     )
     io = {
         "input_path": inp.get("path"),

@@ -120,6 +120,17 @@ class PipelineSpec:
     # (operators/multiline.py; needs the ordered read — see
     # build_stages_text / read_text_ordered). Ignored on tokens input.
     multiline_parser: str | None = None
+    # filter_expect blocks: (cond_sql, action) with action exit|warn|
+    # result_key per upstream:plugins/filter_expect. All rules in one
+    # block AND together into cond_sql. Applied after type conversion
+    # (expect validates parser/converter output), before grep.
+    expect_specs: list = field(default_factory=list)
+    # filter_checklist blocks: dicts {path, format, lookup_key, mode,
+    # sets} — value list broadcast against lookup_key. mode 'flag'
+    # (upstream default: stamp matched + apply Record k v sets on hit),
+    # 'keep' (semi join) or 'drop' (anti join) extensions. Applied with
+    # the other enrichment joins, right after lookup.
+    checklist_specs: list = field(default_factory=list)
 
 
 @dataclass
@@ -167,6 +178,50 @@ def build_stages(spark: SparkSession, df: DataFrame,
     return _post_parse_stages(spark, out, spec)
 
 
+def _apply_checklist(spark: SparkSession, out: DataFrame,
+                     ck: dict) -> DataFrame:
+    """One [FILTER] checklist block (upstream:plugins/filter_checklist):
+    the value list is a one-value-per-line text file (or parquet with a
+    ``value`` / lookup-key column) broadcast against ``lookup_key``.
+    mode 'flag' stamps ``matched`` and applies ``Record k v`` sets on
+    hit (upstream behavior); 'keep'/'drop' are the semi/anti-join
+    extensions."""
+    from ..operators.enrich import checklist_flag, checklist_keep
+    path, key = ck["path"], ck["lookup_key"]
+    action = ck.get("action", "flag")
+    if str(path).endswith(".parquet"):
+        values = spark.read.parquet(path)
+        list_key = ("value" if "value" in values.columns
+                    else values.columns[0])
+    else:  # upstream list format: one value per line
+        values = spark.read.text(path)
+        list_key = "value"
+    join_key, tmp = key, False
+    if ck.get("ignore_case"):
+        values = values.select(
+            F.lower(F.col(list_key).cast("string")).alias(list_key))
+        out = out.withColumn("__ck_key",
+                             F.lower(F.col(key).cast("string")))
+        join_key, tmp = "__ck_key", True
+    if action == "keep":
+        out = checklist_keep(out, values, join_key, list_key=list_key)
+    elif action == "drop":
+        dim = values.select(
+            F.col(list_key).cast("string").alias("__ck_val")).distinct()
+        out = out.join(
+            F.broadcast(dim),
+            F.col(join_key).cast("string") == F.col("__ck_val"),
+            "left_anti")
+    else:
+        out = checklist_flag(out, values, join_key, list_key=list_key)
+        for k, v in ck.get("sets", []):
+            out = out.withColumn(
+                k, F.when(F.col("matched"), F.lit(v))
+                    .otherwise(F.col(k) if k in out.columns
+                               else F.lit(None).cast("string")))
+    return out.drop("__ck_key") if tmp else out
+
+
 def _post_parse_stages(spark: SparkSession, out: DataFrame,
                        spec: PipelineSpec) -> DataFrame:
     """[parser filters →] grep → enrich → tag → rewrite → route →
@@ -189,6 +244,12 @@ def _post_parse_stages(spark: SparkSession, out: DataFrame,
     if spec.type_conversions:
         from ..operators.filters import type_convert
         out = type_convert(out, spec.type_conversions)
+    if spec.expect_specs:
+        from ..operators.filters import expect
+        for es in spec.expect_specs:
+            out = expect(out, F.expr(es["cond"]),
+                         action=es.get("action", "exit"),
+                         result_key=es.get("result_key", "_expect_ok"))
     if spec.grep_rules:
         # grep drops rows entirely in fluent-bit; we keep them for the DLQ
         # accounting instead when they fail parse, but a grep miss is a
@@ -202,6 +263,8 @@ def _post_parse_stages(spark: SparkSession, out: DataFrame,
     if spec.lookup_path:
         dim = spark.read.parquet(spec.lookup_path)
         out = lookup_join(out, dim, spec.lookup_key)
+    for ck in spec.checklist_specs:
+        out = _apply_checklist(spark, out, ck)
     out = out.withColumn("tag", F.expr(spec.tag_expr or default_tag_expr()))
     if spec.rewrite_rules:
         out = apply_rewrite_tag(out, spec.rewrite_rules)

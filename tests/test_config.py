@@ -906,3 +906,179 @@ def test_input_multiline_parser_property():
             "[INPUT]\n    Name tail\n    multiline.parser perl\n"
             "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"),
             vocab=["x"])
+
+
+def _tiny_frame(spark):
+    """Minimal post-parse-shaped frame for filter-stage tests."""
+    return spark.createDataFrame(
+        [("d1", "auth", 7, "s1", True),
+         ("d2", "AUTH", 3, "s2", True),
+         ("d3", None, 5, "s3", True)],
+        "doc_id string, kind string, n_tok int, source string, "
+        "parse_ok boolean"
+    ).withColumn("fields", F.expr("named_struct('kind', 'raw')"))
+
+
+def test_expect_filter_from_config(spark):
+    """[FILTER] expect: rules AND together; action result_key stamps a
+    boolean, action exit fails the job on a violating row (upstream
+    plugins/filter_expect semantics); config run equals the direct
+    operator call."""
+    from fluent_bit_spark.operators.filters import expect
+    from fluent_bit_spark.plans.pipeline import _post_parse_stages
+    tree = parse_classic(
+        "[INPUT]\n    Name tokens\n"
+        "[FILTER]\n    Name expect\n    Match *\n"
+        "    key_exists   kind\n"
+        "    key_val_eq   source s1\n"
+        "    action       result_key\n"
+        "    result_key   ok\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec, _ = spec_from_tree(tree, vocab=["x"])
+    assert spec.expect_specs == [{
+        "cond": "(kind) IS NOT NULL AND CAST((source) AS STRING) = 's1'",
+        "action": "result_key", "result_key": "ok"}]
+    df = _tiny_frame(spark)
+    rows = {r.doc_id: r.ok for r in
+            _post_parse_stages(spark, df, spec).collect()}
+    assert rows == {"d1": True, "d2": False, "d3": False}
+    want = {r.doc_id: r.ok for r in
+            expect(df, F.expr(spec.expect_specs[0]["cond"]),
+                   action="result_key", result_key="ok").collect()}
+    assert rows == want
+    # action exit: violating row aborts at execution time
+    tree_exit = parse_classic(
+        "[INPUT]\n    Name tokens\n"
+        "[FILTER]\n    Name expect\n    Match *\n"
+        "    key_exists kind\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec_exit, _ = spec_from_tree(tree_exit, vocab=["x"])
+    out = _post_parse_stages(spark, df, spec_exit)
+    with pytest.raises(Exception, match="expect failed"):
+        out.collect()
+    # ...and passes when every row satisfies the rule
+    ok = _post_parse_stages(spark, df.filter("kind IS NOT NULL"),
+                            spec_exit)
+    assert ok.count() == 2
+
+
+def test_checklist_filter_from_config(spark, tmp_path):
+    """[FILTER] checklist: one-value-per-line File broadcast against
+    Lookup_key; Action flag stamps ``matched`` + applies Record sets on
+    hit (upstream behavior); keep/drop are the semi/anti extensions;
+    Ignore_case folds both sides."""
+    from fluent_bit_spark.operators.enrich import checklist_flag
+    from fluent_bit_spark.plans.pipeline import _post_parse_stages
+    lst = tmp_path / "vals.txt"
+    lst.write_text("auth\n")
+    base = ("[INPUT]\n    Name tokens\n"
+            "[FILTER]\n    Name checklist\n    Match *\n"
+            "    File       {path}\n"
+            "    Lookup_key kind\n{extra}"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    df = _tiny_frame(spark)
+
+    # Action flag (default) + Record sets on hit
+    spec, _ = spec_from_tree(parse_classic(base.format(
+        path=lst, extra="    Record flagged yes\n")), vocab=["x"])
+    assert spec.checklist_specs == [{
+        "path": str(lst), "lookup_key": "kind", "action": "flag",
+        "ignore_case": False, "sets": [("flagged", "yes")]}]
+    rows = {r.doc_id: (r.matched, r.flagged) for r in
+            _post_parse_stages(spark, df, spec).collect()}
+    assert rows == {"d1": (True, "yes"), "d2": (False, None),
+                    "d3": (False, None)}
+    want = {r.doc_id: r.matched for r in
+            checklist_flag(df, spark.read.text(str(lst)), "kind",
+                           list_key="value").collect()}
+    assert {k: v[0] for k, v in rows.items()} == want
+
+    # Ignore_case folds the list and the key
+    spec_ci, _ = spec_from_tree(parse_classic(base.format(
+        path=lst, extra="    Ignore_case on\n")), vocab=["x"])
+    got = {r.doc_id: r.matched for r in
+           _post_parse_stages(spark, df, spec_ci).collect()}
+    assert got == {"d1": True, "d2": True, "d3": False}
+
+    # keep = semi join, drop = anti join; they partition the frame
+    for action, ids in (("keep", {"d1"}), ("drop", {"d2", "d3"})):
+        spec_a, _ = spec_from_tree(parse_classic(base.format(
+            path=lst, extra=f"    Action {action}\n")), vocab=["x"])
+        got = {r.doc_id for r in
+               _post_parse_stages(spark, df, spec_a)
+               .select("doc_id").collect()}
+        assert got == ids, action
+
+    # parquet list with a 'value' column works the same
+    pq = tmp_path / "vals.parquet"
+    spark.createDataFrame([("auth",)], "value string") \
+         .write.mode("overwrite").parquet(str(pq))
+    spec_pq, _ = spec_from_tree(parse_classic(base.format(
+        path=pq, extra="")), vocab=["x"])
+    got = {r.doc_id: r.matched for r in
+           _post_parse_stages(spark, df, spec_pq).collect()}
+    assert got == {"d1": True, "d2": False, "d3": False}
+
+
+def test_expect_checklist_config_errors(tmp_path):
+    base = ("[INPUT]\n    Name tokens\n[FILTER]\n{body}\n"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    cases = [
+        ("    Name expect", "no rules"),
+        ("    Name expect\n    key_val_eq onlykey", "KEY VALUE"),
+        ("    Name expect\n    key_exists k\n    action explode",
+         "exit|warn|result_key"),
+        ("    Name checklist\n    Lookup_key kind", "needs File"),
+        ("    Name checklist\n    File x\n    Mode partial",
+         "Mode exact"),
+        ("    Name checklist\n    File x\n    Action banish",
+         "flag|keep|drop"),
+        ("    Name checklist\n    File x\n    Action drop\n"
+         "    Record k v", "Action flag"),
+        ("    Name checklist\n    File x\n    Record novalue",
+         "KEY VALUE"),
+    ]
+    for body, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            spec_from_tree(parse_classic(base.format(body=body)),
+                           vocab=["x"])
+
+
+def test_expect_checklist_yaml_classic_parity(tmp_path):
+    """expect + checklist resolve identically from classic and YAML."""
+    lst = tmp_path / "vals.txt"
+    lst.write_text("auth\n")
+    classic = parse_classic(
+        "[INPUT]\n    Name tokens\n"
+        "[FILTER]\n    Name expect\n    Match *\n"
+        "    key_exists kind\n    key_val_eq source s1\n"
+        "    action warn\n"
+        "[FILTER]\n    Name checklist\n    Match *\n"
+        f"    File {lst}\n    Lookup_key kind\n"
+        "    Record hit yes\n    Ignore_case on\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    yaml_tree = parse_yaml(f"""
+pipeline:
+  inputs:
+    - {{name: tokens}}
+  filters:
+    - name: expect
+      match: "*"
+      key_exists: [kind]
+      key_val_eq: ["source s1"]
+      action: warn
+    - name: checklist
+      match: "*"
+      file: {lst}
+      lookup_key: kind
+      record: ["hit yes"]
+      ignore_case: on
+  outputs:
+    - {{name: file, match: "*", sink: s}}
+""")
+    sc, _ = spec_from_tree(classic, vocab=["x"])
+    sy, _ = spec_from_tree(yaml_tree, vocab=["x"])
+    assert sc == sy
+    assert sc.expect_specs[0]["action"] == "warn"
+    assert sc.checklist_specs[0]["ignore_case"] is True
+    assert sc.checklist_specs[0]["sets"] == [("hit", "yes")]
