@@ -146,3 +146,33 @@ def expect(df: DataFrame, cond: Column, action: str = "exit",
             F.assert_true(cond, F.lit(f"expect failed: {cond}")),
             F.lit(True)))
     return df.withColumn(result_key, cond)
+
+
+def stratified_split(df: DataFrame, group_col: str, key_col: str,
+                     holdout_permille: dict[str, int],
+                     default_permille: int = 0,
+                     split_col: str = "split") -> DataFrame:
+    """Deterministic per-group train/holdout split — the eval-set
+    carve-out step of a training-data pipeline: each group (source,
+    language, ...) holds out its own per-mille fraction, selected by a
+    content hash of ``key_col`` so the assignment is partition-count
+    independent, re-run stable, and reproducible by any engine (md5
+    prefix, the same portable bucket as deterministic_sample — not
+    rand(), not xxhash64).
+
+    Scale shape: pure map-only column expression (hash + map-literal
+    lookup); no shuffle, no dim table — safe inside any 10^12-row scan.
+    """
+    for v in holdout_permille.values():
+        if not 0 <= int(v) <= 1000:
+            raise ValueError(f"holdout_permille wants 0..1000, got {v}")
+    bucket = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")),
+                                 1, 7), 16, 10).cast("long") % 1000)
+    rates = F.create_map(*[F.lit(x) for kv in
+                           sorted(holdout_permille.items())
+                           for x in (kv[0], int(kv[1]))])
+    rate = F.coalesce(rates[F.col(group_col)],
+                      F.lit(int(default_permille)))
+    return df.withColumn(
+        split_col,
+        F.when(bucket < rate, F.lit("holdout")).otherwise(F.lit("train")))

@@ -404,3 +404,49 @@ def mixture_sample(df: DataFrame, weight_pct: Column, budget_tokens: Column,
                      16, 10).cast("long") % 1000000)
     return (df.join(F.broadcast(rates), part_col)
             .filter(bucket < F.col("ppm")))
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal (CCNet-style perplexity quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(df: DataFrame, tokens_col: str = "tokens",
+                      id_cols: tuple[str, ...] = ("doc_id", "source"),
+                      millinats_scale: int = 1000) -> DataFrame:
+    """Per-document unigram-LM surprisal — the distributable core of
+    the CCNet/Wikipedia-LM perplexity quality filter: train a unigram
+    model on the corpus itself (token frequencies), then score each
+    document by the sum of its tokens' surprisal ``-ln(c/total)``.
+
+    Output: ``id_cols + (nll_millinats: bigint, n_tok_scored: bigint)``
+    — mean surprisal is ``nll_millinats DIV n_tok_scored``; high values
+    mark low-likelihood (junk/outlier) documents.
+
+    Scale shape (10^12 sequences):
+    - the frequency table is VOCAB-sized (10^4-10^6 rows) regardless of
+      corpus size: explode is narrow, the groupBy(tok) exchange carries
+      map-side-combined partials (per-partition distinct tokens only),
+      and the resulting model broadcasts;
+    - the corpus total is a 1-row broadcast (the crossJoin below is a
+      broadcast of that single row, not a cartesian blow-up);
+    - per-token surprisal is rounded to INTEGER milli-nats BEFORE the
+      per-document sum, so the aggregate is exact BIGINT arithmetic —
+      order-independent and engine-portable, where a double sum would
+      be partition-order dependent;
+    - the per-document agg partial-combines to one narrow row per doc
+      on the map side (explode keeps a doc's tokens co-partitioned), so
+      the final exchange carries ~one row per document.
+    """
+    ex = df.select(*id_cols, F.explode(F.col(tokens_col)).alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    model = (freq.crossJoin(F.broadcast(total))
+             .select("tok",
+                     F.round(-F.log(F.col("c") / F.col("t"))
+                             * millinats_scale)
+                      .cast("long").alias("nll_milli")))
+    return (ex.join(F.broadcast(model), "tok")
+              .groupBy(*[F.col(c) for c in id_cols])
+              .agg(F.sum("nll_milli").alias("nll_millinats"),
+                   F.count("*").alias("n_tok_scored")))

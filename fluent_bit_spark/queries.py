@@ -2281,3 +2281,83 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id",
                        redact("line").alias("redacted"),
                        *pii_counts("line"))
+
+
+# ===========================================================================
+# Unigram-LM surprisal quality scoring + stratified holdout split (the
+# quality-filter and eval-carve-out steps of a training-data pipeline)
+# ===========================================================================
+
+@q("unigram_surprisal", f"""
+WITH d AS (SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+ex AS (SELECT doc_id, source, unnest(tokens) AS tok FROM d),
+f AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+tt AS (SELECT sum(c) AS t FROM f),
+m AS (SELECT tok, CAST(round(-ln(c / t) * 1000) AS BIGINT) AS nll
+      FROM f, tt),
+doc AS (SELECT doc_id, source, sum(nll) AS nll_millinats,
+               count(*) AS n FROM ex JOIN m USING (tok)
+        GROUP BY doc_id, source)
+SELECT source, nll_millinats // n // 500 AS surprisal_band,
+       count(*) AS docs,
+       CAST(sum(nll_millinats) AS BIGINT) AS sum_nll,
+       CAST(sum(n) AS BIGINT) AS sum_tok
+FROM doc GROUP BY source, surprisal_band
+""")
+def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality scoring (operators/tokens.py
+    unigram_surprisal): corpus-trained token frequencies -> per-token
+    surprisal in integer milli-nats -> exact BIGINT per-document sums,
+    banded into a per-source quality histogram. The oracle reproduces
+    the whole chain — frequency model, milli-nat rounding, document
+    sums, banding — in DuckDB."""
+    from .operators.tokens import unigram_surprisal
+    d = _tok_int_docs(spark, sf_dir)
+    doc = unigram_surprisal(d)
+    return (doc.groupBy(
+                "source",
+                F.expr("nll_millinats DIV n_tok_scored DIV 500")
+                 .alias("surprisal_band"))
+            .agg(F.count("*").alias("docs"),
+                 F.sum("nll_millinats").alias("sum_nll"),
+                 F.sum("n_tok_scored").alias("sum_tok")))
+
+
+_SPLIT_RATES = {f"src{i}": (100 if i % 3 == 0 else 25)
+                for i in range(0, 20, 2)}  # odd sources -> default 10
+
+
+@q("stratified_split", """
+WITH s AS (
+  SELECT doc_id, source,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                   ::BIGINT % 1000
+              < (CASE WHEN CAST(substring(source, 4) AS BIGINT) % 2 = 0
+                      THEN CASE WHEN CAST(substring(source, 4) AS BIGINT)
+                                     % 3 = 0 THEN 100 ELSE 25 END
+                      ELSE 10 END)
+         THEN 'holdout' ELSE 'train' END AS split
+  FROM documents)
+SELECT source, split, count(*) AS docs,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR)))
+         AS ids_hash
+FROM s GROUP BY source, split
+""")
+def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source eval holdout (operators/filters.py
+    stratified_split): each source holds out its own per-mille rate by
+    content hash — partition-independent and engine-reproducible. The
+    oracle recomputes the assignment AND an md5 over the sorted member
+    ids per (source, split), so the exact row SETS are value-checked,
+    not just the counts."""
+    from .operators.filters import stratified_split
+    docs = t(spark, sf_dir, "documents")
+    out = stratified_split(docs, "source", "doc_id",
+                           _SPLIT_RATES, default_permille=10)
+    return (out.groupBy("source", "split")
+            .agg(F.count("*").alias("docs"),
+                 F.md5(F.concat_ws(",", F.sort_array(
+                     F.collect_list(F.col("doc_id").cast("string")))))
+                  .alias("ids_hash")))

@@ -330,3 +330,65 @@ def test_redact_patterns_match_in_duckdb_identically(spark):
         duck_out.append(con.execute(
             f"SELECT {expr} FROM (SELECT ? AS l)", [s]).fetchone()[0])
     assert spark_out == duck_out
+
+
+def test_unigram_surprisal_matches_pure_python(spark):
+    """Milli-nat surprisal sums equal a pure-python unigram model, and
+    rarer tokens always score a higher per-token surprisal."""
+    import math
+    from collections import Counter
+    rows = [("d1", [1, 1, 2], "s1"), ("d2", [2, 3], "s1"),
+            ("d3", [1], "s2")]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, "
+                                     "source string")
+    out = {r.doc_id: (r.nll_millinats, r.n_tok_scored)
+           for r in TK.unigram_surprisal(df).collect()}
+    cnt = Counter(t for _, toks, _ in rows for t in toks)
+    tot = sum(cnt.values())
+    nll = {t: round(-math.log(c / tot) * 1000) for t, c in cnt.items()}
+    want = {d: (sum(nll[t] for t in toks), len(toks))
+            for d, toks, _ in rows}
+    assert out == want
+    # token 3 (1 occurrence) must be more surprising than token 1 (3)
+    assert nll[3] > nll[1] > 0
+
+
+def test_unigram_surprisal_plan_is_jvm_only(spark, tokens_df):
+    """Model join + total are broadcast, no cartesian blow-up, no
+    Python boundary — the map-side shape that survives 10^12 rows."""
+    out = TK.unigram_surprisal(tokens_df.limit(500))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_stratified_split_rates_and_determinism(spark):
+    """Per-group holdout rates apply independently; assignment is a
+    pure function of the key (partition-count invariant); unknown
+    groups fall back to the default rate."""
+    from fluent_bit_spark.operators.filters import stratified_split
+    df = spark.range(0, 2000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "s_even").otherwise("s_odd")
+         .alias("source"))
+    out = stratified_split(df, "source", "doc_id",
+                           {"s_even": 500}, default_permille=0)
+    frac = {r.source: r.f for r in
+            out.groupBy("source")
+               .agg(F.avg(F.when(F.col("split") == "holdout", 1)
+                          .otherwise(0)).alias("f")).collect()}
+    assert abs(frac["s_even"] - 0.5) < 0.1    # ~50% of evens held out
+    assert frac["s_odd"] == 0.0               # default 0 => all train
+    # repartitioning must not move a single row across splits
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in
+         stratified_split(df.repartition(13), "source", "doc_id",
+                          {"s_even": 500}, 0).collect()}
+    assert a == b
+    # map-only: no exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="0..1000"):
+        stratified_split(df, "source", "doc_id", {"s_even": 1500})
