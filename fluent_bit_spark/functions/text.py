@@ -144,3 +144,57 @@ def pii_counts(col: str | Column,
         out.append(F.regexp_count(c, F.lit(pat)).alias(f"{name}_hits"))
         c = F.regexp_replace(c, pat, repl)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality filter (r4) — the keep/drop gate a
+# training-data pipeline runs after scoring. Every rule is INTEGER
+# arithmetic on word-level stats (cross-multiplied thresholds, no
+# floating ratios), so verdicts are exact, order-independent, and
+# reproducible bit-for-bit by any engine.
+# ---------------------------------------------------------------------------
+
+GOPHER_BITS = {"too_few_words": 1, "mean_word_len": 2,
+               "low_distinct": 4, "long_word": 8}
+
+
+def gopher_reasons(col: str | Column, *, min_words: int = 30,
+                   min_mean_len_x1: int = 4, max_mean_len_x1: int = 10,
+                   min_distinct_num: int = 1, min_distinct_den: int = 2,
+                   max_word_len: int = 7) -> Column:
+    """Bitmask of failed quality rules (0 == keep):
+
+    - bit 1: fewer than ``min_words`` words;
+    - bit 2: mean word length outside [min, max] — tested as
+      ``min*n_words <= sum_chars <= max*n_words`` (exact cross-multiply,
+      no division);
+    - bit 4: distinct-word fraction below ``num/den`` (repetitive doc) —
+      ``den*n_distinct < num*n_words``;
+    - bit 8: any word longer than ``max_word_len`` (mojibake/garbage).
+
+    One pass over the split array; all whole-stage-codegen Column
+    algebra, map-only at any scale.
+    """
+    w = words(col)
+    nw = F.size(w)
+    sc = F.aggregate(w, F.lit(0).cast("long"),
+                     lambda acc, x: acc + F.length(x))
+    nd = F.size(F.array_distinct(w))
+    mx = F.array_max(F.transform(w, lambda x: F.length(x)))
+    return ((F.when(nw < min_words, 1).otherwise(0)
+             + F.when((sc < min_mean_len_x1 * nw)
+                      | (sc > max_mean_len_x1 * nw), 2).otherwise(0)
+             + F.when(min_distinct_den * nd < min_distinct_num * nw, 4)
+                .otherwise(0)
+             + F.when(mx > max_word_len, 8).otherwise(0))
+            .cast("int"))
+
+
+def gopher_filter(df, col: str = "text", out_col: str = "gq_reasons",
+                  keep_col: str = "gq_keep", **thresholds):
+    """Stamp each document with its failed-rule bitmask and the keep
+    verdict; downstream either filters on ``gq_keep`` or routes drops
+    to an audit sink keyed by reason."""
+    r = gopher_reasons(col, **thresholds)
+    return (df.withColumn(out_col, r)
+              .withColumn(keep_col, F.col(out_col) == 0))

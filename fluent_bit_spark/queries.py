@@ -2361,3 +2361,36 @@ def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.md5(F.concat_ws(",", F.sort_array(
                      F.collect_list(F.col("doc_id").cast("string")))))
                   .alias("ids_hash")))
+
+
+@q("gopher_quality", """
+WITH s AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS nw,
+         list_sum(list_transform(string_split(text, ' '),
+                                 w -> len(w))) AS sc,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         list_max(list_transform(string_split(text, ' '),
+                                 w -> len(w))) AS mx
+  FROM documents),
+r AS (
+  SELECT source,
+         (CASE WHEN nw < 30 THEN 1 ELSE 0 END
+          + CASE WHEN sc < 4 * nw OR sc > 10 * nw THEN 2 ELSE 0 END
+          + CASE WHEN 2 * nd < 1 * nw THEN 4 ELSE 0 END
+          + CASE WHEN mx > 7 THEN 8 ELSE 0 END) AS gq_reasons
+  FROM s)
+SELECT source, CAST(gq_reasons AS INT) AS gq_reasons,
+       count(*) AS docs
+FROM r GROUP BY source, gq_reasons
+""")
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate (functions/text.py
+    gopher_filter): integer cross-multiplied rules — word count, mean
+    word length band, distinct-word fraction, max word length — into a
+    failed-rule bitmask, audited per source. Exact arithmetic end to
+    end; the oracle reproduces every rule and the bitmask."""
+    from .functions.text import gopher_filter
+    docs = gopher_filter(t(spark, sf_dir, "documents"))
+    return (docs.groupBy("source", "gq_reasons")
+            .agg(F.count("*").alias("docs")))

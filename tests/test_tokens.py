@@ -392,3 +392,32 @@ def test_stratified_split_rates_and_determinism(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="0..1000"):
         stratified_split(df, "source", "doc_id", {"s_even": 1500})
+
+
+def test_gopher_filter_rules_and_bitmask(spark):
+    """Each rule trips its own bit; a clean doc keeps; thresholds are
+    integer-exact at the boundary (no float ratio wobble)."""
+    from fluent_bit_spark.functions.text import gopher_filter
+    rows = [
+        ("clean", " ".join(f"word{i:02d}" for i in range(40))),   # 0
+        ("short", "just a few words here"),                       # bit 1
+        ("tiny",  " ".join(["ab"] * 40)),      # mean<4 AND repeat: 2|4
+        ("longw", " ".join(f"word{i:02d}" for i in range(39))
+                  + " superduperlongword"),                       # bit 8
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.gq_reasons, r.gq_keep)
+           for r in gopher_filter(df).collect()}
+    assert got["clean"] == (0, True)
+    assert got["short"][0] & 1 and not got["short"][1]
+    assert got["tiny"][0] & 2 and got["tiny"][0] & 4
+    assert got["longw"] == (8, False)
+    # boundary exactness: mean length exactly 4.0 passes (sc == 4*nw)
+    edge = spark.createDataFrame(
+        [("e", " ".join(["abcd"] * 30))], "doc_id string, text string")
+    r = gopher_filter(edge).collect()[0]
+    assert r.gq_reasons & 2 == 0
+    # map-only plan
+    out = gopher_filter(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
