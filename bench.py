@@ -68,9 +68,11 @@ HEADLINE = [
     "line_dedup_c4",
     # r4 product-quantization ANN (operators/similarity.py pq_topk)
     "ann_pq",
+    # r4 quality pipeline (operators/tokens.py unigram_surprisal)
+    "unigram_surprisal",
 ]
 
-PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "3"))
+PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))
 
 
 def force(df) -> int:
