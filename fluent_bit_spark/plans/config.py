@@ -90,7 +90,8 @@ from .pipeline import ParserFilterSpec, PipelineSpec
 
 _KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup", "parser", "modify",
                   "record_modifier", "nest", "throttle", "type_converter",
-                  "sampling", "multiline", "expect", "checklist"}
+                  "sampling", "multiline", "expect", "checklist",
+                  "gopher_quality", "stratified_split"}
 
 _MULTILINE_PRESETS = {"docker", "cri", "java", "python", "go"}
 
@@ -225,7 +226,7 @@ def parse_classic(text: str,
                 "condition", "record", "remove_key", "wildcard",
                 "int_key", "uint_key", "str_key", "float_key",
                 "key_exists", "key_not_exists", "key_val_eq",
-                "key_val_is_null", "key_val_is_not_null",
+                "key_val_is_null", "key_val_is_not_null", "split_rate",
                 *_MODIFY_OPS):
             # repeatable FILTER properties (flb accumulates these);
             # "regex" inside a [PARSER] block stays single-valued
@@ -461,6 +462,8 @@ def spec_from_tree(tree: dict[str, Any],
     throttle_specs: list[dict[str, Any]] = []
     expect_specs: list[dict[str, Any]] = []
     checklist_specs: list[dict[str, Any]] = []
+    gopher_spec: dict[str, Any] | None = None
+    split_spec: dict[str, Any] | None = None
     # [INPUT] multiline.parser — the common in_tail posture
     # (upstream:plugins/in_tail: multiline joins at ingestion); the
     # [FILTER] Name multiline form sets the same spec field.
@@ -722,6 +725,59 @@ def spec_from_tree(tree: dict[str, Any],
                                in ("on", "true", "1"),
                 "sets": sets,
             })
+        elif name == "gopher_quality":
+            # engine extension (functions/text.py gopher_filter):
+            # integer-exact composite quality gate. Action flag stamps
+            # gq_reasons/gq_keep; Action drop filters failures out.
+            if gopher_spec is not None:
+                raise ValueError("one [FILTER] gopher_quality per "
+                                 "pipeline")
+            action = str(f.get("action", "flag")).lower()
+            if action not in ("flag", "drop"):
+                raise ValueError(f"[FILTER] gopher_quality Action must "
+                                 f"be flag|drop, got {action!r}")
+            pct = int(f.get("min_distinct_pct", 50))
+            if not 0 <= pct <= 100:
+                raise ValueError("[FILTER] gopher_quality "
+                                 "Min_distinct_pct wants 0..100")
+            gopher_spec = {
+                "key": str(f.get("key", "text")),
+                "action": action,
+                "thresholds": {
+                    "min_words": int(f.get("min_words", 30)),
+                    "min_mean_len_x1": int(f.get("min_mean_len", 4)),
+                    "max_mean_len_x1": int(f.get("max_mean_len", 10)),
+                    "min_distinct_num": pct,
+                    "min_distinct_den": 100,
+                    "max_word_len": int(f.get("max_word_len", 7)),
+                },
+            }
+        elif name == "stratified_split":
+            # engine extension (operators/filters.stratified_split):
+            # deterministic per-group eval holdout; repeatable
+            # ``Split_rate GROUP PERMILLE`` lines set per-group rates.
+            if split_spec is not None:
+                raise ValueError("one [FILTER] stratified_split per "
+                                 "pipeline")
+            rates: dict[str, int] = {}
+            for v in _as_list(f.get("split_rate")):
+                parts = v.split()
+                if len(parts) != 2 or not parts[1].lstrip("-").isdigit():
+                    raise ValueError(
+                        f"[FILTER] stratified_split Split_rate wants "
+                        f"'GROUP PERMILLE', got {v!r}")
+                rates[parts[0]] = int(parts[1])
+            default = int(f.get("default_rate", 0))
+            for bad in [*rates.values(), default]:
+                if not 0 <= bad <= 1000:
+                    raise ValueError("[FILTER] stratified_split rates "
+                                     "want 0..1000 permille")
+            split_spec = {
+                "group_key": str(f.get("group_key", "source")),
+                "hash_key": str(f.get("hash_key", "doc_id")),
+                "rates": rates,
+                "default_permille": default,
+            }
 
     routes: list[Route] = []
     sink_format = None
@@ -771,6 +827,8 @@ def spec_from_tree(tree: dict[str, Any],
         multiline_parser=multiline_parser,
         expect_specs=expect_specs,
         checklist_specs=checklist_specs,
+        gopher_spec=gopher_spec,
+        split_spec=split_spec,
     )
     io = {
         "input_path": inp.get("path"),

@@ -131,6 +131,16 @@ class PipelineSpec:
     # 'keep' (semi join) or 'drop' (anti join) extensions. Applied with
     # the other enrichment joins, right after lookup.
     checklist_specs: list = field(default_factory=list)
+    # [FILTER] gopher_quality — integer-exact composite quality gate
+    # (functions/text.py gopher_filter): {key, action flag|drop,
+    # thresholds}. Applied after type conversion, before grep, so a
+    # grep/route can key on gq_keep / gq_reasons.
+    gopher_spec: dict | None = None
+    # [FILTER] stratified_split — deterministic per-group eval holdout
+    # (operators/filters.stratified_split): {group_key, hash_key,
+    # rates, default_permille}. Map-only stamp applied right before
+    # tagging so the tag expression / routes can key on ``split``.
+    split_spec: dict | None = None
 
 
 @dataclass
@@ -250,6 +260,13 @@ def _post_parse_stages(spark: SparkSession, out: DataFrame,
             out = expect(out, F.expr(es["cond"]),
                          action=es.get("action", "exit"),
                          result_key=es.get("result_key", "_expect_ok"))
+    if spec.gopher_spec:
+        from ..functions.text import gopher_filter
+        g = spec.gopher_spec
+        out = gopher_filter(out, col=g["key"], **g.get("thresholds", {}))
+        if g.get("action") == "drop":
+            out = out.filter(F.col("gq_keep")) \
+                     .drop("gq_reasons", "gq_keep")
     if spec.grep_rules:
         # grep drops rows entirely in fluent-bit; we keep them for the DLQ
         # accounting instead when they fail parse, but a grep miss is a
@@ -265,6 +282,12 @@ def _post_parse_stages(spark: SparkSession, out: DataFrame,
         out = lookup_join(out, dim, spec.lookup_key)
     for ck in spec.checklist_specs:
         out = _apply_checklist(spark, out, ck)
+    if spec.split_spec:
+        from ..operators.filters import stratified_split
+        sp = spec.split_spec
+        out = stratified_split(out, sp["group_key"], sp["hash_key"],
+                               sp.get("rates", {}),
+                               sp.get("default_permille", 0))
     out = out.withColumn("tag", F.expr(spec.tag_expr or default_tag_expr()))
     if spec.rewrite_rules:
         out = apply_rewrite_tag(out, spec.rewrite_rules)
