@@ -1,0 +1,169 @@
+"""Surprisal-at-volume evidence: unigram_surprisal at millions of docs.
+
+The sf0.1 corpus verifies *correctness* (oracled query
+`unigram_surprisal` value-checks the frequency model, the milli-nat
+rounding, and the per-document BIGINT sums against DuckDB); this script
+evidences the *scale shape* of the three claims the operator makes
+(operators/tokens.py unigram_surprisal docstring):
+
+  1. the frequency model stays VOCAB-sized no matter the corpus size —
+     measured as the model's row count at both sizes;
+  2. scoring is exact and conserving — sum(n_tok_scored) must equal
+     sum(n_tok) (every token scored exactly once);
+  3. shuffle bytes track rows (the doc-agg exchange carries ~one
+     narrow row per document; the freq exchange is bounded by
+     partitions × vocab partials) — gate on bytes, not walls
+     (deterministic on a co-tenant guest; NOTES.md measurement rules).
+
+Usage:
+    python tools/bench_surprisal.py --sizes 1600000,16000000 \
+        [--out /tmp/surprisal_vol] [--md BENCH/CLEAN.md] [--gate]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.bench_dedup import shuffle_totals  # noqa: E402
+from tools.bench_pack import VOCAB, tokens_sql  # noqa: E402
+
+
+def run_size(n_docs: int, out: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.tokens import unigram_surprisal
+    from fluent_bit_spark.session import get_spark
+
+    # Exchanges here are NARROW (tok/count partials; one row per doc)
+    # — one reduce task per core is the right sizing (NOTES.md #12:
+    # the 4x-cores rule is for wide-row exchanges only).
+    cores = os.cpu_count() or 8
+    spark = get_spark(app_name=f"bench_surprisal_{n_docs}",
+                      shuffle_partitions=cores,
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.port": "4040"})
+    res: dict = {"n_docs": n_docs, "shuffle_partitions": cores}
+    marks = [(0, 0)]
+
+    def phase(name: str, t0: float) -> None:
+        rd, wr = shuffle_totals()
+        res[f"{name}_wall_s"] = round(time.time() - t0, 1)
+        res[f"{name}_shuffle_read_mb"] = round((rd - marks[-1][0]) / 2**20, 1)
+        res[f"{name}_shuffle_write_mb"] = round((wr - marks[-1][1]) / 2**20, 1)
+        marks.append((rd, wr))
+
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    spark.range(n_docs).createOrReplaceTempView("rng")
+    spark.sql(tokens_sql(n_docs)).write.mode("overwrite") \
+        .parquet(f"{out}/tokens")
+    phase("gen", t0)
+
+    docs = spark.read.parquet(f"{out}/tokens")
+    tok_in = docs.agg(F.sum("n_tok")).first()[0]
+
+    t0 = time.time()
+    scored = unigram_surprisal(docs)
+    scored.write.mode("overwrite").parquet(f"{out}/scored")
+    phase("score", t0)
+
+    s = spark.read.parquet(f"{out}/scored")
+    agg = s.agg(F.count("*").alias("docs"),
+                F.sum("n_tok_scored").alias("tok_scored"),
+                F.sum("nll_millinats").alias("nll_total")).first()
+    # claim 1: the model the operator builds is vocab-bounded — the
+    # distinct-token count IS its row count
+    model_rows = (docs.select(F.explode("tokens").alias("tok"))
+                  .agg(F.count_distinct("tok")).first()[0])
+    res["tokens_in"] = int(tok_in)
+    res["tokens_scored"] = int(agg["tok_scored"])
+    res["docs_scored"] = int(agg["docs"])
+    res["nll_total_millinats"] = int(agg["nll_total"])
+    res["model_rows"] = int(model_rows)
+    res["conserved"] = (res["tokens_in"] == res["tokens_scored"]
+                        and res["docs_scored"] == n_docs)
+    res["tokens_per_sec"] = round(tok_in / res["score_wall_s"], 1)
+    spark.stop()
+    if not res["conserved"]:
+        raise SystemExit(f"SCORING LOSS: {res}")
+    if res["model_rows"] > VOCAB:
+        raise SystemExit(f"MODEL NOT VOCAB-BOUNDED: {res}")
+    return res
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1600000,16000000")
+    ap.add_argument("--out", default="/tmp/surprisal_vol")
+    ap.add_argument("--md", default=None, help="append a markdown report")
+    ap.add_argument("--gate", action="store_true",
+                    help="exit non-zero on super-linear shuffle growth "
+                         "or an unbounded model (conservation breaches "
+                         "always exit non-zero)")
+    args = ap.parse_args()
+
+    results = []
+    for n in [int(s) for s in args.sizes.split(",")]:
+        r = run_size(n, f"{args.out}/{n}")
+        print(json.dumps(r))
+        results.append(r)
+
+    if args.gate and len(results) >= 2:
+        a, b = results[-2], results[-1]
+        ratio = b["n_docs"] / a["n_docs"]
+        shuf_x = (b["score_shuffle_write_mb"]
+                  / max(a["score_shuffle_write_mb"], 0.1))
+        if shuf_x > ratio * 1.3:
+            print(json.dumps({"gate": "FAIL",
+                              "why": "super-linear shuffle write",
+                              "rows_x": ratio, "shuffle_x": shuf_x}))
+            return 3
+        if b["model_rows"] > a["model_rows"] * 1.05:
+            print(json.dumps({"gate": "FAIL",
+                              "why": "model grows with corpus",
+                              "model_rows": [a["model_rows"],
+                                             b["model_rows"]]}))
+            return 4
+        print(json.dumps({"gate": "ok", "rows_x": ratio,
+                          "shuffle_x": round(shuf_x, 2),
+                          "model_rows": b["model_rows"]}))
+
+    if args.md and len(results) >= 2:
+        a, b = results[-2], results[-1]
+        ratio = b["n_docs"] / a["n_docs"]
+        lines = [
+            "", f"## Surprisal volume run {time.strftime('%Y-%m-%d')} "
+            f"(sizes {args.sizes})", "",
+            "| n_docs | tokens in | gen s | score s | model rows | "
+            "conserved | shuffle R/W MB (score) | tokens/s |",
+            "|" + "---|" * 8]
+        for r in results:
+            lines.append(
+                f"| {r['n_docs']:,} | {r['tokens_in']:,} | "
+                f"{r['gen_wall_s']} | {r['score_wall_s']} | "
+                f"{r['model_rows']:,} | {r['conserved']} | "
+                f"{r['score_shuffle_read_mb']}/"
+                f"{r['score_shuffle_write_mb']} | "
+                f"{r['tokens_per_sec']:,} |")
+        wall_x = b["score_wall_s"] / max(a["score_wall_s"], 0.1)
+        shuf_x = (b["score_shuffle_write_mb"]
+                  / max(a["score_shuffle_write_mb"], 0.1))
+        lines += [
+            "", f"{ratio:.0f}× rows → {wall_x:.1f}× score wall, "
+            f"{shuf_x:.1f}× shuffle write; the unigram model stayed at "
+            f"{b['model_rows']:,} rows at both sizes (vocab-bounded) "
+            "and token conservation is exact.", ""]
+        with open(args.md, "a") as f:
+            f.write("\n".join(lines))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,5 +35,7 @@ if [ "${1:-}" != "quick" ]; then
     --out /tmp/smoke_pack_vol  --gate | tail -1
   python tools/bench_clean.py --sizes 150000,600000 \
     --out /tmp/smoke_clean_vol --gate | tail -1
+  python tools/bench_surprisal.py --sizes 200000,800000 \
+    --out /tmp/smoke_surp_vol --gate | tail -1   # model must stay vocab-bounded
 fi
 echo "SMOKE OK"
