@@ -168,11 +168,14 @@ def stratified_split(df: DataFrame, group_col: str, key_col: str,
             raise ValueError(f"holdout_permille wants 0..1000, got {v}")
     bucket = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")),
                                  1, 7), 16, 10).cast("long") % 1000)
-    rates = F.create_map(*[F.lit(x) for kv in
-                           sorted(holdout_permille.items())
-                           for x in (kv[0], int(kv[1]))])
-    rate = F.coalesce(rates[F.col(group_col)],
-                      F.lit(int(default_permille)))
+    if holdout_permille:
+        rates = F.create_map(*[F.lit(x) for kv in
+                               sorted(holdout_permille.items())
+                               for x in (kv[0], int(kv[1]))])
+        rate = F.coalesce(rates[F.col(group_col)],
+                          F.lit(int(default_permille)))
+    else:  # uniform rate — an empty map() literal has VOID key type
+        rate = F.lit(int(default_permille))
     return df.withColumn(
         split_col,
         F.when(bucket < rate, F.lit("holdout")).otherwise(F.lit("train")))

@@ -62,6 +62,15 @@ _DEDUP_LINES_RE = re.compile(
     r"MAX\s+(?P<max>\d+)"
     r"(?:\s+WORDS\s+(?P<words>\d+))?\s*;?\s*$",
     re.IGNORECASE)
+_SCORE_RE = re.compile(
+    r"^\s*SCORE\s+SURPRISAL\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
+    r"(?:\s+TOKENS\s+(?P<col>\w+))?\s*;?\s*$",
+    re.IGNORECASE)
+_SPLIT_RE = re.compile(
+    r"^\s*SPLIT\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"HOLDOUT\s+(?P<pm>\d+)"
+    r"(?:\s+BY\s+(?P<grp>\w+))?(?:\s+KEY\s+(?P<key>\w+))?\s*;?\s*$",
+    re.IGNORECASE)
 _FROM_TAG_RE = re.compile(r"\bTAG:'([^']*)'", re.IGNORECASE)
 _WINDOW_RE = re.compile(
     r"\bWINDOW\s+(?P<kind>TUMBLING|HOPPING)\s*\(\s*(?P<n>\d+)\s+"
@@ -225,6 +234,25 @@ class StreamProcessor:
             kw["line_words"] = int(m.group("words"))
         return line_dedup(self._source_df(m.group("src")), **kw)
 
+    def _score_surprisal(self, m: re.Match) -> DataFrame:
+        """SCORE SURPRISAL STREAM:src [TOKENS col] — unigram-LM
+        surprisal quality scoring (operators/tokens.py
+        unigram_surprisal) over the north-star token shape."""
+        from ..operators.tokens import unigram_surprisal
+        return unigram_surprisal(self._source_df(m.group("src")),
+                                 tokens_col=m.group("col") or "tokens")
+
+    def _split_holdout(self, m: re.Match) -> DataFrame:
+        """SPLIT STREAM:src HOLDOUT n [BY group_col] [KEY hash_col] —
+        deterministic per-mille eval carve-out (operators/filters.py
+        stratified_split); per-group rate overrides stay a Python/
+        config-level concern (the verb sets one uniform rate)."""
+        from ..operators.filters import stratified_split
+        return stratified_split(
+            self._source_df(m.group("src")),
+            m.group("grp") or "source", m.group("key") or "doc_id",
+            {}, default_permille=int(m.group("pm")))
+
     def _exec_select(self, text: str) -> DataFrame:
         """A statement body: a token-op verb, else translated SQL."""
         pm = _PACK_RE.match(text)
@@ -233,6 +261,12 @@ class StreamProcessor:
         dm = _DEDUP_LINES_RE.match(text)
         if dm:
             return self._dedup_lines(dm)
+        sm = _SCORE_RE.match(text)
+        if sm:
+            return self._score_surprisal(sm)
+        hm = _SPLIT_RE.match(text)
+        if hm:
+            return self._split_holdout(hm)
         return self.spark.sql(self.translate(text))
 
     # -- execution ----------------------------------------------------------

@@ -257,3 +257,30 @@ def test_dedup_lines_verb_matches_operator(sp, spark):
     assert g == w
     # 'spam spam spam' occurs 3 > 2 times -> dropped everywhere
     assert all(t[2] == 1 for t in g)
+
+
+def test_score_surprisal_verb_matches_operator(sp, spark):
+    """SCORE SURPRISAL STREAM:x equals the direct unigram_surprisal
+    call — a [STREAM_TASK] Exec reaches the quality scorer."""
+    from fluent_bit_spark.operators.tokens import unigram_surprisal
+    df = spark.table("sp_stream_toks")
+    got = {(r.doc_id, r.source): (r.nll_millinats, r.n_tok_scored)
+           for r in sp.sql("SCORE SURPRISAL STREAM:toks;").collect()}
+    want = {(r.doc_id, r.source): (r.nll_millinats, r.n_tok_scored)
+            for r in unigram_surprisal(df).collect()}
+    assert got == want and len(got) == 40
+
+
+def test_split_holdout_verb_matches_operator(sp, spark):
+    """SPLIT STREAM:x HOLDOUT n [BY g] [KEY k] equals the direct
+    stratified_split call at a uniform rate."""
+    from fluent_bit_spark.operators.filters import stratified_split
+    df = spark.table("sp_stream_toks")
+    got = {r.doc_id: r.split for r in
+           sp.sql("SPLIT STREAM:toks HOLDOUT 300 "
+                  "BY source KEY doc_id;").collect()}
+    want = {r.doc_id: r.split for r in
+            stratified_split(df, "source", "doc_id", {},
+                             default_permille=300).collect()}
+    assert got == want
+    assert {"train", "holdout"} == set(got.values())
