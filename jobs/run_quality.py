@@ -1,0 +1,116 @@
+"""spark-submit entry point for the training-data quality chain.
+
+End-to-end over the north-star input shape (doc_id, tokens:array<int>,
+n_tok, source): unigram-LM surprisal scoring (corpus-self-trained,
+integer milli-nats) → optional surprisal-threshold drop → deterministic
+stratified train/holdout split → partitioned writes.
+
+Usage:
+
+    zip -r engine.zip fluent_bit_spark
+    spark-submit --master local[32] --py-files engine.zip \
+        jobs/run_quality.py --input /path/tokens.parquet \
+        --output /path/quality_out \
+        [--max-mean-millinats 12000] [--holdout 50] \
+        [--rate SRC PERMILLE ...]
+
+Outputs under --output:
+    train/     input schema + nll_millinats, n_tok_scored
+    holdout/   same schema, the held-out eval slice
+    dropped/   rows over the surprisal ceiling (audit trail)
+Prints one JSON line with counts + exact conservation checks
+(docs in == train + holdout + dropped; tokens scored == tokens in).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="quality scoring + split")
+    ap.add_argument("--input", required=True, help="tokens parquet")
+    ap.add_argument("--output", required=True, help="output dir")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--tokens-col", default="tokens")
+    ap.add_argument("--len-col", default="n_tok")
+    ap.add_argument("--group-col", default="source")
+    ap.add_argument("--max-mean-millinats", type=int, default=0,
+                    help="drop docs whose MEAN token surprisal exceeds "
+                         "this many milli-nats (0 = no drop)")
+    ap.add_argument("--holdout", type=int, default=0,
+                    help="default holdout rate in permille")
+    ap.add_argument("--rate", nargs=2, action="append", default=[],
+                    metavar=("GROUP", "PERMILLE"),
+                    help="per-group holdout override (repeatable)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.filters import stratified_split
+    from fluent_bit_spark.operators.tokens import unigram_surprisal
+    from fluent_bit_spark.session import get_spark
+
+    # Every exchange here is NARROW (tok/count partials, one row per
+    # doc), so one reduce task per core is right (NOTES.md #12).
+    cores = os.cpu_count() or 8
+    spark = get_spark(app_name="run_quality", shuffle_partitions=cores)
+    t0 = time.time()
+    if not os.path.exists(args.input):
+        ap.error(f"input not found: {args.input}")
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+    tok_in = df.agg(F.sum(args.len_col)).first()[0] or 0
+
+    scores = unigram_surprisal(df, tokens_col=args.tokens_col,
+                               id_cols=(args.id_col,))
+    # one narrow equi-join on the id brings the two score columns back
+    # onto the full-width rows (the score agg output is doc-keyed, so
+    # this is a co-partitioned shuffle join, not a blow-up); LEFT so a
+    # zero-token doc keeps a row (score 0) instead of vanishing
+    scored = (df.join(scores, args.id_col, "left")
+              .fillna({"nll_millinats": 0, "n_tok_scored": 0}))
+
+    if args.max_mean_millinats > 0:
+        # integer cross-multiply: mean > ceiling <=> sum > ceiling * n
+        bad = (F.col("nll_millinats")
+               > F.lit(args.max_mean_millinats)
+               * F.col("n_tok_scored"))
+    else:
+        bad = F.lit(False)
+    scored = scored.withColumn("__drop", bad)
+
+    rates = {g: int(p) for g, p in args.rate}
+    out = stratified_split(scored, args.group_col, args.id_col, rates,
+                           default_permille=args.holdout)
+    out = out.persist()
+    dropped = out.filter("__drop").drop("__drop", "split")
+    train = out.filter("NOT __drop AND split = 'train'").drop("__drop")
+    hold = out.filter("NOT __drop AND split = 'holdout'").drop("__drop")
+    dropped.write.mode("overwrite").parquet(f"{args.output}/dropped")
+    train.write.mode("overwrite").parquet(f"{args.output}/train")
+    hold.write.mode("overwrite").parquet(f"{args.output}/holdout")
+
+    counts = {k: spark.read.parquet(f"{args.output}/{k}").count()
+              for k in ("train", "holdout", "dropped")}
+    tok_scored = out.agg(F.sum("n_tok_scored")).first()[0] or 0
+    out.unpersist()
+    conserved = (sum(counts.values()) == n_in and tok_scored == tok_in)
+    print(json.dumps({"docs_in": n_in, **counts,
+                      "tokens_in": int(tok_in),
+                      "tokens_scored": int(tok_scored),
+                      "conserved": conserved,
+                      "wall_sec": round(time.time() - t0, 2)}))
+    # no spark.stop(): spark-submit tears the JVM down at exit, and an
+    # in-suite main() call must not kill the caller's shared session
+    return 0 if conserved else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

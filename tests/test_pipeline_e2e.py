@@ -292,3 +292,42 @@ def test_csv_and_ltsv_sink_formats(spark, fixture_paths, tmp_path):
         assert got == want, fmt
         if fmt == "ltsv":
             assert all("\t" in ln and "doc_id:" in ln for ln in got)
+
+
+def test_run_quality_job_main(spark, fixture_paths, tmp_path, monkeypatch):
+    """jobs/run_quality.py CLI surface in-suite: surprisal scoring,
+    ceiling drop, stratified split, exact doc/token conservation."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    import run_quality
+
+    out = str(tmp_path / "quality_out")
+    monkeypatch.setattr(sys, "argv", [
+        "run_quality.py", "--input", fixture_paths["tokens"],
+        "--output", out, "--holdout", "100",
+        "--rate", "web", "300", "--max-mean-millinats", "10500"])
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    assert run_quality.main() == 0
+    rep = json.loads(printed[-1])
+    assert rep["conserved"]
+    assert rep["train"] + rep["holdout"] + rep["dropped"] == rep["docs_in"]
+    assert rep["tokens_scored"] == rep["tokens_in"]
+    # the three output slices are disjoint and cover the input ids
+    ids = {}
+    for k in ("train", "holdout", "dropped"):
+        ids[k] = {r.doc_id for r in
+                  spark.read.parquet(f"{out}/{k}")
+                  .select("doc_id").collect()}
+    assert not (ids["train"] & ids["holdout"])
+    assert not (ids["train"] & ids["dropped"])
+    n_all = len(ids["train"] | ids["holdout"] | ids["dropped"])
+    assert n_all == rep["docs_in"]
+    # the split respects the mean-surprisal ceiling on kept rows
+    kept = spark.read.parquet(f"{out}/train")
+    bad = kept.filter("nll_millinats > 10500 * n_tok_scored").count()
+    assert bad == 0
