@@ -450,3 +450,46 @@ def unigram_surprisal(df: DataFrame, tokens_col: str = "tokens",
               .groupBy(*[F.col(c) for c in id_cols])
               .agg(F.sum("nll_milli").alias("nll_millinats"),
                    F.count("*").alias("n_tok_scored")))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk(df: DataFrame, k: int = 3, tokens_col: str = "tokens",
+               id_col: str = "doc_id", idf_scale: int = 1_000_000
+               ) -> DataFrame:
+    """Top-``k`` most characteristic tokens per document by TF-IDF,
+    in EXACT integer arithmetic: ``score = tf * ((N * idf_scale) DIV
+    df_t)`` — term frequency times a fixed-point inverse document
+    frequency (parts-per-``idf_scale``), so scores and therefore ranks
+    are identical in any engine (a float idf would make near-ties
+    engine-dependent). Ties break by token id (deterministic output).
+
+    Output: (id_col, tok, tf, score, rank), rank 1..k.
+
+    Scale shape (10^12 sequences):
+    - tf: explode stays narrow; the (doc, tok) hash agg partial-
+      combines map-side, and its exchange is keyed by (doc, tok) —
+      uniform, skew-free;
+    - document frequency: VOCAB-sized (distinct-doc counts per token,
+      two-level agg), broadcast back;
+    - N is a 1-row broadcast;
+    - the top-k window partitions by doc — one bounded exchange keyed
+      by the id, never a global sort.
+    """
+    ex = df.select(id_col, F.explode(F.col(tokens_col)).alias("tok"))
+    tf = ex.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(
+        F.count("*").alias("df_t"))          # docs containing tok
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    idf = (dfreq.crossJoin(F.broadcast(n_docs))
+           .select("tok", F.expr(f"(n_docs * CAST({idf_scale} AS BIGINT))"
+                                 " DIV df_t").alias("idf_ppm")))
+    scored = (tf.join(F.broadcast(idf), "tok")
+              .withColumn("score", F.col("tf") * F.col("idf_ppm")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("tok"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "tok", "tf", "score", "rank"))

@@ -2394,3 +2394,30 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = gopher_filter(t(spark, sf_dir, "documents"))
     return (docs.groupBy("source", "gq_reasons")
             .agg(F.count("*").alias("docs")))
+
+
+@q("tfidf_topk", f"""
+WITH d AS (SELECT doc_id, {_TOK_IDS_SQL} AS tokens FROM documents),
+ex AS (SELECT doc_id, unnest(tokens) AS tok FROM d),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY doc_id, tok),
+dfq AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok),
+nn AS (SELECT count(*) AS n_docs FROM d),
+idf AS (SELECT tok, (n_docs * CAST(1000000 AS BIGINT)) // df_t
+               AS idf_ppm FROM dfq, nn),
+sc AS (SELECT tf.doc_id, tf.tok, tf.tf, tf.tf * idf.idf_ppm AS score
+       FROM tf JOIN idf USING (tok)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, tok ASC)
+               AS rank FROM sc)
+SELECT doc_id, tok, tf, score, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 3
+""")
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact TF-IDF keyword extraction (operators/tokens.py
+    tfidf_topk): fixed-point idf (ppm) keeps scores and ranks
+    engine-identical; the oracle reproduces tf, document frequency,
+    the fixed-point idf, and the deterministic top-3 per document."""
+    from .operators.tokens import tfidf_topk
+    d = _tok_int_docs(spark, sf_dir)
+    out = tfidf_topk(d, k=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))

@@ -421,3 +421,27 @@ def test_gopher_filter_rules_and_bitmask(spark):
     out = gopher_filter(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_tfidf_topk_matches_pure_python(spark):
+    """Integer fixed-point TF-IDF equals a pure-python model, rank
+    ties break deterministically by token id, rank caps at k."""
+    from collections import Counter
+    rows = [("d1", [1, 1, 1, 2]), ("d2", [2, 3]), ("d3", [3, 3, 4])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {(r.doc_id, r.rank): (r.tok, r.tf, r.score)
+           for r in TK.tfidf_topk(df, k=2).collect()}
+    n = len(rows)
+    dfreq = Counter(t for _, toks in rows for t in set(toks))
+    want = {}
+    for d, toks in rows:
+        tf = Counter(toks)
+        scored = sorted(
+            ((t, c, c * ((n * 1_000_000) // dfreq[t]))
+             for t, c in tf.items()),
+            key=lambda x: (-x[2], x[0]))[:2]
+        for i, (t, c, s) in enumerate(scored, 1):
+            want[(d, i)] = (t, c, s)
+    assert got == want
+    # rare token 4 (df=1) must out-score common token 3 (df=2) in d3
+    assert got[("d3", 1)][0] == 4 or got[("d3", 1)][2] >= got[("d3", 2)][2]
