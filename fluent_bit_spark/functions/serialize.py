@@ -133,3 +133,29 @@ def to_gelf(df: DataFrame, host_col: str, message_col: str,
     for c in (extra_cols or []):
         fields.append(F.col(c).alias(f"_{c.replace('.', '_')}"))
     return df.withColumn(out, F.to_json(F.struct(*fields)))
+
+
+def to_template(df: DataFrame, template: str,
+                out: str = "value") -> DataFrame:
+    """out_file ``Format template`` (upstream:plugins/out_file/file.c
+    template mode): render each record through a ``{key}``-placeholder
+    line template, e.g. ``Template {time} used={mem.used}``. ``{key}``
+    resolves a record key; dotted keys reach into struct columns
+    (the msgpack nested-map analogue). Missing/null values render
+    empty, matching a lossy printf-style template rather than failing
+    the flush. Everything is one JVM-side ``concat`` — codegen'd,
+    map-only."""
+    import re
+    parts: list[Column] = []
+    pos = 0
+    for m in re.finditer(r"\{([A-Za-z_][\w.]*)\}", template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos:m.start()]))
+        parts.append(F.coalesce(F.col(m.group(1)).cast("string"),
+                                F.lit("")))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        parts = [F.lit("")]
+    return df.withColumn(out, F.concat(*parts))

@@ -67,8 +67,9 @@ Supported sections / properties (the subset with a batch meaning here):
 - ``[OUTPUT]`` / ``outputs:`` — one sink per section: ``match`` (glob;
   ``match_regex`` for regex), ``sink`` (directory name; defaults to
   ``<name>_<i>``), ``format`` (``parquet`` | ``json_lines`` | ``csv``
-  | ``ltsv``, must agree across outputs — the fan-out writes one
-  payload format).
+  | ``ltsv`` | ``template``, must agree across outputs — the fan-out
+  writes one payload format), ``template`` (the ``{key}`` line pattern
+  for ``Format template``, upstream:plugins/out_file template mode).
 - ``[SERVICE]`` / ``service:`` — engine tuning extensions:
   ``salt_buckets``, ``fanout_mode``, ``keep_decoded``,
   ``sink_partition_by`` (comma-separated).
@@ -781,6 +782,7 @@ def spec_from_tree(tree: dict[str, Any],
 
     routes: list[Route] = []
     sink_format = None
+    sink_template = None
     for i, o in enumerate(pipe.get("outputs", [])):
         sink = str(o.get("sink") or f"{o.get('name', 'out')}_{i}")
         if o.get("match_regex"):
@@ -790,13 +792,27 @@ def spec_from_tree(tree: dict[str, Any],
         fmt = o.get("format")
         if fmt is not None:
             fmt = str(fmt).lower()
-            if fmt not in ("parquet", "json_lines", "csv", "ltsv"):
+            if fmt not in ("parquet", "json_lines", "csv", "ltsv",
+                           "template"):
                 raise ValueError(f"output format must be parquet|"
-                                 f"json_lines|csv|ltsv, got {fmt!r}")
+                                 f"json_lines|csv|ltsv|template, "
+                                 f"got {fmt!r}")
             if sink_format is not None and fmt != sink_format:
                 raise ValueError("all outputs must share one format "
                                  "(the fan-out writes one payload shape)")
             sink_format = fmt
+        tpl = o.get("template")
+        if tpl is not None:
+            # upstream:plugins/out_file Format template + Template prop
+            if fmt != "template":
+                raise ValueError("[OUTPUT] Template needs Format "
+                                 "template")
+            if sink_template is not None and str(tpl) != sink_template:
+                raise ValueError("all outputs must share one Template")
+            sink_template = str(tpl)
+    if sink_format == "template" and sink_template is None:
+        raise ValueError("[OUTPUT] Format template needs a Template "
+                         "property")
     if not routes:
         raise ValueError("config defines no [OUTPUT] — every record "
                          "would be unrouted")
@@ -817,6 +833,7 @@ def spec_from_tree(tree: dict[str, Any],
         salt_buckets=int(service.get("salt_buckets", 32)),
         fanout_mode=str(service.get("fanout_mode", "persist")),
         sink_format=sink_format or "parquet",
+        sink_template=sink_template,
         keep_decoded=str(service.get("keep_decoded", "always")),
         parser_filters=parser_filters,
         modify_specs=modify_specs,

@@ -81,7 +81,10 @@ class PipelineSpec:
     # sink payload format: columnar parquet (default) or an out_file
     # text serializer (functions/serialize.py): newline-delimited JSON,
     # RFC-4180 csv, or tab-separated ltsv — complex columns as JSON
-    sink_format: str = "parquet"   # 'parquet'|'json_lines'|'csv'|'ltsv'
+    sink_format: str = "parquet"   # parquet|json_lines|csv|ltsv|template
+    # out_file Format template line pattern ({key} placeholders, dotted
+    # keys reach into structs — upstream:plugins/out_file template mode)
+    sink_template: str | None = None
     # Decoded-line retention in sink output. 'always' (default) keeps the
     # decoded text on every row — fluent-bit's record body rides to the
     # sink, so dropping it silently would surprise any downstream reader.
@@ -502,14 +505,21 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                      .partitionBy("sink", *spec.sink_partition_by)
                      .parquet(f"{output_dir}/sinks_by_dir/"
                               f"batch_id={i}"))
-            elif spec.sink_format in ("json_lines", "csv", "ltsv"):
+            elif spec.sink_format in ("json_lines", "csv", "ltsv",
+                                      "template"):
                 # out_file text formats: sinks are newline-delimited
                 # text files (the serializer rides the same fan-out)
                 from ..functions.serialize import (to_csv_line,
                                                    to_json_lines,
-                                                   to_ltsv_line)
-                ser = {"json_lines": to_json_lines, "csv": to_csv_line,
-                       "ltsv": to_ltsv_line}[spec.sink_format]
+                                                   to_ltsv_line,
+                                                   to_template)
+                if spec.sink_format == "template":
+                    def ser(d, cols, _t=spec.sink_template or ""):
+                        return to_template(d, _t)
+                else:
+                    ser = {"json_lines": to_json_lines,
+                           "csv": to_csv_line,
+                           "ltsv": to_ltsv_line}[spec.sink_format]
                 payload_cols = [c for c in good.columns
                                 if c not in ("sinks", "routes_mask",
                                              "dlq_reason", "_lineage")]

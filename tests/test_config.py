@@ -1200,3 +1200,33 @@ pipeline:
     assert sc == sy
     assert sc.gopher_spec["action"] == "drop"
     assert sc.split_spec["rates"] == {"web": 100}
+
+
+def test_template_output_format_from_config():
+    """[OUTPUT] Format template + Template map onto the spec; error
+    cases: Template without the format, format without Template,
+    mismatched Templates across outputs."""
+    tree = parse_classic(
+        "[INPUT]\n    Name tokens\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"
+        "    Format template\n    Template {tag} {doc_id}\n")
+    spec, _ = spec_from_tree(tree, vocab=["x"])
+    assert spec.sink_format == "template"
+    assert spec.sink_template == "{tag} {doc_id}"
+    with pytest.raises(ValueError, match="needs Format template"):
+        spec_from_tree(parse_classic(
+            "[INPUT]\n    Name tokens\n"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"
+            "    Template {tag}\n"), vocab=["x"])
+    with pytest.raises(ValueError, match="needs a Template"):
+        spec_from_tree(parse_classic(
+            "[INPUT]\n    Name tokens\n"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"
+            "    Format template\n"), vocab=["x"])
+    with pytest.raises(ValueError, match="share one Template"):
+        spec_from_tree(parse_classic(
+            "[INPUT]\n    Name tokens\n"
+            "[OUTPUT]\n    Name file\n    Match a.*\n    Sink s\n"
+            "    Format template\n    Template {tag}\n"
+            "[OUTPUT]\n    Name file\n    Match b.*\n    Sink t\n"
+            "    Format template\n    Template {doc_id}\n"), vocab=["x"])

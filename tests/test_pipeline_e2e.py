@@ -331,3 +331,29 @@ def test_run_quality_job_main(spark, fixture_paths, tmp_path, monkeypatch):
     kept = spark.read.parquet(f"{out}/train")
     bad = kept.filter("nll_millinats > 10500 * n_tok_scored").count()
     assert bad == 0
+
+
+def test_template_sink_format(spark, fixture_paths, tmp_path):
+    """sink_format template (out_file Format template): each sink line
+    is the {key}-rendered record, byte-identical to to_template over
+    the routed frame; dotted keys reach into structs, nulls render
+    empty."""
+    from fluent_bit_spark.functions.serialize import to_template
+    from fluent_bit_spark.plans.pipeline import build_stages
+    tpl = "{tag} {doc_id} kind={fields.kind} n={n_tok}"
+    spec_t = _spec(fixture_paths)
+    spec_t.sink_format = "template"
+    spec_t.sink_template = tpl
+    out = str(tmp_path / "tpl")
+    run_pipeline(spark, spec_t, fixture_paths["tokens"], out)
+    spec_w = _spec(fixture_paths)
+    routed = build_stages(
+        spark, spark.read.parquet(fixture_paths["tokens"]), spec_w)
+    good = (routed.filter(F.col("dlq_reason").isNull())
+            .filter(F.array_contains("sinks", "sink_web")))
+    want = sorted(r.value for r in
+                  to_template(good, tpl).select("value").collect())
+    got = sorted(r.value for r in
+                 spark.read.text(f"{out}/sinks/sink_web").collect())
+    assert got == want and got
+    assert all(" kind=" in ln for ln in got)
