@@ -2421,3 +2421,20 @@ def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tok_int_docs(spark, sf_dir)
     out = tfidf_topk(d, k=3)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@q("serialize_template", """
+SELECT '[' || source || '] doc ' || CAST(doc_id AS VARCHAR)
+       || ' lang=' || lang || ' chars=' || CAST(n_chars AS VARCHAR)
+       AS value
+FROM documents WHERE lang = 'en'
+""")
+def serialize_template_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_file Format template (functions/serialize.py to_template ←
+    upstream:plugins/out_file template mode): the {key} line renderer,
+    byte-exact vs a DuckDB string-concat reconstruction."""
+    from .functions.serialize import to_template
+    docs = t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return to_template(
+        docs, "[{source}] doc {doc_id} lang={lang} chars={n_chars}"
+    ).select("value")
