@@ -2438,3 +2438,66 @@ def serialize_template_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_template(
         docs, "[{source}] doc {doc_id} lang={lang} chars={n_chars}"
     ).select("value")
+
+
+@q("corpus_quality_pack", f"""
+WITH st AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS nw,
+         list_sum(list_transform(string_split(text, ' '),
+                                 w -> len(w))) AS sc,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         list_max(list_transform(string_split(text, ' '),
+                                 w -> len(w))) AS mx
+  FROM documents),
+g AS (
+  SELECT doc_id, source, text FROM st
+  WHERE nw >= 15 AND sc BETWEEN 3 * nw AND 10 * nw
+        AND 10 * nd >= 3 * nw AND mx <= 8),
+d0 AS (
+  SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens,
+         len(string_split(text, ' ')) AS n_tok
+  FROM g),
+ex AS (SELECT doc_id, unnest(tokens) AS tok FROM d0),
+f AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+tt AS (SELECT sum(c) AS t FROM f),
+m AS (SELECT tok, CAST(round(-ln(c / t) * 1000) AS BIGINT) AS nll
+      FROM f, tt),
+sc2 AS (SELECT doc_id, sum(nll) AS nllsum, count(*) AS n
+        FROM ex JOIN m USING (tok) GROUP BY doc_id),
+d AS (
+  SELECT d0.doc_id, d0.source, d0.tokens, d0.n_tok
+  FROM d0 JOIN sc2 USING (doc_id)
+  WHERE nllsum <= 3404 * n),
+{_pack_oracle_suffix(64)}
+""")
+def corpus_quality_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END quality pipeline composed from the quality + token
+    ops: raw corpus → Gopher composite gate (integer rules) →
+    corpus-self-trained unigram surprisal scoring → mean-surprisal
+    ceiling drop (integer cross-multiply) → concat-and-chunk pack into
+    64-token windows. ONE oracle value-checks the whole chain — every
+    gate verdict, the frequency model over the GATED corpus, every
+    milli-nat sum, every drop, every chunk boundary and packed token id
+    (md5 per chunk). The 100 TB shape is the sum of its parts: map-only
+    gate, vocab-bounded model + one narrow per-doc agg, map-only drop,
+    then the packing prefix-sum + chunk-keyed exchange."""
+    from .functions.text import gopher_filter
+    from .operators.tokens import pack_sequences, unigram_surprisal
+    docs = t(spark, sf_dir, "documents")
+    gated = (gopher_filter(docs, min_words=15, min_mean_len_x1=3,
+                           min_distinct_num=3, min_distinct_den=10,
+                           max_word_len=8)
+             .filter("gq_keep"))
+    tok = F.transform(
+        F.split("text", " "),
+        lambda w: (F.conv(F.substring(F.md5(w), 1, 7), 16, 10)
+                   .cast("long") % 50000).cast("int"))
+    d0 = (gated.select("doc_id", "source", tok.alias("tokens"))
+          .withColumn("n_tok", F.size("tokens")))
+    scores = unigram_surprisal(d0, id_cols=("doc_id",))
+    kept = (d0.join(scores, "doc_id")
+            .filter(F.col("nll_millinats")
+                    <= 3404 * F.col("n_tok_scored"))
+            .select("doc_id", "source", "tokens", "n_tok"))
+    return _pack_select(pack_sequences(kept, ctx_len=64))
