@@ -454,3 +454,33 @@ def test_snapshot_stateful_matches_batch_window(spark, tmp_path):
     want = {(r.event_type, r.flush_at, r.ctx_pos, r.ctx_user_id)
             for r in batch.collect()}
     assert got == want and len(got) > 10
+
+
+def test_stream_quality_stamps_match_batch(spark, landing, fixture_paths,
+                                           tmp_path):
+    """The r4 map-only quality stamps (stratified_split, expect
+    result_key) ride the identical stage builders into streaming: the
+    streamed sink rows carry exactly the batch run's split/flag
+    assignment row-for-row (stateless => streaming-safe)."""
+    from fluent_bit_spark.plans.pipeline import build_stages
+    spec_q = PipelineSpec(
+        vocab=fx.vocab(),
+        routes=[Route("all", "*", "glob")],
+        lookup_path=fixture_paths["lookup"],
+        split_spec={"group_key": "source", "hash_key": "doc_id",
+                    "rates": {"web": 400}, "default_permille": 150},
+        expect_specs=[{"cond": "n_tok >= 0", "action": "result_key",
+                       "result_key": "n_ok"}],
+    )
+    out = str(tmp_path / "stream_quality")
+    q = start_pipeline_stream(spark, spec_q, landing, out)
+    q.awaitTermination(300)
+    got = {(r.doc_id, r.split, r.n_ok) for r in
+           spark.read.parquet(os.path.join(out, "sinks", "all"))
+           .select("doc_id", "split", "n_ok").collect()}
+    batch = build_stages(spark, spark.read.parquet(landing), spec_q)
+    want = {(r.doc_id, r.split, r.n_ok) for r in
+            batch.filter(F.col("dlq_reason").isNull())
+            .select("doc_id", "split", "n_ok").collect()}
+    assert got == want and len(got) > 1000
+    assert {s for _, s, _ in got} == {"train", "holdout"}
