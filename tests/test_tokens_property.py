@@ -90,3 +90,53 @@ def test_line_dedup_matches_python_reference(spark, texts):
            for r in line_dedup(df, line_words=2, max_occ=1).collect()}
     want = {i: ref for i, ref in enumerate(ref_line_dedup(texts))}
     assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.text(alphabet="ab c{}x._", min_size=0, max_size=12),
+              st.integers(-5, 5),
+              st.one_of(st.none(),
+                        st.text(alphabet="hij", max_size=4))),
+    min_size=1, max_size=8))
+def test_to_template_matches_python_rendering(spark, rows):
+    """to_template over arbitrary records equals a pure-python
+    renderer: placeholders resolve columns, nulls render empty,
+    non-placeholder braces in VALUES pass through untouched."""
+    from fluent_bit_spark.functions.serialize import to_template
+    tpl = "a=[{a}] b#{b}|{c}!"
+    df = spark.createDataFrame(rows, "a string, b int, c string")
+    got = [r.value for r in to_template(df, tpl).collect()]
+    want = [f"a=[{a}] b#{b}|{'' if c is None else c}!"
+            for a, b, c in rows]
+    assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.dictionaries(st.sampled_from(["g0", "g1", "g2"]),
+                       st.integers(0, 1000), min_size=1),
+       st.integers(0, 1000))
+def test_stratified_split_respects_rates(spark, rates, default):
+    """Observed per-group holdout fractions stay within binomial
+    bounds of the configured permille; groups absent from the dict use
+    the default; the 0 and 1000 edges are exact."""
+    from fluent_bit_spark.operators.filters import stratified_split
+    n_per = 400
+    df = spark.range(0, 3 * n_per).selectExpr(
+        "cast(id as string) as doc_id",
+        "concat('g', id % 3) as source")
+    out = stratified_split(df, "source", "doc_id", rates, default)
+    frac = {r.source: r.f for r in
+            out.groupBy("source")
+            .agg(F.avg(F.when(F.col("split") == "holdout", 1)
+                       .otherwise(0)).alias("f")).collect()}
+    for g in ("g0", "g1", "g2"):
+        p = rates.get(g, default) / 1000
+        if p in (0.0, 1.0):
+            assert frac[g] == p, (g, rates, default)
+        else:  # 4-sigma binomial bound at n=400
+            sigma = (p * (1 - p) / n_per) ** 0.5
+            assert abs(frac[g] - p) <= 4 * sigma + 1e-9, (g, rates,
+                                                          default)
