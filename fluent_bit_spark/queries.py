@@ -2501,3 +2501,63 @@ def corpus_quality_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     <= 3404 * F.col("n_tok_scored"))
             .select("doc_id", "source", "tokens", "n_tok"))
     return _pack_select(pack_sequences(kept, ctx_len=64))
+
+
+@q("script_filter_map", """
+SELECT doc_id, source, reverse(lang) AS gnal,
+       CAST(n_chars * 2 AS BIGINT) AS n2
+FROM documents WHERE n_chars % 3 = 0
+""")
+def script_filter_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_lua analogue (operators/script.py filter_map_batches):
+    one vectorized batch script does drop (keep n_chars % 3 == 0) +
+    modify (reversed lang, doubled n_chars) over Arrow batches — the
+    upstream -1/0/1 return codes as a pandas batch function. Oracled:
+    DuckDB reproduces the script's effect, so the Arrow round-trip is
+    value-checked, not just smoke-tested."""
+    import pandas as pd
+
+    from .operators.script import filter_map_batches
+    docs = t(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "lang", "n_chars")
+
+    def script(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_chars"] % 3 == 0].copy()      # drop (-1)
+        b["gnal"] = b["lang"].str[::-1]          # modify (1)
+        b["n2"] = (b["n_chars"] * 2).astype("int64")
+        return b[["doc_id", "source", "gnal", "n2"]]
+
+    return filter_map_batches(
+        docs, script,
+        "doc_id bigint, source string, gnal string, n2 bigint")
+
+
+@q("second_stage_parse", """
+SELECT doc_id,
+       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+       regexp_extract(props, '"tag": "(t[0-9])"', 1) AS tg
+FROM (SELECT doc_id,
+             '{"k": ' || CAST(doc_id % 97 AS VARCHAR) ||
+             ', "tag": "t' || CAST(doc_id % 5 AS VARCHAR) || '"}'
+               AS props
+      FROM documents)
+""")
+def second_stage_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_parser second stage (plans/pipeline.ParserFilterSpec →
+    functions/parsers.py apply_regex_parser): a field produced by the
+    first parse is re-parsed by a NAMED PARSER with typed groups —
+    the actual [FILTER] Name parser machinery, not inline expressions.
+    DuckDB reproduces the extraction + the int typecast."""
+    from .functions.parsers import RegexParser, apply_regex_parser
+    docs = t(spark, sf_dir, "documents")
+    props = F.concat(F.lit('{"k": '), (F.col("doc_id") % 97).cast("string"),
+                     F.lit(', "tag": "t'),
+                     (F.col("doc_id") % 5).cast("string"), F.lit('"}'))
+    d = docs.select("doc_id", props.alias("props"))
+    parser = RegexParser(name="props_json",
+                         pattern=r'"k": (?P<k>\d+), "tag": "(?P<tg>t\d)"',
+                         types={"k": "integer"})
+    out = apply_regex_parser(d, parser, key="props", out="p2")
+    return out.select("doc_id",
+                      F.col("p2.k").cast("long").alias("k"),
+                      F.col("p2.tg").alias("tg"))
