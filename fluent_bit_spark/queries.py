@@ -2561,3 +2561,37 @@ def second_stage_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id",
                       F.col("p2.k").cast("long").alias("k"),
                       F.col("p2.tg").alias("tg"))
+
+
+@q("time_parse_strptime", """
+SELECT doc_id,
+       CAST(epoch(strptime(ts_str, '%d/%b/%Y:%H:%M:%S %z')) AS BIGINT)
+         AS epoch_s,
+       CAST(doc_id % 86400 AS BIGINT) AS epoch_raw
+FROM (SELECT doc_id,
+             strftime(make_timestamp(1767225600000000
+                                     + (doc_id % 86400) * 1000000),
+                      '%d/%b/%Y:%H:%M:%S') || ' +0000' AS ts_str
+      FROM documents)
+""")
+def time_parse_strptime_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strptime time parsing (functions/parsers.py try_strptime ←
+    fluent-bit [PARSER] Time_Format): apache-style '%d/%b/%Y:%H:%M:%S
+    %z' strings round-trip to the exact epoch second in BOTH engines
+    (epoch output sidesteps timestamp rendering differences), plus the
+    '%s' epoch fast path."""
+    from .functions.parsers import try_strptime
+    docs = t(spark, sf_dir, "documents")
+    sec = (F.col("doc_id") % 86400).cast("long")
+    ts_str = F.concat(
+        F.date_format(F.timestamp_seconds(F.lit(1767225600) + sec),
+                      "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(" +0000"))
+    d = docs.select("doc_id", ts_str.alias("ts_str"), sec.alias("sec"))
+    return d.select(
+        "doc_id",
+        F.unix_timestamp(try_strptime("ts_str",
+                                      "%d/%b/%Y:%H:%M:%S %z"))
+         .alias("epoch_s"),
+        F.unix_timestamp(try_strptime(F.col("sec").cast("string"),
+                                      "%s")).alias("epoch_raw"))
