@@ -2595,3 +2595,50 @@ def time_parse_strptime_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("epoch_s"),
         F.unix_timestamp(try_strptime(F.col("sec").cast("string"),
                                       "%s")).alias("epoch_raw"))
+
+
+@q("expect_stamp", """
+SELECT source,
+       sum(CASE WHEN lang IS NOT NULL AND n_chars > 120
+                THEN 1 ELSE 0 END) AS ok_docs,
+       count(*) AS docs
+FROM documents GROUP BY source
+""")
+def expect_stamp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_expect result_key action (operators/filters.py expect ←
+    upstream:plugins/filter_expect): the invariant stamps a boolean
+    instead of aborting; counted per source so the whole stamp column
+    is value-checked."""
+    from .operators.filters import expect
+    docs = t(spark, sf_dir, "documents")
+    out = expect(docs, F.col("lang").isNotNull()
+                 & (F.col("n_chars") > 120),
+                 action="result_key", result_key="ok")
+    return (out.groupBy("source")
+            .agg(F.sum(F.col("ok").cast("long")).alias("ok_docs"),
+                 F.count("*").alias("docs")))
+
+
+@q("checklist_flag_record", """
+SELECT d.doc_id,
+       d.lang IN (SELECT DISTINCT lang FROM documents
+                  WHERE n_chars % 7 = 0) AS matched,
+       CASE WHEN d.lang IN (SELECT DISTINCT lang FROM documents
+                            WHERE n_chars % 7 = 0)
+            THEN 'on_list' END AS note
+FROM documents d
+""")
+def checklist_flag_record_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_checklist Action flag + Record sets (operators/enrich.py
+    checklist_flag ← upstream:plugins/filter_checklist): the value list
+    broadcast stamps ``matched`` and a Record column on hits — the
+    upstream default behavior (the semi/anti extensions are oracled
+    separately as checklist_semi/checklist_anti)."""
+    from .operators.enrich import checklist_flag
+    docs = t(spark, sf_dir, "documents")
+    values = (docs.filter(F.col("n_chars") % 7 == 0)
+              .select("lang").distinct())
+    out = checklist_flag(docs, values, "lang", list_key="lang")
+    return out.select(
+        "doc_id", "matched",
+        F.when(F.col("matched"), F.lit("on_list")).alias("note"))
