@@ -37,5 +37,7 @@ if [ "${1:-}" != "quick" ]; then
     --out /tmp/smoke_clean_vol --gate | tail -1
   python tools/bench_surprisal.py --sizes 200000,800000 \
     --out /tmp/smoke_surp_vol --gate | tail -1   # model must stay vocab-bounded
+  python tools/bench_tfidf.py --sizes 200000,800000 \
+    --out /tmp/smoke_tfidf_vol --gate | tail -1  # df table must stay vocab-bounded
 fi
 echo "SMOKE OK"
