@@ -232,6 +232,16 @@ def main() -> int:
             force(fn(spark, sf_dir))
             walls.append(time.perf_counter() - t0)
             _cleanup()
+        if min(walls) > 1.5:
+            # multi-stage heavy queries flap the most under co-tenant
+            # churn (observed: disjoint "regressed" sets on back-to-back
+            # runs of identical code) — buy a third sample where a flap
+            # costs a false regression flag, skip it where walls are
+            # sub-second and the 0.5s absolute floor already guards.
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            walls.append(time.perf_counter() - t0)
+            _cleanup()
         times[name] = round(min(walls), 3)
     spark.stop()
 
