@@ -17,7 +17,7 @@ same-JVM run swings ±20-40% with co-tenant load on this shared guest
 (BENCH/BASELINE.md variance note; VERDICT r2), while min-of-N across
 fresh JVMs is the standard noise-robust estimator. All three walls are
 reported in ``pipeline_runs_sec``. Per-query headline walls are
-MIN-OF-2 with caches cleared between the runs (single runs flapped
+MIN-OF-3 with caches cleared between the runs (single runs flapped
 1.5-4× on disjoint query sets across back-to-back identical-code
 executions). The local[8]-vs-local[32] scaling evidence lives in
 tools/bench_scaling.py → BENCH/BASELINE.md.
@@ -227,17 +227,11 @@ def main() -> int:
             spark.sparkContext._jvm.System.gc()
 
         walls = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
-            walls.append(time.perf_counter() - t0)
-            _cleanup()
-        if min(walls) > 1.5:
-            # multi-stage heavy queries flap the most under co-tenant
-            # churn (observed: disjoint "regressed" sets on back-to-back
-            # runs of identical code) — buy a third sample where a flap
-            # costs a false regression flag, skip it where walls are
-            # sub-second and the 0.5s absolute floor already guards.
+        for _ in range(3):
+            # MIN-OF-3: min-of-2 still flagged a different phantom
+            # "regression" on every back-to-back identical-code run
+            # (co-tenant churn); the third sample costs ~30% more bench
+            # wall and removes the flap class entirely.
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             walls.append(time.perf_counter() - t0)
