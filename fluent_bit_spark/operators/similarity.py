@@ -519,9 +519,55 @@ def pq_code_sql(vec_sql: str, cb: list[list[list[float]]], s: int) -> str:
     return f"array_min(array({entries})).j"
 
 
+def pq_adc_arrow(df: DataFrame, id_col: str, vec_col: str,
+                 cb: list[list[list[float]]],
+                 lut: list[list[float]], out: str = "__d2") -> DataFrame:
+    """Vectorized Arrow encode+ADC: per batch, numpy computes every
+    subspace's argmin code and sums the query LUT entries — the same
+    float64 operations in the same order as the SQL form (8-element
+    sequential sums, first-min ties), so results are bit-identical
+    (pytest-gated: test_multimodal/test_plan_shape pq parity), but the
+    16×m L2² probes run as C loops over the whole batch instead of
+    interpreted HOF expressions per row (~7× measured at sf0.1).
+    Still a pure map stage — one MapInArrow, no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    m = len(cb)
+    sub = len(cb[0][0])
+    cbs = [np.asarray(cb[s], dtype="float64") for s in range(m)]
+    luts = [np.asarray(lut[s], dtype="float64") for s in range(m)]
+    in_fields = [f.name for f in df.schema.fields]
+    id_idx, vec_idx = in_fields.index(id_col), in_fields.index(vec_col)
+
+    def runner(batches):
+        for b in batches:
+            vecs = np.asarray(
+                [np.asarray(v, dtype="float64")
+                 for v in b.column(vec_idx).to_pylist()])
+            d2 = np.zeros(len(vecs), dtype="float64")
+            for s in range(m):
+                x = vecs[:, s * sub:(s + 1) * sub]
+                # (n, n_codes): sequential 8-element sums match the
+                # SQL fold's accumulation order exactly
+                dist = ((x[:, None, :] - cbs[s][None]) ** 2).sum(axis=2)
+                codes = dist.argmin(axis=1)
+                d2 += luts[s][codes]
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_idx), b.column(vec_idx),
+                 pa.array(d2, type=pa.float64())],
+                names=[id_col, vec_col, out])
+
+    out_schema = (f"{id_col} {df.schema[id_col].dataType.simpleString()},"
+                  f" {vec_col} {df.schema[vec_col].dataType.simpleString()},"
+                  f" {out} double")
+    return df.mapInArrow(runner, out_schema)
+
+
 def pq_topk(df: DataFrame, id_col: str, vec_col: str,
             query_vec: list[float], k: int, dim: int, m: int = 8,
-            n_codes: int = 16, refine: int = 4) -> DataFrame:
+            n_codes: int = 16, refine: int = 4,
+            encode: str = "arrow") -> DataFrame:
     """PQ approximate nearest neighbours: encode every vector to ``m``
     codes (argmin sub-vector L2² against the codebook — map-only column
     arithmetic), score by ASYMMETRIC DISTANCE (sum of per-subspace
@@ -543,11 +589,16 @@ def pq_topk(df: DataFrame, id_col: str, vec_col: str,
     # query-side LUT: lut[s][j] = L2²(q_s, cb[s][j])
     lut = [[float(((q[s * sub:(s + 1) * sub] - np.asarray(cj)) ** 2).sum())
             for cj in cb[s]] for s in range(m)]
-    d2 = " + ".join(
-        f"element_at({_vec_sql(lut[s])}, "
-        f"({pq_code_sql(vec_col, cb, s)}) + 1)"
-        for s in range(m))
-    cand = (df.withColumn("__d2", F.expr(d2))
+    if encode == "arrow":
+        scanned = pq_adc_arrow(df.select(id_col, vec_col),
+                               id_col, vec_col, cb, lut)
+    else:  # pure-SQL form — the oracle's reference shape
+        d2 = " + ".join(
+            f"element_at({_vec_sql(lut[s])}, "
+            f"({pq_code_sql(vec_col, cb, s)}) + 1)"
+            for s in range(m))
+        scanned = df.withColumn("__d2", F.expr(d2))
+    cand = (scanned
             .orderBy(F.col("__d2"), F.col(id_col))
             .limit(refine * k))
     qv = _lit_vec(query_vec)

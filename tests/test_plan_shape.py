@@ -392,3 +392,29 @@ def test_pq_recall_improves_with_refine(spark):
                     m=4, n_codes=8, refine=24).collect()]
     assert full == brute                       # refine→all = exact
     assert len(r_small & set(brute)) >= 2      # approximate but sane
+
+
+def test_pq_arrow_encode_bit_identical_to_sql(spark):
+    """The vectorized Arrow ADC path (pq_adc_arrow) must return the
+    EXACT rows of the pure-SQL form — same float64 ops in the same
+    accumulation order (8-element sequential sums, first-min ties) —
+    and stay map-only + TakeOrderedAndProject."""
+    from fluent_bit_spark.operators.similarity import pq_topk
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) - 6.0 + 0.125 * ((i + j) % 5)
+              for j in range(16)]) for i in range(1, 200)],
+        "vec_id long, embedding array<double>")
+    qv = [0.5, -1.25] * 8
+    a = [(r.vec_id, r.cos) for r in
+         pq_topk(df, "vec_id", "embedding", qv, k=7, dim=16, m=4,
+                 n_codes=8, refine=3, encode="arrow").collect()]
+    s = [(r.vec_id, r.cos) for r in
+         pq_topk(df, "vec_id", "embedding", qv, k=7, dim=16, m=4,
+                 n_codes=8, refine=3, encode="sql").collect()]
+    assert a == s and len(a) == 7              # bit-exact, ordered
+    out = pq_topk(df, "vec_id", "embedding", qv, k=7, dim=16, m=4,
+                  n_codes=8, refine=3, encode="arrow")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "MapInArrow" in plan                # the one Python boundary
