@@ -440,7 +440,12 @@ def unigram_surprisal(df: DataFrame, tokens_col: str = "tokens",
     """
     ex = df.select(*id_cols, F.explode(F.col(tokens_col)).alias("tok"))
     freq = ex.groupBy("tok").agg(F.count("*").alias("c"))
-    total = freq.agg(F.sum("c").alias("t"))
+    # corpus total == sum of freq counts, but computed from the array
+    # sizes directly: one narrow agg over the un-exploded frame instead
+    # of a second full explode→agg branch (Catalyst does not dedupe the
+    # freq subtree across the two uses)
+    total = df.agg(F.sum(F.size(F.col(tokens_col)))
+                   .cast("long").alias("t"))
     model = (freq.crossJoin(F.broadcast(total))
              .select("tok",
                      F.round(-F.log(F.col("c") / F.col("t"))
