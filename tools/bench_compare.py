@@ -64,6 +64,26 @@ def best_pipeline_rate(sf) -> tuple[float, str] | None:
     return best
 
 
+def median_baseline(sf) -> dict[str, float]:
+    """Per-query baseline = MEDIAN wall across ALL recorded rounds at
+    this sf. A single round's value is a min-of-N that can be a lucky
+    co-tenant-quiet low; comparing today's run against one lucky low
+    flags phantom "regressions" on a different query set every run
+    (observed three disjoint sets in one afternoon, identical code).
+    The median across rounds is the typical wall."""
+    import statistics
+    walls: dict[str, list[float]] = {}
+    for f in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
+        with open(f) as fh:
+            data = json.load(fh)
+        parsed = data.get("parsed", data)
+        if parsed.get("sf") != sf:
+            continue
+        for q, w in (parsed.get("queries") or {}).items():
+            walls.setdefault(q, []).append(w)
+    return {q: statistics.median(ws) for q, ws in walls.items()}
+
+
 def main() -> int:
     with open(sys.argv[1]) as fh:
         new = json.loads(fh.read().strip().splitlines()[-1])
@@ -76,7 +96,9 @@ def main() -> int:
         print(f"sf mismatch (old {old.get('sf')} vs new {new.get('sf')}) "
               "— comparison skipped")
         return 0
-    oldq, newq = old.get("queries", {}), new.get("queries", {})
+    newq = new.get("queries", {})
+    oldq = median_baseline(new.get("sf")) or old.get("queries", {})
+    pfile = f"median({pfile},…)" if oldq else pfile
     # Wall times on this shared guest swing ±20-40% with co-tenant load
     # (BENCH/BASELINE.md variance note) — a raw per-query ratio would
     # flag pure noise. Normalize each query by the run's total over the
