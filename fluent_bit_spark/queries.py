@@ -2642,3 +2642,31 @@ def checklist_flag_record_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "matched",
         F.when(F.col("matched"), F.lit("on_list")).alias("note"))
+
+
+@q("log_latency_quantiles", """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def log_latency_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-quantile metrics per event type (the log_to_metrics
+    summary/quantile shape — upstream:plugins/filter_log_to_metrics
+    histogram mode feeds cmetrics summaries): exact linear-interpolated
+    percentiles, which Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` compute identically (verified to 1e-12). The
+    10^12-row scale path swaps in ``approx_percentile`` (t-digest-like
+    sketch, one pass, mergeable partials); the exact form is the
+    oracle-able correctness anchor."""
+    d = t(spark, sf_dir, "events")
+    return (d.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.50)"), 6)
+                  .alias("p50"),
+                 F.round(F.expr("percentile(value, 0.95)"), 6)
+                  .alias("p95"),
+                 F.round(F.expr("percentile(value, 0.99)"), 6)
+                  .alias("p99"),
+                 F.count("*").alias("n")))
