@@ -67,9 +67,11 @@ Supported sections / properties (the subset with a batch meaning here):
 - ``[OUTPUT]`` / ``outputs:`` — one sink per section: ``match`` (glob;
   ``match_regex`` for regex), ``sink`` (directory name; defaults to
   ``<name>_<i>``), ``format`` (``parquet`` | ``json_lines`` | ``csv``
-  | ``ltsv`` | ``template``, must agree across outputs — the fan-out
-  writes one payload format), ``template`` (the ``{key}`` line pattern
-  for ``Format template``, upstream:plugins/out_file template mode).
+  | ``ltsv`` | ``template`` | ``msgpack``, must agree across outputs —
+  the fan-out writes one payload format), ``template`` (the ``{key}``
+  line pattern for ``Format template``, upstream:plugins/out_file
+  template mode). ``msgpack`` lands PackedForward chunk files — the
+  out_forward / buffer-chunk byte format (sources/forward.py).
 - ``[SERVICE]`` / ``service:`` — engine tuning extensions:
   ``salt_buckets``, ``fanout_mode``, ``keep_decoded``,
   ``sink_partition_by`` (comma-separated).
@@ -793,10 +795,10 @@ def spec_from_tree(tree: dict[str, Any],
         if fmt is not None:
             fmt = str(fmt).lower()
             if fmt not in ("parquet", "json_lines", "csv", "ltsv",
-                           "template"):
+                           "template", "msgpack"):
                 raise ValueError(f"output format must be parquet|"
-                                 f"json_lines|csv|ltsv|template, "
-                                 f"got {fmt!r}")
+                                 f"json_lines|csv|ltsv|template|"
+                                 f"msgpack, got {fmt!r}")
             if sink_format is not None and fmt != sink_format:
                 raise ValueError("all outputs must share one format "
                                  "(the fan-out writes one payload shape)")

@@ -81,7 +81,9 @@ class PipelineSpec:
     # sink payload format: columnar parquet (default) or an out_file
     # text serializer (functions/serialize.py): newline-delimited JSON,
     # RFC-4180 csv, or tab-separated ltsv — complex columns as JSON
-    sink_format: str = "parquet"   # parquet|json_lines|csv|ltsv|template
+    # parquet|json_lines|csv|ltsv|template|msgpack (msgpack =
+    # PackedForward chunk files, the out_forward byte format)
+    sink_format: str = "parquet"
     # out_file Format template line pattern ({key} placeholders, dotted
     # keys reach into structs — upstream:plugins/out_file template mode)
     sink_template: str | None = None
@@ -530,6 +532,28 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                      .write.mode("overwrite")
                      .partitionBy(*spec.sink_partition_by)
                      .text(f"{output_dir}/sinks/{s}/batch_id={i}"))
+            elif spec.sink_format == "msgpack":
+                # out_forward posture: per-task PackedForward chunk
+                # files — the bytes fluent-bit's forward consumers and
+                # buffer chunks carry (sources/forward.py). The tag
+                # column frames each chunk; the record map is walked
+                # off the frame's own schema (token arrays ride as
+                # msgpack int arrays — the per-row invariant survives
+                # the sink bytes, tests/test_forward.py).
+                from ..sources.forward import (pack_chunks,
+                                               record_entries,
+                                               write_forward_chunks)
+                payload_cols = [c for c in good.columns
+                                if c not in ("sinks", "routes_mask",
+                                             "dlq_reason", "_lineage",
+                                             "tag")]
+                ent = record_entries(good, payload_cols)
+                for s in sinks:
+                    chunks = pack_chunks(
+                        ent.filter(F.array_contains("sinks", s)),
+                        "tag", "entry")
+                    write_forward_chunks(
+                        chunks, f"{output_dir}/sinks/{s}/batch_id={i}")
             else:
                 for s in sinks:
                     (good.filter(F.array_contains("sinks", s))

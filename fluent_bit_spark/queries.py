@@ -2670,3 +2670,39 @@ def log_latency_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(value, 0.99)"), 6)
                   .alias("p99"),
                  F.count("*").alias("n")))
+
+
+@q("forward_roundtrip", """
+SELECT event_id, ts, event_type, user_id, value, props,
+       'events.' || event_type AS tag
+FROM events
+""")
+def forward_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forward protocol's file subset, end to end (r4 — closes the
+    in_forward/out_forward row at the same file-subset level as OTLP;
+    upstream:plugins/out_forward/forward.c PackedForward framing,
+    upstream:src/flb_input_chunk.c buffer-chunk stream — public
+    protocol spec, reference mount empty per SURVEY §0): every event
+    row is msgpack-ENCODED as a ``[EventTime, record]`` entry by the
+    pure-Catalyst encoder (functions/msgpack.py — canonical int
+    widths, IEEE-754 float64 bits by exact power-of-two arithmetic,
+    no Python boundary, byte-exact vs the reference codec in
+    tests/test_forward.py), folded into per-partition PackedForward
+    ``[tag, bin, {"size": n}]`` chunks (sources/forward.py — the shape
+    fluent-bit buffers on disk; no shuffle, chunks are per-task), then
+    DECODED back to typed rows by the Arrow-batched file codec. The
+    oracle is the identity SELECT: only a bit-exact encode→pack→decode
+    chain reproduces every int, double, string, and microsecond
+    timestamp."""
+    from .sources import forward as fwd
+    fields = [("event_id", "long"), ("event_type", "string"),
+              ("user_id", "long"), ("value", "double"),
+              ("props", "string")]
+    ev = t(spark, sf_dir, "events").withColumn(
+        "tag", F.concat(F.lit("events."), F.col("event_type")))
+    ent = fwd.entries_column(ev, "ts", fields)
+    chunks = fwd.pack_chunks(ent, "tag", "entry")
+    back = fwd.with_event_ts(
+        fwd.decode_forward_binary(chunks, "chunk", fields))
+    return back.select("event_id", "ts", "event_type", "user_id",
+                       "value", "props", "tag")

@@ -1,0 +1,245 @@
+"""Forward-protocol chunk files: the batch subset of in_forward /
+out_forward (SURVEY.md §2.1).
+
+The forward protocol proper is a TCP connector (scoped out with the
+other protocol connectors), but its PAYLOAD — msgpack event streams,
+``[tag, entries]`` messages, fluent-bit's on-disk buffer chunks
+(upstream:src/flb_input_chunk.c stores exactly this stream) — is a
+file format, and that subset is implemented here for real, the same
+posture as the OTLP/JSON file subset (sources/otlp.py):
+
+* ``entries_column`` / ``pack_chunks`` — ENCODE rows to entry bytes
+  with the pure-Catalyst msgpack encoder (functions/msgpack.py; no
+  Python boundary), then fold each Spark partition's rows into one
+  PackedForward ``[tag, bin]`` message per tag (Arrow-batched, one
+  fold per partition — mirroring fluent-bit, where a chunk is a
+  per-input buffer, not a global aggregate; at 1000 executors each
+  task emits its own chunks, no shuffle).
+* ``write_forward_chunks`` — lands one ``.fwd`` file per (partition,
+  tag) via ``foreachPartition`` (executor-side IO fan-out, like the
+  out_file sink but bytes instead of lines).
+* ``read_forward_files`` — ``binaryFile`` scan → per-FILE Arrow-batched
+  decode (``functions.msgpack.decode_forward_events``; accepts Message
+  / Forward / PackedForward / gzip CompressedPackedForward / bare chunk
+  streams) → typed columns per a field spec. Python runs once per
+  file, not per row — the file-codec posture (functions/png.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import msgpack as mp
+
+_TYPES = {"long": "int64", "bigint": "int64", "int": "int32",
+          "string": "string", "double": "float64",
+          "boolean": "bool", "binary": "binary",
+          "array<int>": "list<item: int32>",
+          "array<bigint>": "list<item: int64>"}
+
+
+def fields_from_schema(df: DataFrame,
+                       cols: list[str]) -> list[tuple[str, str]]:
+    """Derive an encoder field spec from the frame's own dtypes
+    (msgpack-expressible subset only; raises on anything else so a
+    config typo can't silently drop a column)."""
+    dt = dict(df.dtypes)
+    out = []
+    for c in cols:
+        t = dt[c]
+        if t not in _TYPES:
+            raise ValueError(f"forward sink: column {c}: {t} has no "
+                             f"msgpack mapping (supported: "
+                             f"{sorted(_TYPES)})")
+        out.append((c, t))
+    return out
+
+
+def _encode_datatype(dt, col: Column) -> Column:
+    from pyspark.sql import types as T
+
+    ints = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    if isinstance(dt, ints):
+        return mp.encode_int(col.cast("long"))
+    if isinstance(dt, T.StringType):
+        return mp.encode_str(col)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return mp.encode_float64(col.cast("double"))
+    if isinstance(dt, T.BooleanType):
+        return mp.encode_bool(col)
+    if isinstance(dt, T.BinaryType):
+        return mp.encode_bin(col)
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, ints):
+        return mp.encode_int_array(col)
+    if isinstance(dt, T.StructType):
+        # nested record → nested msgpack map (fluent-bit nests freely)
+        m = mp.encode_map([(f.name, _encode_datatype(f.dataType,
+                                                     col[f.name]))
+                           for f in dt.fields])
+        return F.when(col.isNull(), F.unhex(F.lit("c0"))).otherwise(m)
+    raise ValueError(f"forward sink: no msgpack mapping for {dt}")
+
+
+def record_entries(df: DataFrame, cols: list[str],
+                   ts_col: str | None = None,
+                   out: str = "entry") -> DataFrame:
+    """Schema-driven twin of ``entries_column``: the encoder spec is
+    walked off ``df.schema`` itself (ints of any width, strings,
+    doubles, bools, binary, int arrays, and nested STRUCTs → nested
+    msgpack maps). Raises on an inexpressible column type — a config
+    typo must not silently drop a field."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    rec = mp.encode_map(
+        [(c, _encode_datatype(fields[c], F.col(c))) for c in cols])
+    ts = (F.timestamp_micros(F.lit(0)) if ts_col is None
+          else F.col(ts_col).cast("timestamp"))
+    return df.withColumn(out, mp.encode_array(
+        [mp.encode_event_time(ts), rec]))
+
+
+def entries_column(df: DataFrame, ts_col: str | None,
+                   fields: list[tuple[str, str]],
+                   out: str = "entry") -> DataFrame:
+    """Add a BINARY ``[EventTime, record]`` entry column (JVM-side).
+    ``ts_col=None`` stamps EventTime(0, 0) — deterministic for payload
+    tables that carry no event time (the tokens pipeline)."""
+    spec = [(k, F.col(k), t) for k, t in fields]
+    # parquet event times are TIMESTAMP_NTZ; the session pins UTC, so
+    # the cast to instant-typed TIMESTAMP is deterministic
+    ts = (F.timestamp_micros(F.lit(0)) if ts_col is None
+          else F.col(ts_col).cast("timestamp"))
+    return df.withColumn(out, mp.encode_forward_entry(ts, spec))
+
+
+def pack_chunks(df: DataFrame, tag_col: str = "tag",
+                entry_col: str = "entry",
+                with_options: bool = True) -> DataFrame:
+    """Fold each partition's entries into PackedForward messages —
+    one ``[tag, bin, {"size": n}]`` per tag per partition, returned as
+    ``(tag, n_entries, chunk BINARY)`` rows. No shuffle: chunks are
+    per-task, exactly like fluent-bit's per-input buffer chunks."""
+    import pyarrow as pa
+
+    use_opts = with_options
+    out_schema = pa.schema([("tag", pa.string()),
+                            ("n_entries", pa.int64()),
+                            ("chunk", pa.binary())])
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: dict[str, list[bytes]] = {}
+        for b in batches:
+            tags = b.column(0).to_pylist()
+            ents = b.column(1).to_pylist()
+            for t, e in zip(tags, ents):
+                acc.setdefault(t, []).append(e)
+        if not acc:
+            return
+        rows = []
+        for tag in sorted(acc):
+            ents = acc[tag]
+            body = b"".join(ents)
+            packed = (b"\x93" if use_opts else b"\x92") \
+                + mp.py_encode(tag) + mp.py_encode(body)
+            if use_opts:
+                packed += mp.py_encode({"size": len(ents)})
+            rows.append((tag, len(ents), packed))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([r[i] for r in rows], type=out_schema.types[i])
+             for i in range(3)], schema=out_schema)
+
+    narrow = df.select(F.col(tag_col).alias("tag"),
+                       F.col(entry_col).alias("entry"))
+    return narrow.mapInArrow(fold, "tag string, n_entries long, chunk binary")
+
+
+def write_forward_chunks(df: DataFrame, out_dir: str,
+                         tag_col: str = "tag",
+                         chunk_col: str = "chunk") -> None:
+    """Land one ``.fwd`` file per chunk row (executor-side IO)."""
+    import os
+    import uuid
+
+    tag_idx = df.columns.index(tag_col)
+    chunk_idx = df.columns.index(chunk_col)
+
+    def dump(rows) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        for r in rows:
+            name = f"{r[tag_idx]}-{uuid.uuid4().hex[:12]}.fwd"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(r[chunk_idx])
+
+    df.foreachPartition(dump)
+
+
+def _decode_schema(fields: list[tuple[str, str]]) -> str:
+    cols = ", ".join(f"`{k}` {t}" for k, t in fields)
+    return f"tag string, sec long, nsec long, {cols}"
+
+
+def decode_forward_binary(df: DataFrame, col: str,
+                          fields: list[tuple[str, str]]) -> DataFrame:
+    """Decode a BINARY column of forward-protocol messages (or bare
+    chunk payloads) into typed rows ``(tag, sec, nsec, *fields)``.
+    Arrow-batched; Python runs per message buffer, not per row."""
+    import pyarrow as pa
+
+    def _pa_type(t: str):
+        if t == "array<int>":
+            return pa.list_(pa.int32())
+        if t == "array<bigint>":
+            return pa.list_(pa.int64())
+        return pa.type_for_alias(_TYPES[t])
+
+    names = [k for k, _ in fields]
+    pa_types = [_pa_type(t) for _, t in fields]
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tags: list[str] = []
+            secs: list[int] = []
+            nsecs: list[int] = []
+            vals: list[list] = [[] for _ in names]
+            for buf in b.column(0).to_pylist():
+                if buf is None:
+                    continue
+                for tag, sec, nsec, rec in mp.decode_forward_events(buf):
+                    tags.append(tag)
+                    secs.append(sec)
+                    nsecs.append(nsec)
+                    for i, k in enumerate(names):
+                        vals[i].append(rec.get(k))
+            arrays = [pa.array(tags, type=pa.string()),
+                      pa.array(secs, type=pa.int64()),
+                      pa.array(nsecs, type=pa.int64())]
+            arrays += [pa.array(v, type=pa_types[i])
+                       for i, v in enumerate(vals)]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=["tag", "sec", "nsec"] + names)
+
+    return (df.select(F.col(col))
+              .mapInArrow(gen, _decode_schema(fields)))
+
+
+def with_event_ts(df: DataFrame, out: str = "ts") -> Column | DataFrame:
+    """Reassemble a TIMESTAMP from the decoded (sec, nsec) pair at
+    microsecond precision (Spark timestamps are micros)."""
+    return df.withColumn(
+        out, F.timestamp_micros(
+            F.col("sec") * 1000000
+            + F.floor(F.col("nsec") / 1000).cast("long")
+        ).cast("timestamp_ntz"))
+
+
+def read_forward_files(spark: SparkSession, path: str,
+                       fields: list[tuple[str, str]]) -> DataFrame:
+    """Batch in_forward subset: scan ``*.fwd`` chunk files and decode.
+    The ``binaryFile`` source distributes one file per task slot; a
+    chunk file is bounded by the sender's flush size, so per-task
+    memory is bounded like any fluent-bit chunk consumer."""
+    raw = (spark.read.format("binaryFile").load(path)
+           .select(F.col("content")))
+    return decode_forward_binary(raw, "content", fields)

@@ -1,0 +1,277 @@
+"""Forward-protocol msgpack codec (functions/msgpack.py,
+sources/forward.py): Catalyst encoder byte-exact vs the pure-Python
+reference codec, decoder over every message form, chunk-file
+roundtrip, pure-JVM plan for the encode stage."""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.functions import msgpack as mp
+from fluent_bit_spark.sources import forward as fwd
+
+INT_EDGES = [0, 1, 127, 128, 255, 256, 65535, 65536, 2**32 - 1, 2**32,
+             2**63 - 1, -1, -32, -33, -128, -129, -32768, -32769,
+             -2**31, -2**31 - 1, -2**63]
+FLOAT_EDGES = [0.0, -0.0, 1.0, -1.0, 1.5, math.pi, 0.1, 2.0**52,
+               2.0**53, 1e308, 1.7976931348623157e308,  # max normal
+               5e-324,                                  # min subnormal
+               1e-310, -5e-324,                         # subnormals
+               2.2250738585072014e-308,                 # min normal
+               2.2250738585072009e-308,                 # max subnormal
+               123456.789, -0.001,
+               float("inf"), float("-inf"), float("nan")]
+STR_EDGES = ["", "a", "x" * 31, "x" * 32, "x" * 255, "x" * 256,
+             "x" * 70000, "héllo wörld", "日本語ログ"]
+
+
+def test_py_codec_roundtrip():
+    cases = ([None, True, False] + INT_EDGES + FLOAT_EDGES + STR_EDGES
+             + [b"", b"\x00\xff" * 3, [1, "a", None],
+                {"k": 1, "nested": [2.5, "s"]}])
+    for c in cases:
+        dec = list(mp.decode_stream(mp.py_encode(c)))
+        assert len(dec) == 1
+        d = dec[0]
+        if isinstance(c, float):
+            assert struct.pack(">d", c) == struct.pack(">d", d)
+        elif isinstance(c, (bytes, bytearray)):
+            assert d == bytes(c)
+        else:
+            assert d == c
+
+
+def _col_vs_ref(spark, values, schema, enc_fn):
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    got = [r[0] for r in df.select(enc_fn(F.col("v")).alias("b"))
+           .collect()]
+    for v, g in zip(values, got):
+        exp = mp.py_encode(v) if v is not None else b"\xc0"
+        assert bytes(g) == exp, (v, bytes(g).hex(), exp.hex())
+
+
+def test_catalyst_int_byte_exact(spark):
+    _col_vs_ref(spark, INT_EDGES + [None], "v long", mp.encode_int)
+
+
+def test_catalyst_float64_byte_exact(spark):
+    """Every IEEE-754 class: zeros (both signs), normals across the
+    exponent range, subnormals, max/min boundaries, inf, NaN — the
+    exact power-of-two arithmetic must reproduce the bit pattern."""
+    _col_vs_ref(spark, FLOAT_EDGES + [None], "v double",
+                mp.encode_float64)
+
+
+def test_catalyst_float64_random_byte_exact(spark):
+    import random
+    rng = random.Random(42)
+    vals = [struct.unpack(">d", struct.pack(">Q", rng.getrandbits(64)))[0]
+            for _ in range(500)]
+    vals = [v for v in vals if not math.isnan(v)] \
+        + [rng.uniform(-1e6, 1e6) for _ in range(500)]
+    _col_vs_ref(spark, vals, "v double", mp.encode_float64)
+
+
+def test_catalyst_str_byte_exact(spark):
+    _col_vs_ref(spark, STR_EDGES + [None], "v string", mp.encode_str)
+
+
+def test_catalyst_bool_bin_byte_exact(spark):
+    _col_vs_ref(spark, [True, False, None], "v boolean", mp.encode_bool)
+    _col_vs_ref(spark, [b"", b"\x01\x02", b"z" * 300, None], "v binary",
+                mp.encode_bin)
+
+
+def test_catalyst_event_time(spark):
+    ts = [datetime.datetime(2026, 8, 18, 12, 0, 0, 123456),
+          datetime.datetime(1970, 1, 1, 0, 0, 1, 0),
+          datetime.datetime(2106, 2, 6, 0, 0, 0, 999999)]
+    df = spark.createDataFrame([(t,) for t in ts], "v timestamp")
+    got = [bytes(r[0]) for r in
+           df.select(mp.encode_event_time(F.col("v")).alias("b"))
+           .collect()]
+    for t, g in zip(ts, got):
+        sec = int(t.replace(tzinfo=datetime.timezone.utc).timestamp())
+        exp = mp.py_encode(("__event_time__", sec, t.microsecond * 1000))
+        assert g == exp
+
+
+def test_encode_stage_is_pure_jvm(spark):
+    df = spark.createDataFrame([(1, "a", 0.5)], "i long, s string, d double")
+    ent = df.select(mp.encode_forward_entry(
+        F.current_timestamp(),
+        [("i", F.col("i"), "long"), ("s", F.col("s"), "string"),
+         ("d", F.col("d"), "double")]))
+    plan = ent._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_decode_all_message_forms():
+    entries = b"".join(
+        mp.py_encode([("__event_time__", 100 + i, i * 1000),
+                      {"k": i, "s": f"v{i}"}]) for i in range(5))
+    buf = b"".join([
+        mp.py_encode(["m.tag", ("__event_time__", 7, 8), {"k": 1}]),
+        mp.py_encode(["f.tag", [[("__event_time__", 1, 2), {"k": 9}]]]),
+        b"\x92" + mp.py_encode("p.tag") + mp.py_encode(entries),
+        b"\x93" + mp.py_encode("gz.tag")
+        + mp.py_encode(gzip.compress(entries))
+        + mp.py_encode({"size": 5, "compressed": "gzip"}),
+    ])
+    evs = list(mp.decode_forward_events(buf))
+    assert len(evs) == 12
+    assert evs[0] == ("m.tag", 7, 8, {"k": 1})
+    assert evs[1] == ("f.tag", 1, 2, {"k": 9})
+    assert [e[0] for e in evs[2:7]] == ["p.tag"] * 5
+    assert evs[7:] == [("gz.tag", 100 + i, i * 1000,
+                        {"k": i, "s": f"v{i}"}) for i in range(5)]
+    # whole-file gzip (CompressedPackedForward chunk file)
+    evs2 = list(mp.decode_forward_events(gzip.compress(buf)))
+    assert evs2 == evs
+    # bare entry stream (on-disk buffer chunk payload)
+    bare = list(mp.decode_forward_events(entries))
+    assert [e[1:] for e in bare] == [e[1:] for e in evs[2:7]]
+    # integer / float time fallbacks
+    it = mp.py_encode(["t", 1700000000, {"a": 1}]) \
+        + mp.py_encode(["t", 1700000000.25, {"a": 2}])
+    assert list(mp.decode_forward_events(it)) == [
+        ("t", 1700000000, 0, {"a": 1}),
+        ("t", 1700000000, 250000000, {"a": 2})]
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        list(mp.decode_stream(b"\xc1"))  # never-used type byte
+    with pytest.raises(ValueError):
+        list(mp.decode_stream(b"\xcb\x00\x00"))  # truncated
+    with pytest.raises(ValueError):
+        list(mp.decode_forward_events(mp.py_encode({"not": "array"})))
+
+
+FIELDS = [("event_id", "long"), ("event_type", "string"),
+          ("user_id", "long"), ("value", "double"), ("props", "string")]
+
+
+def _event_frame(spark):
+    rows = [
+        (1, "login", 42, 2.5, "p1",
+         datetime.datetime(2026, 1, 2, 3, 4, 5, 678901)),
+        (2, "view", -7, -0.0, None,
+         datetime.datetime(2026, 1, 2, 3, 4, 6, 0)),
+        (3, "view", 2**40, 5e-324, "x" * 300,
+         datetime.datetime(2026, 1, 2, 3, 4, 7, 1)),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, "
+              "value double, props string, ts timestamp")
+
+
+def test_chunk_file_roundtrip(spark, tmp_path):
+    df = _event_frame(spark).withColumn(
+        "tag", F.concat(F.lit("ev."), F.col("event_type")))
+    ent = fwd.entries_column(df, "ts", FIELDS)
+    chunks = fwd.pack_chunks(ent, "tag", "entry")
+    out = str(tmp_path / "chunks")
+    fwd.write_forward_chunks(chunks, out)
+    back = fwd.with_event_ts(
+        fwd.read_forward_files(spark, out + "/*.fwd", FIELDS))
+    got = sorted(
+        (r["tag"], r["event_id"], r["event_type"], r["user_id"],
+         struct.pack(">d", r["value"]), r["props"],
+         r["ts"].replace(tzinfo=None))
+        for r in back.collect())
+    exp = sorted(
+        (("ev." + r["event_type"]), r["event_id"], r["event_type"],
+         r["user_id"], struct.pack(">d", r["value"]), r["props"], r["ts"])
+        for r in df.collect())
+    assert got == exp
+
+
+def test_pack_chunks_no_shuffle(spark):
+    ent = fwd.entries_column(
+        _event_frame(spark).withColumn("tag", F.lit("t")), "ts", FIELDS)
+    chunks = fwd.pack_chunks(ent, "tag", "entry")
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("MapInArrow") == 1
+
+
+def test_chunk_options_and_size(spark):
+    ent = fwd.entries_column(
+        _event_frame(spark).withColumn("tag", F.lit("t")), "ts",
+        FIELDS).coalesce(1)
+    rows = fwd.pack_chunks(ent, "tag", "entry").collect()
+    assert len(rows) == 1 and rows[0]["n_entries"] == 3
+    msg = list(mp.decode_stream(bytes(rows[0]["chunk"])))
+    assert len(msg) == 1
+    tag, body, opts = msg[0]
+    assert tag == "t" and opts == {"size": 3}
+    assert len(list(mp.decode_stream(body))) == 3
+
+
+def test_pipeline_msgpack_sink_token_equality(spark, fixture_paths,
+                                              tmp_path):
+    """Format msgpack end to end: the fan-out lands PackedForward
+    chunk files and the decoded bytes reproduce the parquet sink's
+    rows exactly — the per-row token-array invariant survives the
+    out_forward byte format."""
+    from fluent_bit_spark import fixtures as fx
+    from fluent_bit_spark.operators.router import Route
+    from fluent_bit_spark.plans.pipeline import PipelineSpec, run_pipeline
+
+    routes = [Route(*r) for r in fx.DEFAULT_ROUTES]
+    spec_mp = PipelineSpec(vocab=fx.vocab(), routes=routes,
+                           sink_format="msgpack")
+    spec_pq = PipelineSpec(vocab=fx.vocab(), routes=routes)
+    out_mp = str(tmp_path / "mp")
+    out_pq = str(tmp_path / "pq")
+    run_pipeline(spark, spec_mp, fixture_paths["tokens"], out_mp)
+    run_pipeline(spark, spec_pq, fixture_paths["tokens"], out_pq)
+    fields = [("doc_id", "string"), ("tokens", "array<int>"),
+              ("n_tok", "int"), ("source", "string")]
+    sink = fx.DEFAULT_ROUTES[0][0]
+    back = fwd.read_forward_files(
+        spark, f"{out_mp}/sinks/{sink}/batch_id=0/*.fwd", fields)
+    got = sorted((r["tag"], r["doc_id"], tuple(r["tokens"]),
+                  r["n_tok"], r["source"]) for r in back.collect())
+    ref = spark.read.parquet(f"{out_pq}/sinks/{sink}")
+    exp = sorted((r["tag"], r["doc_id"], tuple(r["tokens"]),
+                  r["n_tok"], r["source"])
+                 for r in ref.select("tag", "doc_id", "tokens",
+                                     "n_tok", "source").collect())
+    assert got == exp and got
+
+
+def test_config_format_msgpack(tmp_path):
+    from fluent_bit_spark.plans.config import spec_from_config
+    conf = tmp_path / "p.conf"
+    conf.write_text(
+        "[INPUT]\n    Name tokens\n    Format tokens\n\n"
+        "[OUTPUT]\n    Name forward\n    Match *\n    Sink s\n"
+        "    Format msgpack\n")
+    spec, io = spec_from_config(str(conf))
+    assert spec.sink_format == "msgpack"
+
+
+def test_record_entries_nested_struct(spark):
+    """Nested STRUCT columns ride as nested msgpack maps."""
+    df = spark.createDataFrame(
+        [(1, ("error", 7)), (2, None)],
+        "id long, info struct<level:string,code:long>")
+    ent = fwd.record_entries(df, ["id", "info"])
+    rows = {r["id"]: bytes(r["entry"]) for r in ent.collect()}
+    d1 = list(mp.decode_stream(rows[1]))[0]
+    assert d1[1] == {"id": 1, "info": {"level": "error", "code": 7}}
+    d2 = list(mp.decode_stream(rows[2]))[0]
+    assert d2[1] == {"id": 2, "info": None}
+    with pytest.raises(ValueError):
+        fwd.record_entries(
+            spark.createDataFrame([(1.0,)], "m double")
+            .select(F.create_map(F.lit("k"), F.col("m")).alias("m")),
+            ["m"])
