@@ -435,12 +435,14 @@ def spec_from_tree(tree: dict[str, Any],
         raise ValueError("one [INPUT] per pipeline run (fan-in is a "
                          "union of runs); got %d" % len(inputs))
     inp = inputs[0] if inputs else {}
+    inp_name = str(inp.get("name", "")).lower()
     input_format = str(inp.get("format")
-                       or ("text" if str(inp.get("name", "")).lower()
-                           == "tail" and str(inp.get("path", ""))
-                           .endswith(".log") else "tokens")).lower()
-    if input_format not in ("tokens", "text"):
-        raise ValueError(f"input format must be tokens|text, "
+                       or ("forward" if inp_name == "forward"
+                           else "text" if inp_name == "tail"
+                           and str(inp.get("path", "")).endswith(".log")
+                           else "tokens")).lower()
+    if input_format not in ("tokens", "text", "forward"):
+        raise ValueError(f"input format must be tokens|text|forward, "
                          f"got {input_format!r}")
 
     if vocab is None:

@@ -468,6 +468,9 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
     tune_scan_partitions(spark, input_path)
     if input_format == "text":
         all_files = sorted(spark.read.text(input_path).inputFiles())
+    elif input_format == "forward":
+        all_files = sorted(spark.read.format("binaryFile")
+                           .load(input_path).inputFiles())
     else:
         all_files = sorted(spark.read.schema(TOKENS_SCHEMA)
                            .parquet(input_path).inputFiles())
@@ -492,6 +495,26 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                       else spark.read.text(files))
             df = reader.withColumn("_lineage", lineage)
             routed = build_stages_text(spark, df, spec)
+        elif input_format == "forward":
+            # in_forward file subset: decode another pipeline's (or
+            # fluent-bit sender's) chunk files; the transmitted tag is
+            # PRESERVED by default (in_forward keeps the sender's tag,
+            # unlike tail's tag-from-path) — an explicit tag_expr still
+            # overrides. Lineage rides the decoder's path passthrough
+            # (input_file_name() dies at the Python boundary).
+            import dataclasses
+
+            from ..sources.forward import TOKEN_FIELDS, read_forward_files
+            fdf = read_forward_files(spark, files, TOKEN_FIELDS,
+                                     with_path=True)
+            df = (fdf.withColumnRenamed("tag", "fwd_tag")
+                  .withColumn("_lineage", F.struct(
+                      F.lit(i).alias("batch_id"),
+                      F.col("_input_file").alias("input_file")))
+                  .drop("_input_file", "sec", "nsec"))
+            fspec = (spec if spec.tag_expr
+                     else dataclasses.replace(spec, tag_expr="fwd_tag"))
+            routed = build_stages(spark, df, fspec).drop("fwd_tag")
         else:
             df = (spark.read.schema(TOKENS_SCHEMA).parquet(*files)
                   .withColumn("_lineage", lineage))

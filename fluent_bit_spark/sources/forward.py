@@ -175,16 +175,22 @@ def write_forward_chunks(df: DataFrame, out_dir: str,
     df.foreachPartition(dump)
 
 
-def _decode_schema(fields: list[tuple[str, str]]) -> str:
+def _decode_schema(fields: list[tuple[str, str]],
+                   with_path: bool) -> str:
     cols = ", ".join(f"`{k}` {t}" for k, t in fields)
-    return f"tag string, sec long, nsec long, {cols}"
+    path = "_input_file string, " if with_path else ""
+    return f"{path}tag string, sec long, nsec long, {cols}"
 
 
 def decode_forward_binary(df: DataFrame, col: str,
-                          fields: list[tuple[str, str]]) -> DataFrame:
+                          fields: list[tuple[str, str]],
+                          path_col: str | None = None) -> DataFrame:
     """Decode a BINARY column of forward-protocol messages (or bare
     chunk payloads) into typed rows ``(tag, sec, nsec, *fields)``.
-    Arrow-batched; Python runs per message buffer, not per row."""
+    Arrow-batched; Python runs per message buffer, not per row.
+    ``path_col`` propagates a source-file column to every decoded row
+    as ``_input_file`` (lineage — ``input_file_name()`` does not
+    survive the Python boundary)."""
     import pyarrow as pa
 
     def _pa_type(t: str):
@@ -196,32 +202,42 @@ def decode_forward_binary(df: DataFrame, col: str,
 
     names = [k for k, _ in fields]
     pa_types = [_pa_type(t) for _, t in fields]
+    with_path = path_col is not None
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
+            paths: list[str] = []
             tags: list[str] = []
             secs: list[int] = []
             nsecs: list[int] = []
             vals: list[list] = [[] for _ in names]
-            for buf in b.column(0).to_pylist():
+            srcs = (b.column(1).to_pylist() if with_path
+                    else [None] * b.num_rows)
+            for buf, src in zip(b.column(0).to_pylist(), srcs):
                 if buf is None:
                     continue
                 for tag, sec, nsec, rec in mp.decode_forward_events(buf):
+                    if with_path:
+                        paths.append(src)
                     tags.append(tag)
                     secs.append(sec)
                     nsecs.append(nsec)
                     for i, k in enumerate(names):
                         vals[i].append(rec.get(k))
-            arrays = [pa.array(tags, type=pa.string()),
-                      pa.array(secs, type=pa.int64()),
-                      pa.array(nsecs, type=pa.int64())]
+            arrays = ([pa.array(paths, type=pa.string())]
+                      if with_path else [])
+            arrays += [pa.array(tags, type=pa.string()),
+                       pa.array(secs, type=pa.int64()),
+                       pa.array(nsecs, type=pa.int64())]
             arrays += [pa.array(v, type=pa_types[i])
                        for i, v in enumerate(vals)]
             yield pa.RecordBatch.from_arrays(
-                arrays, names=["tag", "sec", "nsec"] + names)
+                arrays, names=((["_input_file"] if with_path else [])
+                               + ["tag", "sec", "nsec"] + names))
 
-    return (df.select(F.col(col))
-              .mapInArrow(gen, _decode_schema(fields)))
+    cols = [F.col(col)] + ([F.col(path_col)] if with_path else [])
+    return (df.select(*cols)
+              .mapInArrow(gen, _decode_schema(fields, with_path)))
 
 
 def with_event_ts(df: DataFrame, out: str = "ts") -> Column | DataFrame:
@@ -234,12 +250,39 @@ def with_event_ts(df: DataFrame, out: str = "ts") -> Column | DataFrame:
         ).cast("timestamp_ntz"))
 
 
-def read_forward_files(spark: SparkSession, path: str,
-                       fields: list[tuple[str, str]]) -> DataFrame:
+# the tokens-pipeline payload as it rides a forward chunk
+# (plans/pipeline.py TOKENS_SCHEMA)
+TOKEN_FIELDS: list[tuple[str, str]] = [
+    ("doc_id", "string"), ("tokens", "array<int>"),
+    ("n_tok", "int"), ("source", "string")]
+
+
+def read_forward_files(spark: SparkSession, path: str | list[str],
+                       fields: list[tuple[str, str]],
+                       with_path: bool = False) -> DataFrame:
     """Batch in_forward subset: scan ``*.fwd`` chunk files and decode.
     The ``binaryFile`` source distributes one file per task slot; a
     chunk file is bounded by the sender's flush size, so per-task
     memory is bounded like any fluent-bit chunk consumer."""
-    raw = (spark.read.format("binaryFile").load(path)
-           .select(F.col("content")))
+    paths = path if isinstance(path, list) else [path]
+    raw = (spark.read.format("binaryFile").load(paths)
+           .select("content", "path"))
+    return decode_forward_binary(raw, "content", fields,
+                                 path_col="path" if with_path else None)
+
+
+def read_forward_files_stream(spark: SparkSession, path: str,
+                              fields: list[tuple[str, str]],
+                              max_files: int | None = None) -> DataFrame:
+    """Streaming twin: a landing-directory tail of ``.fwd`` chunk
+    files — the continuous-arrival shape of in_forward, like the OTLP
+    landing-dir tail (sources/otlp.py)."""
+    # the binaryFile schema is fixed but the streaming source still
+    # demands it explicitly
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary"))
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    raw = reader.load(path).select("content", "path")
     return decode_forward_binary(raw, "content", fields)

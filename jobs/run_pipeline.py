@@ -32,10 +32,13 @@ def main() -> int:
     ap.add_argument("--sink-format", choices=["parquet", "json_lines"],
                     default="parquet",
                     help="sink payload format (out_file Format analogue)")
-    ap.add_argument("--input-format", choices=["tokens", "text"],
+    ap.add_argument("--input-format",
+                    choices=["tokens", "text", "forward"],
                     default="tokens",
-                    help="tokens parquet (north-star schema) or raw "
-                         ".log text files (in_tail posture)")
+                    help="tokens parquet (north-star schema), raw "
+                         ".log text files (in_tail posture), or "
+                         "forward-protocol msgpack chunk files "
+                         "(in_forward file subset)")
     ap.add_argument("--gen-rows", type=int, default=0,
                     help="synthesize the input first with N rows")
     ap.add_argument("--lookup", default=None,
@@ -103,6 +106,17 @@ def main() -> int:
                    if spec.multiline_parser
                    else spark.read.text(args.input))
             tagged = build_stages_text(spark, rdr, spec)
+        elif input_format == "forward":
+            import dataclasses
+
+            from fluent_bit_spark.sources.forward import (
+                TOKEN_FIELDS, read_forward_files)
+            fdf = (read_forward_files(spark, args.input, TOKEN_FIELDS)
+                   .withColumnRenamed("tag", "fwd_tag")
+                   .drop("sec", "nsec"))
+            fspec = (spec if spec.tag_expr else
+                     dataclasses.replace(spec, tag_expr="fwd_tag"))
+            tagged = build_stages(spark, fdf, fspec)
         else:
             tagged = build_stages(
                 spark,

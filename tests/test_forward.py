@@ -275,3 +275,76 @@ def test_record_entries_nested_struct(spark):
             spark.createDataFrame([(1.0,)], "m double")
             .select(F.create_map(F.lit("k"), F.col("m")).alias("m")),
             ["m"])
+
+
+def test_daisy_chain_forward_input(spark, fixture_paths, tmp_path):
+    """in_forward file subset, end to end: pipeline A lands everything
+    in one msgpack relay sink; pipeline B ingests A's chunk files with
+    ``input_format="forward"`` (sender tags preserved) and routes with
+    the real table — per-sink row sets equal a direct single-stage
+    run. The fluent-bit forward→forward daisy-chain pattern."""
+    from fluent_bit_spark import fixtures as fx
+    from fluent_bit_spark.operators.router import Route
+    from fluent_bit_spark.plans.pipeline import PipelineSpec, run_pipeline
+
+    routes = [Route(*r) for r in fx.DEFAULT_ROUTES]
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    out_d = str(tmp_path / "d")
+    run_pipeline(spark, PipelineSpec(vocab=fx.vocab(),
+                                     routes=[Route("relay", "*")],
+                                     sink_format="msgpack"),
+                 fixture_paths["tokens"], out_a)
+    run_pipeline(spark, PipelineSpec(vocab=fx.vocab(), routes=routes),
+                 f"{out_a}/sinks/relay/batch_id=0", out_b,
+                 input_format="forward")
+    run_pipeline(spark, PipelineSpec(vocab=fx.vocab(), routes=routes),
+                 fixture_paths["tokens"], out_d)
+    checked = 0
+    for sink in {r[0] for r in fx.DEFAULT_ROUTES}:
+        try:
+            d = spark.read.parquet(f"{out_d}/sinks/{sink}")
+        except Exception:
+            continue  # route never fired (needs rewrite rules)
+        exp = sorted((r["tag"], r["doc_id"], tuple(r["tokens"]))
+                     for r in d.select("tag", "doc_id",
+                                       "tokens").collect())
+        got = sorted((r["tag"], r["doc_id"], tuple(r["tokens"]))
+                     for r in spark.read.parquet(f"{out_b}/sinks/{sink}")
+                     .select("tag", "doc_id", "tokens").collect())
+        assert got == exp and got, sink
+        checked += 1
+    assert checked >= 3
+    # lineage points at the .fwd chunk files, not the original parquet
+    lin = (spark.read.parquet(f"{out_b}/sinks/" +
+                              next(iter({r[0] for r in
+                                         fx.DEFAULT_ROUTES})))
+           .select("_lineage.input_file").distinct().collect())
+    assert all(r["input_file"].endswith(".fwd") for r in lin)
+
+
+def test_config_input_name_forward(tmp_path):
+    from fluent_bit_spark.plans.config import spec_from_config
+    conf = tmp_path / "p.conf"
+    conf.write_text(
+        "[INPUT]\n    Name forward\n\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec, io = spec_from_config(str(conf))
+    assert io["input_format"] == "forward"
+
+
+def test_forward_stream_landing_dir(spark, tmp_path):
+    """Streaming twin: .fwd files dropped in a landing dir arrive as
+    decoded rows (availableNow batch drain)."""
+    df = _event_frame(spark).withColumn("tag", F.lit("t"))
+    ent = fwd.entries_column(df, "ts", FIELDS)
+    land = str(tmp_path / "land")
+    fwd.write_forward_chunks(fwd.pack_chunks(ent, "tag", "entry"), land)
+    out = []
+    q = (fwd.read_forward_files_stream(spark, land + "/*.fwd", FIELDS)
+         .writeStream.format("memory").queryName("fwd_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = spark.sql("select * from fwd_stream").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+    assert all(r["tag"] == "t" for r in rows)
