@@ -564,17 +564,31 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                 # msgpack int arrays — the per-row invariant survives
                 # the sink bytes, tests/test_forward.py).
                 from ..sources.forward import (pack_chunks,
+                                               pack_chunks_arrow,
                                                record_entries,
                                                write_forward_chunks)
                 payload_cols = [c for c in good.columns
                                 if c not in ("sinks", "routes_mask",
                                              "dlq_reason", "_lineage",
                                              "tag")]
-                ent = record_entries(good, payload_cols)
+                try:
+                    # vectorized fast path (byte-identical; 3-6×) for
+                    # string/int/int-array payloads — probe types once
+                    pack_chunks_arrow(good.limit(0), "tag", payload_cols)
+                    fast = True
+                except ValueError:
+                    fast = False
+                    ent_all = record_entries(good, payload_cols)
                 for s in sinks:
-                    chunks = pack_chunks(
-                        ent.filter(F.array_contains("sinks", s)),
-                        "tag", "entry")
+                    sel = good.filter(F.array_contains("sinks", s))
+                    if fast:
+                        chunks = pack_chunks_arrow(sel, "tag",
+                                                   payload_cols)
+                    else:
+                        chunks = pack_chunks(
+                            ent_all.filter(
+                                F.array_contains("sinks", s)),
+                            "tag", "entry")
                     write_forward_chunks(
                         chunks, f"{output_dir}/sinks/{s}/batch_id={i}")
             else:

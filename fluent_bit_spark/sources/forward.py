@@ -116,14 +116,22 @@ def entries_column(df: DataFrame, ts_col: str | None,
 
 def pack_chunks(df: DataFrame, tag_col: str = "tag",
                 entry_col: str = "entry",
-                with_options: bool = True) -> DataFrame:
+                with_options: bool = True,
+                compress: str | None = None) -> DataFrame:
     """Fold each partition's entries into PackedForward messages —
     one ``[tag, bin, {"size": n}]`` per tag per partition, returned as
     ``(tag, n_entries, chunk BINARY)`` rows. No shuffle: chunks are
-    per-task, exactly like fluent-bit's per-input buffer chunks."""
+    per-task, exactly like fluent-bit's per-input buffer chunks.
+    ``compress="gzip"`` emits CompressedPackedForward (the entry
+    stream gzipped inside the bin, option ``"compressed": "gzip"`` —
+    out_forward's Compress gzip)."""
+    import gzip as _gzip
+
     import pyarrow as pa
 
-    use_opts = with_options
+    if compress not in (None, "gzip"):
+        raise ValueError("compress must be None or 'gzip'")
+    use_opts = with_options or compress is not None
     out_schema = pa.schema([("tag", pa.string()),
                             ("n_entries", pa.int64()),
                             ("chunk", pa.binary())])
@@ -141,10 +149,14 @@ def pack_chunks(df: DataFrame, tag_col: str = "tag",
         for tag in sorted(acc):
             ents = acc[tag]
             body = b"".join(ents)
+            opts: dict = {"size": len(ents)}
+            if compress == "gzip":
+                body = _gzip.compress(body, mtime=0)  # deterministic
+                opts["compressed"] = "gzip"
             packed = (b"\x93" if use_opts else b"\x92") \
                 + mp.py_encode(tag) + mp.py_encode(body)
             if use_opts:
-                packed += mp.py_encode({"size": len(ents)})
+                packed += mp.py_encode(opts)
             rows.append((tag, len(ents), packed))
         yield pa.RecordBatch.from_arrays(
             [pa.array([r[i] for r in rows], type=out_schema.types[i])
@@ -153,6 +165,82 @@ def pack_chunks(df: DataFrame, tag_col: str = "tag",
     narrow = df.select(F.col(tag_col).alias("tag"),
                        F.col(entry_col).alias("entry"))
     return narrow.mapInArrow(fold, "tag string, n_entries long, chunk binary")
+
+
+def pack_chunks_arrow(df: DataFrame, tag_col: str = "tag",
+                      cols: list[str] | None = None,
+                      with_options: bool = True,
+                      compress: str | None = None) -> DataFrame:
+    """Fused fast path: encode entries AND fold chunks in one
+    vectorized Arrow kernel (functions/msgpack_arrow.py) — no
+    intermediate entry column, no per-row Python. Byte-identical
+    output to ``entries_column`` + ``pack_chunks`` (equivalence-gated
+    in tests/test_forward.py); restricted to string / int / int-array
+    payloads with the EventTime(0, 0) stamp — the msgpack sink falls
+    back to the Catalyst path for anything else."""
+    import gzip as _gzip
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions import msgpack_arrow as ma
+
+    if compress not in (None, "gzip"):
+        raise ValueError("compress must be None or 'gzip'")
+    cols = cols or [c for c in df.columns if c != tag_col]
+    dt = dict(df.dtypes)
+    fields = [(c, ma.plan_kind(dt[c])) for c in cols]
+    use_opts = with_options or compress is not None
+
+    out_schema = pa.schema([("tag", pa.string()),
+                            ("n_entries", pa.int64()),
+                            ("chunk", pa.binary())])
+
+    def fold(batches):
+        acc: dict[str, list[bytes]] = {}
+        counts: dict[str, int] = {}
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            tags = b.column(0)
+            codes_arr = tags.dictionary_encode()
+            codes = np.asarray(codes_arr.indices)
+            order = np.argsort(codes, kind="stable")
+            sorted_b = b.take(pa.array(order))
+            buf, ends = ma.encode_entries(sorted_b, fields)
+            starts = np.concatenate([[0], ends[:-1]])
+            sc = codes[order]
+            bounds = np.flatnonzero(np.diff(sc)) + 1
+            grp_starts = np.concatenate([[0], bounds])
+            grp_ends = np.concatenate([bounds, [len(sc)]])
+            dict_vals = codes_arr.dictionary.to_pylist()
+            bb = buf.tobytes()
+            for gs, ge in zip(grp_starts, grp_ends):
+                tag = dict_vals[sc[gs]]
+                acc.setdefault(tag, []).append(
+                    bb[starts[gs]:ends[ge - 1]])
+                counts[tag] = counts.get(tag, 0) + int(ge - gs)
+        if not acc:
+            return
+        rows = []
+        for tag in sorted(acc):
+            body = b"".join(acc[tag])
+            opts: dict = {"size": counts[tag]}
+            if compress == "gzip":
+                body = _gzip.compress(body, mtime=0)
+                opts["compressed"] = "gzip"
+            packed = (b"\x93" if use_opts else b"\x92") \
+                + mp.py_encode(tag) + mp.py_encode(body)
+            if use_opts:
+                packed += mp.py_encode(opts)
+            rows.append((tag, counts[tag], packed))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([r[i] for r in rows], type=out_schema.types[i])
+             for i in range(3)], schema=out_schema)
+
+    narrow = df.select(F.col(tag_col).alias("tag"), *cols)
+    return narrow.mapInArrow(fold, "tag string, n_entries long, "
+                                   "chunk binary")
 
 
 def write_forward_chunks(df: DataFrame, out_dir: str,
