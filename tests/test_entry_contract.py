@@ -26,6 +26,18 @@ NEVER_DRIVER_CHECKED_BEFORE_R4 = {
     "deterministic_sample", "record_accessor_template",
 }
 
+# Round-4 additions: also never driver-checked (r4's CORRECTNESS file is
+# produced at round end from the window below).
+NEVER_DRIVER_CHECKED_BEFORE_R4 |= {
+    "multimodal_jpeg_roundtrip", "multimodal_wav_features",
+    "multimodal_video_frames", "redact_pii", "ann_pq", "parse_otlp_logs",
+    "unigram_surprisal", "stratified_split", "gopher_quality",
+    "tfidf_topk", "serialize_template", "corpus_quality_pack",
+    "script_filter_map", "second_stage_parse", "time_parse_strptime",
+    "expect_stamp", "checklist_flag_record", "log_latency_quantiles",
+    "forward_roundtrip",
+}
+
 
 def test_priority_entries_inside_driver_window():
     names = list(entry.queries())
