@@ -53,7 +53,7 @@ _DRIVER_CHECK_FIRST = [
     "tfidf_topk", "serialize_template", "corpus_quality_pack",
     "script_filter_map", "second_stage_parse", "time_parse_strptime",
     "expect_stamp", "checklist_flag_record", "log_latency_quantiles",
-    "forward_roundtrip",
+    "forward_roundtrip", "substring_dedup",
     # -- veterans with the thinnest driver history (first green r2/r3) --
     "ann_lsh_multiprobe", "serialize_csv_ltsv", "decoder_escaped",
     "decoder_json_chain", "geoip_range_lookup", "serialize_prometheus",
@@ -64,7 +64,7 @@ _DRIVER_CHECK_FIRST = [
     #  asof_enrich, sp_sql_stream_agg — moved past the window to make room
     #  for the 38 never-driver-checked entries; each has 2-3 rounds of
     #  driver greens on record and stays covered by tools/check_oracles.py)
-    "route_agg", "agg_pushdown_q1", "dedup_exact",
+    "route_agg", "agg_pushdown_q1",
 ]
 
 

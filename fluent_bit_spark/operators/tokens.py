@@ -264,6 +264,104 @@ def decontaminate(train: DataFrame, bench: DataFrame, n: int = 5,
 
 
 # ---------------------------------------------------------------------------
+# exact substring-span dedup (suffix-array-style duplicated-span removal)
+# ---------------------------------------------------------------------------
+
+
+def substring_windows(df: DataFrame, id_col: str = "doc_id",
+                      tokens_col: str = "tokens",
+                      length: int = 50) -> DataFrame:
+    """All contiguous ``length``-token windows of every document, as
+    ``(id, pos, wkey)`` with ``pos`` 1-based and ``wkey`` the md5 of
+    the space-joined window content. Map-side only (explode + slice +
+    hash inside one projection); the window CONTENT never leaves the
+    task — only the fixed-width key is shuffled, so the exchange is
+    ~40 B/window regardless of ``length``. Documents shorter than
+    ``length`` yield no windows (same descending-``sequence`` guard as
+    ``token_ngrams``)."""
+    starts = F.sequence(F.lit(1), F.size(tokens_col) - (length - 1))
+    return (df.filter(F.size(tokens_col) >= length)
+            .select(id_col, F.col(tokens_col).alias("__t"),
+                    F.explode(starts).alias("pos"))
+            .select(id_col, "pos",
+                    F.md5(F.concat_ws(
+                        " ",
+                        F.slice("__t", F.col("pos"), length)
+                        .cast("array<string>"))).alias("wkey")))
+
+
+def substring_dedup(df: DataFrame, length: int = 50,
+                    id_col: str = "doc_id", tokens_col: str = "tokens",
+                    materialize: str | None = "disk") -> DataFrame:
+    """Exact duplicated-span removal, the token-level third leg next to
+    MinHash doc dedup and C4 line dedup (the suffix-array substring
+    dedup of Lee et al. 2022, re-expressed as its rolling-window
+    equivalent: a span of ``>= length`` tokens is duplicated iff every
+    ``length``-window inside it is duplicated, so window-level marking
+    removes exactly the maximal duplicated spans).
+
+    Semantics (deterministic, engine-portable): a window occurring >= 2
+    times corpus-wide keeps only its globally-first occurrence (min
+    ``(id, pos)``); every other occurrence marks its ``length``
+    positions for removal. Marked intervals are merged per document and
+    the surviving tokens are re-concatenated in order. Output = input
+    rows with ``tokens_col`` rewritten plus ``n_before``/``n_removed``.
+
+    Scale shape: one shuffle on the window key (count + global-min in
+    a single hash aggregate, map-side partials), one hash join of
+    occurrences against the duplicated-key table (duplicate keys are a
+    small fraction of windows → AQE broadcasts it), one shuffle on
+    ``id_col`` to gather a document's marked starts, and one join back
+    onto the input (removal-touched docs only → broadcast-sized at
+    realistic dup rates). The window explode is an EXPANSION, so it
+    follows the NOTES.md rule: ``materialize="disk"`` persists it
+    DISK_ONLY across its two plan branches. Per-doc rewrite is pure
+    Catalyst: marked starts fold into disjoint intervals (so a fully-
+    boilerplate document costs O(1) membership tests per token, not
+    O(n)), then ``filter(tokens, (t, i) -> no interval covers i)``.
+    """
+    occ = substring_windows(df, id_col, tokens_col, length)
+    if materialize == "disk":
+        occ = occ.persist(StorageLevel.DISK_ONLY)
+    dup = (occ.groupBy("wkey")
+           .agg(F.count("*").alias("c"),
+                F.min(F.struct(F.col(id_col).alias("i"),
+                               F.col("pos").alias("p"))).alias("keep"))
+           .filter(F.col("c") >= 2)
+           .select("wkey", "keep"))
+    marked = (occ.join(dup, "wkey")
+              .filter(~((F.col(id_col) == F.col("keep.i"))
+                        & (F.col("pos") == F.col("keep.p"))))
+              .select(id_col, "pos"))
+    last = lambda a, f: F.element_at(a, -1)[f]  # noqa: E731
+    merge = F.aggregate(
+        "__starts", F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= last(acc, "hi")),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.struct(
+                         last(acc, "lo").alias("lo"),
+                         F.greatest(last(acc, "hi"),
+                                    s + length).alias("hi"))))
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                s.alias("lo"), (s + length).alias("hi"))))))
+    iv = (marked.groupBy(id_col)
+          .agg(F.sort_array(F.collect_list("pos")).alias("__starts"))
+          .select(id_col, merge.alias("__iv")))
+    out = df.join(iv, id_col, "left")
+    covered = lambda p: F.exists(  # noqa: E731
+        "__iv", lambda v: (v["lo"] <= p) & (p < v["hi"]))
+    clean = F.when(F.col("__iv").isNull(), F.col(tokens_col)).otherwise(
+        F.filter(tokens_col, lambda t, i: ~covered(i + 1)))
+    return (out.withColumn("n_before", F.size(tokens_col).cast("long"))
+            .withColumn(tokens_col, clean)
+            .withColumn("n_removed",
+                        F.col("n_before") - F.size(tokens_col))
+            .drop("__iv"))
+
+
+# ---------------------------------------------------------------------------
 # line-level ops (C4-style corpus line dedup; Gopher repetition stats)
 # ---------------------------------------------------------------------------
 

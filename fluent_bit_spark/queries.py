@@ -1582,6 +1582,56 @@ def dedup_tokens_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 hash_fn="portable")
 
 
+@q("substring_dedup", """
+WITH docs AS (SELECT doc_id, """ + _TOK_WORDS_SQL + """ AS toks
+              FROM documents),
+win AS (
+  SELECT d.doc_id, t.i AS pos,
+         md5(array_to_string(d.toks[t.i:t.i+7], ' ')) AS wkey
+  FROM docs d, unnest(range(1, len(d.toks) - 6)) t(i)),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY wkey) AS c,
+           row_number() OVER (PARTITION BY wkey
+                              ORDER BY doc_id, pos) AS rn
+    FROM win) WHERE c >= 2 AND rn > 1),
+pos AS (
+  SELECT d.doc_id, t.q, d.toks[t.q] AS tk
+  FROM docs d, unnest(range(1, len(d.toks) + 1)) t(q)),
+kept AS (
+  SELECT p.doc_id, p.q, p.tk FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM marked m
+                    WHERE m.doc_id = p.doc_id
+                      AND p.q >= m.pos AND p.q < m.pos + 8)),
+clean AS (
+  SELECT doc_id, count(*) AS n_after,
+         string_agg(tk, ' ' ORDER BY q) AS body
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       len(d.toks)::BIGINT AS n_before,
+       (len(d.toks) - coalesce(c.n_after, 0))::BIGINT AS n_removed,
+       md5(coalesce(c.body, '')) AS clean_md5
+FROM docs d LEFT JOIN clean c USING (doc_id)
+""")
+def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal over token sequences (the
+    suffix-array substring dedup of Lee et al. 2022 as its rolling-
+    window equivalent): every 8-token window occurring twice anywhere
+    in the corpus is scrubbed from all but its globally-first
+    occurrence; documents are re-emitted with the surviving tokens.
+    The oracle re-derives the marked set with SQL window functions and
+    an interval anti-join, and value-checks the REWRITTEN SEQUENCE
+    itself (md5 of the cleaned token string), not just the counts."""
+    from .operators.tokens import substring_dedup
+    toks = (_tokenized_docs(spark, sf_dir)
+            .select("doc_id", F.split("text", " ").alias("tokens")))
+    out = substring_dedup(toks, length=8, materialize=None)
+    return out.select(
+        "doc_id", "n_before", "n_removed",
+        F.md5(F.concat_ws(" ", "tokens")).alias("clean_md5"))
+
+
 @q("deterministic_sample", """
 SELECT doc_id, source, lang FROM documents
 WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT

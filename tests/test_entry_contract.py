@@ -35,7 +35,7 @@ NEVER_DRIVER_CHECKED_BEFORE_R4 |= {
     "tfidf_topk", "serialize_template", "corpus_quality_pack",
     "script_filter_map", "second_stage_parse", "time_parse_strptime",
     "expect_stamp", "checklist_flag_record", "log_latency_quantiles",
-    "forward_roundtrip",
+    "forward_roundtrip", "substring_dedup",
 }
 
 

@@ -445,3 +445,43 @@ def test_tfidf_topk_matches_pure_python(spark):
     assert got == want
     # rare token 4 (df=1) must out-score common token 3 (df=2) in d3
     assert got[("d3", 1)][0] == 4 or got[("d3", 1)][2] >= got[("d3", 2)][2]
+
+
+def test_substring_dedup_spans_and_canonical_keep(spark):
+    """Planted duplicated spans: the globally-first occurrence is kept
+    intact, every other occurrence is scrubbed; overlapping marked
+    windows merge (a shared 10-token span costs 10 tokens, not 3x8);
+    docs shorter than the window are untouched."""
+    S = list(range(100, 108))          # 8-token span shared by A, B, C
+    T = list(range(200, 210))          # 10-token span shared by E, F
+    rows = [
+        (1, list(range(1, 5)) + S + list(range(13, 21))),      # canonical
+        (2, list(range(31, 34)) + S + list(range(41, 48))),    # S scrubbed
+        (3, S + S + [99]),                                     # both copies
+        (4, [7, 8, 9]),                                        # too short
+        (5, T + [55, 56, 57, 58, 59, 60, 61, 62]),             # canonical T
+        (6, list(range(71, 79)) + T),                          # T scrubbed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: r for r in
+           TK.substring_dedup(df, length=8, materialize=None).collect()}
+    assert got[1]["tokens"] == rows[0][1] and got[1]["n_removed"] == 0
+    assert got[2]["tokens"] == list(range(31, 34)) + list(range(41, 48))
+    assert got[2]["n_removed"] == 8
+    assert got[3]["tokens"] == [99] and got[3]["n_removed"] == 16
+    assert got[4]["tokens"] == [7, 8, 9] and got[4]["n_removed"] == 0
+    assert got[5]["tokens"] == rows[4][1] and got[5]["n_removed"] == 0
+    # F: three overlapping duplicated windows (T at pos 9 has starts
+    # 9, 10, 11) merge into one [9, 19) interval -> exactly 10 removed.
+    assert got[6]["tokens"] == list(range(71, 79))
+    assert got[6]["n_removed"] == 10
+
+
+def test_substring_dedup_plan_is_jvm_only(spark):
+    df = spark.createDataFrame(
+        [(i, list(range(i, i + 12))) for i in range(20)],
+        "doc_id long, tokens array<int>")
+    out = TK.substring_dedup(df, length=8, materialize=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
