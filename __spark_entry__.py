@@ -54,17 +54,18 @@ _DRIVER_CHECK_FIRST = [
     "script_filter_map", "second_stage_parse", "time_parse_strptime",
     "expect_stamp", "checklist_flag_record", "log_latency_quantiles",
     "forward_roundtrip", "substring_dedup",
+    "kmeans_embeddings", "semdedup_drop",
     # -- veterans with the thinnest driver history (first green r2/r3) --
     "ann_lsh_multiprobe", "serialize_csv_ltsv", "decoder_escaped",
     "decoder_json_chain", "geoip_range_lookup", "serialize_prometheus",
     "skew_salted_join", "multimodal_resize", "multiline_cri",
-    # -- headline operators kept under continuous driver watch --
-    # (the other multi-round-green veterans — parse_json_props,
-    #  embedding_neardup, the ANN quartet, text functions, multiline_join,
-    #  asof_enrich, sp_sql_stream_agg — moved past the window to make room
-    #  for the 38 never-driver-checked entries; each has 2-3 rounds of
-    #  driver greens on record and stays covered by tools/check_oracles.py)
-    "route_agg", "agg_pushdown_q1",
+    # (all multi-round-green veterans — route_agg, agg_pushdown_q1,
+    #  parse_json_props, embedding_neardup, the ANN quartet, text
+    #  functions, multiline_join, asof_enrich, sp_sql_stream_agg —
+    #  moved past the window to make room for the 41 never-driver-
+    #  checked entries; each has 2-3 rounds of driver greens on record,
+    #  stays covered by tools/check_oracles.py, and route_agg is
+    #  additionally exercised every round through entry()'s flagship.)
 ]
 
 

@@ -607,3 +607,138 @@ def pq_topk(df: DataFrame, id_col: str, vec_col: str,
                 cosine(F.col(vec_col).cast("array<double>"), qv)
                 .alias("cos"))
             .orderBy(F.desc("cos"), F.col(id_col)).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact k-means (fixed-iteration Lloyd's) and SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def quantize_vec(vec_col: str | Column, scale: int = 1000,
+                 shift: int = 0) -> Column:
+    """Engine-portable integer quantization of a float vector:
+    ``floor(double(x) * scale) + shift`` per component. ``floor`` (not
+    ``round``) because floor of a double is identical in every engine
+    while round's half-way rule is not; with ``shift`` large enough to
+    make components non-negative, later integer division is the same
+    under floor and truncation semantics — all downstream arithmetic
+    becomes exact BIGINT, reproducible by DuckDB/any SQL engine."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c.cast("array<double>"),
+                       lambda x: F.floor(x * scale).cast("long") + shift)
+
+
+def _ivec_sql(vec: list[int]) -> str:
+    return "array(" + ", ".join(f"{int(x)}L" for x in vec) + ")"
+
+
+def _l2sq_int_sql(a: str, b: str) -> str:
+    """Integer squared L2 between two BIGINT arrays (zip_with + fold —
+    stays inside codegen, exact)."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"0L, (acc, v) -> acc + v)")
+
+
+def kmeans_assign_inline(df: DataFrame, qvec_col: str,
+                         cents: list[tuple[int, list[int]]],
+                         cl_out: str = "cluster",
+                         d2_out: str = "d2") -> DataFrame:
+    """Zero-shuffle Lloyd's assignment over integer-quantized vectors:
+    centroids ride the plan as literals (same posture as
+    ``ivf_assign_inline``), per-row argmin is one ``array_max`` over
+    ``(-d2, -rank, cluster)`` structs — ties break toward the lowest
+    cluster id. Map-only; no join, no window, no exchange."""
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    lits = "array(" + ", ".join(
+        f"named_struct('cv', {_ivec_sql(cents[i][1])}, "
+        f"'nr', {-r}, 'cl', {int(cents[i][0])})"
+        for r, i in enumerate(order)) + ")"
+    best = (f"array_max(transform({lits}, c -> named_struct("
+            f"'nd', -{_l2sq_int_sql(qvec_col, 'c.cv')}, "
+            f"'nr', c.nr, 'cl', c.cl)))")
+    return (df.withColumn("__best", F.expr(best))
+              .withColumn(cl_out, F.col("__best.cl"))
+              .withColumn(d2_out, -F.col("__best.nd"))
+              .drop("__best"))
+
+
+def kmeans(df: DataFrame, id_col: str, vec_col: str, dim: int,
+           k: int = 8, iters: int = 2, scale: int = 1000,
+           shift: int = 1024) -> DataFrame:
+    """Fixed-iteration distributed Lloyd's k-means over integer-
+    quantized embeddings — deterministic and EXACT (bit-equal across
+    engines and partitionings): quantization is floor-based, distances
+    and centroid sums are BIGINT, centroid components are floor-divided
+    sums (non-negative by ``shift``, so floor == truncation in any
+    engine), init is the ``k`` smallest ``id_col`` rows, ties break to
+    the lowest cluster id, and a cluster that loses all members drops
+    out (mirrorable in plain SQL). Returns the input keyed rows with
+    ``cluster`` and integer ``d2`` (squared L2 to the final centroid).
+
+    Scale shape per iteration: assignment is MAP-ONLY (centroid
+    literals in the plan, ``kmeans_assign_inline``); the update is one
+    hash aggregate keyed by cluster producing ``dim`` component sums
+    (map-side partials; k·dim longs cross the wire), collected to the
+    driver (k rows — the IVF-quantizer-accepted bounded collect). No
+    iteration shuffles the corpus; ``iters`` is fixed, so the lineage
+    is ``iters`` narrow stages, no convergence probe."""
+    q = df.select(id_col,
+                  quantize_vec(vec_col, scale, shift).alias("__q"))
+    init = (q.orderBy(id_col).limit(k)
+             .select("__q").collect())
+    cents = [(i, [int(x) for x in r["__q"]]) for i, r in enumerate(init)]
+    assigned = None
+    for it in range(iters):
+        assigned = kmeans_assign_inline(q, "__q", cents)
+        if it == iters - 1:
+            break
+        sums = (assigned.groupBy("cluster")
+                .agg(F.count("*").alias("__n"),
+                     *[F.sum(F.element_at("__q", i + 1)).alias(f"s{i}")
+                       for i in range(dim)])
+                .collect())
+        cents = sorted(
+            (int(r["cluster"]),
+             [int(r[f"s{i}"]) // int(r["__n"]) for i in range(dim)])
+            for r in sums)
+    return df.join(assigned.select(id_col, "cluster", "d2"), id_col)
+
+
+def semdedup(df: DataFrame, id_col: str, vec_col: str, dim: int,
+             k: int = 8, iters: int = 2, tau2_num: int = 8100,
+             tau2_den: int = 10000, scale: int = 1000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then drop every row whose cosine similarity to a LOWER-id row in
+    the SAME cluster reaches ``sqrt(tau2_num / tau2_den)``. Returns the
+    dropped ``(id, cluster)`` rows.
+
+    The cosine test is exact integer arithmetic — ``dot > 0 AND
+    dot² · tau2_den ≥ tau2_num · |a|² · |b|²`` over ``scale``-quantized
+    signed vectors (no sqrt, no float; bounds: dim·(scale)² per dot for
+    unit-ish embeddings keeps dot²·den « 2^63).
+
+    Scale shape: the candidate join is keyed by CLUSTER — the whole
+    point of SemDeDup's design: pair cost is Σ(cluster size²), bounded
+    by choosing k ∝ corpus/target-cluster-size, never a corpus
+    cross join. Assignment is map-only (see ``kmeans``); the pair join
+    is one hash exchange on the cluster key."""
+    qc = quantize_vec(vec_col, scale, 0)
+    assigned = (kmeans(df, id_col, vec_col, dim, k, iters, scale)
+                .select(F.col(id_col), "cluster", qc.alias("__qc")))
+    a = assigned.select(F.col(id_col).alias("__aid"), "cluster",
+                        F.col("__qc").alias("__qa"))
+    b = assigned.select(F.col(id_col).alias(id_col), "cluster",
+                        F.col("__qc").alias("__qb"))
+    dot = F.expr("aggregate(zip_with(__qa, __qb, (x, y) -> x * y), "
+                 "0L, (acc, v) -> acc + v)")
+    n2 = ("aggregate(zip_with({0}, {0}, (x, y) -> x * y), "
+          "0L, (acc, v) -> acc + v)")
+    hit = ((dot > 0)
+           & (dot * dot * F.lit(tau2_den)
+              >= F.lit(tau2_num) * F.expr(n2.format("__qa"))
+              * F.expr(n2.format("__qb"))))
+    return (a.join(b, "cluster")
+             .filter(F.col("__aid") < F.col(id_col))
+             .filter(hit)
+             .select(id_col, "cluster")
+             .distinct())

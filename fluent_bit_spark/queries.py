@@ -2756,3 +2756,88 @@ def forward_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.decode_forward_binary(chunks, "chunk", fields))
     return back.select("event_id", "ts", "event_type", "user_id",
                        "value", "props", "tag")
+
+
+# ===========================================================================
+# Integer-exact k-means + SemDeDup over the embeddings table (r4)
+# ===========================================================================
+
+_KM_L2 = ("list_sum(list_transform(list_zip({a}.q, {b}.cq), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+_KM_CHAIN = """
+v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000) AS BIGINT) + 1024) AS q
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, q AS cq
+  FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 8)),
+a1 AS (
+  SELECT v.vec_id, v.q,
+         (SELECT c.cl FROM c0 c
+          ORDER BY """ + _KM_L2.format(a="v", b="c") + """, c.cl
+          LIMIT 1) AS cl
+  FROM v),
+c1 AS (
+  SELECT cl, list(s ORDER BY i) AS cq FROM (
+    SELECT a1.cl, t.i, sum(a1.q[t.i]) // count(*) AS s
+    FROM a1, unnest(range(1, 65)) t(i)
+    GROUP BY a1.cl, t.i) GROUP BY cl),
+a2 AS (
+  SELECT v.vec_id, v.q,
+         (SELECT c.cl FROM c1 c
+          ORDER BY """ + _KM_L2.format(a="v", b="c") + """, c.cl
+          LIMIT 1) AS cl
+  FROM v)"""
+
+
+@q("kmeans_embeddings", "WITH " + _KM_CHAIN + """
+SELECT a2.vec_id, a2.cl::BIGINT AS cluster,
+       """ + _KM_L2.format(a="a2", b="c") + """::BIGINT AS d2
+FROM a2 JOIN c1 c ON c.cl = a2.cl
+""")
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-iteration Lloyd's k-means over integer-
+    quantized embeddings (operators/similarity.py kmeans): map-only
+    literal-centroid assignment, one k-row hash aggregate per update,
+    EXACT BIGINT arithmetic end to end — the DuckDB oracle replays
+    both Lloyd iterations (init = k smallest ids, floor-div centroid
+    update, lowest-cluster tie-break) and must match every assignment
+    and squared distance bit for bit."""
+    from .operators.similarity import kmeans
+    emb = t(spark, sf_dir, "embeddings")
+    out = kmeans(emb, "vec_id", "embedding", dim=64, k=8, iters=2)
+    return out.select("vec_id", F.col("cluster").cast("long"), "d2")
+
+
+@q("semdedup_drop", "WITH " + _KM_CHAIN + """,
+w AS (
+  SELECT a2.vec_id, a2.cl,
+         list_transform(e.embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS c
+  FROM a2 JOIN embeddings e USING (vec_id)),
+w2 AS (
+  SELECT vec_id, cl, c,
+         list_sum(list_transform(c, x -> x * x)) AS n2 FROM w),
+p AS (
+  SELECT b.vec_id, b.cl,
+         list_sum(list_transform(list_zip(a.c, b.c),
+                                 q -> q[1] * q[2])) AS dot,
+         a.n2 AS an2, b.n2 AS bn2
+  FROM w2 a JOIN w2 b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+SELECT DISTINCT vec_id, cl::BIGINT AS cluster
+FROM p WHERE dot > 0 AND dot * dot * 10000 >= 1600 * an2 * bn2
+""")
+def semdedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-intra-cluster cosine dedup, Abbas et al.
+    2023): rows whose quantized cosine to a lower-id row in the same
+    k-means cluster reaches tau=0.4 are dropped. The pair join is
+    keyed by CLUSTER (never a corpus cross join); the cosine test is
+    pure BIGINT cross-multiplication (dot² · den ≥ tau² · |a|² · |b|²)
+    so the oracle reproduces it exactly."""
+    from .operators.similarity import semdedup
+    emb = t(spark, sf_dir, "embeddings")
+    out = semdedup(emb, "vec_id", "embedding", dim=64, k=8, iters=2,
+                   tau2_num=1600, tau2_den=10000)
+    return out.select("vec_id", F.col("cluster").cast("long"))

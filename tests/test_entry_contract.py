@@ -36,6 +36,7 @@ NEVER_DRIVER_CHECKED_BEFORE_R4 |= {
     "script_filter_map", "second_stage_parse", "time_parse_strptime",
     "expect_stamp", "checklist_flag_record", "log_latency_quantiles",
     "forward_roundtrip", "substring_dedup",
+    "kmeans_embeddings", "semdedup_drop",
 }
 
 

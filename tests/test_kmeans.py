@@ -1,0 +1,73 @@
+"""Integer-exact k-means + SemDeDup (operators/similarity.py):
+planted-cluster recovery, partitioning invariance, map-only
+assignment plan, planted near-dup dropping."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.operators import similarity as SIM
+
+DIM = 8
+
+
+def _planted(spark, per=6, parts=None):
+    # three tight blobs around orthogonal corners, deterministic jitter
+    rows = []
+    for g, base in enumerate(([0.9] * 4 + [0.0] * 4,
+                              [0.0] * 4 + [0.9] * 4,
+                              [-0.9] * 4 + [0.9] * 4)):
+        for j in range(per):
+            vec = [round(b + 0.01 * ((i * 7 + j * 3) % 5 - 2), 6)
+                   for i, b in enumerate(base)]
+            # interleave ids across blobs so k-means' first-k-ids init
+            # seeds one centroid per blob (k-means recovers planted
+            # structure only under a spread init — Lloyd's, not magic)
+            rows.append((j * 3 + g, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.repartition(parts) if parts else df
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    got = (SIM.kmeans(_planted(spark), "vec_id", "embedding",
+                      dim=DIM, k=3, iters=3)
+           .select("vec_id", "cluster").collect())
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    # each planted blob maps to exactly one cluster, all distinct
+    assert all(len(s) == 1 for s in by_group.values())
+    assert len(set().union(*by_group.values())) == 3
+
+
+def test_kmeans_is_partitioning_invariant(spark):
+    a = sorted(SIM.kmeans(_planted(spark), "vec_id", "embedding",
+                          dim=DIM, k=3, iters=2)
+               .select("vec_id", "cluster", "d2").collect())
+    b = sorted(SIM.kmeans(_planted(spark, parts=7), "vec_id", "embedding",
+                          dim=DIM, k=3, iters=2)
+               .select("vec_id", "cluster", "d2").collect())
+    assert a == b
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    q = _planted(spark).select(
+        "vec_id", SIM.quantize_vec("embedding", 1000, 1024).alias("__q"))
+    plan = (SIM.kmeans_assign_inline(q, "__q", [(0, [1000] * DIM),
+                                                (1, [0] * DIM)])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_semdedup_drops_planted_neardup(spark):
+    df = _planted(spark)
+    twin = df.filter(F.col("vec_id") == 0).select(
+        F.lit(999).alias("vec_id"),
+        F.transform("embedding", lambda x: x + 0.001).alias("embedding"))
+    got = SIM.semdedup(df.unionByName(twin), "vec_id", "embedding",
+                       dim=DIM, k=3, iters=2,
+                       tau2_num=9801, tau2_den=10000)  # tau = 0.99
+    ids = {r["vec_id"] for r in got.collect()}
+    assert 999 in ids          # the higher-id twin is the dropped one
+    assert 0 not in ids        # its lower-id original survives
