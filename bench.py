@@ -70,6 +70,10 @@ HEADLINE = [
     "ann_pq",
     # r4 quality pipeline (operators/tokens.py unigram_surprisal)
     "unigram_surprisal",
+    # r4 late: substring-span dedup + k-means/SemDeDup
+    "substring_dedup",
+    "kmeans_embeddings",
+    "semdedup_drop",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

@@ -270,29 +270,38 @@ def decontaminate(train: DataFrame, bench: DataFrame, n: int = 5,
 
 def substring_windows(df: DataFrame, id_col: str = "doc_id",
                       tokens_col: str = "tokens",
-                      length: int = 50) -> DataFrame:
+                      length: int = 50,
+                      hash_fn: str = "md5") -> DataFrame:
     """All contiguous ``length``-token windows of every document, as
-    ``(id, pos, wkey)`` with ``pos`` 1-based and ``wkey`` the md5 of
-    the space-joined window content. Map-side only (explode + slice +
-    hash inside one projection); the window CONTENT never leaves the
-    task — only the fixed-width key is shuffled, so the exchange is
-    ~40 B/window regardless of ``length``. Documents shorter than
-    ``length`` yield no windows (same descending-``sequence`` guard as
-    ``token_ngrams``)."""
+    ``(id, pos, wkey)`` with ``pos`` 1-based and ``wkey`` a hash of
+    the window content. Map-side only (explode + slice + hash inside
+    one projection); the window CONTENT never leaves the task — only
+    the fixed-width key is shuffled, regardless of ``length``.
+    Documents shorter than ``length`` yield no windows (same
+    descending-``sequence`` guard as ``token_ngrams``).
+
+    ``hash_fn="md5"`` (default) hashes the space-joined content string
+    — 128-bit, collision-free in practice at any corpus size, and
+    reproducible by any SQL engine (the oracle path). ``"xxhash64"``
+    hashes the token-array slice DIRECTLY in the JVM — no string
+    build, an 8-byte key on the exchange (~60% less shuffle), the
+    production path; pytest gates its marked-set equivalence to the
+    md5 form (64-bit birthday risk starts to matter only past ~10^9
+    windows, and a collision merely over-marks one window)."""
     starts = F.sequence(F.lit(1), F.size(tokens_col) - (length - 1))
+    win = F.slice("__t", F.col("pos"), length)
+    key = (F.xxhash64(win) if hash_fn == "xxhash64"
+           else F.md5(F.concat_ws(" ", win.cast("array<string>"))))
     return (df.filter(F.size(tokens_col) >= length)
             .select(id_col, F.col(tokens_col).alias("__t"),
                     F.explode(starts).alias("pos"))
-            .select(id_col, "pos",
-                    F.md5(F.concat_ws(
-                        " ",
-                        F.slice("__t", F.col("pos"), length)
-                        .cast("array<string>"))).alias("wkey")))
+            .select(id_col, "pos", key.alias("wkey")))
 
 
 def substring_dedup(df: DataFrame, length: int = 50,
                     id_col: str = "doc_id", tokens_col: str = "tokens",
-                    materialize: str | None = "disk") -> DataFrame:
+                    materialize: str | None = "disk",
+                    hash_fn: str = "md5") -> DataFrame:
     """Exact duplicated-span removal, the token-level third leg next to
     MinHash doc dedup and C4 line dedup (the suffix-array substring
     dedup of Lee et al. 2022, re-expressed as its rolling-window
@@ -320,7 +329,7 @@ def substring_dedup(df: DataFrame, length: int = 50,
     boilerplate document costs O(1) membership tests per token, not
     O(n)), then ``filter(tokens, (t, i) -> no interval covers i)``.
     """
-    occ = substring_windows(df, id_col, tokens_col, length)
+    occ = substring_windows(df, id_col, tokens_col, length, hash_fn)
     if materialize == "disk":
         occ = occ.persist(StorageLevel.DISK_ONLY)
     dup = (occ.groupBy("wkey")

@@ -62,6 +62,11 @@ _DEDUP_LINES_RE = re.compile(
     r"MAX\s+(?P<max>\d+)"
     r"(?:\s+WORDS\s+(?P<words>\d+))?\s*;?\s*$",
     re.IGNORECASE)
+_DEDUP_SPANS_RE = re.compile(
+    r"^\s*DEDUP\s+SPANS\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"LEN\s+(?P<len>\d+)"
+    r"(?:\s+TOKENS\s+(?P<col>\w+))?\s*;?\s*$",
+    re.IGNORECASE)
 _SCORE_RE = re.compile(
     r"^\s*SCORE\s+SURPRISAL\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
     r"(?:\s+TOKENS\s+(?P<col>\w+))?\s*;?\s*$",
@@ -234,6 +239,16 @@ class StreamProcessor:
             kw["line_words"] = int(m.group("words"))
         return line_dedup(self._source_df(m.group("src")), **kw)
 
+    def _dedup_spans(self, m: re.Match) -> DataFrame:
+        """DEDUP SPANS STREAM:src LEN n [TOKENS col] — exact
+        duplicated-span removal (operators/tokens.py
+        substring_dedup): every n-token window occurring twice
+        corpus-wide is scrubbed from all but its first occurrence."""
+        from ..operators.tokens import substring_dedup
+        return substring_dedup(self._source_df(m.group("src")),
+                               length=int(m.group("len")),
+                               tokens_col=m.group("col") or "tokens")
+
     def _score_surprisal(self, m: re.Match) -> DataFrame:
         """SCORE SURPRISAL STREAM:src [TOKENS col] — unigram-LM
         surprisal quality scoring (operators/tokens.py
@@ -261,6 +276,9 @@ class StreamProcessor:
         dm = _DEDUP_LINES_RE.match(text)
         if dm:
             return self._dedup_lines(dm)
+        sp = _DEDUP_SPANS_RE.match(text)
+        if sp:
+            return self._dedup_spans(sp)
         sm = _SCORE_RE.match(text)
         if sm:
             return self._score_surprisal(sm)

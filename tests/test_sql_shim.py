@@ -284,3 +284,22 @@ def test_split_holdout_verb_matches_operator(sp, spark):
                              default_permille=300).collect()}
     assert got == want
     assert {"train", "holdout"} == set(got.values())
+
+
+def test_dedup_spans_verb_matches_operator(sp, spark):
+    """DEDUP SPANS STREAM:x LEN n == substring_dedup."""
+    from fluent_bit_spark.operators.tokens import substring_dedup
+    S = list(range(900, 908))
+    docs = spark.createDataFrame(
+        [(1, list(range(10)) + S),
+         (2, S + list(range(50, 60))),
+         (3, list(range(70, 82)))],
+        "doc_id long, tokens array<int>")
+    sp.register_stream("tdocs", docs)
+    got = {(r.doc_id, tuple(r.tokens), r.n_removed) for r in
+           sp.sql("DEDUP SPANS STREAM:tdocs LEN 8;").collect()}
+    want = {(r.doc_id, tuple(r.tokens), r.n_removed) for r in
+            substring_dedup(docs, length=8).collect()}
+    assert got == want
+    # the later copy of S lost exactly its 8 tokens
+    assert (2, tuple(range(50, 60)), 8) in got

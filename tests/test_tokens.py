@@ -485,3 +485,19 @@ def test_substring_dedup_plan_is_jvm_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_dedup_xxhash64_twin_equivalence(spark):
+    """Production xxhash64 window key produces the IDENTICAL result to
+    the portable md5 form (collisions aside, which this corpus can't
+    produce) — same gating pattern as the dedup minhash twins."""
+    rows = [(i, [int(x) for x in
+                 ([7, 8, 9, 10, 11, 12, 13, 14] if i % 3 == 0 else [])
+                 + list(range(i * 100, i * 100 + 12))])
+            for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    a = sorted(TK.substring_dedup(df, length=8, materialize=None,
+                                  hash_fn="md5").collect())
+    b = sorted(TK.substring_dedup(df, length=8, materialize=None,
+                                  hash_fn="xxhash64").collect())
+    assert a == b
