@@ -664,7 +664,7 @@ def kmeans_assign_inline(df: DataFrame, qvec_col: str,
 
 def kmeans(df: DataFrame, id_col: str, vec_col: str, dim: int,
            k: int = 8, iters: int = 2, scale: int = 1000,
-           shift: int = 1024) -> DataFrame:
+           shift: int = 1024, assign: str = "auto") -> DataFrame:
     """Fixed-iteration distributed Lloyd's k-means over integer-
     quantized embeddings — deterministic and EXACT (bit-equal across
     engines and partitionings): quantization is floor-based, distances
@@ -687,9 +687,18 @@ def kmeans(df: DataFrame, id_col: str, vec_col: str, dim: int,
     init = (q.orderBy(id_col).limit(k)
              .select("__q").collect())
     cents = [(i, [int(x) for x in r["__q"]]) for i, r in enumerate(init)]
+    if assign == "auto":
+        # literal-inline argmin is fastest for small k; past ~128
+        # centroids the k·dim plan literals and per-row transform cost
+        # grow with k — switch to the broadcast-join + map-side-combine
+        # argmin (same result, tie-break-identical; equivalence-tested)
+        assign = "inline" if k <= 128 else "join"
     assigned = None
     for it in range(iters):
-        assigned = kmeans_assign_inline(q, "__q", cents)
+        if assign == "join":
+            assigned = kmeans_assign_join(q, id_col, "__q", cents)
+        else:
+            assigned = kmeans_assign_inline(q, "__q", cents)
         if it == iters - 1:
             break
         sums = (assigned.groupBy("cluster")
@@ -722,6 +731,16 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, dim: int,
     by choosing k ∝ corpus/target-cluster-size, never a corpus
     cross join. Assignment is map-only (see ``kmeans``); the pair join
     is one hash exchange on the cluster key."""
+    # BIGINT bound: |dot| <= dim*(scale*|x|max)^2; the test multiplies
+    # dot^2 by tau2_den and |a|^2|b|^2 by tau2_num - for unit-ish
+    # embeddings at scale=1000, dim<=64 that caps products near 2^61
+    # only while tau2_den stays ~1e4. Guard loudly rather than let ANSI
+    # mode abort mid-job (or non-ANSI silently wrap).
+    if tau2_den > 100_000 or tau2_num > tau2_den:
+        raise ValueError(
+            f"semdedup: tau2_num/tau2_den={tau2_num}/{tau2_den} - den "
+            "must stay <=1e5 (express tau^2 at 1e4 precision) and "
+            "num<=den, or the BIGINT cross-multiplication can overflow")
     qc = quantize_vec(vec_col, scale, 0)
     assigned = (kmeans(df, id_col, vec_col, dim, k, iters, scale)
                 .select(F.col(id_col), "cluster", qc.alias("__qc")))
@@ -742,3 +761,35 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, dim: int,
              .filter(hit)
              .select(id_col, "cluster")
              .distinct())
+
+
+def kmeans_assign_join(q: DataFrame, id_col: str, qvec_col: str,
+                       cents: list[tuple[int, list[int]]],
+                       cl_out: str = "cluster",
+                       d2_out: str = "d2") -> DataFrame:
+    """Lloyd's assignment for LARGE k, where inlining k·dim centroid
+    literals into the plan stops being sensible (expression size and
+    per-row transform cost grow with k): broadcast-join the centroid
+    frame, then argmin via ``groupBy(id).agg(min(struct(d2, cl)))``.
+
+    Scale shape: the join is a BROADCAST (k·dim longs), its output
+    streams through the distance projection WITHOUT materializing n·k
+    rows, and the argmin agg partially combines MAP-SIDE — each id's k
+    scored copies live in one task, so they collapse to one row before
+    the exchange: the only wide movement is n rows, same as the inline
+    form. Tie-break (lowest cluster on equal d2) matches
+    ``kmeans_assign_inline`` — min struct orders by (d2, cl)."""
+    spark = q.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(cl), [int(x) for x in v]) for cl, v in cents],
+        f"{cl_out} int, __cv array<long>")
+    d2 = F.expr(f"aggregate(zip_with({qvec_col}, __cv, "
+                f"(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    return (q.join(F.broadcast(cent_df))
+             .groupBy(id_col)
+             .agg(F.min(F.struct(d2.alias("d2"),
+                                 F.col(cl_out).alias("cl"))).alias("__b"),
+                  F.first(qvec_col).alias(qvec_col))
+             .select(id_col, qvec_col,
+                     F.col("__b.cl").alias(cl_out),
+                     F.col("__b.d2").alias(d2_out)))

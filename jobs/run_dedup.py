@@ -44,7 +44,27 @@ def main() -> int:
     ap.add_argument("--bands", type=int, default=4)
     ap.add_argument("--exact-only", action="store_true",
                     help="hash-exact dedup only (skip near-dup LSH)")
+    ap.add_argument("--mode", default=None,
+                    choices=["two-stage", "exact", "substring", "semdedup"],
+                    help="dedup family (default two-stage LSH; "
+                         "--exact-only is shorthand for --mode exact)")
+    ap.add_argument("--tokens-col", default="tokens",
+                    help="substring mode: token-array column")
+    ap.add_argument("--span-len", type=int, default=50,
+                    help="substring mode: duplicated-window length")
+    ap.add_argument("--vec-col", default="embedding",
+                    help="semdedup mode: embedding column")
+    ap.add_argument("--dim", type=int, default=64,
+                    help="semdedup mode: embedding dimension")
+    ap.add_argument("--k", type=int, default=64,
+                    help="semdedup mode: k-means cluster count")
+    ap.add_argument("--tau", type=float, default=0.9,
+                    help="semdedup mode: cosine threshold (converted to "
+                         "the exact integer form tau^2/10000 internally "
+                         "- den stays at 1e4 so the BIGINT "
+                         "cross-multiplication cannot overflow)")
     args = ap.parse_args()
+    mode = args.mode or ("exact" if args.exact_only else "two-stage")
 
     from pyspark.sql import functions as F
 
@@ -56,7 +76,43 @@ def main() -> int:
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
 
-    if args.exact_only:
+    if mode == "substring":
+        from fluent_bit_spark.operators.tokens import substring_dedup
+        cleaned = substring_dedup(docs, length=args.span_len,
+                                  id_col=args.id_col,
+                                  tokens_col=args.tokens_col,
+                                  hash_fn="xxhash64")
+        cleaned.write.mode("overwrite").parquet(f"{args.output}/cleaned")
+        agg = (spark.read.parquet(f"{args.output}/cleaned")
+               .agg(F.count("*").alias("n"),
+                    F.sum("n_before").alias("before"),
+                    F.sum("n_removed").alias("removed")).first())
+        print(json.dumps({"mode": "substring", "rows_in": n_in,
+                          "rows_out": int(agg["n"]),
+                          "tokens_before": int(agg["before"] or 0),
+                          "tokens_removed": int(agg["removed"] or 0),
+                          "wall_sec": round(time.time() - t0, 2)}))
+        spark.stop()
+        return 0 if int(agg["n"]) == n_in else 2
+
+    if mode == "semdedup":
+        from fluent_bit_spark.operators.similarity import semdedup
+        dropped = semdedup(docs, args.id_col, args.vec_col, dim=args.dim,
+                           k=args.k, iters=2,
+                           tau2_num=round(args.tau * args.tau * 10000),
+                           tau2_den=10000)
+        dropped.write.mode("overwrite").parquet(f"{args.output}/dropped")
+        drop_ids = spark.read.parquet(f"{args.output}/dropped")             .select(args.id_col)
+        deduped = docs.join(drop_ids, args.id_col, "left_anti")
+        deduped.write.mode("overwrite").parquet(f"{args.output}/deduped")
+        n_out = spark.read.parquet(f"{args.output}/deduped").count()
+        print(json.dumps({"mode": "semdedup", "rows_in": n_in,
+                          "rows_out": n_out, "dropped": n_in - n_out,
+                          "wall_sec": round(time.time() - t0, 2)}))
+        spark.stop()
+        return 0
+
+    if mode == "exact":
         kept = DD.exact_dedup(docs, [args.text_col], tiebreak=args.id_col)
         kept.write.mode("overwrite").parquet(f"{args.output}/deduped")
         n_out = spark.read.parquet(f"{args.output}/deduped").count()

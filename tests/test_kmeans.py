@@ -71,3 +71,17 @@ def test_semdedup_drops_planted_neardup(spark):
     ids = {r["vec_id"] for r in got.collect()}
     assert 999 in ids          # the higher-id twin is the dropped one
     assert 0 not in ids        # its lower-id original survives
+
+
+def test_kmeans_join_assignment_equals_inline(spark):
+    """assign="join" (broadcast + map-side-combine argmin, the large-k
+    path) produces bit-identical clusters/d2 to the inline literal
+    form, including on tie-prone planted data."""
+    df = _planted(spark)
+    a = sorted(SIM.kmeans(df, "vec_id", "embedding", dim=DIM,
+                          k=3, iters=2, assign="inline")
+               .select("vec_id", "cluster", "d2").collect())
+    b = sorted(SIM.kmeans(df, "vec_id", "embedding", dim=DIM,
+                          k=3, iters=2, assign="join")
+               .select("vec_id", "cluster", "d2").collect())
+    assert a == b

@@ -39,5 +39,10 @@ if [ "${1:-}" != "quick" ]; then
     --out /tmp/smoke_surp_vol --gate | tail -1   # model must stay vocab-bounded
   python tools/bench_tfidf.py --sizes 200000,800000 \
     --out /tmp/smoke_tfidf_vol --gate | tail -1  # df table must stay vocab-bounded
+  python tools/bench_substring.py --sizes 100000,400000 \
+    --out /tmp/smoke_substr_vol --gate | tail -1 # planted-truth removal exact
+  python tools/bench_kmeans.py --sizes 100000,200000 --k 32 \
+    --semdedup-n 50000 --semdedup-k 100 \
+    --out /tmp/smoke_kmeans_vol --gate | tail -1 # twin recall must be exact
 fi
 echo "SMOKE OK"
