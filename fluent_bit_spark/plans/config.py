@@ -237,6 +237,11 @@ def parse_classic(text: str,
             if not isinstance(section[key], list):
                 section[key] = [section[key]]
             section[key].append(val)
+        elif section_kind == "parser" and key == "grok_pattern_definition":
+            # repeatable [PARSER] property: "NAME REGEX" custom grok
+            # library entries (fluentd grok_pattern_definition analogue)
+            section.setdefault(key, [])
+            section[key].append(val)
         else:
             section[key] = val
     return tree
@@ -395,6 +400,27 @@ def parsers_from_tree(tree: dict[str, Any]) -> dict[str, Any]:
         if not name:
             raise ValueError("[PARSER] section needs a Name")
         fmt = str(p.get("format", "regex")).lower()
+        if fmt == "grok":
+            # grok front end (functions/grok.py): Grok_Pattern +
+            # repeatable Grok_Pattern_Definition "NAME REGEX" lines.
+            from ..functions.grok import compile_grok
+            if not p.get("grok_pattern"):
+                raise ValueError(
+                    f"[PARSER] {name}: Format grok needs Grok_Pattern")
+            defs: dict[str, str] = {}
+            for line_ in _as_list(p.get("grok_pattern_definition")):
+                dname, _, dpat = str(line_).partition(" ")
+                if not dpat:
+                    raise ValueError(
+                        f"[PARSER] {name}: Grok_Pattern_Definition wants "
+                        f"'NAME REGEX', got {line_!r}")
+                defs[dname] = dpat.strip()
+            out[name] = compile_grok(
+                str(p["grok_pattern"]), name=name,
+                pattern_definitions=defs or None,
+                time_key=p.get("time_key"),
+                time_format=p.get("time_format"))
+            continue
         if fmt != "regex":
             raise ValueError(
                 f"[PARSER] {name}: only Format regex maps to a named "

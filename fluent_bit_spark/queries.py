@@ -2841,3 +2841,80 @@ def semdedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = semdedup(emb, "vec_id", "embedding", dim=64, k=8, iters=2,
                    tau2_num=1600, tau2_den=10000)
     return out.select("vec_id", F.col("cluster").cast("long"))
+
+
+# ===========================================================================
+# Grok front end (functions/grok.py): %{SYNTAX:semantic:type} patterns
+# compiled to the vectorized regex-parser path
+# ===========================================================================
+
+@q("grok_parse", r"""
+WITH lines AS (
+  SELECT event_id,
+         '10.' || CAST(event_id % 200 AS VARCHAR) || '.0.'
+         || CAST(user_id % 200 AS VARCHAR)
+         || ' - user' || CAST(user_id AS VARCHAR)
+         || ' [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] "'
+         || upper(event_type) || ' /api/' || event_type
+         || ' HTTP/1.1" ' || CAST((event_id % 5) * 100 + 100 AS VARCHAR)
+         || ' ' || CAST(user_id * 10 + event_id % 7 AS VARCHAR) AS line
+  FROM events),
+p AS (
+  SELECT event_id,
+         regexp_extract(line,
+           '^([0-9.]+) (\S+) (\S+) \[(.+?)\] "(\w+) (\S+) HTTP/([0-9.]+)" ([0-9]+) ([0-9]+)$',
+           ['clientip', 'ident', 'auth', 'timestamp', 'verb', 'request',
+            'httpversion', 'response', 'bytes']) AS g
+  FROM lines)
+SELECT event_id,
+       g.clientip AS clientip, g.auth AS auth,
+       g.timestamp AS http_ts, g.verb AS verb, g.request AS request,
+       g.httpversion::DOUBLE AS httpversion,
+       g.response::BIGINT AS response, g.bytes::BIGINT AS bytes
+FROM p
+""")
+def grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok field extraction (north_star: "grok/regex field extraction
+    re-expressed as vectorized pandas/Arrow UDFs"): apache-access-style
+    lines are RENDERED from the events table (both engines build
+    byte-identical lines), then Spark parses them back through a
+    grok pattern — library references (%{IPORHOST}, %{HTTPDATE}, …)
+    plus typed semantics (:int/:float) — compiled by
+    functions/grok.compile_grok into the same Arrow-batched
+    Series.str.extract path every regex parser uses. DuckDB re-parses
+    the same lines with an INDEPENDENTLY written RE2 regex, so the
+    oracle cross-checks two different regex engines AND two different
+    pattern authorings."""
+    from .functions.grok import compile_grok
+    from .functions.parsers import apply_regex_parser
+    ev = t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("10."), (F.col("event_id") % 200).cast("string"),
+            F.lit(".0."), (F.col("user_id") % 200).cast("string"),
+            F.lit(" - user"), F.col("user_id").cast("string"),
+            F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+            F.lit(" +0000] \""), F.upper("event_type"),
+            F.lit(" /api/"), F.col("event_type"),
+            F.lit(" HTTP/1.1\" "),
+            ((F.col("event_id") % 5) * 100 + 100).cast("string"),
+            F.lit(" "),
+            (F.col("user_id") * 10 + F.col("event_id") % 7).cast("string"),
+        ).alias("line"))
+    parser = compile_grok(
+        r'%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} '
+        r'\[%{HTTPDATE:timestamp}\] "%{WORD:verb} %{NOTSPACE:request} '
+        r'HTTP/%{NUMBER:httpversion:float}" %{NUMBER:response:int} '
+        r'%{NUMBER:bytes:int}', name="apache_common")
+    parsed = apply_regex_parser(lines, parser, key="line", out="g")
+    return parsed.select(
+        "event_id",
+        F.col("g.clientip").alias("clientip"),
+        F.col("g.auth").alias("auth"),
+        F.col("g.timestamp").alias("http_ts"),
+        F.col("g.verb").alias("verb"),
+        F.col("g.request").alias("request"),
+        F.col("g.httpversion").alias("httpversion"),
+        F.col("g.response").alias("response"),
+        F.col("g.bytes").alias("bytes"))
