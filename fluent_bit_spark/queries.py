@@ -2918,3 +2918,84 @@ def grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g.httpversion").alias("httpversion"),
         F.col("g.response").alias("response"),
         F.col("g.bytes").alias("bytes"))
+
+
+# ===========================================================================
+# Web-corpus curation (operators/web.py): unicode normalization, URL
+# decomposition, per-host capping (domain balancing)
+# ===========================================================================
+
+@q("normalize_nfc", r"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' Cafe' || chr(769) || '   ' || upper(lang) AS mangled
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(mangled)), '\s+', ' ', 'g'))
+         AS norm
+FROM raw
+""")
+def normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + casefold + whitespace collapse
+    (C4/RefinedWeb-style text canonicalization before dedup). Both
+    engines build byte-identical mangled text containing a DECOMPOSED
+    accent (e + U+0301) and runs of spaces; Spark normalizes via the
+    Arrow-batched pandas str.normalize kernel, DuckDB via its native
+    nfc_normalize — two independent implementations of the same
+    Unicode spec must agree byte-for-byte."""
+    from .operators.web import normalize_text
+    docs = t(spark, sf_dir, "documents")
+    mangled = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" Café   "),
+                 F.upper("lang")).alias("mangled"))
+    out = normalize_text(mangled, "mangled", "norm", form="NFC",
+                         lower=True, collapse_ws=True)
+    return out.select("doc_id", "norm")
+
+
+@q("url_host_cap", """
+WITH pages AS (
+  SELECT event_id, value,
+         'h' || CAST(user_id % 23 AS VARCHAR)
+         || CASE WHEN user_id % 4 = 0 THEN '.co.uk'
+                 ELSE '.example.com' END AS host,
+         CASE WHEN user_id % 4 = 0
+              THEN 'h' || CAST(user_id % 23 AS VARCHAR) || '.co.uk'
+              ELSE 'example.com' END AS domain,
+         '/p/' || event_type AS path
+  FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+                               ORDER BY value DESC, event_id) AS rn
+  FROM pages)
+SELECT event_id, host, domain, path, value
+FROM ranked WHERE rn <= 5
+""")
+def url_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (domain balancing, RefinedWeb-style URL
+    curation): URLs are RENDERED from the events table, decomposed with
+    the JVM parse_url builtin (host/path/domain — zero Python), then
+    capped at the best 5 per host via the EXACT salted two-phase
+    top-n (operators/web.cap_per_host, salt_buckets=8). The oracle
+    reproduces the cap with a plain single-window row_number — the
+    two-phase form must select the identical row set."""
+    from .operators.web import cap_per_host, url_parts
+    ev = t(spark, sf_dir, "events")
+    urls = ev.select(
+        "event_id", "value",
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 23).cast("string"),
+            F.when(F.col("user_id") % 4 == 0, F.lit(".co.uk"))
+             .otherwise(F.lit(".example.com")),
+            F.lit("/p/"), F.col("event_type"),
+            F.lit("?q="), (F.col("event_id") % 10).cast("string"),
+        ).alias("url"))
+    parts = url_parts(urls, "url")
+    capped = cap_per_host(parts, "u_host",
+                          [F.desc("value"), F.col("event_id")], 5,
+                          salt_buckets=8, salt_key="event_id")
+    return capped.select(
+        "event_id", F.col("u_host").alias("host"),
+        F.col("u_domain").alias("domain"), F.col("u_path").alias("path"),
+        "value")
