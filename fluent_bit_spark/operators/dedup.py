@@ -567,3 +567,100 @@ def resolve_duplicate_groups(docs: DataFrame, pairs: DataFrame,
                     F.coalesce("label", id_col).alias("canonical_id"),
                     (F.coalesce("label", id_col) == F.col(id_col))
                     .alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs an existing (already-deduped) corpus
+# ---------------------------------------------------------------------------
+
+
+def band_hash_col(sig_col: Column, b: int, rows: int,
+                  hash_fn: str = "xxhash64") -> Column:
+    """Hash of band ``b``'s row-slice of a MinHash signature array —
+    the same two families minhash_lsh_pairs uses (xxhash64 fast path /
+    portable affine-mod for SQL-reproducible oracles)."""
+    if hash_fn == "portable":
+        acc = F.lit(0).cast("bigint")
+        for r in range(rows):
+            acc = (acc * 1_000_003 + sig_col[b * rows + r]) \
+                % PORTABLE_PRIME
+        return acc
+    return F.xxhash64(*[sig_col[b * rows + r] for r in range(rows)])
+
+
+def corpus_artifacts(corpus: DataFrame, id_col: str, text_col: str, *,
+                     num_perm: int = 16, shingle_n: int = 3,
+                     hash_fn: str = "xxhash64"
+                     ) -> tuple[DataFrame, DataFrame]:
+    """The precomputable corpus-side state for :func:`dedup_vs_corpus`:
+    ``(hashes, sigs)`` = (distinct content hashes, MinHash signatures).
+
+    At production scale these are MAINTAINED tables (append each
+    accepted batch's hashes/sigs after ingest), so deduping a new crawl
+    against a 100 TB corpus never re-reads or re-shingles the corpus
+    text — the corpus side of every join below is narrow (one sha256 /
+    num_perm longs per doc), and can be bucketed on its join key to
+    make the anti-join exchange one-sided."""
+    hashes = corpus.select(
+        content_hash(F.col(text_col)).alias("h")).distinct()
+    sigs = minhash_signature(corpus, id_col, text_col,
+                             num_perm=num_perm, shingle_n=shingle_n,
+                             hash_fn=hash_fn)
+    return hashes, sigs
+
+
+def dedup_vs_corpus(new: DataFrame, id_col: str, text_col: str,
+                    corpus_hashes: DataFrame, corpus_sigs: DataFrame, *,
+                    num_perm: int = 16, bands: int = 4,
+                    threshold: float = 0.5, shingle_n: int = 3,
+                    hash_fn: str = "xxhash64") -> DataFrame:
+    """Survivors of ``new`` after dedup AGAINST the corpus (incremental
+    ingest: "is today's crawl already in the training set?").
+
+    Two stages, both one-sided — the corpus contributes only its
+    precomputed artifacts (:func:`corpus_artifacts`), never text:
+
+    1. exact: left_anti join of ``new``'s content hashes against
+       ``corpus_hashes`` (hash keys — skew impossible).
+    2. near-dup: MinHash signatures of the stage-1 survivors, banded
+       LSH join against ``corpus_sigs``'s bands, signature-similarity
+       estimate on the candidates; a new doc with est_jaccard ≥
+       ``threshold`` to ANY corpus doc is dropped.
+
+    Self-duplicates WITHIN the new batch are out of scope (compose
+    with minhash_lsh_pairs/resolve_duplicate_groups for that) — the
+    returned frame keeps every ``new`` column unchanged.
+    """
+    rows = num_perm // bands
+    h = content_hash(F.col(text_col))
+    survivors = (new.withColumn("__h", h)
+                 .join(corpus_hashes.withColumnRenamed("h", "__h"),
+                       "__h", "left_anti")
+                 .drop("__h"))
+    sig_new = minhash_signature(survivors, id_col, text_col,
+                                num_perm=num_perm, shingle_n=shingle_n,
+                                hash_fn=hash_fn)
+
+    def bandify(sig: DataFrame, doc_out: str) -> DataFrame:
+        return sig.select(
+            F.col("doc").alias(doc_out), "sig",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         band_hash_col(F.col("sig"), b, rows, hash_fn)
+                         .alias("bh"))
+                for b in range(bands)])).alias("e")
+        ).select(doc_out, "sig", "e.band", "e.bh")
+
+    a = bandify(sig_new, "ndoc").withColumnRenamed("sig", "sig1")
+    b = bandify(corpus_sigs, "cdoc").withColumnRenamed("sig", "sig2")
+    cand = (a.join(b, ["band", "bh"])
+             .groupBy("ndoc", "cdoc")
+             .agg(F.first("sig1").alias("sig1"),
+                  F.first("sig2").alias("sig2")))
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y),
+                        lambda v: v)) / F.lit(num_perm))
+    dropped = (est.filter(F.col("est_jaccard") >= threshold)
+                  .select(F.col("ndoc").alias(id_col)).distinct())
+    return survivors.join(dropped, id_col, "left_anti")

@@ -2999,3 +2999,83 @@ def url_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("u_host").alias("host"),
         F.col("u_domain").alias("domain"), F.col("u_path").alias("path"),
         "value")
+
+
+def _vs_corpus_oracle(num_perm: int = 16, bands: int = 4,
+                      threshold: float = 0.5) -> str:
+    """DuckDB oracle for incremental dedup-vs-corpus: documents split
+    by doc_id parity (even = corpus, odd = new batch); exact drops via
+    text equality, near drops via the portable MinHash chain with
+    new×corpus (never new×new) band candidates. Near-drop is computed
+    over ALL odd docs while the operator runs stage 2 only on exact
+    survivors — the survivor set is identical (a doc dropped by both
+    stages is dropped either way)."""
+    P = 2147483647
+    rows = num_perm // bands
+    mins = ",\n  ".join(
+        f"min((b*{2 * i + 3} + {7 * i + 1}) % {P}) AS m{i}"
+        for i in range(num_perm))
+    def fold(b):
+        expr = "0"
+        for r in range(rows):
+            expr = f"(({expr})*1000003 + m{b * rows + r}) % {P}"
+        return expr
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, {fold(b)} AS bh FROM sig"
+        for b in range(bands))
+    eq = " + ".join(
+        f"CASE WHEN s1.m{i} = s2.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_perm))
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh0 AS (SELECT doc_id, array_to_string(ws[t.i:t.i+2], ' ') AS s
+        FROM w, UNNEST(range(1, len(ws)-1)) AS t(i)
+        WHERE len(ws) >= 3),
+sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+hb AS (SELECT doc_id, ('0x' || substring(md5(s),1,7))::BIGINT AS b FROM sh),
+sig AS (SELECT doc_id,
+  {mins}
+  FROM hb GROUP BY doc_id),
+bandt AS (
+  {band_rows}),
+exact_drop AS (
+  SELECT DISTINCT n.doc_id FROM documents n
+  WHERE n.doc_id % 2 = 1 AND EXISTS (
+    SELECT 1 FROM documents c
+    WHERE c.doc_id % 2 = 0 AND c.text = n.text)),
+cand AS (SELECT DISTINCT a.doc_id AS nd, b.doc_id AS cd
+         FROM bandt a JOIN bandt b
+           ON a.band = b.band AND a.bh = b.bh
+          AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+near_drop AS (
+  SELECT DISTINCT c.nd AS doc_id
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.nd
+  JOIN sig s2 ON s2.doc_id = c.cd
+  WHERE ({eq}) / {num_perm}.0 >= {threshold})
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND d.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+  AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+"""
+
+
+@q("dedup_vs_corpus", _vs_corpus_oracle())
+def dedup_vs_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the odd-doc_id half of documents is "today's
+    crawl", the even half the existing corpus. The corpus contributes
+    ONLY its precomputed artifacts (distinct content hashes + MinHash
+    signatures — operators/dedup.corpus_artifacts), so at 100 TB the
+    corpus text is never re-read or re-shingled per ingested batch;
+    both joins are one-sided and narrow. Portable hash family → the
+    full exact-anti-join + band-join + estimate chain is value-checked
+    against DuckDB."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    hashes, sigs = DD.corpus_artifacts(corpus, "doc_id", "text",
+                                       hash_fn="portable")
+    out = DD.dedup_vs_corpus(new, "doc_id", "text", hashes, sigs,
+                             num_perm=16, bands=4, threshold=0.5,
+                             hash_fn="portable")
+    return out.select("doc_id", "source")

@@ -194,3 +194,66 @@ def test_resolve_groups_probe_every_identical_output(spark):
     assert {t[1] for t in got} == {"d0", "z9"}
     with _pytest.raises(ValueError, match="probe_every"):
         resolve_duplicate_groups(docs, pairs, probe_every=0)
+
+
+def test_dedup_vs_corpus_planted_truth(spark):
+    """Incremental ingest: exact copies and near-dups OF CORPUS DOCS
+    are dropped; fresh docs and within-batch self-dups survive (self
+    dedup is explicitly out of scope — composed separately)."""
+    from fluent_bit_spark.operators.dedup import (
+        corpus_artifacts, dedup_vs_corpus,
+    )
+    corpus = spark.createDataFrame([
+        ("c1", "the quick brown fox jumps over the lazy dog again and "
+               "again today"),
+        ("c2", "completely unrelated content about spark shuffle "
+               "partitions and skew"),
+    ], "doc_id string, text string")
+    new = spark.createDataFrame([
+        # exact copy of c1 → exact-stage drop
+        ("n1", "the quick brown fox jumps over the lazy dog again and "
+               "again today"),
+        # one-word edit of c1 → near-dup drop
+        ("n2", "the quick brown fox jumps over the lazy dog again and "
+               "AGAIN today"),
+        # fresh
+        ("n3", "fresh document about watermark semantics in structured "
+               "streaming state stores"),
+        # exact twin of n3 WITHIN the batch → must both survive
+        ("n4", "fresh document about watermark semantics in structured "
+               "streaming state stores"),
+    ], "doc_id string, text string")
+    for fn in ("xxhash64", "portable"):
+        hashes, sigs = corpus_artifacts(corpus, "doc_id", "text",
+                                        hash_fn=fn)
+        # bands=8 (2-row bands): at bands=4 this particular n2↔c1 pair
+        # estimates 9/16 ≥ 0.5 but no 4-row band slice is fully equal —
+        # a faithful LSH candidate miss (recall/bands tradeoff), not a
+        # bug; the sf-scale oracle reproduces the banding exactly.
+        out = dedup_vs_corpus(new, "doc_id", "text", hashes, sigs,
+                              bands=8, threshold=0.5, hash_fn=fn)
+        assert sorted(r.doc_id for r in out.collect()) == ["n3", "n4"], fn
+        # schema passthrough: every new column, unchanged
+        assert out.columns == new.columns
+
+
+def test_dedup_vs_corpus_no_corpus_text_rescans(spark):
+    """The production contract: once artifacts exist, the plan for the
+    survivor frame must not reference the corpus relation's text —
+    only the narrow hash/signature frames."""
+    from fluent_bit_spark.operators.dedup import (
+        corpus_artifacts, dedup_vs_corpus,
+    )
+    corpus = spark.createDataFrame(
+        [("c1", "alpha beta gamma delta")], "doc_id string, text string")
+    new = spark.createDataFrame(
+        [("n1", "epsilon zeta eta theta iota")],
+        "doc_id string, text string")
+    hashes, sigs = corpus_artifacts(corpus, "doc_id", "text")
+    # materialized artifacts, as a maintained table would be
+    hashes = spark.createDataFrame(hashes.collect(), hashes.schema)
+    sigs = spark.createDataFrame(sigs.collect(), sigs.schema)
+    out = dedup_vs_corpus(new, "doc_id", "text", hashes, sigs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "alpha" not in plan  # corpus text absent from the lineage
+    assert sorted(r.doc_id for r in out.collect()) == ["n1"]
