@@ -45,9 +45,16 @@ def main() -> int:
     ap.add_argument("--exact-only", action="store_true",
                     help="hash-exact dedup only (skip near-dup LSH)")
     ap.add_argument("--mode", default=None,
-                    choices=["two-stage", "exact", "substring", "semdedup"],
+                    choices=["two-stage", "exact", "substring", "semdedup",
+                             "artifacts", "vs-corpus"],
                     help="dedup family (default two-stage LSH; "
-                         "--exact-only is shorthand for --mode exact)")
+                         "--exact-only is shorthand for --mode exact; "
+                         "'artifacts' writes the corpus-side state "
+                         "[hashes/ + sigs/] for later incremental runs, "
+                         "'vs-corpus' dedups --input against "
+                         "--corpus-artifacts)")
+    ap.add_argument("--corpus-artifacts", default=None,
+                    help="vs-corpus mode: dir written by --mode artifacts")
     ap.add_argument("--tokens-col", default="tokens",
                     help="substring mode: token-array column")
     ap.add_argument("--span-len", type=int, default=50,
@@ -107,6 +114,36 @@ def main() -> int:
         deduped.write.mode("overwrite").parquet(f"{args.output}/deduped")
         n_out = spark.read.parquet(f"{args.output}/deduped").count()
         print(json.dumps({"mode": "semdedup", "rows_in": n_in,
+                          "rows_out": n_out, "dropped": n_in - n_out,
+                          "wall_sec": round(time.time() - t0, 2)}))
+        spark.stop()
+        return 0
+
+    if mode == "artifacts":
+        hashes, sigs = DD.corpus_artifacts(
+            docs, args.id_col, args.text_col, num_perm=args.num_perm)
+        hashes.write.mode("overwrite").parquet(f"{args.output}/hashes")
+        sigs.write.mode("overwrite").parquet(f"{args.output}/sigs")
+        n_h = spark.read.parquet(f"{args.output}/hashes").count()
+        n_s = spark.read.parquet(f"{args.output}/sigs").count()
+        print(json.dumps({"mode": "artifacts", "rows_in": n_in,
+                          "distinct_hashes": n_h, "signatures": n_s,
+                          "wall_sec": round(time.time() - t0, 2)}))
+        spark.stop()
+        return 0
+
+    if mode == "vs-corpus":
+        if not args.corpus_artifacts:
+            ap.error("--mode vs-corpus needs --corpus-artifacts")
+        hashes = spark.read.parquet(f"{args.corpus_artifacts}/hashes")
+        sigs = spark.read.parquet(f"{args.corpus_artifacts}/sigs")
+        survivors = DD.dedup_vs_corpus(
+            docs, args.id_col, args.text_col, hashes, sigs,
+            num_perm=args.num_perm, bands=args.bands,
+            threshold=args.jaccard)
+        survivors.write.mode("overwrite").parquet(f"{args.output}/deduped")
+        n_out = spark.read.parquet(f"{args.output}/deduped").count()
+        print(json.dumps({"mode": "vs-corpus", "rows_in": n_in,
                           "rows_out": n_out, "dropped": n_in - n_out,
                           "wall_sec": round(time.time() - t0, 2)}))
         spark.stop()
