@@ -246,6 +246,27 @@ def dedup_stream_exact(stream_df: DataFrame, content_cols: list[str],
             .drop("__h"))
 
 
+def dedup_stream_vs_corpus(stream_df: DataFrame,
+                           corpus_hashes: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """Streaming face of ``operators.dedup.dedup_vs_corpus``'s exact
+    stage: drop incoming documents whose content already exists in the
+    corpus's precomputed hash table (``corpus_artifacts``).
+
+    A stream-STATIC left_anti join — no streaming state at all, so it
+    runs forever at constant memory; Spark broadcasts or shuffles the
+    static side per micro-batch exactly as it would a batch anti-join.
+    The static frame is re-planned per batch, so pointing it at the
+    maintained hashes table picks up corpus growth between batches.
+    Compose BEFORE :func:`dedup_stream_exact` to also suppress
+    within-stream duplicates."""
+    from ..operators.dedup import content_hash
+    return (stream_df.withColumn("__h", content_hash(F.col(text_col)))
+            .join(corpus_hashes.withColumnRenamed("h", "__h"),
+                  "__h", "left_anti")
+            .drop("__h"))
+
+
 # ---------------------------------------------------------------------------
 # Stateful throttle (filter_throttle's sliding rate limit, cross-batch)
 # ---------------------------------------------------------------------------

@@ -484,3 +484,46 @@ def test_stream_quality_stamps_match_batch(spark, landing, fixture_paths,
             .select("doc_id", "split", "n_ok").collect()}
     assert got == want and len(got) > 1000
     assert {s for _, s, _ in got} == {"train", "holdout"}
+
+
+def test_dedup_stream_vs_corpus(spark, tmp_path):
+    """Stream-static anti-join against precomputed corpus hashes:
+    corpus-known content is suppressed in every micro-batch, fresh
+    content passes, and composing with dedup_stream_exact also
+    suppresses the within-stream duplicate. Parity: batch
+    dedup_vs_corpus exact stage over the same rows."""
+    from fluent_bit_spark.operators.dedup import corpus_artifacts
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        dedup_stream_exact, dedup_stream_vs_corpus,
+    )
+    corpus = spark.createDataFrame(
+        [("c0", "seen before"), ("c1", "also known")],
+        "doc_id string, text string")
+    hashes, _ = corpus_artifacts(corpus, "doc_id", "text")
+    hashes = spark.createDataFrame(hashes.collect(), hashes.schema)
+
+    d = str(tmp_path / "landing_vs")
+    schema = "doc_id string, text string, sec int"
+    rows0 = [("n0", "seen before", 0),        # corpus dup → dropped
+             ("n1", "fresh one", 1)]
+    rows1 = [("n2", "also known", 2),         # corpus dup, later batch
+             ("n3", "fresh two", 3),
+             ("n4", "fresh one", 4)]          # stream dup of n1
+    spark.createDataFrame(rows0, schema).coalesce(1) \
+        .write.parquet(f"{d}/f0.parquet")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(f"{d}/f1.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*")
+              .withColumn("event_ts",
+                          F.timestamp_seconds(F.lit(1767225600)
+                                              + F.col("sec"))))
+    out = dedup_stream_exact(
+        dedup_stream_vs_corpus(stream, hashes, "text"),
+        ["text"], watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("vs_corpus_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in
+                 spark.sql("SELECT doc_id FROM vs_corpus_stream").collect())
+    assert got == ["n1", "n3"]
