@@ -76,6 +76,23 @@ _SPLIT_RE = re.compile(
     r"HOLDOUT\s+(?P<pm>\d+)"
     r"(?:\s+BY\s+(?P<grp>\w+))?(?:\s+KEY\s+(?P<key>\w+))?\s*;?\s*$",
     re.IGNORECASE)
+_NORMALIZE_RE = re.compile(
+    r"^\s*NORMALIZE\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
+    r"(?:\s+COL\s+(?P<col>\w+))?"
+    r"(?:\s+FORM\s+(?P<form>NFC|NFKC|NFD|NFKD|NONE))?"
+    r"(?P<lower>\s+LOWER)?(?P<collapse>\s+COLLAPSE)?\s*;?\s*$",
+    re.IGNORECASE)
+_CAP_HOST_RE = re.compile(
+    r"^\s*CAP\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"HOST\s+(?P<host>\w+)\s+BEST\s+(?P<n>\d+)\s+BY\s+(?P<by>\w+)"
+    r"(?:\s+ID\s+(?P<id>\w+))?(?:\s+SALT\s+(?P<salt>\d+))?\s*;?\s*$",
+    re.IGNORECASE)
+_DEDUP_VS_RE = re.compile(
+    r"^\s*DEDUP\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"VS\s+CORPUS\s+(?P<corpus>STREAM:\w+|TAG:'[^']*')"
+    r"(?:\s+TEXT\s+(?P<text>\w+))?(?:\s+ID\s+(?P<id>\w+))?"
+    r"(?:\s+JACCARD\s+(?P<pm>\d+))?\s*;?\s*$",
+    re.IGNORECASE)
 _FROM_TAG_RE = re.compile(r"\bTAG:'([^']*)'", re.IGNORECASE)
 _WINDOW_RE = re.compile(
     r"\bWINDOW\s+(?P<kind>TUMBLING|HOPPING)\s*\(\s*(?P<n>\d+)\s+"
@@ -268,8 +285,62 @@ class StreamProcessor:
             m.group("grp") or "source", m.group("key") or "doc_id",
             {}, default_permille=int(m.group("pm")))
 
+    def _normalize(self, m: re.Match) -> DataFrame:
+        """NORMALIZE STREAM:src [COL col] [FORM NFC|NFKC|NFD|NFKD|NONE]
+        [LOWER] [COLLAPSE] — unicode text canonicalization
+        (operators/web.py normalize_text) in place on the column."""
+        from ..operators.web import normalize_text
+        return normalize_text(
+            self._source_df(m.group("src")), m.group("col") or "text",
+            form=(m.group("form") or "NFC"),
+            lower=bool(m.group("lower")),
+            collapse_ws=bool(m.group("collapse")))
+
+    def _cap_host(self, m: re.Match) -> DataFrame:
+        """CAP STREAM:src HOST hcol BEST n BY scol [ID idcol] [SALT k]
+        — domain balancing (operators/web.py cap_per_host): keep the n
+        best rows per host, ordered scol DESC with the id column as
+        the deterministic tiebreak; SALT k enables the exact two-phase
+        skew form."""
+        from pyspark.sql import functions as F
+
+        from ..operators.web import cap_per_host
+        id_col = m.group("id") or "doc_id"
+        kw: dict = {}
+        if m.group("salt"):
+            kw.update(salt_buckets=int(m.group("salt")), salt_key=id_col)
+        return cap_per_host(
+            self._source_df(m.group("src")), m.group("host"),
+            [F.desc(m.group("by")), F.col(id_col)], int(m.group("n")),
+            **kw)
+
+    def _dedup_vs(self, m: re.Match) -> DataFrame:
+        """DEDUP STREAM:new VS CORPUS STREAM:corpus [TEXT col] [ID col]
+        [JACCARD permille] — incremental ingest dedup
+        (operators/dedup.py dedup_vs_corpus); the corpus stream's
+        artifacts are built inline here (a config user points the
+        corpus stream at the maintained artifact-backed table to skip
+        that)."""
+        from ..operators.dedup import corpus_artifacts, dedup_vs_corpus
+        text = m.group("text") or "text"
+        id_col = m.group("id") or "doc_id"
+        thresh = (int(m.group("pm")) / 1000.0) if m.group("pm") else 0.5
+        hashes, sigs = corpus_artifacts(
+            self._source_df(m.group("corpus")), id_col, text)
+        return dedup_vs_corpus(self._source_df(m.group("src")), id_col,
+                               text, hashes, sigs, threshold=thresh)
+
     def _exec_select(self, text: str) -> DataFrame:
         """A statement body: a token-op verb, else translated SQL."""
+        nm = _NORMALIZE_RE.match(text)
+        if nm:
+            return self._normalize(nm)
+        cm = _CAP_HOST_RE.match(text)
+        if cm:
+            return self._cap_host(cm)
+        vm = _DEDUP_VS_RE.match(text)
+        if vm:
+            return self._dedup_vs(vm)
         pm = _PACK_RE.match(text)
         if pm:
             return self._pack(pm)

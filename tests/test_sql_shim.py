@@ -303,3 +303,59 @@ def test_dedup_spans_verb_matches_operator(sp, spark):
     assert got == want
     # the later copy of S lost exactly its 8 tokens
     assert (2, tuple(range(50, 60)), 8) in got
+
+
+def test_normalize_verb_matches_operator(sp, spark):
+    """NORMALIZE STREAM:x FORM NFKC LOWER COLLAPSE == normalize_text."""
+    from fluent_bit_spark.operators.web import normalize_text
+    df = spark.createDataFrame(
+        [("a", "Café   BAR"), ("b", "ＡＢ  x")],
+        "doc_id string, text string")
+    sp.register_stream("webdocs", df)
+    got = sp.sql("NORMALIZE STREAM:webdocs FORM NFKC LOWER COLLAPSE;")
+    want = normalize_text(df, "text", form="NFKC", lower=True,
+                          collapse_ws=True)
+    g = {(r.doc_id, r.text) for r in got.collect()}
+    assert g == {(r.doc_id, r.text) for r in want.collect()}
+    assert ("a", "café bar") in g and ("b", "ab x") in g
+
+
+def test_cap_host_verb_matches_operator(sp, spark):
+    """CAP STREAM:x HOST h BEST n BY s [ID i] [SALT k] == cap_per_host
+    (salted and plain select the same rows)."""
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.web import cap_per_host
+    rows = [(i, "big.com" if i % 4 else "small.com", float(i % 9))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, "
+                                     "score double")
+    sp.register_stream("pages", df)
+    got = sp.sql("CAP STREAM:pages HOST host BEST 3 BY score "
+                 "ID doc_id SALT 4;")
+    want = cap_per_host(df, "host", [F.desc("score"), F.col("doc_id")], 3)
+    assert sorted(r.doc_id for r in got.collect()) == \
+           sorted(r.doc_id for r in want.collect())
+
+
+def test_dedup_vs_corpus_verb_matches_operator(sp, spark):
+    """DEDUP STREAM:new VS CORPUS STREAM:corpus == corpus_artifacts +
+    dedup_vs_corpus at the same threshold."""
+    from fluent_bit_spark.operators.dedup import (
+        corpus_artifacts, dedup_vs_corpus,
+    )
+    corpus = spark.createDataFrame(
+        [("c1", "alpha beta gamma delta epsilon zeta")],
+        "doc_id string, text string")
+    new = spark.createDataFrame(
+        [("n1", "alpha beta gamma delta epsilon zeta"),   # exact dup
+         ("n2", "totally different words entirely here now")],
+        "doc_id string, text string")
+    sp.register_stream("corpus", corpus)
+    sp.register_stream("newb", new)
+    got = sp.sql("DEDUP STREAM:newb VS CORPUS STREAM:corpus "
+                 "TEXT text ID doc_id JACCARD 500;")
+    hashes, sigs = corpus_artifacts(corpus, "doc_id", "text")
+    want = dedup_vs_corpus(new, "doc_id", "text", hashes, sigs,
+                           threshold=0.5)
+    assert sorted(r.doc_id for r in got.collect()) == \
+           sorted(r.doc_id for r in want.collect()) == ["n2"]
