@@ -609,11 +609,32 @@ def corpus_artifacts(corpus: DataFrame, id_col: str, text_col: str, *,
     return hashes, sigs
 
 
+def corpus_band_table(corpus_sigs: DataFrame, *, num_perm: int = 16,
+                      bands: int = 4,
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """(doc, sig, band, bh) — the corpus side of the LSH band join,
+    precomputable alongside :func:`corpus_artifacts`. Persist it
+    BUCKETED on (band, bh) (``sources.tables.write_bucketed``) and the
+    per-batch band join reads the corpus side with NO exchange — only
+    the (small) new batch shuffles, which is what makes per-batch cost
+    ∝ batch instead of ∝ corpus (BENCH/DEDUP.md vs-corpus reading)."""
+    rows = num_perm // bands
+    return corpus_sigs.select(
+        "doc", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     band_hash_col(F.col("sig"), b, rows, hash_fn)
+                     .alias("bh"))
+            for b in range(bands)])).alias("e")
+    ).select("doc", "sig", "e.band", "e.bh")
+
+
 def dedup_vs_corpus(new: DataFrame, id_col: str, text_col: str,
                     corpus_hashes: DataFrame, corpus_sigs: DataFrame, *,
                     num_perm: int = 16, bands: int = 4,
                     threshold: float = 0.5, shingle_n: int = 3,
-                    hash_fn: str = "xxhash64") -> DataFrame:
+                    hash_fn: str = "xxhash64",
+                    corpus_bands: DataFrame | None = None) -> DataFrame:
     """Survivors of ``new`` after dedup AGAINST the corpus (incremental
     ingest: "is today's crawl already in the training set?").
 
@@ -630,6 +651,11 @@ def dedup_vs_corpus(new: DataFrame, id_col: str, text_col: str,
     Self-duplicates WITHIN the new batch are out of scope (compose
     with minhash_lsh_pairs/resolve_duplicate_groups for that) — the
     returned frame keeps every ``new`` column unchanged.
+
+    ``corpus_bands``: a pre-materialized :func:`corpus_band_table`
+    (ideally a (band, bh)-bucketed table) replaces the inline band
+    expansion of ``corpus_sigs`` — pass the sigs frame too only for
+    its schema contract; it is not read when bands are supplied.
     """
     rows = num_perm // bands
     h = content_hash(F.col(text_col))
@@ -652,7 +678,11 @@ def dedup_vs_corpus(new: DataFrame, id_col: str, text_col: str,
         ).select(doc_out, "sig", "e.band", "e.bh")
 
     a = bandify(sig_new, "ndoc").withColumnRenamed("sig", "sig1")
-    b = bandify(corpus_sigs, "cdoc").withColumnRenamed("sig", "sig2")
+    if corpus_bands is not None:
+        b = corpus_bands.select(F.col("doc").alias("cdoc"),
+                                F.col("sig").alias("sig2"), "band", "bh")
+    else:
+        b = bandify(corpus_sigs, "cdoc").withColumnRenamed("sig", "sig2")
     cand = (a.join(b, ["band", "bh"])
              .groupBy("ndoc", "cdoc")
              .agg(F.first("sig1").alias("sig1"),

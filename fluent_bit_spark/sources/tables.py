@@ -123,20 +123,25 @@ def read_tokens(spark: SparkSession, path: str,
     return (io or TableIO()).read(spark, path)
 
 
-def write_bucketed(df: DataFrame, table: str, bucket_key: str,
+def write_bucketed(df: DataFrame, table: str,
+                   bucket_key: str | list[str],
                    n_buckets: int = 32,
                    sort_key: str | None = None,
                    mode: str = "overwrite") -> None:
-    """Persist a table bucketed (and optionally sorted) on its join key.
+    """Persist a table bucketed (and optionally sorted) on its join
+    key(s) — ``bucket_key`` may be one column or a composite list.
 
     The co-located-join tool for keys joined REPEATEDLY at scale: two
     tables bucketed on the same key with the same bucket count join with
     NO exchange on either side (asserted in tests/test_plan_shape.py) —
-    the shuffle is paid once at write time instead of once per query.
+    the shuffle is paid once at write time instead of once per query;
+    a table bucketed on its join keys also skips ITS side's exchange
+    against a non-bucketed other side (the maintained-corpus posture).
     This is the Parquet/Hive bucketing analogue of Iceberg's
     ``bucket(N, key)`` partition transform; on the Iceberg deployment
     use that transform plus storage-partitioned joins."""
-    w = df.write.mode(mode).bucketBy(n_buckets, bucket_key)
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    w = df.write.mode(mode).bucketBy(n_buckets, keys[0], *keys[1:])
     if sort_key:
         w = w.sortBy(sort_key)
     w.format("parquet").saveAsTable(table)

@@ -124,6 +124,16 @@ def main() -> int:
             docs, args.id_col, args.text_col, num_perm=args.num_perm)
         hashes.write.mode("overwrite").parquet(f"{args.output}/hashes")
         sigs.write.mode("overwrite").parquet(f"{args.output}/sigs")
+        # pre-expanded band table so per-batch runs skip the corpus-side
+        # band expansion; on a catalog-backed cluster, write this with
+        # sources.tables.write_bucketed(bands, tbl, ["band", "bh"])
+        # instead — the bucketed layout makes the per-batch band join
+        # exchange-free on the corpus side (plan-asserted in
+        # tests/test_plan_shape.py)
+        sigs = spark.read.parquet(f"{args.output}/sigs")
+        DD.corpus_band_table(sigs, num_perm=args.num_perm,
+                             bands=args.bands) \
+            .write.mode("overwrite").parquet(f"{args.output}/bands")
         n_h = spark.read.parquet(f"{args.output}/hashes").count()
         n_s = spark.read.parquet(f"{args.output}/sigs").count()
         print(json.dumps({"mode": "artifacts", "rows_in": n_in,
@@ -137,10 +147,15 @@ def main() -> int:
             ap.error("--mode vs-corpus needs --corpus-artifacts")
         hashes = spark.read.parquet(f"{args.corpus_artifacts}/hashes")
         sigs = spark.read.parquet(f"{args.corpus_artifacts}/sigs")
+        try:
+            bands_tbl = spark.read.parquet(
+                f"{args.corpus_artifacts}/bands")
+        except Exception:
+            bands_tbl = None        # pre-bands artifact dir (older run)
         survivors = DD.dedup_vs_corpus(
             docs, args.id_col, args.text_col, hashes, sigs,
             num_perm=args.num_perm, bands=args.bands,
-            threshold=args.jaccard)
+            threshold=args.jaccard, corpus_bands=bands_tbl)
         survivors.write.mode("overwrite").parquet(f"{args.output}/deduped")
         n_out = spark.read.parquet(f"{args.output}/deduped").count()
         print(json.dumps({"mode": "vs-corpus", "rows_in": n_in,
