@@ -605,3 +605,57 @@ def tfidf_topk(df: DataFrame, k: int = 3, tokens_col: str = "tokens",
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(id_col, "tok", "tf", "score", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes log-odds quality classifier (CCNet/fasttext-style filter)
+# ---------------------------------------------------------------------------
+
+
+def nb_quality_score(df: DataFrame, label: Column,
+                     text_col: str = "text",
+                     id_cols: tuple[str, ...] = ("doc_id", "source"),
+                     alpha: int = 1,
+                     millinats_scale: int = 1000) -> DataFrame:
+    """One-pass Naive-Bayes quality classifier: train per-token
+    log-odds weights from a boolean ``label`` (the "high-quality
+    exemplar" class — a trusted source, a curated subset) and score
+    every document by its summed token log-likelihood-ratio. The
+    distributable core of the CCNet/fasttext quality-filter recipe,
+    with a CLOSED-FORM fit — no iterative optimizer, so one shuffle
+    trains the model at any corpus size.
+
+    Output: ``id_cols + (llr_millinats, n_tok, pred)`` — positive
+    sums read "looks like the exemplar class".
+
+    Scale shape (same posture as :func:`unigram_surprisal`):
+    - the weight table is VOCAB-sized regardless of corpus size
+      (map-side-combined conditional counts), then broadcasts;
+    - class totals and vocab size come from one agg over the
+      vocab-sized table (no second corpus pass);
+    - per-token weights are rounded to INTEGER milli-nats BEFORE the
+      per-doc sum → exact BIGINT arithmetic, order-independent and
+      engine-portable;
+    - the scoring join is broadcast + a map-side-combined per-doc agg.
+    """
+    toks = F.split(F.col(text_col), " ")
+    ex = df.select(*id_cols, label.alias("pos"),
+                   F.explode(toks).alias("tok"))
+    freq = ex.groupBy("tok").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("cb"))
+    tot = freq.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+                   F.count("*").alias("v"))
+    a = F.lit(float(alpha))
+    model = (freq.crossJoin(F.broadcast(tot))
+             .select("tok", F.round(
+                 (F.log((F.col("ca") + a)
+                        / (F.col("na") + a * F.col("v")))
+                  - F.log((F.col("cb") + a)
+                          / (F.col("nb") + a * F.col("v"))))
+                 * millinats_scale).cast("long").alias("w")))
+    return (ex.join(F.broadcast(model), "tok")
+            .groupBy(*[F.col(c) for c in id_cols])
+            .agg(F.sum("w").alias("llr_millinats"),
+                 F.count("*").alias("n_tok"))
+            .withColumn("pred", F.col("llr_millinats") > 0))

@@ -71,6 +71,11 @@ _SCORE_RE = re.compile(
     r"^\s*SCORE\s+SURPRISAL\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
     r"(?:\s+TOKENS\s+(?P<col>\w+))?\s*;?\s*$",
     re.IGNORECASE)
+_SCORE_NB_RE = re.compile(
+    r"^\s*SCORE\s+QUALITY\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"LABEL\s+(?P<lcol>\w+)\s+'(?P<lval>[^']*)'"
+    r"(?:\s+TEXT\s+(?P<text>\w+))?\s*;?\s*$",
+    re.IGNORECASE)
 _SPLIT_RE = re.compile(
     r"^\s*SPLIT\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
     r"HOLDOUT\s+(?P<pm>\d+)"
@@ -330,8 +335,24 @@ class StreamProcessor:
         return dedup_vs_corpus(self._source_df(m.group("src")), id_col,
                                text, hashes, sigs, threshold=thresh)
 
+    def _score_nb(self, m: re.Match) -> DataFrame:
+        """SCORE QUALITY STREAM:src LABEL col 'value' [TEXT col] —
+        Naive-Bayes log-odds quality classifier (operators/tokens.py
+        nb_quality_score); the exemplar class is rows where the label
+        column equals the quoted value."""
+        from pyspark.sql import functions as F
+
+        from ..operators.tokens import nb_quality_score
+        return nb_quality_score(
+            self._source_df(m.group("src")),
+            F.col(m.group("lcol")) == m.group("lval"),
+            text_col=m.group("text") or "text")
+
     def _exec_select(self, text: str) -> DataFrame:
         """A statement body: a token-op verb, else translated SQL."""
+        qm = _SCORE_NB_RE.match(text)
+        if qm:
+            return self._score_nb(qm)
         nm = _NORMALIZE_RE.match(text)
         if nm:
             return self._normalize(nm)

@@ -3079,3 +3079,38 @@ def dedup_vs_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              num_perm=16, bands=4, threshold=0.5,
                              hash_fn="portable")
     return out.select("doc_id", "source")
+
+
+@q("nb_quality", """
+WITH ex AS (
+  SELECT doc_id, source, lang = 'en' AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+freq AS (
+  SELECT tok,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cb
+  FROM ex GROUP BY tok),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM freq),
+model AS (
+  SELECT tok,
+         CAST(round((ln((ca + 1.0) / (na + 1.0 * v))
+                     - ln((cb + 1.0) / (nb + 1.0 * v))) * 1000)
+              AS BIGINT) AS w
+  FROM freq, tot)
+SELECT e.doc_id, e.source,
+       sum(m.w) AS llr_millinats, count(*) AS n_tok,
+       (sum(m.w) > 0) AS pred
+FROM ex e JOIN model m USING (tok)
+GROUP BY e.doc_id, e.source
+""")
+def nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes log-odds quality classifier (operators/tokens.py
+    nb_quality_score): lang='en' documents are the exemplar class;
+    every document scores its summed token log-likelihood-ratio in
+    exact integer milli-nats. The full chain — conditional counts,
+    class totals, smoothed log-odds weights, fixed-point rounding,
+    per-doc BIGINT sums, the decision — is reproduced in DuckDB."""
+    from .operators.tokens import nb_quality_score
+    docs = t(spark, sf_dir, "documents")
+    return nb_quality_score(docs, F.col("lang") == "en")

@@ -359,3 +359,19 @@ def test_dedup_vs_corpus_verb_matches_operator(sp, spark):
                            threshold=0.5)
     assert sorted(r.doc_id for r in got.collect()) == \
            sorted(r.doc_id for r in want.collect()) == ["n2"]
+
+
+def test_score_quality_verb_matches_operator(sp, spark):
+    """SCORE QUALITY STREAM:x LABEL col 'v' == nb_quality_score."""
+    from pyspark.sql import functions as F
+    from fluent_bit_spark.operators.tokens import nb_quality_score
+    docs = spark.createDataFrame(
+        [("g1", "good", "clean prose flows here"),
+         ("b1", "junk", "spam spam buy click")],
+        "doc_id string, source string, text string")
+    sp.register_stream("qdocs", docs)
+    got = sp.sql("SCORE QUALITY STREAM:qdocs LABEL source 'good';")
+    want = nb_quality_score(docs, F.col("source") == "good")
+    g = {(r.doc_id, r.llr_millinats, r.pred) for r in got.collect()}
+    assert g == {(r.doc_id, r.llr_millinats, r.pred)
+                 for r in want.collect()}

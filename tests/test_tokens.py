@@ -501,3 +501,40 @@ def test_substring_dedup_xxhash64_twin_equivalence(spark):
     b = sorted(TK.substring_dedup(df, length=8, materialize=None,
                                   hash_fn="xxhash64").collect())
     assert a == b
+
+
+def test_nb_quality_score_matches_pure_python(spark):
+    """The closed-form NB fit must equal a from-scratch python
+    computation of the smoothed log-odds weights and per-doc sums, and
+    the decision must separate the planted classes."""
+    import math
+    docs = [
+        ("g1", "good", "clean prose flows nicely here"),
+        ("g2", "good", "clean prose reads nicely too"),
+        ("b1", "junk", "spam spam buy buy click"),
+        ("b2", "junk", "click spam buy now now"),
+        ("m1", "unseen", "clean prose with spam inside"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, source string, "
+                                     "text string")
+    out = {r.doc_id: r for r in TK.nb_quality_score(
+        df, F.col("source") == "good",
+        id_cols=("doc_id", "source")).collect()}
+
+    # pure-python model
+    ca, cb = {}, {}
+    for _, src, text in docs:
+        for tok in text.split(" "):
+            d = ca if src == "good" else cb
+            d[tok] = d.get(tok, 0) + 1
+            ca.setdefault(tok, 0), cb.setdefault(tok, 0)
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(ca)
+    w = {t: round((math.log((ca[t] + 1.0) / (na + v))
+                   - math.log((cb[t] + 1.0) / (nb + v))) * 1000)
+         for t in ca}
+    for doc_id, _, text in docs:
+        want = sum(w[t] for t in text.split(" "))
+        assert out[doc_id].llr_millinats == want, doc_id
+        assert out[doc_id].n_tok == len(text.split(" "))
+    assert out["g1"].pred and out["g2"].pred
+    assert not out["b1"].pred and not out["b2"].pred
