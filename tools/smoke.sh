@@ -44,5 +44,8 @@ if [ "${1:-}" != "quick" ]; then
   python tools/bench_kmeans.py --sizes 100000,200000 --k 32 \
     --semdedup-n 50000 --semdedup-k 100 \
     --out /tmp/smoke_kmeans_vol --gate | tail -1 # twin recall must be exact
+  python tools/bench_vscorpus.py --pairs 100000:10000 \
+    --out /tmp/smoke_vsc_vol | tail -1 # exits 2 unless exact drops total
+                                       # and fresh false-drops zero
 fi
 echo "SMOKE OK"
