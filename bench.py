@@ -58,6 +58,11 @@ HEADLINE = [
     "multiline_cri",
     "decoder_escaped",
     "geoip_range_lookup",
+    "grok_parse",
+    "nb_quality",
+    "dedup_vs_corpus",
+    "normalize_nfc",
+    "url_host_cap",
     "asof_enrich",
     "rollup_agg",
     "sp_sql_window",
