@@ -92,6 +92,14 @@ _CAP_HOST_RE = re.compile(
     r"HOST\s+(?P<host>\w+)\s+BEST\s+(?P<n>\d+)\s+BY\s+(?P<by>\w+)"
     r"(?:\s+ID\s+(?P<id>\w+))?(?:\s+SALT\s+(?P<salt>\d+))?\s*;?\s*$",
     re.IGNORECASE)
+_REDACT_RE = re.compile(
+    r"^\s*REDACT\s+PII\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
+    r"(?:\s+COL\s+(?P<col>\w+))?(?P<nocounts>\s+NOCOUNTS)?\s*;?\s*$",
+    re.IGNORECASE)
+_HTML_TEXT_RE = re.compile(
+    r"^\s*EXTRACT\s+TEXT\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
+    r"(?:\s+COL\s+(?P<col>\w+))?(?:\s+AS\s+(?P<out>\w+))?\s*;?\s*$",
+    re.IGNORECASE)
 _DEDUP_VS_RE = re.compile(
     r"^\s*DEDUP\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
     r"VS\s+CORPUS\s+(?P<corpus>STREAM:\w+|TAG:'[^']*')"
@@ -348,8 +356,33 @@ class StreamProcessor:
             F.col(m.group("lcol")) == m.group("lval"),
             text_col=m.group("text") or "text")
 
+    def _redact_pii(self, m: re.Match) -> DataFrame:
+        """REDACT PII STREAM:src [COL col] [NOCOUNTS] — scrub
+        email/IPv4/phone shapes in place (functions/text.py redact);
+        per-rule ``<name>_hits`` audit columns unless NOCOUNTS."""
+        from ..functions.text import pii_counts, redact
+        df = self._source_df(m.group("src"))
+        col = m.group("col") or "text"
+        if not m.group("nocounts"):
+            df = df.select("*", *pii_counts(col))
+        return df.withColumn(col, redact(col))
+
+    def _html_text(self, m: re.Match) -> DataFrame:
+        """EXTRACT TEXT STREAM:src [COL col] [AS out] — HTML→plain-text
+        boilerplate strip (operators/web.py html_to_text)."""
+        from ..operators.web import html_to_text
+        return html_to_text(self._source_df(m.group("src")),
+                            m.group("col") or "html",
+                            m.group("out") or "text_plain")
+
     def _exec_select(self, text: str) -> DataFrame:
         """A statement body: a token-op verb, else translated SQL."""
+        rm = _REDACT_RE.match(text)
+        if rm:
+            return self._redact_pii(rm)
+        xm = _HTML_TEXT_RE.match(text)
+        if xm:
+            return self._html_text(xm)
         qm = _SCORE_NB_RE.match(text)
         if qm:
             return self._score_nb(qm)

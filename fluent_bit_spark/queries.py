@@ -44,6 +44,10 @@ ORACLE_SQL: dict[str, str] = {}
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # a silent overwrite would shadow an oracled query (and its
+            # driver-window slot) — fail at import time instead
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
@@ -2999,6 +3003,60 @@ def url_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("u_host").alias("host"),
         F.col("u_domain").alias("domain"), F.col("u_path").alias("path"),
         "value")
+
+
+@q("html_text", r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><script type="text/js">var x = 1 &lt; 2;</script>'
+         || '<style>p { color: red }</style></head><body><!-- nav -->'
+         || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+         || text || '</p><div>A &amp;&amp; B&nbsp;&lt;tag&gt;'
+         || '</div><br/>fin</body></html>' AS html
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    replace(replace(replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(html,
+        '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?i)<br\s*/?>', chr(10), 'g'),
+        '(?i)</(p|div|h1|h2|h3|h4|h5|h6|li|tr|ul|ol|table|blockquote)\s*>',
+        chr(10), 'g'),
+        '<[^>]*>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+    '[ ' || chr(9) || chr(13) || ']+', ' ', 'g'),
+    ' ?' || chr(10) || ' ?', chr(10), 'g'),
+    chr(10) || '+', chr(10), 'g'),
+    '^\s+', '', 'g'),
+    '\s+$', '', 'g') AS plain
+FROM pages
+""")
+def html_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→plain-text extraction (operators/web.html_to_text): both
+    engines wrap the documents text in identical boilerplate (script/
+    style bodies, comments, headings, entities — incl. a double-encoded
+    '&amp;&amp;'), then strip it. The whole chain is map-only Catalyst
+    regexp_replace/replace; DuckDB re-runs the same passes under RE2 —
+    byte-for-byte agreement is the check."""
+    from .operators.web import html_to_text
+    docs = t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script type="text/js">var x = 1 &lt; 2;'
+                  '</script><style>p { color: red }</style></head>'
+                  '<body><!-- nav --><h1>Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"), F.col("text"),
+            F.lit("</p><div>A &amp;&amp; B&nbsp;&lt;tag&gt;</div>"
+                  "<br/>fin</body></html>"),
+        ).alias("html"))
+    out = html_to_text(pages, "html", "plain")
+    return out.select("doc_id", "plain")
 
 
 def _vs_corpus_oracle(num_perm: int = 16, bands: int = 4,

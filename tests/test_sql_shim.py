@@ -375,3 +375,37 @@ def test_score_quality_verb_matches_operator(sp, spark):
     g = {(r.doc_id, r.llr_millinats, r.pred) for r in got.collect()}
     assert g == {(r.doc_id, r.llr_millinats, r.pred)
                  for r in want.collect()}
+
+
+def test_redact_pii_verb_matches_functions(sp, spark):
+    """REDACT PII STREAM:x [COL c] [NOCOUNTS] == text.redact +
+    text.pii_counts (scrub in place, <name>_hits audit columns)."""
+    from fluent_bit_spark.functions.text import pii_counts, redact
+    df = spark.createDataFrame(
+        [("a", "mail x@y.io from 10.1.2.3"), ("b", "clean")],
+        "doc_id string, text string")
+    sp.register_stream("pii", df)
+    got = sp.sql("REDACT PII STREAM:pii;")
+    want = (df.select("*", *pii_counts("text"))
+              .withColumn("text", redact("text")))
+    assert sorted(map(tuple, got.collect())) == \
+           sorted(map(tuple, want.collect()))
+    assert ("a", "mail <EMAIL> from <IP>", 1, 1, 0) in \
+           {(r.doc_id, r.text, r.email_hits, r.ipv4_hits, r.phone_hits)
+            for r in got.collect()}
+    nc = sp.sql("REDACT PII STREAM:pii NOCOUNTS;")
+    assert nc.columns == df.columns
+
+
+def test_extract_text_verb_matches_operator(sp, spark):
+    """EXTRACT TEXT STREAM:x [COL c] [AS out] == html_to_text."""
+    from fluent_bit_spark.operators.web import html_to_text
+    df = spark.createDataFrame(
+        [("a", "<p>Hi &amp; bye</p><script>x<y</script>")],
+        "doc_id string, html string")
+    sp.register_stream("pages2", df)
+    got = sp.sql("EXTRACT TEXT STREAM:pages2 COL html AS plain;")
+    want = html_to_text(df, "html", "plain")
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in want.collect()]
+    assert got.collect()[0].plain == "Hi & bye"

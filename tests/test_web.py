@@ -99,3 +99,20 @@ def test_cap_per_host_errors(spark):
         cap_per_host(df, "host", [F.col("id")], 0)
     with pytest.raises(ValueError, match="needs salt_key"):
         cap_per_host(df, "host", [F.col("id")], 3, salt_buckets=4)
+
+
+def test_html_to_text(spark):
+    from fluent_bit_spark.operators.web import html_to_text
+    html = ('<html><head><script>if (a<b) { x(); }</script>'
+            '<style>p{color:red}</style></head><body><!-- hidden -->'
+            '<h1>Title</h1><p>One &amp; two &lt;three&gt;</p>'
+            '<div>A &amp;amp; B&nbsp;C</div><br/>tail  words'
+            '</body></html>')
+    df = spark.createDataFrame([(0, html)], "id long, html string")
+    out = html_to_text(df, "html").collect()[0]["text_plain"]
+    # script/style/comment bodies gone; block closers -> newlines;
+    # entities decoded exactly one level (&amp;amp; -> &amp;)
+    assert out == "Title\nOne & two <three>\nA &amp; B C\ntail words"
+    plan = html_to_text(df, "html")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
