@@ -629,6 +629,51 @@ def corpus_band_table(corpus_sigs: DataFrame, *, num_perm: int = 16,
     ).select("doc", "sig", "e.band", "e.bh")
 
 
+def append_corpus_artifacts(accepted: DataFrame, id_col: str,
+                            text_col: str, *, num_perm: int = 16,
+                            shingle_n: int = 3,
+                            hash_fn: str = "xxhash64",
+                            bands: int | None = None,
+                            dedup_batch: bool = True
+                            ) -> tuple[DataFrame, DataFrame,
+                                       DataFrame | None]:
+    """Artifact DELTAS for folding an ACCEPTED batch into the
+    maintained corpus tables — the missing half of the incremental
+    story: ``dedup_vs_corpus`` reads the artifacts, this produces what
+    the ingest job appends after a batch passes.
+
+    Returns ``(hashes_delta, sigs_delta, bands_delta)`` computed from
+    the batch ALONE — cost ∝ batch size, the corpus is never re-read,
+    re-hashed, or re-distincted (a corpus-wide ``distinct`` per batch
+    would be the scale bug this function exists to avoid).
+
+    Correctness invariant: when ``accepted`` is exactly the survivor
+    set of :func:`dedup_vs_corpus` against the same artifacts, the
+    hash delta is DISJOINT from the maintained hash table (exact dups
+    were anti-joined away), so a plain append preserves the table's
+    distinct-set property with no reconciliation step. Near-dup
+    survivors (est < threshold) contribute their own signatures, by
+    design — the corpus's neighborhood grows with what it accepts.
+
+    ``dedup_batch`` collapses WITHIN-batch exact copies (batch-sized
+    shuffle) before computing deltas, since ``dedup_vs_corpus``
+    deliberately leaves those in. ``bands`` additionally returns the
+    pre-expanded :func:`corpus_band_table` delta for a maintained
+    (band, bh)-bucketed band table.
+    """
+    batch = accepted
+    if dedup_batch:
+        batch = exact_dedup(accepted, [text_col], tiebreak=id_col)
+    hashes, sigs = corpus_artifacts(batch, id_col, text_col,
+                                    num_perm=num_perm,
+                                    shingle_n=shingle_n, hash_fn=hash_fn)
+    band_tbl = None
+    if bands is not None:
+        band_tbl = corpus_band_table(sigs, num_perm=num_perm,
+                                     bands=bands, hash_fn=hash_fn)
+    return hashes, sigs, band_tbl
+
+
 def dedup_vs_corpus(new: DataFrame, id_col: str, text_col: str,
                     corpus_hashes: DataFrame, corpus_sigs: DataFrame, *,
                     num_perm: int = 16, bands: int = 4,

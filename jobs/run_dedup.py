@@ -52,9 +52,12 @@ def main() -> int:
                          "'artifacts' writes the corpus-side state "
                          "[hashes/ + sigs/] for later incremental runs, "
                          "'vs-corpus' dedups --input against "
-                         "--corpus-artifacts)")
+                         "--corpus-artifacts; 'artifacts' WITH "
+                         "--corpus-artifacts appends the accepted "
+                         "batch's deltas to that dir instead)")
     ap.add_argument("--corpus-artifacts", default=None,
-                    help="vs-corpus mode: dir written by --mode artifacts")
+                    help="dir written by --mode artifacts (vs-corpus: "
+                         "read; artifacts: append deltas in place)")
     ap.add_argument("--tokens-col", default="tokens",
                     help="substring mode: token-array column")
     ap.add_argument("--span-len", type=int, default=50,
@@ -99,7 +102,6 @@ def main() -> int:
                           "tokens_before": int(agg["before"] or 0),
                           "tokens_removed": int(agg["removed"] or 0),
                           "wall_sec": round(time.time() - t0, 2)}))
-        spark.stop()
         return 0 if int(agg["n"]) == n_in else 2
 
     if mode == "semdedup":
@@ -116,7 +118,32 @@ def main() -> int:
         print(json.dumps({"mode": "semdedup", "rows_in": n_in,
                           "rows_out": n_out, "dropped": n_in - n_out,
                           "wall_sec": round(time.time() - t0, 2)}))
-        spark.stop()
+        return 0
+
+    if mode == "artifacts" and args.corpus_artifacts:
+        # fold-in: --input is an ACCEPTED batch (e.g. the vs-corpus
+        # survivors) and --corpus-artifacts the maintained tables.
+        # Deltas are computed from the batch alone and APPENDED — the
+        # corpus side is never re-read (cost ∝ batch, not corpus).
+        tgt = args.corpus_artifacts
+        dh, ds, dbt = DD.append_corpus_artifacts(
+            docs, args.id_col, args.text_col, num_perm=args.num_perm,
+            bands=args.bands)
+        dh.write.mode("append").parquet(f"{tgt}/hashes")
+        ds.write.mode("append").parquet(f"{tgt}/sigs")
+        # only append bands if the maintained dir HAS a band table — a
+        # delta-only bands/ would make later vs-corpus runs miss every
+        # pre-existing corpus candidate silently
+        try:
+            spark.read.parquet(f"{tgt}/bands").schema
+            has_bands = True
+        except Exception:
+            has_bands = False
+        if has_bands:
+            dbt.write.mode("append").parquet(f"{tgt}/bands")
+        print(json.dumps({"mode": "artifacts-append", "rows_in": n_in,
+                          "bands_appended": has_bands,
+                          "wall_sec": round(time.time() - t0, 2)}))
         return 0
 
     if mode == "artifacts":
@@ -139,7 +166,6 @@ def main() -> int:
         print(json.dumps({"mode": "artifacts", "rows_in": n_in,
                           "distinct_hashes": n_h, "signatures": n_s,
                           "wall_sec": round(time.time() - t0, 2)}))
-        spark.stop()
         return 0
 
     if mode == "vs-corpus":
@@ -161,7 +187,6 @@ def main() -> int:
         print(json.dumps({"mode": "vs-corpus", "rows_in": n_in,
                           "rows_out": n_out, "dropped": n_in - n_out,
                           "wall_sec": round(time.time() - t0, 2)}))
-        spark.stop()
         return 0
 
     if mode == "exact":
@@ -172,7 +197,6 @@ def main() -> int:
                           "rows_out": n_out,
                           "dropped": n_in - n_out,
                           "wall_sec": round(time.time() - t0, 2)}))
-        spark.stop()
         return 0
 
     pairs = DD.lsh_verified_pairs(
@@ -196,7 +220,8 @@ def main() -> int:
         "mode": "two-stage-lsh", "rows_in": n_in, "near_dup_pairs": n_pairs,
         "rows_out": n_out, "dropped": n_in - n_out,
         "wall_sec": round(time.time() - t0, 2)}))
-    spark.stop()
+    # no spark.stop(): spark-submit tears the JVM down at exit, and an
+    # in-suite main() call must not kill the caller's shared session
     return 0
 
 

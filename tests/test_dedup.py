@@ -3,6 +3,8 @@ operators/dedup.py scale notes)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from fluent_bit_spark.operators.dedup import (
@@ -257,3 +259,122 @@ def test_dedup_vs_corpus_no_corpus_text_rescans(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "alpha" not in plan  # corpus text absent from the lineage
     assert sorted(r.doc_id for r in out.collect()) == ["n1"]
+
+
+def test_append_corpus_artifacts_equals_rebuild(spark):
+    """Incremental maintenance: folding an accepted batch's artifact
+    DELTAS into the corpus tables must make the next batch's dedup
+    decisions identical to a from-scratch rebuild over corpus ∪
+    accepted — and within-batch twins collapse to one artifact row."""
+    from fluent_bit_spark.operators.dedup import (
+        append_corpus_artifacts, corpus_artifacts, dedup_vs_corpus,
+    )
+    corpus = spark.createDataFrame([
+        ("c1", "the quick brown fox jumps over the lazy dog again and "
+               "again today"),
+        ("c2", "completely unrelated content about spark shuffle "
+               "partitions and skew"),
+    ], "doc_id string, text string")
+    batch1 = spark.createDataFrame([
+        ("b1", "fresh document about watermark semantics in structured "
+               "streaming state stores"),
+        # exact twin of b1 WITHIN the batch (survives vs-corpus; the
+        # artifact fold-in must still record its content ONCE)
+        ("b2", "fresh document about watermark semantics in structured "
+               "streaming state stores"),
+        ("b3", "another fresh one on broadcast joins and adaptive "
+               "query execution plans"),
+    ], "doc_id string, text string")
+    h0, s0 = corpus_artifacts(corpus, "doc_id", "text")
+    surv1 = dedup_vs_corpus(batch1, "doc_id", "text", h0, s0, bands=8)
+    assert sorted(r.doc_id for r in surv1.collect()) == ["b1", "b2", "b3"]
+
+    dh, ds, dbt = append_corpus_artifacts(surv1, "doc_id", "text",
+                                          bands=8)
+    # within-batch twins b1/b2 → ONE hash row, ONE signature row
+    assert dh.count() == 2 and ds.count() == 2
+    assert dbt.count() == 2 * 8
+    # delta hashes disjoint from the maintained table (the plain-append
+    # invariant)
+    assert dh.join(h0, dh["h"] == h0["h"]).count() == 0
+
+    h1, s1 = h0.unionByName(dh), s0.unionByName(ds)
+    batch2 = spark.createDataFrame([
+        # exact copy of a batch-1 survivor → exact-stage drop now
+        ("x1", "fresh document about watermark semantics in structured "
+               "streaming state stores"),
+        # near-dup (one-word edit) of b3 → near-stage drop
+        ("x2", "another fresh one on broadcast joins and ADAPTIVE "
+               "query execution plans"),
+        # exact copy of original corpus doc → still dropped
+        ("x3", "completely unrelated content about spark shuffle "
+               "partitions and skew"),
+        ("x4", "genuinely new text about per-partition checkpoint "
+               "manifests and lineage"),
+    ], "doc_id string, text string")
+    surv2 = dedup_vs_corpus(batch2, "doc_id", "text", h1, s1, bands=8)
+    # from-scratch rebuild over corpus ∪ accepted must agree exactly
+    fh, fs = corpus_artifacts(corpus.unionByName(surv1),
+                              "doc_id", "text")
+    surv2_rebuild = dedup_vs_corpus(batch2, "doc_id", "text", fh, fs,
+                                    bands=8)
+    got = sorted(r.doc_id for r in surv2.collect())
+    assert got == sorted(r.doc_id for r in surv2_rebuild.collect())
+    assert got == ["x4"]
+
+
+def test_run_dedup_artifacts_append_cli(spark, tmp_path, monkeypatch):
+    """jobs/run_dedup.py incremental loop in-suite: artifacts →
+    vs-corpus → artifacts-append (deltas folded in, bands included) →
+    a second vs-corpus run drops dups of BOTH the original corpus and
+    the first accepted batch."""
+    import importlib
+    import json as _json
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    run_dedup = importlib.import_module("run_dedup")
+
+    def run(argv):
+        printed = []
+        monkeypatch.setattr(sys, "argv", ["run_dedup.py"] + argv)
+        monkeypatch.setattr("builtins.print",
+                            lambda s: printed.append(s))
+        assert run_dedup.main() == 0
+        return _json.loads(printed[-1])
+
+    corpus_p = str(tmp_path / "corpus.parquet")
+    b1_p = str(tmp_path / "b1.parquet")
+    b2_p = str(tmp_path / "b2.parquet")
+    art = str(tmp_path / "art")
+    spark.createDataFrame(
+        [("c1", "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id string, text string").write.parquet(corpus_p)
+    spark.createDataFrame(
+        [("b1", "iota kappa lambda mu nu xi omicron pi rho")],
+        "doc_id string, text string").write.parquet(b1_p)
+    spark.createDataFrame([
+        ("x1", "iota kappa lambda mu nu xi omicron pi rho"),   # dup b1
+        ("x2", "alpha beta gamma delta epsilon zeta eta theta"),  # dup c1
+        ("x3", "sigma tau upsilon phi chi psi omega one two"),
+    ], "doc_id string, text string").write.parquet(b2_p)
+
+    run(["--input", corpus_p, "--output", art, "--mode", "artifacts",
+         "--bands", "8"])
+    r1 = run(["--input", b1_p, "--output", str(tmp_path / "o1"),
+              "--mode", "vs-corpus", "--corpus-artifacts", art,
+              "--bands", "8"])
+    assert r1["rows_out"] == 1
+    ra = run(["--input", str(tmp_path / "o1" / "deduped"),
+              "--output", str(tmp_path / "unused"),
+              "--mode", "artifacts", "--corpus-artifacts", art,
+              "--bands", "8"])
+    assert ra["mode"] == "artifacts-append" and ra["bands_appended"]
+    r2 = run(["--input", b2_p, "--output", str(tmp_path / "o2"),
+              "--mode", "vs-corpus", "--corpus-artifacts", art,
+              "--bands", "8"])
+    assert r2["rows_out"] == 1 and r2["dropped"] == 2
+    kept = spark.read.parquet(str(tmp_path / "o2" / "deduped"))
+    assert [r.doc_id for r in kept.collect()] == ["x3"]
