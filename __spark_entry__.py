@@ -55,14 +55,17 @@ _DRIVER_CHECK_FIRST = [
     "expect_stamp", "checklist_flag_record", "log_latency_quantiles",
     "forward_roundtrip", "substring_dedup",
     "kmeans_embeddings", "semdedup_drop",
+    # -- new in round 4 (final): grok, web curation, incremental dedup --
+    "grok_parse", "nb_quality", "dedup_vs_corpus", "normalize_nfc",
+    "url_host_cap", "html_text", "bigram_surprisal",
     # -- veterans with the thinnest driver history (first green r2/r3) --
-    "ann_lsh_multiprobe", "serialize_csv_ltsv", "decoder_escaped",
-    "decoder_json_chain", "geoip_range_lookup", "serialize_prometheus",
-    "skew_salted_join", "multimodal_resize", "multiline_cri",
+    "ann_lsh_multiprobe", "serialize_csv_ltsv",
     # (all multi-round-green veterans — route_agg, agg_pushdown_q1,
     #  parse_json_props, embedding_neardup, the ANN quartet, text
-    #  functions, multiline_join, asof_enrich, sp_sql_stream_agg —
-    #  moved past the window to make room for the 41 never-driver-
+    #  functions, multiline_join, asof_enrich, sp_sql_stream_agg,
+    #  decoder_json_chain, geoip_range_lookup, serialize_prometheus,
+    #  skew_salted_join, multimodal_resize, multiline_cri —
+    #  moved past the window to make room for the 47 never-driver-
     #  checked entries; each has 2-3 rounds of driver greens on record,
     #  stays covered by tools/check_oracles.py, and route_agg is
     #  additionally exercised every round through entry()'s flagship.)

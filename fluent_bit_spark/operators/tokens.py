@@ -564,6 +564,62 @@ def unigram_surprisal(df: DataFrame, tokens_col: str = "tokens",
                    F.count("*").alias("n_tok_scored")))
 
 
+def bigram_surprisal(df: DataFrame, tokens_col: str = "tokens",
+                     id_cols: tuple[str, ...] = ("doc_id", "source"),
+                     millinats_scale: int = 1000,
+                     broadcast_model: bool = False) -> DataFrame:
+    """Per-document bigram-LM surprisal — one order up from
+    :func:`unigram_surprisal`, the next step toward the CCNet 5-gram
+    KenLM quality filter: train conditional bigram probabilities on the
+    corpus itself, score each document by ``sum -ln(c(t1,t2)/c1(t1))``
+    over its adjacent token pairs. No smoothing/backoff is needed
+    because the model scores the corpus it was trained on — every
+    scored bigram is observed by construction (an out-of-corpus scorer
+    would need it; that variant is a join-type change, not a new plan).
+
+    Output: ``id_cols + (nll_millinats: bigint, n_bigrams_scored:
+    bigint)``; documents with fewer than 2 tokens produce no pairs and
+    drop out (callers left-join the result back if they need them).
+
+    Scale shape (10^12 sequences) — deliberately DIFFERENT from the
+    unigram scorer:
+    - the model is keyed by distinct ADJACENT PAIRS, which grows with
+      the corpus (10^9-10^10 rows at web scale) and is NOT broadcastable
+      — scoring is a shuffle hash join on (t1, t2). The model side
+      carries exactly one row per key, so AQE's skew-join split handles
+      the frequent-bigram hot keys (the 1-row build side replicates);
+      ``broadcast_model=True`` is the small-corpus fast path.
+    - context totals c1 come from re-aggregating the bigram counts
+      (model-sized input), never from a second corpus pass;
+    - per-pair surprisal is rounded to INTEGER milli-nats before the
+      per-document BIGINT sum — order-independent, engine-portable
+      (same contract as every scorer in this module).
+    """
+    c = tokens_col
+    # pre-filter short docs: sequence(0, size-2) would count DOWN for
+    # size < 2 (Spark sequence steps -1 when stop < start)
+    pair_expr = F.expr(
+        f"transform(sequence(0, size({c}) - 2), "
+        f"i -> struct({c}[i] AS t1, {c}[i + 1] AS t2))")
+    pairs = (df.filter(F.size(F.col(c)) >= 2)
+               .select(*id_cols, F.explode(pair_expr).alias("bg"))
+               .select(*id_cols, F.col("bg.t1").alias("t1"),
+                       F.col("bg.t2").alias("t2")))
+    bc = pairs.groupBy("t1", "t2").agg(F.count("*").alias("c"))
+    ctx = bc.groupBy("t1").agg(F.sum("c").alias("cc"))
+    model = (bc.join(ctx, "t1")
+               .select("t1", "t2",
+                       F.round(-F.log(F.col("c") / F.col("cc"))
+                               * millinats_scale)
+                        .cast("long").alias("nll_milli")))
+    if broadcast_model:
+        model = F.broadcast(model)
+    return (pairs.join(model, ["t1", "t2"])
+                 .groupBy(*[F.col(x) for x in id_cols])
+                 .agg(F.sum("nll_milli").alias("nll_millinats"),
+                      F.count("*").alias("n_bigrams_scored")))
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top-k terms per document
 # ---------------------------------------------------------------------------

@@ -2378,6 +2378,47 @@ def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok_scored").alias("sum_tok")))
 
 
+@q("bigram_surprisal", f"""
+WITH d AS (SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+ex AS (SELECT doc_id, source, tokens,
+              unnest(range(1, len(tokens))) AS i FROM d),
+pr AS (SELECT doc_id, source, tokens[i] AS t1, tokens[i + 1] AS t2
+       FROM ex),
+bc AS (SELECT t1, t2, count(*) AS c FROM pr GROUP BY t1, t2),
+cx AS (SELECT t1, sum(c) AS cc FROM bc GROUP BY t1),
+m AS (SELECT t1, t2, CAST(round(-ln(c / cc) * 1000) AS BIGINT) AS nll
+      FROM bc JOIN cx USING (t1)),
+doc AS (SELECT doc_id, source, sum(nll) AS nll_millinats,
+               count(*) AS n FROM pr JOIN m USING (t1, t2)
+        GROUP BY doc_id, source)
+SELECT source, nll_millinats // n // 500 AS surprisal_band,
+       count(*) AS docs,
+       CAST(sum(nll_millinats) AS BIGINT) AS sum_nll,
+       CAST(sum(n) AS BIGINT) AS sum_pairs
+FROM doc GROUP BY source, surprisal_band
+""")
+def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (operators/tokens.py
+    bigram_surprisal): corpus-trained conditional bigram probabilities
+    -> per-pair surprisal in integer milli-nats -> exact BIGINT
+    per-document sums, banded into a per-source histogram. The oracle
+    reproduces the full chain — pair extraction, conditional model,
+    milli-nat rounding, sums, banding. Unlike the unigram model the
+    pair-keyed model is corpus-sized (not broadcastable at scale);
+    the operator scores via a shuffle join + AQE skew split."""
+    from .operators.tokens import bigram_surprisal
+    d = _tok_int_docs(spark, sf_dir)
+    doc = bigram_surprisal(d)
+    return (doc.groupBy(
+                "source",
+                F.expr("nll_millinats DIV n_bigrams_scored DIV 500")
+                 .alias("surprisal_band"))
+            .agg(F.count("*").alias("docs"),
+                 F.sum("nll_millinats").alias("sum_nll"),
+                 F.sum("n_bigrams_scored").alias("sum_pairs")))
+
+
 _SPLIT_RATES = {f"src{i}": (100 if i % 3 == 0 else 25)
                 for i in range(0, 20, 2)}  # odd sources -> default 10
 

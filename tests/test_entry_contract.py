@@ -37,6 +37,8 @@ NEVER_DRIVER_CHECKED_BEFORE_R4 |= {
     "expect_stamp", "checklist_flag_record", "log_latency_quantiles",
     "forward_roundtrip", "substring_dedup",
     "kmeans_embeddings", "semdedup_drop",
+    "grok_parse", "nb_quality", "dedup_vs_corpus", "normalize_nfc",
+    "url_host_cap", "html_text", "bigram_surprisal",
 }
 
 

@@ -538,3 +538,31 @@ def test_nb_quality_score_matches_pure_python(spark):
         assert out[doc_id].n_tok == len(text.split(" "))
     assert out["g1"].pred and out["g2"].pred
     assert not out["b1"].pred and not out["b2"].pred
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """Conditional bigram model, integer milli-nats, hand-checked:
+    after token 1 the corpus continues with 2 twice and 3 once
+    (context total 3), so nll(1,2) = -ln(2/3) and nll(1,3) = -ln(1/3);
+    a deterministic always-followed pair scores exactly 0; sub-2-token
+    docs drop out."""
+    import math
+
+    from fluent_bit_spark.operators.tokens import bigram_surprisal
+    df = spark.createDataFrame(
+        [("d1", "s", [1, 2]), ("d2", "s", [1, 2]), ("d3", "s", [1, 3]),
+         ("d4", "s", [7]), ("d5", "s", [8, 9])],
+        "doc_id string, source string, tokens array<int>")
+    rows = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    assert set(rows) == {"d1", "d2", "d3", "d5"}   # d4 has no pairs
+    nll_12 = round(-math.log(2 / 3) * 1000)        # 405
+    nll_13 = round(-math.log(1 / 3) * 1000)        # 1099
+    assert rows["d1"].nll_millinats == nll_12 == rows["d2"].nll_millinats
+    assert rows["d3"].nll_millinats == nll_13
+    # 9 is the ONLY continuation of 8 → surprisal exactly 0
+    assert rows["d5"].nll_millinats == 0
+    assert rows["d5"].n_bigrams_scored == 1
+    # broadcast fast path must agree exactly
+    b = {r.doc_id: r.nll_millinats
+         for r in bigram_surprisal(df, broadcast_model=True).collect()}
+    assert b == {k: v.nll_millinats for k, v in rows.items()}
