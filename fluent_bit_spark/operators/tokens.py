@@ -545,7 +545,20 @@ def unigram_surprisal(df: DataFrame, tokens_col: str = "tokens",
       on the map side (explode keeps a doc's tokens co-partitioned), so
       the final exchange carries ~one row per document.
     """
-    ex = df.select(*id_cols, F.explode(F.col(tokens_col)).alias("tok"))
+    model = unigram_model(df, tokens_col=tokens_col,
+                          millinats_scale=millinats_scale)
+    return score_tokens(df, model, tokens_col=tokens_col,
+                        id_cols=id_cols)
+
+
+def unigram_model(df: DataFrame, tokens_col: str = "tokens",
+                  millinats_scale: int = 1000) -> DataFrame:
+    """Train the unigram surprisal model alone: ``(tok, nll_milli)``,
+    vocab-bounded. The train-once/score-many half of
+    :func:`unigram_surprisal` — persist this as a maintained table and
+    score every later batch (or stream micro-batch) against it with
+    :func:`score_tokens` without re-training."""
+    ex = df.select(F.explode(F.col(tokens_col)).alias("tok"))
     freq = ex.groupBy("tok").agg(F.count("*").alias("c"))
     # corpus total == sum of freq counts, but computed from the array
     # sizes directly: one narrow agg over the un-exploded frame instead
@@ -553,11 +566,23 @@ def unigram_surprisal(df: DataFrame, tokens_col: str = "tokens",
     # freq subtree across the two uses)
     total = df.agg(F.sum(F.size(F.col(tokens_col)))
                    .cast("long").alias("t"))
-    model = (freq.crossJoin(F.broadcast(total))
-             .select("tok",
-                     F.round(-F.log(F.col("c") / F.col("t"))
-                             * millinats_scale)
-                      .cast("long").alias("nll_milli")))
+    return (freq.crossJoin(F.broadcast(total))
+            .select("tok",
+                    F.round(-F.log(F.col("c") / F.col("t"))
+                            * millinats_scale)
+                     .cast("long").alias("nll_milli")))
+
+
+def score_tokens(df: DataFrame, model: DataFrame,
+                 tokens_col: str = "tokens",
+                 id_cols: tuple[str, ...] = ("doc_id", "source")
+                 ) -> DataFrame:
+    """Score documents against a PROVIDED ``(tok, nll_milli)`` model
+    table (see :func:`unigram_model`): explode → broadcast join →
+    exact BIGINT per-document sums. Out-of-vocabulary tokens are
+    simply not scored (inner join) — ``n_tok_scored < n_tok`` is the
+    OOV audit signal when scoring data the model never saw."""
+    ex = df.select(*id_cols, F.explode(F.col(tokens_col)).alias("tok"))
     return (ex.join(F.broadcast(model), "tok")
               .groupBy(*[F.col(c) for c in id_cols])
               .agg(F.sum("nll_milli").alias("nll_millinats"),

@@ -215,6 +215,44 @@ def start_windowed_agg_stream(spark: SparkSession, spec: PipelineSpec,
     return q.start()
 
 
+def start_scored_stream(spark: SparkSession, stream_df: DataFrame,
+                        model: DataFrame, output_dir: str,
+                        tokens_col: str = "tokens",
+                        id_cols: tuple[str, ...] = ("doc_id", "source"),
+                        checkpoint_dir: str | None = None,
+                        available_now: bool = True):
+    """Streaming face of surprisal quality scoring: score each
+    micro-batch against a MAINTAINED static model table
+    (:func:`~fluent_bit_spark.operators.tokens.unigram_model`) and
+    append the per-document scores as parquet.
+
+    Scoring runs inside ``foreachBatch`` — every document arrives whole
+    in its batch, so the per-doc aggregation is batch-local and the
+    query carries ZERO streaming state (constant memory forever; same
+    posture as :func:`dedup_stream_vs_corpus`). The static model is
+    re-planned per batch, so pointing it at the maintained model table
+    picks up re-trains between batches; with a FIXED model the scores
+    are bit-identical to scoring the union of all batches at once
+    (integer milli-nat sums are order-independent — the parity test's
+    contract)."""
+    from ..operators.tokens import score_tokens
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        (score_tokens(batch, model, tokens_col=tokens_col,
+                      id_cols=id_cols)
+         .write.mode("append")
+         .parquet(os.path.join(output_dir, "scores")))
+
+    q = (stream_df.writeStream
+         .foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 checkpoint_dir
+                 or os.path.join(output_dir, "_scored_ckpt")))
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()
+
+
 # ---------------------------------------------------------------------------
 # Streaming exact dedup (cross-batch duplicate suppression)
 # ---------------------------------------------------------------------------

@@ -41,6 +41,13 @@ def main() -> int:
     ap.add_argument("--tokens-col", default="tokens")
     ap.add_argument("--len-col", default="n_tok")
     ap.add_argument("--group-col", default="source")
+    ap.add_argument("--model", default="unigram",
+                    choices=["unigram", "bigram"],
+                    help="surprisal LM order: unigram (vocab-bounded "
+                         "broadcast model) or bigram (conditional pair "
+                         "model, shuffle-join scoring; n_tok_scored "
+                         "then counts ADJACENT PAIRS and sub-2-token "
+                         "docs score 0)")
     ap.add_argument("--max-mean-millinats", type=int, default=0,
                     help="drop docs whose MEAN token surprisal exceeds "
                          "this many milli-nats (0 = no drop)")
@@ -54,7 +61,9 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from fluent_bit_spark.operators.filters import stratified_split
-    from fluent_bit_spark.operators.tokens import unigram_surprisal
+    from fluent_bit_spark.operators.tokens import (
+        bigram_surprisal, unigram_surprisal,
+    )
     from fluent_bit_spark.session import get_spark
 
     # Every exchange here is NARROW (tok/count partials, one row per
@@ -68,8 +77,18 @@ def main() -> int:
     n_in = df.count()
     tok_in = df.agg(F.sum(args.len_col)).first()[0] or 0
 
-    scores = unigram_surprisal(df, tokens_col=args.tokens_col,
-                               id_cols=(args.id_col,))
+    if args.model == "bigram":
+        scores = (bigram_surprisal(df, tokens_col=args.tokens_col,
+                                   id_cols=(args.id_col,))
+                  .withColumnRenamed("n_bigrams_scored", "n_tok_scored"))
+        # a bigram model scores one unit per ADJACENT PAIR
+        tok_expected = (df.agg(F.sum(F.greatest(
+            F.size(F.col(args.tokens_col)) - 1, F.lit(0))).cast("long"))
+            .first()[0] or 0)
+    else:
+        scores = unigram_surprisal(df, tokens_col=args.tokens_col,
+                                   id_cols=(args.id_col,))
+        tok_expected = tok_in
     # one narrow equi-join on the id brings the two score columns back
     # onto the full-width rows (the score agg output is doc-keyed, so
     # this is a co-partitioned shuffle join, not a blow-up); LEFT so a
@@ -101,9 +120,12 @@ def main() -> int:
               for k in ("train", "holdout", "dropped")}
     tok_scored = out.agg(F.sum("n_tok_scored")).first()[0] or 0
     out.unpersist()
-    conserved = (sum(counts.values()) == n_in and tok_scored == tok_in)
+    conserved = (sum(counts.values()) == n_in
+                 and tok_scored == tok_expected)
     print(json.dumps({"docs_in": n_in, **counts,
+                      "model": args.model,
                       "tokens_in": int(tok_in),
+                      "tokens_expected": int(tok_expected),
                       "tokens_scored": int(tok_scored),
                       "conserved": conserved,
                       "wall_sec": round(time.time() - t0, 2)}))

@@ -333,6 +333,33 @@ def test_run_quality_job_main(spark, fixture_paths, tmp_path, monkeypatch):
     assert bad == 0
 
 
+def test_run_quality_bigram_model(spark, fixture_paths, tmp_path,
+                                  monkeypatch):
+    """--model bigram: scoring unit becomes ADJACENT PAIRS — exact
+    conservation against sum(max(n_tok - 1, 0)) instead of token
+    count; sub-2-token docs keep a zero-score row."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    import run_quality
+
+    out = str(tmp_path / "quality_bg")
+    monkeypatch.setattr(sys, "argv", [
+        "run_quality.py", "--input", fixture_paths["tokens"],
+        "--output", out, "--model", "bigram"])
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    assert run_quality.main() == 0
+    rep = json.loads(printed[-1])
+    assert rep["model"] == "bigram" and rep["conserved"]
+    assert rep["tokens_scored"] == rep["tokens_expected"]
+    assert rep["tokens_expected"] < rep["tokens_in"]   # pairs < tokens
+    assert rep["train"] == rep["docs_in"]              # no drop, no holdout
+
+
 def test_template_sink_format(spark, fixture_paths, tmp_path):
     """sink_format template (out_file Format template): each sink line
     is the {key}-rendered record, byte-identical to to_template over

@@ -527,3 +527,46 @@ def test_dedup_stream_vs_corpus(spark, tmp_path):
     got = sorted(r.doc_id for r in
                  spark.sql("SELECT doc_id FROM vs_corpus_stream").collect())
     assert got == ["n1", "n3"]
+
+
+def test_start_scored_stream_matches_batch(spark, tmp_path):
+    """Streaming quality scoring vs a maintained model table: scores
+    appended across micro-batches are EXACTLY the batch score_tokens
+    result over the union (integer milli-nat sums are order-
+    independent), OOV tokens silently unscored, zero streaming state."""
+    from fluent_bit_spark.operators.tokens import (
+        score_tokens, unigram_model,
+    )
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        start_scored_stream,
+    )
+    corpus = spark.createDataFrame(
+        [("t0", "s", [1, 2, 2, 3]), ("t1", "s", [1, 3, 3, 3])],
+        "doc_id string, source string, tokens array<int>")
+    model = unigram_model(corpus)
+    model = spark.createDataFrame(model.collect(), model.schema)
+
+    d = str(tmp_path / "landing_sc")
+    schema = "doc_id string, source string, tokens array<int>"
+    rows0 = [("a0", "web", [1, 2, 3]), ("a1", "web", [2, 2])]
+    rows1 = [("a2", "app", [3, 1, 99]),   # 99 is OOV → unscored
+             ("a3", "app", [99])]         # fully OOV → no output row
+    spark.createDataFrame(rows0, schema).coalesce(1) \
+        .write.parquet(f"{d}/f0.parquet")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(f"{d}/f1.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*"))
+    out = str(tmp_path / "scored_out")
+    q = start_scored_stream(spark, stream, model, out)
+    q.awaitTermination(120)
+
+    got = {(r.doc_id, r.source, r.nll_millinats, r.n_tok_scored)
+           for r in spark.read.parquet(f"{out}/scores").collect()}
+    both = spark.createDataFrame(rows0 + rows1, schema)
+    want = {(r.doc_id, r.source, r.nll_millinats, r.n_tok_scored)
+            for r in score_tokens(both, model).collect()}
+    assert got == want
+    assert {d for d, *_ in got} == {"a0", "a1", "a2"}   # a3 fully OOV
+    a2 = next(t for t in got if t[0] == "a2")
+    assert a2[3] == 2                                   # 99 unscored
