@@ -63,6 +63,8 @@ HEADLINE = [
     "dedup_vs_corpus",
     "normalize_nfc",
     "url_host_cap",
+    "bigram_surprisal",
+    "html_text",
     "asof_enrich",
     "rollup_agg",
     "sp_sql_window",

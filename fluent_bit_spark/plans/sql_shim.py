@@ -69,7 +69,8 @@ _DEDUP_SPANS_RE = re.compile(
     re.IGNORECASE)
 _SCORE_RE = re.compile(
     r"^\s*SCORE\s+SURPRISAL\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
-    r"(?:\s+TOKENS\s+(?P<col>\w+))?\s*;?\s*$",
+    r"(?:\s+TOKENS\s+(?P<col>\w+))?"
+    r"(?:\s+ORDER\s+(?P<order>[12]))?\s*;?\s*$",
     re.IGNORECASE)
 _SCORE_NB_RE = re.compile(
     r"^\s*SCORE\s+QUALITY\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
@@ -280,12 +281,15 @@ class StreamProcessor:
                                tokens_col=m.group("col") or "tokens")
 
     def _score_surprisal(self, m: re.Match) -> DataFrame:
-        """SCORE SURPRISAL STREAM:src [TOKENS col] — unigram-LM
-        surprisal quality scoring (operators/tokens.py
-        unigram_surprisal) over the north-star token shape."""
-        from ..operators.tokens import unigram_surprisal
-        return unigram_surprisal(self._source_df(m.group("src")),
-                                 tokens_col=m.group("col") or "tokens")
+        """SCORE SURPRISAL STREAM:src [TOKENS col] [ORDER 1|2] —
+        surprisal quality scoring over the north-star token shape:
+        ORDER 1 (default) = unigram_surprisal, ORDER 2 =
+        bigram_surprisal (operators/tokens.py)."""
+        from ..operators.tokens import bigram_surprisal, unigram_surprisal
+        fn = (bigram_surprisal if m.group("order") == "2"
+              else unigram_surprisal)
+        return fn(self._source_df(m.group("src")),
+                  tokens_col=m.group("col") or "tokens")
 
     def _split_holdout(self, m: re.Match) -> DataFrame:
         """SPLIT STREAM:src HOLDOUT n [BY group_col] [KEY hash_col] —

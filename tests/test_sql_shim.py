@@ -409,3 +409,25 @@ def test_extract_text_verb_matches_operator(sp, spark):
     assert [tuple(r) for r in got.collect()] == \
            [tuple(r) for r in want.collect()]
     assert got.collect()[0].plain == "Hi & bye"
+
+
+def test_score_surprisal_order2_verb(sp, spark):
+    """SCORE SURPRISAL STREAM:x ORDER 2 == bigram_surprisal; the
+    default stays the unigram scorer."""
+    from fluent_bit_spark.operators.tokens import (
+        bigram_surprisal, unigram_surprisal,
+    )
+    df = spark.createDataFrame(
+        [("a", "s", [1, 2]), ("b", "s", [1, 3]), ("c", "s", [1, 2])],
+        "doc_id string, source string, tokens array<int>")
+    sp.register_stream("tq", df)
+    got2 = {(r.doc_id, r.nll_millinats) for r in
+            sp.sql("SCORE SURPRISAL STREAM:tq ORDER 2;").collect()}
+    want2 = {(r.doc_id, r.nll_millinats) for r in
+             bigram_surprisal(df).collect()}
+    assert got2 == want2
+    got1 = {(r.doc_id, r.nll_millinats) for r in
+            sp.sql("SCORE SURPRISAL STREAM:tq;").collect()}
+    want1 = {(r.doc_id, r.nll_millinats) for r in
+             unigram_surprisal(df).collect()}
+    assert got1 == want1 and got1 != got2

@@ -35,10 +35,12 @@ from tools.bench_dedup import shuffle_totals  # noqa: E402
 from tools.bench_pack import VOCAB, tokens_sql  # noqa: E402
 
 
-def run_size(n_docs: int, out: str) -> dict:
+def run_size(n_docs: int, out: str, model: str = "unigram") -> dict:
     from pyspark.sql import functions as F
 
-    from fluent_bit_spark.operators.tokens import unigram_surprisal
+    from fluent_bit_spark.operators.tokens import (
+        bigram_surprisal, unigram_surprisal,
+    )
     from fluent_bit_spark.session import get_spark
 
     # Exchanges here are NARROW (tok/count partials; one row per doc)
@@ -49,7 +51,8 @@ def run_size(n_docs: int, out: str) -> dict:
                       shuffle_partitions=cores,
                       extra_conf={"spark.ui.enabled": "true",
                                   "spark.ui.port": "4040"})
-    res: dict = {"n_docs": n_docs, "shuffle_partitions": cores}
+    res: dict = {"n_docs": n_docs, "model": model,
+                 "shuffle_partitions": cores}
     marks = [(0, 0)]
 
     def phase(name: str, t0: float) -> None:
@@ -67,10 +70,22 @@ def run_size(n_docs: int, out: str) -> dict:
     phase("gen", t0)
 
     docs = spark.read.parquet(f"{out}/tokens")
-    tok_in = docs.agg(F.sum("n_tok")).first()[0]
+    if model == "bigram":
+        # a bigram model scores one unit per ADJACENT PAIR; min doc
+        # length in the fixture is >= 2 so greatest() is belt-and-braces
+        tok_in = docs.agg(F.sum(F.greatest(F.col("n_tok") - 1,
+                                           F.lit(0)))).first()[0]
+        n_expected = docs.filter(F.col("n_tok") >= 2).count()
+    else:
+        tok_in = docs.agg(F.sum("n_tok")).first()[0]
+        n_expected = n_docs
 
     t0 = time.time()
-    scored = unigram_surprisal(docs)
+    if model == "bigram":
+        scored = (bigram_surprisal(docs)
+                  .withColumnRenamed("n_bigrams_scored", "n_tok_scored"))
+    else:
+        scored = unigram_surprisal(docs)
     scored.write.mode("overwrite").parquet(f"{out}/scored")
     phase("score", t0)
 
@@ -78,23 +93,36 @@ def run_size(n_docs: int, out: str) -> dict:
     agg = s.agg(F.count("*").alias("docs"),
                 F.sum("n_tok_scored").alias("tok_scored"),
                 F.sum("nll_millinats").alias("nll_total")).first()
-    # claim 1: the model the operator builds is vocab-bounded — the
-    # distinct-token count IS its row count
-    model_rows = (docs.select(F.explode("tokens").alias("tok"))
-                  .agg(F.count_distinct("tok")).first()[0])
+    # claim 1 (unigram): the model is vocab-bounded — the distinct-token
+    # count IS its row count. For the bigram model the analogous figure
+    # is distinct ADJACENT PAIRS: corpus-dependent by design, reported
+    # at both sizes to show saturation toward vocab^2 (sub-linear
+    # growth), never gated as bounded.
+    if model == "bigram":
+        pairs = docs.select(
+            F.explode(F.expr(
+                "transform(sequence(0, size(tokens) - 2), "
+                "i -> struct(tokens[i] AS t1, tokens[i+1] AS t2))"))
+            .alias("bg"))
+        model_rows = pairs.select("bg.t1", "bg.t2").distinct().count()
+    else:
+        model_rows = (docs.select(F.explode("tokens").alias("tok"))
+                      .agg(F.count_distinct("tok")).first()[0])
     res["tokens_in"] = int(tok_in)
     res["tokens_scored"] = int(agg["tok_scored"])
     res["docs_scored"] = int(agg["docs"])
     res["nll_total_millinats"] = int(agg["nll_total"])
     res["model_rows"] = int(model_rows)
     res["conserved"] = (res["tokens_in"] == res["tokens_scored"]
-                        and res["docs_scored"] == n_docs)
+                        and res["docs_scored"] == n_expected)
     res["tokens_per_sec"] = round(tok_in / res["score_wall_s"], 1)
     spark.stop()
     if not res["conserved"]:
         raise SystemExit(f"SCORING LOSS: {res}")
-    if res["model_rows"] > VOCAB:
+    if model == "unigram" and res["model_rows"] > VOCAB:
         raise SystemExit(f"MODEL NOT VOCAB-BOUNDED: {res}")
+    if model == "bigram" and res["model_rows"] > VOCAB * VOCAB:
+        raise SystemExit(f"PAIR MODEL EXCEEDS VOCAB^2: {res}")
     return res
 
 
@@ -103,6 +131,8 @@ def main() -> int:
     ap.add_argument("--sizes", default="1600000,16000000")
     ap.add_argument("--out", default="/tmp/surprisal_vol")
     ap.add_argument("--md", default=None, help="append a markdown report")
+    ap.add_argument("--model", default="unigram",
+                    choices=["unigram", "bigram"])
     ap.add_argument("--gate", action="store_true",
                     help="exit non-zero on super-linear shuffle growth "
                          "or an unbounded model (conservation breaches "
@@ -111,7 +141,7 @@ def main() -> int:
 
     results = []
     for n in [int(s) for s in args.sizes.split(",")]:
-        r = run_size(n, f"{args.out}/{n}")
+        r = run_size(n, f"{args.out}/{n}", model=args.model)
         print(json.dumps(r))
         results.append(r)
 
@@ -125,7 +155,8 @@ def main() -> int:
                               "why": "super-linear shuffle write",
                               "rows_x": ratio, "shuffle_x": shuf_x}))
             return 3
-        if b["model_rows"] > a["model_rows"] * 1.05:
+        if args.model == "unigram" and \
+                b["model_rows"] > a["model_rows"] * 1.05:
             print(json.dumps({"gate": "FAIL",
                               "why": "model grows with corpus",
                               "model_rows": [a["model_rows"],
@@ -157,9 +188,10 @@ def main() -> int:
                   / max(a["score_shuffle_write_mb"], 0.1))
         lines += [
             "", f"{ratio:.0f}× rows → {wall_x:.1f}× score wall, "
-            f"{shuf_x:.1f}× shuffle write; the unigram model stayed at "
-            f"{b['model_rows']:,} rows at both sizes (vocab-bounded) "
-            "and token conservation is exact.", ""]
+            f"{shuf_x:.1f}× shuffle write; the {args.model} model is "
+            f"{b['model_rows']:,} rows at the larger size "
+            f"({a['model_rows']:,} at the smaller) "
+            "and unit conservation is exact.", ""]
         with open(args.md, "a") as f:
             f.write("\n".join(lines))
     return 0
