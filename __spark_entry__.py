@@ -57,9 +57,9 @@ _DRIVER_CHECK_FIRST = [
     "kmeans_embeddings", "semdedup_drop",
     # -- new in round 4 (final): grok, web curation, incremental dedup --
     "grok_parse", "nb_quality", "dedup_vs_corpus", "normalize_nfc",
-    "url_host_cap", "html_text", "bigram_surprisal",
+    "url_host_cap", "html_text", "bigram_surprisal", "bpe_encode",
     # -- veterans with the thinnest driver history (first green r2/r3) --
-    "ann_lsh_multiprobe", "serialize_csv_ltsv",
+    "ann_lsh_multiprobe",
     # (all multi-round-green veterans — route_agg, agg_pushdown_q1,
     #  parse_json_props, embedding_neardup, the ANN quartet, text
     #  functions, multiline_join, asof_enrich, sp_sql_stream_agg,

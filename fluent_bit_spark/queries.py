@@ -2419,6 +2419,61 @@ def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_bigrams_scored").alias("sum_pairs")))
 
 
+# fixed (a != b) merge table for the oracled BPE query — the encode
+# machinery is what's under test; a corpus-trained table would differ
+# per SF and the oracle string is static
+_BPE_MERGES = [("t", "h"), ("th", "e</w>"), ("a", "n"), ("an", "d</w>"),
+               ("i", "n"), ("e", "r"), ("o", "n"), ("r", "e"),
+               ("in", "g</w>"), ("o", "f</w>")]
+
+
+def _bpe_oracle_sql(merges: list[tuple[str, str]]) -> str:
+    # per-word spaced-symbol chain, the same construction as
+    # functions/bpe.bpe_apply_expr: " t h e " → " t h e</w> " → two
+    # replace passes per merge in rank order
+    expr = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    expr = f"regexp_replace({expr}, ' $', '</w> ', 'g')"
+    for a, b in merges:
+        i, o = f"' {a} {b} '", f"' {a}{b} '"
+        expr = f"replace(replace({expr}, {i}, {o}), {i}, {o})"
+    ids = (f"list_transform(list_filter(string_split(trim({expr}), ' '), "
+           "t -> t != ''), t -> CAST(('0x' || substring(md5(t), 1, 7))"
+           "::BIGINT % 50000 AS INT))")
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         flatten(list_transform(
+           list_filter(string_split_regex(text, '\\s+'), w -> w != ''),
+           w -> {ids})) AS toks
+  FROM documents)
+SELECT doc_id, len(toks) AS n_tok,
+       md5(array_to_string(list_transform(toks,
+           x -> CAST(x AS VARCHAR)), ',')) AS tok_md5
+FROM w
+"""
+
+
+@q("bpe_encode", _bpe_oracle_sql(_BPE_MERGES))
+def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization (functions/bpe.py): the ENCODE step between
+    text curation and sequence packing, applied with a fixed merge
+    table via the pure-Catalyst replace chain (bpe_apply_expr). The
+    oracle regenerates the identical chain in DuckDB — per-word
+    spaced symbols, two leftmost-nonoverlapping replace passes per
+    merge in rank order, portable md5-mod token ids — and the full
+    token-id sequence is value-checked per document (md5 + length).
+    The Arrow word-cache path (bpe_encode_arrow) is parity-tested
+    against this chain token-for-token in tests/test_bpe.py."""
+    from .functions.bpe import bpe_apply_expr
+    docs = t(spark, sf_dir, "documents")
+    toks = bpe_apply_expr("text", _BPE_MERGES)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.md5(F.concat_ws(",", F.transform(
+            toks, lambda x: x.cast("string")))).alias("tok_md5"))
+
+
 _SPLIT_RATES = {f"src{i}": (100 if i % 3 == 0 else 25)
                 for i in range(0, 20, 2)}  # odd sources -> default 10
 

@@ -38,7 +38,7 @@ NEVER_DRIVER_CHECKED_BEFORE_R4 |= {
     "forward_roundtrip", "substring_dedup",
     "kmeans_embeddings", "semdedup_drop",
     "grok_parse", "nb_quality", "dedup_vs_corpus", "normalize_nfc",
-    "url_host_cap", "html_text", "bigram_surprisal",
+    "url_host_cap", "html_text", "bigram_surprisal", "bpe_encode",
 }
 
 
