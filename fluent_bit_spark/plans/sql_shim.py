@@ -93,6 +93,11 @@ _CAP_HOST_RE = re.compile(
     r"HOST\s+(?P<host>\w+)\s+BEST\s+(?P<n>\d+)\s+BY\s+(?P<by>\w+)"
     r"(?:\s+ID\s+(?P<id>\w+))?(?:\s+SALT\s+(?P<salt>\d+))?\s*;?\s*$",
     re.IGNORECASE)
+_TOKENIZE_RE = re.compile(
+    r"^\s*TOKENIZE\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"USING\s+(?P<merges>STREAM:\w+|TAG:'[^']*')"
+    r"(?:\s+COL\s+(?P<col>\w+))?\s*;?\s*$",
+    re.IGNORECASE)
 _REDACT_RE = re.compile(
     r"^\s*REDACT\s+PII\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
     r"(?:\s+COL\s+(?P<col>\w+))?(?P<nocounts>\s+NOCOUNTS)?\s*;?\s*$",
@@ -379,8 +384,26 @@ class StreamProcessor:
                             m.group("col") or "html",
                             m.group("out") or "text_plain")
 
+    def _tokenize(self, m: re.Match) -> DataFrame:
+        """TOKENIZE STREAM:docs USING STREAM:merges [COL col] — BPE
+        encode (functions/bpe.py bpe_encode_arrow) against a merge
+        table stream with (a, b, rank) columns. The merge table is
+        vocab-bounded, so collecting it to ride the kernel's closure
+        is the same bounded-collect posture as the IVF quantizer."""
+        from ..functions.bpe import bpe_encode_arrow
+        mrows = (self._source_df(m.group("merges"))
+                 .orderBy("rank").collect())
+        merges = [(r["a"], r["b"]) for r in mrows]
+        if not merges:
+            raise ValueError("TOKENIZE: empty merge table")
+        return bpe_encode_arrow(self._source_df(m.group("src")), merges,
+                                text_col=m.group("col") or "text")
+
     def _exec_select(self, text: str) -> DataFrame:
         """A statement body: a token-op verb, else translated SQL."""
+        tm = _TOKENIZE_RE.match(text)
+        if tm:
+            return self._tokenize(tm)
         rm = _REDACT_RE.match(text)
         if rm:
             return self._redact_pii(rm)

@@ -104,3 +104,80 @@ def test_encode_detok_roundtrip(spark):
     for w, _ in words:
         toks = bpe_encode_word(w, merges)
         assert "".join(toks) == w + END
+
+
+def test_run_bpe_train_then_encode_cli(spark, tmp_path, monkeypatch):
+    """jobs/run_bpe.py end to end in-suite: train writes a ranked merge
+    table; encode applies it and the output tokens match the Catalyst
+    apply path with the same merges (the two-path parity at the job
+    surface)."""
+    import importlib
+    import json as _json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    run_bpe = importlib.import_module("run_bpe")
+
+    docs_p = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "bpe")
+    spark.createDataFrame(
+        [("d1", "the cat sat on the mat"),
+         ("d2", "the thin cat ate the fish"),
+         ("d3", "a fat cat and a thin rat")],
+        "doc_id string, text string").write.parquet(docs_p)
+
+    def run(argv):
+        printed = []
+        monkeypatch.setattr(sys, "argv", ["run_bpe.py"] + argv)
+        monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+        rc = run_bpe.main()
+        return rc, _json.loads(printed[-1])
+
+    rc, rep = run(["--mode", "train", "--input", docs_p,
+                   "--output", out, "--n-merges", "10"])
+    assert rc == 0 and rep["merges"] == 10
+    assert rep["distinct_words"] == len(
+        set("the cat sat on the mat the thin cat ate the fish "
+            "a fat cat and a thin rat".split()))
+
+    rc, rep = run(["--mode", "encode", "--input", docs_p,
+                   "--merges", f"{out}/merges", "--output", out])
+    assert rc == 0 and rep["under_tokenized_docs"] == 0
+    got = {r.doc_id: r.tokens for r in
+           spark.read.parquet(f"{out}/tokens")
+           .select("doc_id", "tokens").collect()}
+    merges = [(r.a, r.b) for r in
+              spark.read.parquet(f"{out}/merges").orderBy("rank")
+              .collect()]
+    expr_ok = [(a, b) for a, b in merges if a != b]
+    if expr_ok == merges:          # Catalyst path applicable → parity
+        want = {r.doc_id: r.tokens for r in spark.read.parquet(docs_p)
+                .select("doc_id",
+                        bpe_apply_expr("text", merges).alias("tokens"))
+                .collect()}
+        assert got == want
+
+
+def test_tokenize_verb_matches_kernel(spark):
+    """TOKENIZE STREAM:docs USING STREAM:merges == bpe_encode_arrow."""
+    from fluent_bit_spark.plans.sql_shim import StreamProcessor
+    sp = StreamProcessor(spark)
+    docs = spark.createDataFrame(
+        [("d1", "aba bab"), ("d2", "abc")], "doc_id string, text string")
+    merges_df = spark.createDataFrame(
+        [("a", "b", 0), ("ab", "a</w>", 1)], "a string, b string, rank int")
+    sp.register_stream("bdocs", docs)
+    sp.register_stream("bmerges", merges_df)
+    got = {r.doc_id: r.tokens for r in
+           sp.sql("TOKENIZE STREAM:bdocs USING STREAM:bmerges;").collect()}
+    want = {r.doc_id: r.tokens for r in bpe_encode_arrow(
+        docs, [("a", "b"), ("ab", "a</w>")]).collect()}
+    assert got == want and set(got) == {"d1", "d2"}
+
+    import pytest as _pytest
+    sp.register_stream("empty_m", merges_df.filter("rank < 0"))
+    with _pytest.raises(ValueError, match="empty merge table"):
+        sp.sql("TOKENIZE STREAM:bdocs USING STREAM:empty_m;")
