@@ -65,6 +65,7 @@ HEADLINE = [
     "url_host_cap",
     "bigram_surprisal",
     "html_text",
+    "bpe_encode",
     "asof_enrich",
     "rollup_agg",
     "sp_sql_window",

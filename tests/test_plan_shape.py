@@ -467,3 +467,31 @@ def test_vs_corpus_bucketed_band_table_one_sided_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS vs_bands")
+
+
+def test_bpe_paths_plan_shapes(spark):
+    """The BPE encode paths carry the right 100 TB shape: the Arrow
+    kernel is MAP-ONLY (no Exchange — a tokenize pass must never
+    shuffle the corpus) with exactly ONE Python boundary; the Catalyst
+    chain has no Python boundary at all. word_counts' only exchange is
+    the vocab-bounded partial-aggregated groupBy."""
+    from fluent_bit_spark.functions.bpe import (
+        bpe_apply_expr, bpe_encode_arrow, word_counts,
+    )
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox")], "id long, text string")
+
+    plan = (bpe_encode_arrow(df, [("t", "h")])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1
+
+    plan = (df.select(bpe_apply_expr("text", [("t", "h")]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+    plan = (word_counts(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2     # partial + final
