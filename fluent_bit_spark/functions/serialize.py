@@ -120,8 +120,12 @@ def to_gelf(df: DataFrame, host_col: str, message_col: str,
     between Jackson and other engines (1.7672E9 vs 1767200000.0), an
     integer renders identically everywhere. ``millis=True`` opts into
     sub-second precision as a double (Jackson formatting)."""
-    ts = (F.col(ts_col).cast("timestamp").cast("double")
-          if millis else F.unix_timestamp(F.col(ts_col)))
+    # try_to_timestamp: byte-identical to the strict cast on valid
+    # input, null (field omitted) on junk instead of an ANSI abort —
+    # the same tolerate-and-null posture as the parser family
+    ts_parsed = F.try_to_timestamp(F.col(ts_col))
+    ts = (ts_parsed.cast("double") if millis
+          else ts_parsed.cast("long"))
     fields = [
         F.lit("1.1").alias("version"),
         F.col(host_col).alias("host"),

@@ -813,6 +813,7 @@ def spec_from_tree(tree: dict[str, Any],
     routes: list[Route] = []
     sink_format = None
     sink_template = None
+    gelf_keys = None
     for i, o in enumerate(pipe.get("outputs", [])):
         sink = str(o.get("sink") or f"{o.get('name', 'out')}_{i}")
         if o.get("match_regex"):
@@ -823,10 +824,10 @@ def spec_from_tree(tree: dict[str, Any],
         if fmt is not None:
             fmt = str(fmt).lower()
             if fmt not in ("parquet", "json_lines", "csv", "ltsv",
-                           "template", "msgpack"):
+                           "template", "msgpack", "gelf"):
                 raise ValueError(f"output format must be parquet|"
                                  f"json_lines|csv|ltsv|template|"
-                                 f"msgpack, got {fmt!r}")
+                                 f"msgpack|gelf, got {fmt!r}")
             if sink_format is not None and fmt != sink_format:
                 raise ValueError("all outputs must share one format "
                                  "(the fan-out writes one payload shape)")
@@ -840,6 +841,23 @@ def spec_from_tree(tree: dict[str, Any],
             if sink_template is not None and str(tpl) != sink_template:
                 raise ValueError("all outputs must share one Template")
             sink_template = str(tpl)
+        # upstream:plugins/out_gelf Gelf_*_Key properties; defaults
+        # mirror out_gelf (host/short_message/timestamp, no level)
+        gk = {
+            "host": str(o.get("gelf_host_key", "host")),
+            "message": str(o.get("gelf_short_message_key",
+                                 "short_message")),
+            "ts": str(o.get("gelf_timestamp_key", "timestamp")),
+            "level": (str(o["gelf_level_key"])
+                      if o.get("gelf_level_key") else None),
+        }
+        if any(k.startswith("gelf_") for k in o) and fmt != "gelf":
+            raise ValueError("[OUTPUT] Gelf_*_Key needs Format gelf")
+        if fmt == "gelf":
+            if gelf_keys is not None and gk != gelf_keys:
+                raise ValueError("all outputs must share one set of "
+                                 "Gelf_*_Key properties")
+            gelf_keys = gk
     if sink_format == "template" and sink_template is None:
         raise ValueError("[OUTPUT] Format template needs a Template "
                          "property")
@@ -864,6 +882,7 @@ def spec_from_tree(tree: dict[str, Any],
         fanout_mode=str(service.get("fanout_mode", "persist")),
         sink_format=sink_format or "parquet",
         sink_template=sink_template,
+        gelf_keys=gelf_keys,
         keep_decoded=str(service.get("keep_decoded", "always")),
         parser_filters=parser_filters,
         modify_specs=modify_specs,

@@ -87,6 +87,11 @@ class PipelineSpec:
     # out_file Format template line pattern ({key} placeholders, dotted
     # keys reach into structs — upstream:plugins/out_file template mode)
     sink_template: str | None = None
+    # Format gelf (out_gelf analogue): which record keys feed the GELF
+    # fixed fields — upstream:plugins/out_gelf Gelf_*_Key properties.
+    # {"host": col, "message": col, "ts": col, "level": col|None};
+    # every other payload column rides as a _-prefixed extra.
+    gelf_keys: dict | None = None
     # Decoded-line retention in sink output. 'always' (default) keeps the
     # decoded text on every row — fluent-bit's record body rides to the
     # sink, so dropping it silently would surprise any downstream reader.
@@ -531,16 +536,31 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                      .parquet(f"{output_dir}/sinks_by_dir/"
                               f"batch_id={i}"))
             elif spec.sink_format in ("json_lines", "csv", "ltsv",
-                                      "template"):
+                                      "template", "gelf"):
                 # out_file text formats: sinks are newline-delimited
                 # text files (the serializer rides the same fan-out)
-                from ..functions.serialize import (to_csv_line,
+                from ..functions.serialize import (to_csv_line, to_gelf,
                                                    to_json_lines,
                                                    to_ltsv_line,
                                                    to_template)
                 if spec.sink_format == "template":
                     def ser(d, cols, _t=spec.sink_template or ""):
                         return to_template(d, _t)
+                elif spec.sink_format == "gelf":
+                    # out_gelf posture: fixed keys from gelf_keys,
+                    # every other payload column as a _-prefixed extra
+                    gk = spec.gelf_keys or {}
+                    host = gk.get("host", "host")
+                    msg = gk.get("message", "short_message")
+                    tsc = gk.get("ts", "timestamp")
+                    lvl = gk.get("level")
+
+                    def ser(d, cols, _h=host, _m=msg, _t=tsc, _l=lvl):
+                        named = {_h, _m, _t} | ({_l} if _l else set())
+                        return to_gelf(
+                            d, _h, _m, _t, level_col=_l,
+                            extra_cols=[c for c in cols
+                                        if c not in named])
                 else:
                     ser = {"json_lines": to_json_lines,
                            "csv": to_csv_line,

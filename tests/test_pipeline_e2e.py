@@ -384,3 +384,68 @@ def test_template_sink_format(spark, fixture_paths, tmp_path):
                  spark.read.text(f"{out}/sinks/sink_web").collect())
     assert got == want and got
     assert all(" kind=" in ln for ln in got)
+
+
+def test_gelf_sink_format(spark, fixture_paths, tmp_path):
+    """sink_format gelf (out_gelf posture): each sink line is the GELF
+    1.1 rendering of the routed record — fixed keys from gelf_keys
+    (dotted keys reach into the fields struct), every other payload
+    column as a _-prefixed extra — byte-identical to to_gelf over the
+    routed frame."""
+    from fluent_bit_spark.functions.serialize import to_gelf
+    from fluent_bit_spark.plans.pipeline import build_stages
+    sink = "sink_web"
+    keys = {"host": "source", "message": "decoded",
+            "ts": "fields.ts_raw", "level": "fields.level"}
+    spec_t = _spec(fixture_paths)
+    spec_t.sink_format = "gelf"
+    spec_t.gelf_keys = keys
+    out = str(tmp_path / "gelf")
+    run_pipeline(spark, spec_t, fixture_paths["tokens"], out)
+    spec_w = _spec(fixture_paths)
+    routed = build_stages(
+        spark, spark.read.parquet(fixture_paths["tokens"]), spec_w)
+    good = (routed.filter(F.col("dlq_reason").isNull())
+            .filter(F.array_contains("sinks", sink)))
+    payload_cols = [c for c in good.columns
+                    if c not in ("sinks", "routes_mask", "dlq_reason",
+                                 "_lineage")]
+    named = set(keys.values())
+    want = sorted(r.value for r in to_gelf(
+        good, keys["host"], keys["message"], keys["ts"],
+        level_col=keys["level"],
+        extra_cols=[c for c in payload_cols if c not in named])
+        .select("value").collect())
+    got = sorted(r.value for r in
+                 spark.read.text(f"{out}/sinks/{sink}").collect())
+    assert got == want and got
+    import json as _json
+    sample = _json.loads(got[0])
+    assert sample["version"] == "1.1" and "host" in sample
+    assert any(k.startswith("_") for k in sample)
+
+
+def test_config_gelf_output(tmp_path):
+    """[OUTPUT] Format gelf + Gelf_*_Key properties map onto
+    PipelineSpec.gelf_keys with out_gelf's defaults; Gelf_* without
+    Format gelf is rejected."""
+    import pytest as _pytest
+    from fluent_bit_spark.plans.config import spec_from_config
+    conf = tmp_path / "g.conf"
+    conf.write_text(
+        "[INPUT]\n    Name tail\n\n"
+        "[OUTPUT]\n    Name gelf\n    Match *\n    Sink s\n"
+        "    Format gelf\n    Gelf_Host_Key source\n"
+        "    Gelf_Short_Message_Key decoded\n"
+        "    Gelf_Timestamp_Key fields.ts_raw\n")
+    spec, _ = spec_from_config(str(conf))
+    assert spec.sink_format == "gelf"
+    assert spec.gelf_keys == {"host": "source", "message": "decoded",
+                              "ts": "fields.ts_raw", "level": None}
+    bad = tmp_path / "b.conf"
+    bad.write_text(
+        "[INPUT]\n    Name tail\n\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"
+        "    Gelf_Host_Key source\n")
+    with _pytest.raises(ValueError, match="needs Format gelf"):
+        spec_from_config(str(bad))
