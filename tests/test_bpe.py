@@ -181,3 +181,30 @@ def test_tokenize_verb_matches_kernel(spark):
     sp.register_stream("empty_m", merges_df.filter("rank < 0"))
     with _pytest.raises(ValueError, match="empty merge table"):
         sp.sql("TOKENIZE STREAM:bdocs USING STREAM:empty_m;")
+
+
+def test_bpe_encode_streams_stateless(spark, tmp_path):
+    """bpe_encode_arrow is a stateless mapInPandas — it runs UNCHANGED
+    on a streaming frame (the tokenize step drops into the streaming
+    pipeline with zero adaptation); per-batch outputs equal the batch
+    encode of the union."""
+    d = str(tmp_path / "landing_bpe")
+    schema = "doc_id string, text string"
+    rows0 = [("a", "aba bab")]
+    rows1 = [("b", "abc abc")]
+    spark.createDataFrame(rows0, schema).coalesce(1) \
+        .write.parquet(f"{d}/f0.parquet")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(f"{d}/f1.parquet")
+    merges = [("a", "b"), ("ab", "a</w>")]
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*"))
+    q = (bpe_encode_arrow(stream, merges).writeStream
+         .format("memory").queryName("bpe_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: r.tokens for r in
+           spark.sql("SELECT doc_id, tokens FROM bpe_stream").collect()}
+    want = {r.doc_id: r.tokens for r in bpe_encode_arrow(
+        spark.createDataFrame(rows0 + rows1, schema), merges).collect()}
+    assert got == want and set(got) == {"a", "b"}

@@ -116,3 +116,60 @@ def test_html_to_text(spark):
     plan = html_to_text(df, "html")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_run_curate_cli_full_chain(spark, tmp_path, monkeypatch):
+    """jobs/run_curate.py in-suite: html→text → NFKC/lower → redact →
+    lang + gopher gate → per-host cap; exact conservation and the
+    audit trail carries per-stage evidence."""
+    import importlib
+    import json as _json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    run_curate = importlib.import_module("run_curate")
+
+    rows = []
+    for i in range(12):
+        host = "big.com" if i < 8 else f"h{i}.org"
+        # distinct-rich English-marked text that passes every Gopher
+        # rule: stopword markers once each + 30 unique mid-length words
+        long_en = ("the and for with this that from they have been " +
+                   " ".join(f"w{i}x{j:02d}" for j in range(30)))
+        rows.append((
+            f"d{i}",
+            f"<p>{long_en} mail u{i}@x.io</p><script>var j=1;</script>",
+            f"https://{host}/p/{i}"))
+    # d12: fails the gopher gate (too few words)
+    rows.append(("d12", "<p>tiny</p>", "https://small.net/x"))
+    inp = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        rows, "doc_id string, html string, url string").write.parquet(inp)
+
+    out = str(tmp_path / "curated")
+    printed = []
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py", "--input", inp, "--output", out,
+        "--html-col", "html", "--form", "NFKC", "--lower",
+        "--collapse-ws", "--redact", "--lang", "--gopher",
+        "--url-col", "url", "--cap", "5", "--salt", "4"])
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    assert run_curate.main() == 0
+    rep = _json.loads(printed[-1])
+    assert rep["conserved"] and rep["docs_in"] == 13
+    kept = spark.read.parquet(f"{out}/kept")
+    dropped = spark.read.parquet(f"{out}/dropped")
+    # gopher dropped d12; big.com capped 8 → 5
+    reasons = {(r.doc_id, r.drop_reason) for r in
+               dropped.select("doc_id", "drop_reason").collect()}
+    assert ("d12", "gopher") in reasons
+    assert sum(1 for _, why in reasons if why == "host_cap") == 3
+    assert kept.count() == 9
+    k0 = kept.filter("doc_id = 'd0'").collect()[0]
+    assert "<script>" not in k0.text and "var j" not in k0.text
+    assert "<EMAIL>" in k0.text and "@x.io" not in k0.text
+    assert k0.email_hits == 1 and k0.lang_id == "en"
+    assert k0.u_host == "big.com" and k0.gq_reasons == 0
