@@ -147,6 +147,12 @@ def bpe_apply_expr(text_col: str | Column,
     mainstream engine — the portability contract the oracle relies on.
     Token ids hash the symbol strings with the portable md5-mod
     derivation.
+
+    Cost shape (measured): plan analysis/codegen is ∝ merge count and
+    paid ONCE per job (~7 s for a 10-merge chain, first run only);
+    execution is row-linear and scan-bound afterwards (0.7 s flat from
+    500 → 5000 docs on local[32]). At job scale the compile cost is
+    noise; in a REPL loop prefer :func:`bpe_encode_arrow`.
     """
     for a, b in merges:
         if a == b:
