@@ -2419,6 +2419,127 @@ def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_bigrams_scored").alias("sum_pairs")))
 
 
+@q("web_curate_chain", r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+         || '</p><script>var x = ' || CAST(doc_id AS VARCHAR)
+         || ';</script><div>contact u' || CAST(doc_id % 89 AS VARCHAR)
+         || '@m' || CAST(doc_id % 7 AS VARCHAR) || '.org</div>' AS html,
+         CASE WHEN doc_id % 3 = 0 THEN 'big.com'
+              ELSE 'h' || CAST(doc_id % 17 AS VARCHAR) || '.org'
+         END AS host
+  FROM documents),
+stripped AS (
+  SELECT doc_id, host,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(
+      replace(replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(html,
+          '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?i)<br\s*/?>', chr(10), 'g'),
+          '(?i)</(p|div|h1|h2|h3|h4|h5|h6|li|tr|ul|ol|table|blockquote)\s*>',
+          chr(10), 'g'),
+          '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      '[ ' || chr(9) || chr(13) || ']+', ' ', 'g'),
+      ' ?' || chr(10) || ' ?', chr(10), 'g'),
+      chr(10) || '+', chr(10), 'g'),
+      '^\s+', '', 'g'),
+      '\s+$', '', 'g') AS plain
+  FROM pages),
+normed AS (
+  SELECT doc_id, host,
+         trim(regexp_replace(lower(plain), '\s+', ' ', 'g')) AS txt
+  FROM stripped),
+red AS (
+  -- documents.text is digit-, '@'- and '+'-free, so the planted email
+  -- is the ONLY redactable span: reconstruct the scrub with string
+  -- arithmetic (regex-free oracle side, same trick as redact_pii)
+  SELECT doc_id, host,
+         replace(txt,
+                 'u' || CAST(doc_id % 89 AS VARCHAR) || '@m'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.org',
+                 '<EMAIL>') AS txt,
+         1 AS email_hits
+  FROM normed),
+gq AS (
+  SELECT doc_id, host, txt, email_hits,
+         len(string_split(txt, ' ')) AS nw,
+         list_aggregate(list_transform(string_split(txt, ' '),
+                        w -> length(w)), 'sum') AS sc,
+         len(list_distinct(string_split(txt, ' '))) AS nd,
+         list_aggregate(list_transform(string_split(txt, ' '),
+                        w -> length(w)), 'max') AS mx
+  FROM red),
+flagged AS (
+  SELECT doc_id, host, txt, email_hits,
+         CAST(CASE WHEN nw < 30 THEN 1 ELSE 0 END
+         + CASE WHEN sc < 4 * nw OR sc > 10 * nw THEN 2 ELSE 0 END
+         + CASE WHEN 2 * nd < 1 * nw THEN 4 ELSE 0 END
+         + CASE WHEN mx > 8 THEN 8 ELSE 0 END AS INT) AS gq_reasons
+  FROM gq),
+ranked AS (
+  SELECT *, CASE WHEN gq_reasons = 0 THEN
+              row_number() OVER (PARTITION BY host,
+                                 CASE WHEN gq_reasons = 0 THEN 1
+                                      ELSE 0 END
+                                 ORDER BY doc_id)
+            ELSE NULL END AS rn
+  FROM flagged)
+SELECT doc_id, host, CAST(email_hits AS INT) AS email_hits, gq_reasons,
+       CASE WHEN gq_reasons <> 0 THEN 'gopher'
+            WHEN rn > 5 THEN 'host_cap' END AS drop_reason,
+       md5(txt) AS txt_md5
+FROM ranked
+""")
+def web_curate_chain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation chain under one oracle (same pattern as
+    corpus_clean_pack): render HTML pages + hosts deterministically
+    from the documents table, then html_to_text → lower/ws-canon →
+    PII redact (+audit count) → Gopher gate (max_word_len=8 for this
+    corpus) → exact salted per-host cap (best 5 by doc_id) — the
+    run_curate.py chain operator-for-operator. The oracle reproduces
+    every stage in DuckDB (the scrub regex-free via string
+    reconstruction) and value-checks the final text md5, the audit
+    count, the reason bitmask, and the drop partition for EVERY
+    document."""
+    from .functions.text import gopher_filter, pii_counts, redact
+    from .operators.web import cap_per_host, html_to_text, normalize_text
+    did = F.col("doc_id")
+    docs = t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<h1>Doc "), did.cast("string"), F.lit("</h1><p>"),
+        F.col("text"), F.lit("</p><script>var x = "),
+        did.cast("string"), F.lit(";</script><div>contact u"),
+        (did % 89).cast("string"), F.lit("@m"),
+        (did % 7).cast("string"), F.lit(".org</div>"))
+    host = (F.when(did % 3 == 0, F.lit("big.com"))
+             .otherwise(F.concat(F.lit("h"), (did % 17).cast("string"),
+                                 F.lit(".org"))))
+    df = docs.select("doc_id", page.alias("html"), host.alias("host"))
+    df = html_to_text(df, "html", "txt")
+    df = normalize_text(df, "txt", form="none", lower=True,
+                        collapse_ws=True)
+    df = (df.select("*", *pii_counts("txt"))
+            .withColumn("txt", redact("txt")))
+    df = gopher_filter(df, "txt", max_word_len=8)
+    kept_ids = cap_per_host(
+        df.filter("gq_keep"), "host", [F.col("doc_id")], 5,
+        salt_buckets=8, salt_key="doc_id"
+    ).select("doc_id", F.lit(1).alias("__k"))
+    return (df.join(kept_ids, "doc_id", "left")
+            .select("doc_id", "host", "email_hits", "gq_reasons",
+                    F.when(~F.col("gq_keep"), F.lit("gopher"))
+                     .when(F.col("__k").isNull(), F.lit("host_cap"))
+                     .alias("drop_reason"),
+                    F.md5("txt").alias("txt_md5")))
+
+
 # fixed (a != b) merge table for the oracled BPE query — the encode
 # machinery is what's under test; a corpus-trained table would differ
 # per SF and the oracle string is static
