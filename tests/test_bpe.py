@@ -208,3 +208,31 @@ def test_bpe_encode_streams_stateless(spark, tmp_path):
     want = {r.doc_id: r.tokens for r in bpe_encode_arrow(
         spark.createDataFrame(rows0 + rows1, schema), merges).collect()}
     assert got == want and set(got) == {"a", "b"}
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure python — no Spark per example)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.dictionaries(_word, st.integers(1, 9), min_size=1, max_size=12),
+       st.integers(0, 10))
+def test_bpe_roundtrip_and_determinism_property(word_counts, n_merges):
+    """For ANY corpus and merge budget: (a) training is deterministic;
+    (b) every encoded word's token strings concatenate back to
+    word + END (the lossless-segmentation invariant — BPE only ever
+    merges adjacent symbols, it cannot drop or reorder bytes);
+    (c) token count never exceeds symbol count (merges only shrink)."""
+    words = sorted(word_counts.items())
+    merges = train_bpe(words, n_merges)
+    assert merges == train_bpe(words, n_merges)
+    for w, _ in words:
+        toks = bpe_encode_word(w, merges)
+        assert "".join(toks) == w + END
+        assert 1 <= len(toks) <= len(w)
