@@ -744,6 +744,12 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, dim: int,
     qc = quantize_vec(vec_col, scale, 0)
     assigned = (kmeans(df, id_col, vec_col, dim, k, iters, scale)
                 .select(F.col(id_col), "cluster", qc.alias("__qc")))
+    # the self-join below consumes `assigned` TWICE and Catalyst does
+    # not dedupe the subtree — without this persist the quantize +
+    # assignment map pass re-scans the corpus a second time (narrow
+    # rows: id, cluster, dim longs — the standard self-join persist)
+    from pyspark import StorageLevel
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(F.col(id_col).alias("__aid"), "cluster",
                         F.col("__qc").alias("__qa"))
     b = assigned.select(F.col(id_col).alias(id_col), "cluster",
