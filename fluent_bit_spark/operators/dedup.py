@@ -708,6 +708,12 @@ def dedup_vs_corpus(new: DataFrame, id_col: str, text_col: str,
                  .join(corpus_hashes.withColumnRenamed("h", "__h"),
                        "__h", "left_anti")
                  .drop("__h"))
+    # consumed by BOTH the signature chain and the final anti-join —
+    # Catalyst does not dedupe the subtree, so without this persist the
+    # exact-stage anti-join runs twice per action (batch-sized frame;
+    # same fix class as semdedup's assigned persist)
+    from pyspark import StorageLevel
+    survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
     sig_new = minhash_signature(survivors, id_col, text_col,
                                 num_perm=num_perm, shingle_n=shingle_n,
                                 hash_fn=hash_fn)
