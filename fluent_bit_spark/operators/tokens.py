@@ -674,6 +674,14 @@ def tfidf_topk(df: DataFrame, k: int = 3, tokens_col: str = "tokens",
     """
     ex = df.select(id_col, F.explode(F.col(tokens_col)).alias("tok"))
     tf = ex.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the document-frequency agg and the scoring join;
+    # without a persist the explode + (doc,tok) agg runs twice per
+    # action (same fix class as semdedup/dedup_vs_corpus). tf is the
+    # REDUCED frame (unique (doc,tok) rows), far narrower than the
+    # exploded tokens — MEMORY_AND_DISK keeps the big expansion
+    # un-persisted while halving the heavy path.
+    from pyspark import StorageLevel
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tf.groupBy("tok").agg(
         F.count("*").alias("df_t"))          # docs containing tok
     n_docs = df.select(F.count("*").alias("n_docs"))
