@@ -631,6 +631,13 @@ def bigram_surprisal(df: DataFrame, tokens_col: str = "tokens",
                .select(*id_cols, F.col("bg.t1").alias("t1"),
                        F.col("bg.t2").alias("t2")))
     bc = pairs.groupBy("t1", "t2").agg(F.count("*").alias("c"))
+    # bc feeds BOTH the context-total agg and the model join; persist
+    # the REDUCED pair-count frame so the pair explode + count shuffle
+    # runs once per action (the raw pairs expansion stays un-persisted
+    # — its second consumer, the scoring join, re-derives it map-only,
+    # the same accepted posture as the unigram scorer's two explodes)
+    from pyspark import StorageLevel
+    bc = bc.persist(StorageLevel.MEMORY_AND_DISK)
     ctx = bc.groupBy("t1").agg(F.sum("c").alias("cc"))
     model = (bc.join(ctx, "t1")
                .select("t1", "t2",
