@@ -2378,6 +2378,53 @@ def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok_scored").alias("sum_tok")))
 
 
+@q("score_oov_audit", f"""
+WITH d AS (SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens,
+                  len(string_split(text, ' ')) AS n_tok
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+train AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+ex_t AS (SELECT unnest(tokens) AS tok FROM train),
+f AS (SELECT tok, count(*) AS c FROM ex_t GROUP BY tok),
+tt AS (SELECT sum(c) AS t FROM f),
+m AS (SELECT tok, CAST(round(-ln(c / t) * 1000) AS BIGINT) AS nll
+      FROM f, tt),
+ex AS (SELECT doc_id, source, unnest(tokens) AS tok FROM d),
+sc AS (SELECT doc_id, source, sum(nll) AS nll_millinats,
+              count(*) AS n_tok_scored
+       FROM ex JOIN m USING (tok) GROUP BY doc_id, source)
+SELECT d.source, d.doc_id % 2 = 0 AS in_train,
+       count(*) AS docs,
+       CAST(sum(d.n_tok) AS BIGINT) AS tok_in,
+       CAST(sum(coalesce(sc.n_tok_scored, 0)) AS BIGINT) AS tok_scored,
+       CAST(sum(coalesce(sc.nll_millinats, 0)) AS BIGINT) AS sum_nll
+FROM d LEFT JOIN sc USING (doc_id, source)
+GROUP BY d.source, in_train
+""")
+def score_oov_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once/score-many with out-of-vocabulary audit
+    (operators/tokens.py unigram_model + score_tokens): the model is
+    trained on HALF the corpus (even doc_ids) and scores ALL of it —
+    the production posture where scored data contains tokens the
+    maintained model never saw. OOV tokens are unscored by contract
+    (inner join), so tok_scored < tok_in on the held-out half is the
+    audit signal; the oracle reproduces the subset model, the
+    milli-nat weights, and the per-group scored/unscored split."""
+    from .operators.tokens import score_tokens, unigram_model
+    d = _tok_int_docs(spark, sf_dir)
+    model = unigram_model(d.filter(F.col("doc_id") % 2 == 0))
+    sc = score_tokens(d, model)
+    joined = d.join(sc, ["doc_id", "source"], "left")
+    return (joined.groupBy(
+                "source",
+                (F.col("doc_id") % 2 == 0).alias("in_train"))
+            .agg(F.count("*").alias("docs"),
+                 F.sum("n_tok").alias("tok_in"),
+                 F.sum(F.coalesce(F.col("n_tok_scored"), F.lit(0)))
+                  .alias("tok_scored"),
+                 F.sum(F.coalesce(F.col("nll_millinats"), F.lit(0)))
+                  .alias("sum_nll")))
+
+
 @q("bigram_surprisal", f"""
 WITH d AS (SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens
            FROM documents WHERE len(string_split(text, ' ')) >= 2),
