@@ -2353,7 +2353,7 @@ m AS (SELECT tok, CAST(round(-ln(c / t) * 1000) AS BIGINT) AS nll
 doc AS (SELECT doc_id, source, sum(nll) AS nll_millinats,
                count(*) AS n FROM ex JOIN m USING (tok)
         GROUP BY doc_id, source)
-SELECT source, nll_millinats // n // 500 AS surprisal_band,
+SELECT source, CAST(nll_millinats // n // 500 AS BIGINT) AS surprisal_band,
        count(*) AS docs,
        CAST(sum(nll_millinats) AS BIGINT) AS sum_nll,
        CAST(sum(n) AS BIGINT) AS sum_tok
@@ -2439,7 +2439,7 @@ m AS (SELECT t1, t2, CAST(round(-ln(c / cc) * 1000) AS BIGINT) AS nll
 doc AS (SELECT doc_id, source, sum(nll) AS nll_millinats,
                count(*) AS n FROM pr JOIN m USING (t1, t2)
         GROUP BY doc_id, source)
-SELECT source, nll_millinats // n // 500 AS surprisal_band,
+SELECT source, CAST(nll_millinats // n // 500 AS BIGINT) AS surprisal_band,
        count(*) AS docs,
        CAST(sum(nll_millinats) AS BIGINT) AS sum_nll,
        CAST(sum(n) AS BIGINT) AS sum_pairs
@@ -2917,8 +2917,8 @@ def time_parse_strptime_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("expect_stamp", """
 SELECT source,
-       sum(CASE WHEN lang IS NOT NULL AND n_chars > 120
-                THEN 1 ELSE 0 END) AS ok_docs,
+       CAST(sum(CASE WHEN lang IS NOT NULL AND n_chars > 120
+                     THEN 1 ELSE 0 END) AS BIGINT) AS ok_docs,
        count(*) AS docs
 FROM documents GROUP BY source
 """)
@@ -3421,7 +3421,7 @@ model AS (
               AS BIGINT) AS w
   FROM freq, tot)
 SELECT e.doc_id, e.source,
-       sum(m.w) AS llr_millinats, count(*) AS n_tok,
+       CAST(sum(m.w) AS BIGINT) AS llr_millinats, count(*) AS n_tok,
        (sum(m.w) > 0) AS pred
 FROM ex e JOIN model m USING (tok)
 GROUP BY e.doc_id, e.source

@@ -18,12 +18,21 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
+# Types the driver's value-hash treats identically on both engines.  DuckDB
+# HUGEINT (int128, the default type of sum(BIGINT)) and DECIMAL hash
+# differently from Spark BIGINT even when every value is equal — the r4
+# driver redded four value-exact queries this way.  Oracles must CAST.
+ALLOWED_DUCK_TYPES = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN"}
+FORBIDDEN_DUCK_TYPES = {"HUGEINT", "DECIMAL"}
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / 0.0 and tiny representation noise
-        return f"{v:.10g}"
+        if v == 0.0:
+            return "0.0"  # collapse -0.0 / 0.0 only; no precision collapse
+        return repr(v)  # full float64 precision, driver-faithful
     return str(v)
 
 
@@ -66,12 +75,20 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             ocols = [c for c in res.columns]
+            otypes = [str(t) for t in res.types]
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
         ok = True
+        bad_types = [(c, t) for c, t in zip(ocols, otypes)
+                     if any(t.startswith(f) for f in FORBIDDEN_DUCK_TYPES)]
+        if bad_types:
+            print(f"FAIL  {name}: oracle column types the driver hash cannot "
+                  f"match against Spark: {bad_types} — CAST them")
+            n_fail += 1
+            continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL  {name}: schema {sorted(scols)} != {sorted(ocols)}")
             ok = False
