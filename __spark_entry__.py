@@ -28,54 +28,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in dict order.  Registration order in fluent_bit_spark.queries follows
-# module structure, which (round 3) silently left the newest 19 entries
-# outside the window.  This explicit order puts never-driver-checked
-# entries first, then the thinnest-history veterans; the tail holds
-# long-green trivial filters that have passed in every round since r1.
+# in dict order.  A static priority list (rounds 3-4) rotted between
+# rounds — late registrations never entered the window and displaced
+# veterans went stale.  The order is now computed from the driver's own
+# CORRECTNESS_r*.json history at import time: never-driver-checked
+# entries first, then fewest green rows, then stalest last-checked
+# round, with registration order as the deterministic tiebreak.  No
+# entry can stay unchecked for long: once checked and green it sinks
+# behind everything with a thinner record.
 # tools/check_oracles.py still value-checks ALL entries at three SFs.
-_DRIVER_CHECK_FIRST = [
-    # -- never driver-checked before round 4 (the r3 token suite etc.) --
-    "pack_sequences", "corpus_clean_pack", "line_dedup_c4",
-    "decontaminate_ngrams", "mixture_sample_budget", "repetition_stats",
-    "snapshot_flush", "parse_syslog", "serialize_gelf",
-    "multimodal_png_roundtrip", "multimodal_jpeg_roundtrip",
-    # -- new in round 4: real audio/video codecs --
-    "multimodal_wav_features", "multimodal_video_frames", "redact_pii",
-    "ann_recall_at_k",
-    "dedup_minhash_portable", "dedup_simhash_portable",
-    "dedup_lsh_verified", "dedup_resolve_groups",
-    "dedup_tokens_exact", "dedup_tokens_minhash",
-    "deterministic_sample", "record_accessor_template",
-    "ann_pq", "parse_otlp_logs",
-    # -- new in round 4 (late): quality suite, codecs, forward protocol --
-    "unigram_surprisal", "stratified_split", "gopher_quality",
-    "tfidf_topk", "serialize_template", "corpus_quality_pack",
-    "script_filter_map", "second_stage_parse", "time_parse_strptime",
-    "expect_stamp", "checklist_flag_record", "log_latency_quantiles",
-    "forward_roundtrip", "substring_dedup",
-    "kmeans_embeddings", "semdedup_drop",
-    # -- new in round 4 (final): grok, web curation, incremental dedup --
-    "grok_parse", "nb_quality", "dedup_vs_corpus", "normalize_nfc",
-    "url_host_cap", "html_text", "bigram_surprisal", "bpe_encode",
-    # -- veterans with the thinnest driver history (first green r2/r3) --
-    "ann_lsh_multiprobe",
-    # (all multi-round-green veterans — route_agg, agg_pushdown_q1,
-    #  parse_json_props, embedding_neardup, the ANN quartet, text
-    #  functions, multiline_join, asof_enrich, sp_sql_stream_agg,
-    #  decoder_json_chain, geoip_range_lookup, serialize_prometheus,
-    #  skew_salted_join, multimodal_resize, multiline_cri —
-    #  moved past the window to make room for the 47 never-driver-
-    #  checked entries; each has 2-3 rounds of driver greens on record,
-    #  stays covered by tools/check_oracles.py, and route_agg is
-    #  additionally exercised every round through entry()'s flagship.)
-]
+def _driver_history() -> dict[str, tuple[int, int]]:
+    """name -> (green driver rows across rounds, last round checked).
+
+    A row is green when its value hash matched; for rows-only checks
+    (no oracle) the weaker rows_match counts.  Unreadable files are
+    skipped — an empty history degrades to registration order.
+    """
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, tuple[int, int]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            hm = row.get("hash_match")
+            green = bool(hm) if hm is not None else bool(row.get("rows_match"))
+            g, last = hist.get(name, (0, 0))
+            hist[name] = (g + int(green), max(last, rnd))
+    return hist
 
 
 def _ordered(mapping):
-    out = {n: mapping[n] for n in _DRIVER_CHECK_FIRST if n in mapping}
-    out.update((n, v) for n, v in mapping.items() if n not in out)
-    return out
+    hist = _driver_history()
+    idx = {n: i for i, n in enumerate(mapping)}
+    names = sorted(mapping, key=lambda n: (*hist.get(n, (0, 0)), idx[n]))
+    return {n: mapping[n] for n in names}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

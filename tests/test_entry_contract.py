@@ -1,9 +1,11 @@
 """Driver-contract invariants for __spark_entry__.
 
 The driver value-checks the FIRST 50 entries of ``queries()`` in dict
-order (CORRECTNESS_r{N}.json).  Round 3 shipped 19 queries that never
-entered that window; these tests freeze the round-4 fix so a future
-registration can't silently starve the check again.
+order (CORRECTNESS_r{N}.json).  Rounds 3-4 showed a static priority
+list rots between rounds; the order is now computed from the
+CORRECTNESS_r*.json history at import time.  These tests freeze the
+rotation invariants so a future registration can't silently starve the
+check again.
 """
 
 import importlib
@@ -14,39 +16,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 entry = importlib.import_module("__spark_entry__")
 
-# Entries that had never produced a driver-file green row before round 4.
-NEVER_DRIVER_CHECKED_BEFORE_R4 = {
-    "pack_sequences", "corpus_clean_pack", "line_dedup_c4",
-    "decontaminate_ngrams", "mixture_sample_budget", "repetition_stats",
-    "snapshot_flush", "parse_syslog", "serialize_gelf",
-    "multimodal_png_roundtrip", "ann_recall_at_k",
-    "dedup_minhash_portable", "dedup_simhash_portable",
-    "dedup_lsh_verified", "dedup_resolve_groups",
-    "dedup_tokens_exact", "dedup_tokens_minhash",
-    "deterministic_sample", "record_accessor_template",
-}
 
-# Round-4 additions: also never driver-checked (r4's CORRECTNESS file is
-# produced at round end from the window below).
-NEVER_DRIVER_CHECKED_BEFORE_R4 |= {
-    "multimodal_jpeg_roundtrip", "multimodal_wav_features",
-    "multimodal_video_frames", "redact_pii", "ann_pq", "parse_otlp_logs",
-    "unigram_surprisal", "stratified_split", "gopher_quality",
-    "tfidf_topk", "serialize_template", "corpus_quality_pack",
-    "script_filter_map", "second_stage_parse", "time_parse_strptime",
-    "expect_stamp", "checklist_flag_record", "log_latency_quantiles",
-    "forward_roundtrip", "substring_dedup",
-    "kmeans_embeddings", "semdedup_drop",
-    "grok_parse", "nb_quality", "dedup_vs_corpus", "normalize_nfc",
-    "url_host_cap", "html_text", "bigram_surprisal", "bpe_encode",
-}
-
-
-def test_priority_entries_inside_driver_window():
+def test_never_checked_entries_lead_the_window():
+    hist = entry._driver_history()
     names = list(entry.queries())
-    window = set(names[:50])
-    missing = NEVER_DRIVER_CHECKED_BEFORE_R4 - window
-    assert not missing, f"outside the driver's first-50 window: {missing}"
+    never = [n for n in names if n not in hist]
+    window = set(names[: max(50, len(never))])
+    missing = set(never) - window
+    assert not missing, f"never-driver-checked outside the window: {missing}"
+
+
+def test_ordering_is_by_green_count_then_staleness():
+    hist = entry._driver_history()
+    names = list(entry.queries())
+    keys = [hist.get(n, (0, 0)) for n in names]
+    assert keys == sorted(keys), "queries() not ordered thinnest-history first"
+
+
+def test_window_prefers_thin_history_over_veterans():
+    # No entry outside the first-50 window may have FEWER driver greens
+    # than an entry inside it — i.e. the window always holds the 50
+    # thinnest records.
+    hist = entry._driver_history()
+    names = list(entry.queries())
+    if len(names) <= 50:
+        return
+    max_in = max(hist.get(n, (0, 0))[0] for n in names[:50])
+    min_out = min(hist.get(n, (0, 0))[0] for n in names[50:])
+    assert min_out >= max_in or min_out >= 1, (
+        "an unchecked/red entry sits outside the window while a greener "
+        "veteran sits inside it"
+    )
 
 
 def test_every_query_has_matching_oracle_keyset():
@@ -57,17 +57,14 @@ def test_every_query_has_matching_oracle_keyset():
     assert list(q) == list(o)
 
 
-def test_driver_check_first_names_all_exist():
-    q = entry.queries()
-    unknown = [n for n in entry._DRIVER_CHECK_FIRST if n not in q]
-    assert not unknown, f"_DRIVER_CHECK_FIRST names not registered: {unknown}"
-    assert len(entry._DRIVER_CHECK_FIRST) == len(set(entry._DRIVER_CHECK_FIRST))
+def test_ordering_is_deterministic():
+    assert list(entry.queries()) == list(entry.queries())
+    assert list(entry.queries()) == list(entry.oracle_sql())
 
 
-def test_new_registrations_must_be_placed_deliberately():
-    # If a future round adds queries, they land AFTER the explicit window
-    # unless added to _DRIVER_CHECK_FIRST — this assertion forces the
-    # author to look at the window when the registry grows.
-    q = entry.queries()
-    tail = set(list(q)[50:])
-    assert not (tail & NEVER_DRIVER_CHECKED_BEFORE_R4)
+def test_history_parses_known_rounds():
+    # The repo carries r1-r4 files; route_agg was green in r1-r3 windows.
+    hist = entry._driver_history()
+    assert hist, "no CORRECTNESS_r*.json parsed"
+    greens, last = hist["route_agg"]
+    assert greens >= 3 and last >= 3
