@@ -64,10 +64,33 @@ GROK_PATTERNS: dict[str, str] = {
     # network
     "IPV4": (r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
              r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"),
-    "IPV6": (r"(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
-             r"|(?:[0-9A-Fa-f]{1,4}:){1,7}:"
-             r"|:(?::[0-9A-Fa-f]{1,4}){1,7}"
-             r"|::"),
+    # Full RFC-4291 alternation (logstash-patterns-core IPV6 semantics,
+    # rewritten with non-capturing groups so semantic group names stay
+    # unique): every compression point, including mixed forms like
+    # 2001:db8::1 and v4-mapped ::ffff:1.2.3.4. Deviation from the
+    # logstash original: the zone-id tail is bounded
+    # ((?:%[0-9A-Za-z._~-]+)? instead of (%.+)?) — the original's
+    # greedy .+ swallows the rest of the line when a literal % follows
+    # the address inside a larger pattern.
+    "IPV6": (r"(?:(?:[0-9A-Fa-f]{1,4}:){7}(?:[0-9A-Fa-f]{1,4}|:)"
+             r"|(?:[0-9A-Fa-f]{1,4}:){6}(?:%{IPV4}|:[0-9A-Fa-f]{1,4}|:)"
+             r"|(?:[0-9A-Fa-f]{1,4}:){5}"
+             r"(?::%{IPV4}|(?::[0-9A-Fa-f]{1,4}){1,2}|:)"
+             r"|(?:[0-9A-Fa-f]{1,4}:){4}"
+             r"(?:(?::[0-9A-Fa-f]{1,4}){0,1}:%{IPV4}"
+             r"|(?::[0-9A-Fa-f]{1,4}){1,3}|:)"
+             r"|(?:[0-9A-Fa-f]{1,4}:){3}"
+             r"(?:(?::[0-9A-Fa-f]{1,4}){0,2}:%{IPV4}"
+             r"|(?::[0-9A-Fa-f]{1,4}){1,4}|:)"
+             r"|(?:[0-9A-Fa-f]{1,4}:){2}"
+             r"(?:(?::[0-9A-Fa-f]{1,4}){0,3}:%{IPV4}"
+             r"|(?::[0-9A-Fa-f]{1,4}){1,5}|:)"
+             r"|(?:[0-9A-Fa-f]{1,4}:){1}"
+             r"(?:(?::[0-9A-Fa-f]{1,4}){0,4}:%{IPV4}"
+             r"|(?::[0-9A-Fa-f]{1,4}){1,6}|:)"
+             r"|:(?:(?::[0-9A-Fa-f]{1,4}){0,5}:%{IPV4}"
+             r"|(?::[0-9A-Fa-f]{1,4}){1,7}|:))"
+             r"(?:%[0-9A-Za-z._~-]+)?"),
     "IP": r"(?:%{IPV6}|%{IPV4})",
     "HOSTNAME": (r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}"
                  r"(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b"),

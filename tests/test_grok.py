@@ -141,3 +141,20 @@ def test_config_format_grok_errors():
             "[PARSER]\n    Name x\n    Format grok\n"
             "    Grok_Pattern %{WORD:w}\n"
             "    Grok_Pattern_Definition BROKEN\n"))
+
+
+def test_ipv6_full_alternation():
+    # ADVICE r4: the reduced IPV6 missed mixed-compression addresses
+    # (2001:db8::1), silently null-parsing IPORHOST-anchored lines.
+    p = compile_grok("%{IP:ip} ok")
+    rx = re.compile(p.pattern)
+    good = ["2001:db8::1", "::1", "fe80::1%eth0", "::ffff:192.0.2.1",
+            "2001:0db8:85a3:0000:0000:8a2e:0370:7334",
+            "1:2:3:4:5:6:7:8", "1:2:3:4:5:6:192.0.2.1",
+            "::", "1::", "::8", "10.0.0.1"]
+    for addr in good:
+        m = rx.fullmatch(f"{addr} ok")
+        assert m and m.group("ip") == addr, addr
+    # zone-id stays bounded: a literal % later in the line is NOT eaten
+    m = rx.fullmatch("::1 ok")
+    assert m and m.group("ip") == "::1"
