@@ -461,8 +461,10 @@ def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
            .withColumn("jaccard",
                        F.col("inter")
                        / (F.col("c1") + F.col("c2") - F.col("inter"))))
-    return out.filter(F.col("jaccard") >= jaccard_threshold) \
-              .select("d1", "d2", "jaccard")
+    from fluent_bit_spark.caching import carry
+    res = out.filter(F.col("jaccard") >= jaccard_threshold) \
+             .select("d1", "d2", "jaccard")
+    return carry(res, sh) if materialize == "disk" else res
 
 
 # ---------------------------------------------------------------------------
@@ -744,4 +746,5 @@ def dedup_vs_corpus(new: DataFrame, id_col: str, text_col: str,
                         lambda v: v)) / F.lit(num_perm))
     dropped = (est.filter(F.col("est_jaccard") >= threshold)
                   .select(F.col("ndoc").alias(id_col)).distinct())
-    return survivors.join(dropped, id_col, "left_anti")
+    from fluent_bit_spark.caching import carry
+    return carry(survivors.join(dropped, id_col, "left_anti"), survivors)

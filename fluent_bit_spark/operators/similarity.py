@@ -762,11 +762,14 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, dim: int,
            & (dot * dot * F.lit(tau2_den)
               >= F.lit(tau2_num) * F.expr(n2.format("__qa"))
               * F.expr(n2.format("__qb"))))
-    return (a.join(b, "cluster")
-             .filter(F.col("__aid") < F.col(id_col))
-             .filter(hit)
-             .select(id_col, "cluster")
-             .distinct())
+    from fluent_bit_spark.caching import carry
+    return carry(
+        a.join(b, "cluster")
+         .filter(F.col("__aid") < F.col(id_col))
+         .filter(hit)
+         .select(id_col, "cluster")
+         .distinct(),
+        assigned)
 
 
 def kmeans_assign_join(q: DataFrame, id_col: str, qvec_col: str,

@@ -120,6 +120,8 @@ def main() -> int:
               for k in ("train", "holdout", "dropped")}
     tok_scored = out.agg(F.sum("n_tok_scored")).first()[0] or 0
     out.unpersist()
+    from fluent_bit_spark.caching import release
+    release(scores)  # bigram model's pair-count persist (ADVICE r4)
     conserved = (sum(counts.values()) == n_in
                  and tok_scored == tok_expected)
     print(json.dumps({"docs_in": n_in, **counts,
