@@ -363,11 +363,13 @@ def substring_dedup(df: DataFrame, length: int = 50,
         "__iv", lambda v: (v["lo"] <= p) & (p < v["hi"]))
     clean = F.when(F.col("__iv").isNull(), F.col(tokens_col)).otherwise(
         F.filter(tokens_col, lambda t, i: ~covered(i + 1)))
-    return (out.withColumn("n_before", F.size(tokens_col).cast("long"))
-            .withColumn(tokens_col, clean)
-            .withColumn("n_removed",
-                        F.col("n_before") - F.size(tokens_col))
-            .drop("__iv"))
+    from fluent_bit_spark.caching import carry
+    res = (out.withColumn("n_before", F.size(tokens_col).cast("long"))
+           .withColumn(tokens_col, clean)
+           .withColumn("n_removed",
+                       F.col("n_before") - F.size(tokens_col))
+           .drop("__iv"))
+    return carry(res, occ) if materialize == "disk" else res
 
 
 # ---------------------------------------------------------------------------
@@ -433,19 +435,21 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     keep = F.col("cnt") <= max_occ
     joined = ln.join(counts, "lh")
     passthrough = [F.first(c).alias(c) for c in keep_cols]
-    return (joined.groupBy(id_col)
-            .agg(*passthrough,
-                 F.sum(keep.cast("long")).alias("n_kept"),
-                 F.sum((~keep).cast("long")).alias("n_dropped"),
-                 F.concat_ws(
-                     " ",
-                     F.flatten(F.transform(
-                         F.sort_array(F.collect_list(F.struct(
-                             F.col("line_no").alias("o"),
-                             F.when(keep, F.array("line"))
-                              .otherwise(F.array().cast("array<string>"))
-                              .alias("p")))),
-                         lambda s: s["p"]))).alias(text_col)))
+    res = (joined.groupBy(id_col)
+           .agg(*passthrough,
+                F.sum(keep.cast("long")).alias("n_kept"),
+                F.sum((~keep).cast("long")).alias("n_dropped"),
+                F.concat_ws(
+                    " ",
+                    F.flatten(F.transform(
+                        F.sort_array(F.collect_list(F.struct(
+                            F.col("line_no").alias("o"),
+                            F.when(keep, F.array("line"))
+                             .otherwise(F.array().cast("array<string>"))
+                             .alias("p")))),
+                        lambda s: s["p"]))).alias(text_col)))
+    from fluent_bit_spark.caching import carry
+    return carry(res, ln) if materialize == "disk" else res
 
 
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
@@ -620,36 +624,79 @@ def bigram_surprisal(df: DataFrame, tokens_col: str = "tokens",
       per-document BIGINT sum — order-independent, engine-portable
       (same contract as every scorer in this module).
     """
-    c = tokens_col
-    # pre-filter short docs: sequence(0, size-2) would count DOWN for
-    # size < 2 (Spark sequence steps -1 when stop < start)
-    pair_expr = F.expr(
-        f"transform(sequence(0, size({c}) - 2), "
-        f"i -> struct({c}[i] AS t1, {c}[i + 1] AS t2))")
-    pairs = (df.filter(F.size(F.col(c)) >= 2)
-               .select(*id_cols, F.explode(pair_expr).alias("bg"))
-               .select(*id_cols, F.col("bg.t1").alias("t1"),
-                       F.col("bg.t2").alias("t2")))
-    bc = pairs.groupBy("t1", "t2").agg(F.count("*").alias("c"))
-    # bc feeds BOTH the context-total agg and the model join; persist
-    # the REDUCED pair-count frame so the pair explode + count shuffle
-    # runs once per action (the raw pairs expansion stays un-persisted
-    # — its second consumer, the scoring join, re-derives it map-only,
-    # the same accepted posture as the unigram scorer's two explodes)
+    return (ngram_surprisal(df, order=2, tokens_col=tokens_col,
+                            id_cols=id_cols,
+                            millinats_scale=millinats_scale,
+                            broadcast_model=broadcast_model)
+            .withColumnRenamed("n_ngrams_scored", "n_bigrams_scored"))
+
+
+def ngram_surprisal(df: DataFrame, order: int = 3,
+                    tokens_col: str = "tokens",
+                    id_cols: tuple[str, ...] = ("doc_id", "source"),
+                    millinats_scale: int = 1000,
+                    broadcast_model: bool = False) -> DataFrame:
+    """Per-document ``order``-gram conditional surprisal — the general
+    form of :func:`bigram_surprisal` on the CCNet/KenLM ladder
+    (order 5 is the published CCNet filter): train
+    ``P(t_n | t_1..t_{n-1}) = c(gram) / c(context)`` on the corpus
+    itself, score each document by the milli-nat sum over its grams.
+    Every scored gram is observed by construction (train == score
+    corpus), so no smoothing/backoff enters the chain and the score
+    stays EXACT integer arithmetic; for train-once/score-many use
+    :func:`score_tokens`-style join semantics per order and interpolate
+    (a join-type change, not a new plan).
+
+    Output: ``id_cols + (nll_millinats: bigint, n_ngrams_scored:
+    bigint)``; documents shorter than ``order`` tokens produce no grams
+    and drop out.
+
+    Scale shape (10^12 sequences): the model is keyed by distinct
+    ``order``-grams — corpus-sized, NOT broadcastable — so scoring is
+    a shuffle hash join on the gram key with AQE skew-split handling
+    the hot grams (1-row build side). Context totals re-aggregate the
+    gram counts (model-sized input, never a second corpus pass), and
+    per-gram surprisal rounds to INTEGER milli-nats before the BIGINT
+    per-document sum. Cost vs order: the explode is order-independent
+    (one row per position), only the key width grows.
+    """
+    if order < 2:
+        raise ValueError("ngram_surprisal: order must be >= 2 "
+                         "(order 1 is unigram_surprisal)")
+    c, n = tokens_col, order
+    tcols = [f"t{j + 1}" for j in range(n)]
+    fields = ", ".join(f"{c}[i + {j}] AS t{j + 1}" for j in range(n))
+    # pre-filter short docs: sequence(0, size-n) would count DOWN for
+    # size < n (Spark sequence steps -1 when stop < start)
+    gram_expr = F.expr(
+        f"transform(sequence(0, size({c}) - {n}), i -> struct({fields}))")
+    grams = (df.filter(F.size(F.col(c)) >= n)
+               .select(*id_cols, F.explode(gram_expr).alias("g"))
+               .select(*id_cols,
+                       *[F.col(f"g.{t}").alias(t) for t in tcols]))
+    gc = grams.groupBy(*tcols).agg(F.count("*").alias("c"))
+    # gc feeds BOTH the context-total agg and the model join; persist
+    # the REDUCED gram-count frame so the explode + count shuffle runs
+    # once per action (the raw gram expansion stays un-persisted — its
+    # second consumer, the scoring join, re-derives it map-only, the
+    # same accepted posture as the unigram scorer's two explodes)
     from pyspark import StorageLevel
-    bc = bc.persist(StorageLevel.MEMORY_AND_DISK)
-    ctx = bc.groupBy("t1").agg(F.sum("c").alias("cc"))
-    model = (bc.join(ctx, "t1")
-               .select("t1", "t2",
+    gc = gc.persist(StorageLevel.MEMORY_AND_DISK)
+    ctx = gc.groupBy(*tcols[:-1]).agg(F.sum("c").alias("cc"))
+    model = (gc.join(ctx, tcols[:-1])
+               .select(*tcols,
                        F.round(-F.log(F.col("c") / F.col("cc"))
                                * millinats_scale)
                         .cast("long").alias("nll_milli")))
     if broadcast_model:
         model = F.broadcast(model)
-    return (pairs.join(model, ["t1", "t2"])
-                 .groupBy(*[F.col(x) for x in id_cols])
-                 .agg(F.sum("nll_milli").alias("nll_millinats"),
-                      F.count("*").alias("n_bigrams_scored")))
+    from fluent_bit_spark.caching import carry
+    return carry(
+        grams.join(model, tcols)
+             .groupBy(*[F.col(x) for x in id_cols])
+             .agg(F.sum("nll_milli").alias("nll_millinats"),
+                  F.count("*").alias("n_ngrams_scored")),
+        gc)
 
 
 # ---------------------------------------------------------------------------
@@ -698,9 +745,12 @@ def tfidf_topk(df: DataFrame, k: int = 3, tokens_col: str = "tokens",
     scored = (tf.join(F.broadcast(idf), "tok")
               .withColumn("score", F.col("tf") * F.col("idf_ppm")))
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("tok"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(id_col, "tok", "tf", "score", "rank"))
+    from fluent_bit_spark.caching import carry
+    return carry(
+        scored.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k)
+              .select(id_col, "tok", "tf", "score", "rank"),
+        tf)
 
 
 # ---------------------------------------------------------------------------
@@ -734,7 +784,12 @@ def nb_quality_score(df: DataFrame, label: Column,
       engine-portable;
     - the scoring join is broadcast + a map-side-combined per-doc agg.
     """
-    toks = F.split(F.col(text_col), " ")
+    # \s+ plus empty filter (ADVICE r4): a single-space split turns
+    # whitespace runs into empty-string tokens that train as a real
+    # vocabulary entry and inflate n_tok on whitespace-heavy text.
+    # The regex stays in the Java∩RE2∩DuckDB subset.
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda w: w != F.lit(""))
     ex = df.select(*id_cols, label.alias("pos"),
                    F.explode(toks).alias("tok"))
     freq = ex.groupBy("tok").agg(

@@ -1199,6 +1199,93 @@ LIMIT 10
 """
 
 
+@q("parse_http_json", """
+WITH d AS (SELECT doc_id, source, substring(md5(text), 1, 8) AS h
+           FROM documents)
+SELECT 'http.0' AS tag, false AS parse_ok,
+       CAST(NULL AS VARCHAR) AS log, CAST(NULL AS VARCHAR) AS rec_i
+FROM d WHERE doc_id % 5 = 4
+UNION ALL
+SELECT 'app.' || source AS tag, true AS parse_ok, h AS log,
+       CAST(doc_id AS VARCHAR) AS rec_i
+FROM d WHERE doc_id % 5 IN (2, 3)
+UNION ALL
+SELECT 'http.0' AS tag, true AS parse_ok, reverse(h) AS log,
+       CAST(doc_id AS VARCHAR) AS rec_i
+FROM d WHERE doc_id % 5 IN (2, 3)
+UNION ALL
+SELECT 'http.0' AS tag, true AS parse_ok, h AS log,
+       CAST(doc_id AS VARCHAR) AS rec_i
+FROM d WHERE doc_id % 5 IN (0, 1)
+""")
+def parse_http_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP JSON payload source (sources/http.py ← the payload-codec
+    subset of upstream:plugins/in_http): per document a POST body is
+    constructed — a single record object, a two-record array batch
+    (one record carrying ``tag_key``), or a malformed line — then
+    decoded by the reader: variant parse, array-vs-object normalize,
+    per-record explode, variant→map stringify, tag lift, and the
+    tolerate-and-null DLQ row for the bad body. The oracle derives the
+    expected record rows independently from the source columns, so a
+    traversal, stringify, or tag-fallback bug mismatches. Map-only."""
+    from .sources.http import decode_http_json
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring(F.md5("text"), 1, 8).alias("h"))
+    i = F.col("doc_id").cast("string")
+    single = F.concat(F.lit('{"log": "'), F.col("h"),
+                      F.lit('", "i": '), i, F.lit('}'))
+    batch = F.concat(
+        F.lit('[{"log": "'), F.col("h"), F.lit('", "tag": "app.'),
+        F.col("source"), F.lit('", "i": '), i,
+        F.lit('}, {"log": "'), F.reverse(F.col("h")),
+        F.lit('", "i": '), i, F.lit('}]'))
+    broken = F.concat(F.lit('{broken '), F.col("h"))
+    body = (F.when(F.col("doc_id") % 5 == 4, broken)
+             .when((F.col("doc_id") % 5).isin(2, 3), batch)
+             .otherwise(single))
+    out = decode_http_json(d.select(body.alias("body")), tag_key="tag")
+    return out.select(
+        "tag", "parse_ok",
+        F.col("record")["log"].alias("log"),
+        F.col("record")["i"].alias("rec_i"))
+
+
+@q("serialize_http_batch", """
+WITH r AS (SELECT event_type AS tag, event_id AS id,
+                  'evt ' || event_type AS msg,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS d,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY event_id) AS rn
+           FROM events),
+b AS (SELECT tag, (rn - 1) // 100 AS batch_no, rn,
+             '{"date":' || d || ',"id":' || id || ',"msg":"' || msg
+             || '"}' AS rec
+      FROM r)
+SELECT tag, CAST(batch_no AS BIGINT) AS batch_no,
+       CAST(count(*) AS BIGINT) AS n_records,
+       '[' || string_agg(rec, ',' ORDER BY rn) || ']' AS body
+FROM b GROUP BY tag, batch_no
+""")
+def serialize_http_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP JSON sink bodies (sources/http.py encode_http_json ← the
+    payload subset of upstream:plugins/out_http with
+    upstream:src/flb_pack.c json format + json_date_key): records
+    group per tag in id order, 100 per POST body, rendered as one JSON
+    array with the epoch date key injected. The oracle rebuilds every
+    body byte-for-byte with window + ordered string_agg — format-,
+    batching-, and date-rendering-exact."""
+    from .sources.http import encode_http_json
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("tag"),
+        F.concat(F.lit("evt "), F.col("event_type")).alias("msg"),
+        "ts")
+    return encode_http_json(
+        ev, ["id", "msg"], fmt="json", batch_records=100,
+        order_col="id", tag_col="tag", ts_col="ts",
+        json_date_format="epoch")
+
+
 @q("parse_otlp_logs", """
 SELECT event_id,
        CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS ts_unix_nano,
@@ -2466,6 +2553,48 @@ def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_bigrams_scored").alias("sum_pairs")))
 
 
+@q("trigram_surprisal", f"""
+WITH d AS (SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens
+           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+ex AS (SELECT doc_id, source, tokens,
+              unnest(range(1, len(tokens) - 1)) AS i FROM d),
+tr AS (SELECT doc_id, source, tokens[i] AS t1, tokens[i + 1] AS t2,
+              tokens[i + 2] AS t3
+       FROM ex),
+gc AS (SELECT t1, t2, t3, count(*) AS c FROM tr GROUP BY t1, t2, t3),
+cx AS (SELECT t1, t2, sum(c) AS cc FROM gc GROUP BY t1, t2),
+m AS (SELECT t1, t2, t3, CAST(round(-ln(c / cc) * 1000) AS BIGINT) AS nll
+      FROM gc JOIN cx USING (t1, t2)),
+doc AS (SELECT doc_id, source, sum(nll) AS nll_millinats,
+               count(*) AS n FROM tr JOIN m USING (t1, t2, t3)
+        GROUP BY doc_id, source)
+SELECT source, CAST(nll_millinats // n // 500 AS BIGINT) AS surprisal_band,
+       count(*) AS docs,
+       CAST(sum(nll_millinats) AS BIGINT) AS sum_nll,
+       CAST(sum(n) AS BIGINT) AS sum_grams
+FROM doc GROUP BY source, surprisal_band
+""")
+def trigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM quality scoring (operators/tokens.py
+    ngram_surprisal, order=3) — one more rung toward the CCNet 5-gram
+    KenLM posture: conditional trigram probabilities trained on the
+    corpus itself, per-gram surprisal in integer milli-nats, exact
+    BIGINT per-document sums, banded per source. The gram-keyed model
+    is corpus-sized (shuffle join + AQE skew split, the bigram plan
+    with a wider key); the oracle replays extraction, conditional
+    model, rounding, sums, and banding bit-exactly."""
+    from .operators.tokens import ngram_surprisal
+    d = _tok_int_docs(spark, sf_dir)
+    doc = ngram_surprisal(d, order=3)
+    return (doc.groupBy(
+                "source",
+                F.expr("nll_millinats DIV n_ngrams_scored DIV 500")
+                 .alias("surprisal_band"))
+            .agg(F.count("*").alias("docs"),
+                 F.sum("nll_millinats").alias("sum_nll"),
+                 F.sum("n_ngrams_scored").alias("sum_grams")))
+
+
 @q("web_curate_chain", r"""
 WITH pages AS (
   SELECT doc_id,
@@ -3405,9 +3534,11 @@ def dedup_vs_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("nb_quality", """
 WITH ex AS (
-  SELECT doc_id, source, lang = 'en' AS pos,
-         unnest(string_split(text, ' ')) AS tok
-  FROM documents),
+  SELECT doc_id, source, lang = 'en' AS pos, tok
+  FROM (SELECT doc_id, source, lang,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  w -> w <> '')) AS tok
+        FROM documents)),
 freq AS (
   SELECT tok,
          sum(CASE WHEN pos THEN 1 ELSE 0 END) AS ca,
