@@ -98,10 +98,18 @@ def main() -> int:
             ap.error("--cap needs --url-col")
         df = url_parts(df, args.url_col)
         good = df.filter("gq_keep")
-        kept = cap_per_host(good, "u_host",
-                            [F.col(args.id_col)], args.cap,
-                            salt_buckets=args.salt,
-                            salt_key=args.id_col)
+        # NULL-host rows (unparseable URL) are EXEMPT from the cap
+        # (ADVICE r4): u_host NULL would otherwise collect every
+        # malformed-URL doc into one pseudo-host and keep at most
+        # --cap of them globally — a drop the cap's per-host intent
+        # never meant. The cap bounds per-HOST dominance; hostless
+        # rows have no host to dominate.
+        capped = cap_per_host(good.filter(F.col("u_host").isNotNull()),
+                              "u_host",
+                              [F.col(args.id_col)], args.cap,
+                              salt_buckets=args.salt,
+                              salt_key=args.id_col)
+        kept = capped.unionByName(good.filter(F.col("u_host").isNull()))
         over = good.join(kept.select(args.id_col), args.id_col,
                          "left_anti") \
                    .withColumn("drop_reason", F.lit("host_cap"))

@@ -40,8 +40,13 @@ def main() -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--jaccard", type=float, default=0.5,
                     help="verify threshold (two-stage path)")
-    ap.add_argument("--num-perm", type=int, default=16)
-    ap.add_argument("--bands", type=int, default=4)
+    # None = "not explicitly set": incremental modes adopt the artifact
+    # dir's recorded params; an explicit conflicting flag is an error
+    # (ADVICE r4: mismatched num_perm silently detects nothing — the
+    # zip_with over unequal-length signatures nulls out and every
+    # near-dup passes through).
+    ap.add_argument("--num-perm", type=int, default=None)
+    ap.add_argument("--bands", type=int, default=None)
     ap.add_argument("--exact-only", action="store_true",
                     help="hash-exact dedup only (skip near-dup LSH)")
     ap.add_argument("--mode", default=None,
@@ -86,6 +91,42 @@ def main() -> int:
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
 
+    # Artifact-parameter contract (ADVICE r4): --mode artifacts records
+    # its sketch params in <dir>/params.json; the incremental modes
+    # ADOPT them and refuse an explicitly conflicting flag. Without
+    # this, a vs-corpus run at a different num_perm silently detects
+    # nothing: zip_with over unequal-length signature arrays yields
+    # null comparisons that filter out, and band hashes never collide.
+    DEFAULTS = {"num_perm": 16, "bands": 4, "shingle_n": 3,
+                "hash_fn": "xxhash64"}
+    num_perm = args.num_perm if args.num_perm is not None \
+        else DEFAULTS["num_perm"]
+    bands = args.bands if args.bands is not None else DEFAULTS["bands"]
+    shingle_n, hash_fn = DEFAULTS["shingle_n"], DEFAULTS["hash_fn"]
+    sketch_params = {"num_perm": num_perm, "bands": bands,
+                     "shingle_n": shingle_n, "hash_fn": hash_fn}
+    if args.corpus_artifacts:
+        from fluent_bit_spark.plans import fsio
+        ppath = f"{args.corpus_artifacts}/params.json"
+        if fsio.exists(spark, ppath):
+            rec = fsio.read_json(spark, ppath)
+            for flag, explicit in (("num-perm", args.num_perm),
+                                   ("bands", args.bands)):
+                key = flag.replace("-", "_")
+                if explicit is not None and key in rec \
+                        and explicit != rec[key]:
+                    ap.error(
+                        f"--{flag} {explicit} conflicts with {ppath} "
+                        f"({key}={rec[key]}): the artifacts were "
+                        f"sketched with that value and comparisons "
+                        f"under a different one are silently empty")
+            num_perm = rec.get("num_perm", num_perm)
+            bands = rec.get("bands", bands)
+            shingle_n = rec.get("shingle_n", shingle_n)
+            hash_fn = rec.get("hash_fn", hash_fn)
+            sketch_params = {"num_perm": num_perm, "bands": bands,
+                             "shingle_n": shingle_n, "hash_fn": hash_fn}
+
     if mode == "substring":
         from fluent_bit_spark.operators.tokens import substring_dedup
         cleaned = substring_dedup(docs, length=args.span_len,
@@ -93,6 +134,8 @@ def main() -> int:
                                   tokens_col=args.tokens_col,
                                   hash_fn="xxhash64")
         cleaned.write.mode("overwrite").parquet(f"{args.output}/cleaned")
+        from fluent_bit_spark.caching import release
+        release(cleaned)
         agg = (spark.read.parquet(f"{args.output}/cleaned")
                .agg(F.count("*").alias("n"),
                     F.sum("n_before").alias("before"),
@@ -111,6 +154,8 @@ def main() -> int:
                            tau2_num=round(args.tau * args.tau * 10000),
                            tau2_den=10000)
         dropped.write.mode("overwrite").parquet(f"{args.output}/dropped")
+        from fluent_bit_spark.caching import release
+        release(dropped)
         drop_ids = spark.read.parquet(f"{args.output}/dropped")             .select(args.id_col)
         deduped = docs.join(drop_ids, args.id_col, "left_anti")
         deduped.write.mode("overwrite").parquet(f"{args.output}/deduped")
@@ -126,9 +171,15 @@ def main() -> int:
         # Deltas are computed from the batch alone and APPENDED — the
         # corpus side is never re-read (cost ∝ batch, not corpus).
         tgt = args.corpus_artifacts
+        from fluent_bit_spark.plans import fsio
+        if not fsio.exists(spark, f"{tgt}/params.json"):
+            # older dir: stamp the (adopted-or-default) params so the
+            # next run validates instead of trusting flags
+            fsio.write_json_atomic(spark, f"{tgt}/params.json",
+                                   sketch_params)
         dh, ds, dbt = DD.append_corpus_artifacts(
-            docs, args.id_col, args.text_col, num_perm=args.num_perm,
-            bands=args.bands)
+            docs, args.id_col, args.text_col, num_perm=num_perm,
+            bands=bands, shingle_n=shingle_n, hash_fn=hash_fn)
         dh.write.mode("append").parquet(f"{tgt}/hashes")
         ds.write.mode("append").parquet(f"{tgt}/sigs")
         # only append bands if the maintained dir HAS a band table — a
@@ -148,9 +199,13 @@ def main() -> int:
 
     if mode == "artifacts":
         hashes, sigs = DD.corpus_artifacts(
-            docs, args.id_col, args.text_col, num_perm=args.num_perm)
+            docs, args.id_col, args.text_col, num_perm=num_perm,
+            shingle_n=shingle_n, hash_fn=hash_fn)
         hashes.write.mode("overwrite").parquet(f"{args.output}/hashes")
         sigs.write.mode("overwrite").parquet(f"{args.output}/sigs")
+        from fluent_bit_spark.plans import fsio
+        fsio.write_json_atomic(spark, f"{args.output}/params.json",
+                               sketch_params)
         # pre-expanded band table so per-batch runs skip the corpus-side
         # band expansion; on a catalog-backed cluster, write this with
         # sources.tables.write_bucketed(bands, tbl, ["band", "bh"])
@@ -158,8 +213,8 @@ def main() -> int:
         # exchange-free on the corpus side (plan-asserted in
         # tests/test_plan_shape.py)
         sigs = spark.read.parquet(f"{args.output}/sigs")
-        DD.corpus_band_table(sigs, num_perm=args.num_perm,
-                             bands=args.bands) \
+        DD.corpus_band_table(sigs, num_perm=num_perm,
+                             bands=bands, hash_fn=hash_fn) \
             .write.mode("overwrite").parquet(f"{args.output}/bands")
         n_h = spark.read.parquet(f"{args.output}/hashes").count()
         n_s = spark.read.parquet(f"{args.output}/sigs").count()
@@ -180,9 +235,12 @@ def main() -> int:
             bands_tbl = None        # pre-bands artifact dir (older run)
         survivors = DD.dedup_vs_corpus(
             docs, args.id_col, args.text_col, hashes, sigs,
-            num_perm=args.num_perm, bands=args.bands,
-            threshold=args.jaccard, corpus_bands=bands_tbl)
+            num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+            hash_fn=hash_fn, threshold=args.jaccard,
+            corpus_bands=bands_tbl)
         survivors.write.mode("overwrite").parquet(f"{args.output}/deduped")
+        from fluent_bit_spark.caching import release
+        release(survivors)
         n_out = spark.read.parquet(f"{args.output}/deduped").count()
         print(json.dumps({"mode": "vs-corpus", "rows_in": n_in,
                           "rows_out": n_out, "dropped": n_in - n_out,
@@ -200,8 +258,8 @@ def main() -> int:
         return 0
 
     pairs = DD.lsh_verified_pairs(
-        docs, args.id_col, args.text_col, num_perm=args.num_perm,
-        bands=args.bands, jaccard_threshold=args.jaccard,
+        docs, args.id_col, args.text_col, num_perm=num_perm,
+        bands=bands, jaccard_threshold=args.jaccard,
         materialize=True)
     pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
     pairs = spark.read.parquet(f"{args.output}/pairs")  # reuse, not rebuild
