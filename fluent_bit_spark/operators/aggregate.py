@@ -156,3 +156,80 @@ def log_histogram(df: DataFrame, labels: list[str], value_field: str,
                           histogram_bucket(value_field, lo, hi, nbuckets))
               .groupBy(*labels, "bucket")
               .agg(F.count("*").alias("n")))
+
+
+def log_histogram_bounds(df: DataFrame, labels: list[str],
+                         value_field: str,
+                         bounds: list[float]) -> DataFrame:
+    """Explicit-boundary histogram — the ``[FILTER] log_to_metrics``
+    repeatable ``bucket`` property (upstream:plugins/filter_log_to_metrics
+    registers one Prometheus bucket per line): per label combination,
+    one row per ``le`` boundary (plus ``+Inf``) with the CUMULATIVE
+    observation count, Prometheus exposition semantics (``v <= le``).
+
+    Output: ``labels + (le: string, n: bigint)``. Scale shape: one
+    row per observation per boundary is never materialized — the
+    observation maps to its FIRST bucket (one narrow projection), the
+    groupBy is one exchange on (labels, bucket), and cumulation runs
+    on the aggregated frame (rows = |labels| × |bounds|) via a window
+    — aggregate-then-cumulate, not explode-then-aggregate.
+    """
+    if not bounds or sorted(bounds) != list(bounds):
+        raise ValueError("histogram bounds must be a non-empty "
+                         "ascending list")
+    v = F.col(value_field).cast("double")
+    idx = F.lit(len(bounds))  # +Inf
+    for i in range(len(bounds) - 1, -1, -1):
+        idx = F.when(v <= F.lit(float(bounds[i])), F.lit(i)) \
+               .otherwise(idx)
+    per = (df.withColumn("__b", idx.cast("int"))
+             .groupBy(*labels, "__b").agg(F.count("*").alias("__n")))
+    # per-label bucket→count map (bounded: ≤ len(bounds)+1 entries),
+    # then densify against the literal boundary list so every
+    # (labels, le) row exists even at count 0 — the exposition
+    # contract — and cumulate with a running aggregate over the
+    # literal array, all on model-sized data
+    les = [str(float(b)) for b in bounds] + ["+Inf"]
+    per_m = (per.groupBy(*labels)
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("__b", "__n"))).alias("__m")))
+    cum = F.lit(0).cast("long")
+    rows = []
+    for i, le in enumerate(les):
+        cum = cum + F.coalesce(F.col("__m").getItem(i), F.lit(0))
+        rows.append(F.struct(F.lit(le).alias("le"), cum.alias("n")))
+    return (per_m.select(*labels, F.explode(F.array(*rows)).alias("__r"))
+                 .select(*labels, F.col("__r.le").alias("le"),
+                         F.col("__r.n").alias("n")))
+
+
+def log_to_metrics(df: DataFrame, mode: str, labels: list[str],
+                   value_field: str | None = None,
+                   buckets: list[float] | None = None,
+                   gauge_mode: str = "avg",
+                   name: str = "value") -> DataFrame:
+    """``[FILTER] log_to_metrics`` dispatcher
+    (upstream:plugins/filter_log_to_metrics ``metric_mode``): counter /
+    gauge / histogram over the matched records, grouped by the
+    ``label_field`` columns. Deviation (documented): upstream's gauge
+    is last-value-wins over arrival order; a batch engine has no
+    arrival order, so ``gauge_mode`` selects the reduction
+    (avg|min|max|sum, default avg)."""
+    mode = mode.lower()
+    if mode == "counter":
+        return log_counter(df, labels, name=name)
+    if mode == "gauge":
+        if not value_field:
+            raise ValueError("log_to_metrics gauge needs value_field")
+        return log_gauge(df, labels, value_field, mode=gauge_mode,
+                         name=name)
+    if mode == "histogram":
+        if not value_field:
+            raise ValueError("log_to_metrics histogram needs "
+                             "value_field")
+        if not buckets:
+            raise ValueError("log_to_metrics histogram needs at least "
+                             "one bucket boundary")
+        return log_histogram_bounds(df, labels, value_field, buckets)
+    raise ValueError(f"metric_mode must be counter|gauge|histogram, "
+                     f"got {mode!r}")

@@ -54,6 +54,26 @@ Supported sections / properties (the subset with a batch meaning here):
   (docker/cri/java/python/go, upstream:plugins/filter_multiline):
   physical lines join into logical events before parsing (text input;
   the runner switches to the ordered wholetext read).
+- ``[FILTER] Name log_to_metrics`` — ``metric_mode`` (``counter`` |
+  ``gauge`` | ``histogram``), ``metric_name`` (names the side-output
+  dir), repeatable ``label_field``, ``value_field``, repeatable
+  ``bucket`` boundaries, ``regex``/``exclude`` record pre-filters
+  (upstream:plugins/filter_log_to_metrics); each slice writes the
+  metric frame under ``metrics_out/<metric_name>/``. ``gauge_mode``
+  (``avg``/``min``/``max``/``sum``) replaces upstream's
+  arrival-order last-value gauge.
+- ``[FILTER] Name script`` (alias ``lua``) — ``script <file.py>`` +
+  ``call <fn>``: the filter_lua hook with the engine's vectorized
+  runtime (operators/script.py) — ``fn`` maps each Arrow batch
+  (``pandas.DataFrame`` → same-schema ``pandas.DataFrame``; rows may
+  drop or rewrite). ``.lua`` files are rejected with a porting hint.
+- ``[INPUT] name http`` — body-per-line capture files through
+  sources/http.py: ``tag`` (listener tag), ``tag_key`` (lift tag from
+  a record field); record ``log`` fields become the raw line for the
+  parser stages, malformed bodies DLQ.
+- ``[OUTPUT] name http`` — ``format`` ``json``/``json_lines``/
+  ``json_stream`` request bodies (sources/http.py), ``batch_records``,
+  ``order_key``, ``ts_key`` + ``json_date_key``/``json_date_format``.
 - ``[PARSER]`` — ``name`` + ``format regex`` + ``regex`` (+ ``types``,
   ``time_key``, ``time_format``); syslog preset names map to the
   built-in presets.
@@ -94,7 +114,8 @@ from .pipeline import ParserFilterSpec, PipelineSpec
 _KNOWN_FILTERS = {"grep", "rewrite_tag", "lookup", "parser", "modify",
                   "record_modifier", "nest", "throttle", "type_converter",
                   "sampling", "multiline", "expect", "checklist",
-                  "gopher_quality", "stratified_split"}
+                  "gopher_quality", "stratified_split", "log_to_metrics",
+                  "script", "lua"}
 
 _MULTILINE_PRESETS = {"docker", "cri", "java", "python", "go"}
 
@@ -230,6 +251,7 @@ def parse_classic(text: str,
                 "int_key", "uint_key", "str_key", "float_key",
                 "key_exists", "key_not_exists", "key_val_eq",
                 "key_val_is_null", "key_val_is_not_null", "split_rate",
+                "label_field", "bucket",
                 *_MODIFY_OPS):
             # repeatable FILTER properties (flb accumulates these);
             # "regex" inside a [PARSER] block stays single-valued
@@ -464,12 +486,20 @@ def spec_from_tree(tree: dict[str, Any],
     inp_name = str(inp.get("name", "")).lower()
     input_format = str(inp.get("format")
                        or ("forward" if inp_name == "forward"
+                           else "http" if inp_name == "http"
                            else "text" if inp_name == "tail"
                            and str(inp.get("path", "")).endswith(".log")
                            else "tokens")).lower()
-    if input_format not in ("tokens", "text", "forward"):
-        raise ValueError(f"input format must be tokens|text|forward, "
-                         f"got {input_format!r}")
+    if input_format not in ("tokens", "text", "forward", "http"):
+        raise ValueError(f"input format must be tokens|text|forward|"
+                         f"http, got {input_format!r}")
+    # [INPUT] http (sources/http.py — the payload subset of
+    # upstream:plugins/in_http): Tag is the listener tag, Tag_Key
+    # lifts it from a record field.
+    http_input = None
+    if input_format == "http":
+        http_input = {"tag": str(inp.get("tag", "http.0")),
+                      "tag_key": inp.get("tag_key")}
 
     if vocab is None:
         vp = inp.get("vocab_parquet")
@@ -495,6 +525,8 @@ def spec_from_tree(tree: dict[str, Any],
     checklist_specs: list[dict[str, Any]] = []
     gopher_spec: dict[str, Any] | None = None
     split_spec: dict[str, Any] | None = None
+    metrics_specs: list[dict[str, Any]] = []
+    script_specs: list[dict[str, Any]] = []
     # [INPUT] multiline.parser — the common in_tail posture
     # (upstream:plugins/in_tail: multiline joins at ingestion); the
     # [FILTER] Name multiline form sets the same spec field.
@@ -783,6 +815,74 @@ def spec_from_tree(tree: dict[str, Any],
                     "max_word_len": int(f.get("max_word_len", 7)),
                 },
             }
+        elif name == "log_to_metrics":
+            # upstream:plugins/filter_log_to_metrics — metric_mode /
+            # metric_name / label_field (repeatable) / value_field /
+            # bucket (repeatable boundary) plus regex/exclude record
+            # pre-filters. gauge_mode is an engine extension: upstream's
+            # gauge is last-value over arrival order, which a batch has
+            # none of — the reduction is explicit (default avg).
+            mode = str(f.get("metric_mode", "counter")).lower()
+            if mode not in ("counter", "gauge", "histogram"):
+                raise ValueError(
+                    f"[FILTER] log_to_metrics metric_mode must be "
+                    f"counter|gauge|histogram, got {mode!r}")
+            mname = f.get("metric_name")
+            if not mname:
+                raise ValueError("[FILTER] log_to_metrics needs "
+                                 "metric_name (it names the side "
+                                 "output directory)")
+            buckets: list[float] = []
+            for v in _as_list(f.get("bucket")):
+                try:
+                    buckets.append(float(v))
+                except ValueError:
+                    raise ValueError(
+                        f"[FILTER] log_to_metrics bucket wants a "
+                        f"float boundary, got {v!r}") from None
+            mgrep: list[GrepRule] = []
+            for v in _as_list(f.get("regex")):
+                mgrep.append(_parse_grep_prop(v, exclude=False))
+            for v in _as_list(f.get("exclude")):
+                mgrep.append(_parse_grep_prop(v, exclude=True))
+            if mode in ("gauge", "histogram") and not f.get("value_field"):
+                raise ValueError(f"[FILTER] log_to_metrics {mode} "
+                                 f"needs value_field")
+            if mode == "histogram" and not buckets:
+                raise ValueError("[FILTER] log_to_metrics histogram "
+                                 "needs at least one bucket line")
+            metrics_specs.append({
+                "name": str(mname),
+                "mode": mode,
+                "labels": _as_list(f.get("label_field")),
+                "value_field": f.get("value_field"),
+                "buckets": buckets or None,
+                "gauge_mode": str(f.get("gauge_mode", "avg")).lower(),
+                "grep_rules": mgrep,
+                "description": f.get("metric_description"),
+            })
+        elif name in ("script", "lua"):
+            # the [FILTER] lua surface (upstream:plugins/filter_lua:
+            # script + call) with the engine's vectorized runtime
+            # (operators/script.py): Call names a batch function
+            # (pandas.DataFrame -> pandas.DataFrame, schema preserved)
+            # in the Python file at Script. A .lua script cannot run
+            # here — the error says what to hand the engine instead.
+            spath = f.get("script")
+            if not spath:
+                raise ValueError(f"[FILTER] {name} needs a Script "
+                                 f"property (path to a .py file)")
+            if str(spath).endswith(".lua"):
+                raise ValueError(
+                    "[FILTER] lua: no Lua runtime in this engine — "
+                    "port the script to a Python batch function "
+                    "(pandas.DataFrame -> pandas.DataFrame) and point "
+                    "Script at the .py file; Call still names the "
+                    "function")
+            script_specs.append({
+                "path": str(spath),
+                "call": str(f.get("call", "cb_filter")),
+            })
         elif name == "stratified_split":
             # engine extension (operators/filters.stratified_split):
             # deterministic per-group eval holdout; repeatable
@@ -814,6 +914,7 @@ def spec_from_tree(tree: dict[str, Any],
     sink_format = None
     sink_template = None
     gelf_keys = None
+    http_output: dict[str, Any] | None = None
     for i, o in enumerate(pipe.get("outputs", [])):
         sink = str(o.get("sink") or f"{o.get('name', 'out')}_{i}")
         if o.get("match_regex"):
@@ -821,13 +922,34 @@ def spec_from_tree(tree: dict[str, Any],
         else:
             routes.append(Route(sink, str(o.get("match", "*")), "glob"))
         fmt = o.get("format")
+        if fmt is None and str(o.get("name", "")).lower() == "http":
+            fmt = "json"  # out_http default body format
         if fmt is not None:
             fmt = str(fmt).lower()
+            if str(o.get("name", "")).lower() == "http" \
+                    and fmt in ("json", "json_lines", "json_stream"):
+                # [OUTPUT] name http Format json|json_lines|json_stream
+                # (upstream:plugins/out_http) — body rendering rides
+                # the http sink format below
+                hf, fmt = fmt, "http"
+                ho = {"format": hf,
+                      "batch_records": int(o.get("batch_records", 100)),
+                      "order_key": o.get("order_key"),
+                      "ts_key": o.get("ts_key"),
+                      "json_date_key": str(o.get("json_date_key",
+                                                 "date")),
+                      "json_date_format": str(o.get("json_date_format",
+                                                    "double"))}
+                if http_output is not None and ho != http_output:
+                    raise ValueError("all http outputs must share one "
+                                     "body rendering (Format/"
+                                     "Batch_Records/Json_Date_*)")
+                http_output = ho
             if fmt not in ("parquet", "json_lines", "csv", "ltsv",
-                           "template", "msgpack", "gelf"):
+                           "template", "msgpack", "gelf", "http"):
                 raise ValueError(f"output format must be parquet|"
                                  f"json_lines|csv|ltsv|template|"
-                                 f"msgpack|gelf, got {fmt!r}")
+                                 f"msgpack|gelf|http, got {fmt!r}")
             if sink_format is not None and fmt != sink_format:
                 raise ValueError("all outputs must share one format "
                                  "(the fan-out writes one payload shape)")
@@ -895,6 +1017,10 @@ def spec_from_tree(tree: dict[str, Any],
         checklist_specs=checklist_specs,
         gopher_spec=gopher_spec,
         split_spec=split_spec,
+        metrics_specs=metrics_specs,
+        script_specs=script_specs,
+        http_input=http_input,
+        http_output=http_output,
     )
     io = {
         "input_path": inp.get("path"),

@@ -21,6 +21,7 @@ re-run skips completed slices and reproduces identical outputs.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -151,6 +152,28 @@ class PipelineSpec:
     # rates, default_permille}. Map-only stamp applied right before
     # tagging so the tag expression / routes can key on ``split``.
     split_spec: dict | None = None
+    # [FILTER] log_to_metrics blocks
+    # (upstream:plugins/filter_log_to_metrics): dicts {name, mode,
+    # labels, value_field, buckets, gauge_mode, grep_rules,
+    # description}. Side outputs — each slice writes the metric frame
+    # under metrics_out/<name>/ (the batch analogue of re-emitting
+    # metrics records under a new tag); records pass through untouched.
+    metrics_specs: list = field(default_factory=list)
+    # [FILTER] script / lua-equivalent blocks
+    # (upstream:plugins/filter_lua surface over operators/script.py):
+    # dicts {path, call} — ``call`` names a batch function
+    # (pandas.DataFrame -> pandas.DataFrame, same schema) in the
+    # Python file at ``path``; applied via mapInPandas after the
+    # record-shaping filters (modify/type_converter), before expect.
+    script_specs: list = field(default_factory=list)
+    # [INPUT] http (sources/http.py decode side): {tag, tag_key} —
+    # body-per-line capture files decode to records before the text
+    # stages; None means the input is not http.
+    http_input: dict | None = None
+    # [OUTPUT] Format http (sources/http.py encode side): {format,
+    # batch_records, order_key, json_date_key, json_date_format,
+    # ts_key} — sinks land request-body text files.
+    http_output: dict | None = None
 
 
 @dataclass
@@ -163,6 +186,35 @@ class ParserFilterSpec:
     key: str
     parsers: list                           # list[RegexParser]
     out: str = "parsed"
+
+
+_SCRIPT_CACHE: dict = {}
+
+
+def load_script_fn(path: str, call: str):
+    """Load the batch function a ``[FILTER] script`` block names — the
+    filter_lua ``script``/``call`` surface with a Python-batch runtime
+    (upstream:plugins/filter_lua/lua.c receives one record per call;
+    the vectorized contract here is pandas.DataFrame -> pandas.DataFrame
+    over each Arrow batch, operators/script.py). Modules load once per
+    driver and ship to executors by closure serialization."""
+    key = (os.path.abspath(path), call)
+    if key not in _SCRIPT_CACHE:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            f"_fbs_script_{abs(hash(key))}", path)
+        if spec is None or spec.loader is None:
+            raise ValueError(f"[FILTER] script: cannot load {path!r}")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        fn = getattr(mod, call, None)
+        if not callable(fn):
+            raise ValueError(
+                f"[FILTER] script: {path!r} defines no callable "
+                f"{call!r} (the Call property must name a batch "
+                f"function taking and returning a pandas.DataFrame)")
+        _SCRIPT_CACHE[key] = fn
+    return _SCRIPT_CACHE[key]
 
 
 def default_tag_expr() -> str:
@@ -264,6 +316,11 @@ def _post_parse_stages(spark: SparkSession, out: DataFrame,
     if spec.type_conversions:
         from ..operators.filters import type_convert
         out = type_convert(out, spec.type_conversions)
+    if spec.script_specs:
+        from ..operators.script import filter_map_batches
+        for ss in spec.script_specs:
+            out = filter_map_batches(out, load_script_fn(ss["path"],
+                                                         ss["call"]))
     if spec.expect_specs:
         from ..operators.filters import expect
         for es in spec.expect_specs:
@@ -471,7 +528,7 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
     """
     t0 = time.time()
     tune_scan_partitions(spark, input_path)
-    if input_format == "text":
+    if input_format in ("text", "http"):
         all_files = sorted(spark.read.text(input_path).inputFiles())
     elif input_format == "forward":
         all_files = sorted(spark.read.format("binaryFile")
@@ -500,6 +557,45 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                       else spark.read.text(files))
             df = reader.withColumn("_lineage", lineage)
             routed = build_stages_text(spark, df, spec)
+        elif input_format == "http":
+            # in_http file subset (sources/http.py): each line is one
+            # POST body; records explode out, the conventional "log"
+            # field (or the whole record, re-rendered) becomes the raw
+            # line for the shared text stages, and the body-supplied
+            # tag wins unless the config sets an explicit tag_expr
+            # (the in_forward precedent). Malformed bodies keep the raw
+            # body as the line and are FORCED to the DLQ below —
+            # upstream answers 400 and never ingests them; a batch
+            # replay keeps the bytes for the dead-letter audit.
+            import dataclasses
+
+            from ..sources.http import decode_http_json
+            hp = spec.http_input or {}
+            raw = (spark.read.text(files)
+                   .filter(F.length(F.trim("value")) > 0)
+                   .withColumnRenamed("value", "body")
+                   .withColumn("_lineage", lineage))
+            dec = decode_http_json(raw, tag=hp.get("tag", "http.0"),
+                                   tag_key=hp.get("tag_key"),
+                                   keep_cols=("body", "_lineage"))
+            df = dec.select(
+                F.when(F.col("parse_ok"),
+                       F.coalesce(F.col("record")["log"],
+                                  F.to_json("record")))
+                 .otherwise(F.col("body")).alias("value"),
+                F.col("tag").alias("http_tag"),
+                F.col("parse_ok").alias("__http_ok"),
+                "_lineage")
+            hspec = (spec if spec.tag_expr
+                     else dataclasses.replace(spec, tag_expr="http_tag"))
+            routed = (build_stages_text(spark, df, hspec)
+                      .withColumn("parse_ok",
+                                  F.col("parse_ok") & F.col("__http_ok"))
+                      .withColumn("dlq_reason",
+                                  F.when(~F.col("__http_ok"),
+                                         F.lit("parse_fail"))
+                                   .otherwise(F.col("dlq_reason")))
+                      .drop("__http_ok", "http_tag"))
         elif input_format == "forward":
             # in_forward file subset: decode another pipeline's (or
             # fluent-bit sender's) chunk files; the transmitted tag is
@@ -575,6 +671,33 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                      .write.mode("overwrite")
                      .partitionBy(*spec.sink_partition_by)
                      .text(f"{output_dir}/sinks/{s}/batch_id={i}"))
+            elif spec.sink_format == "http":
+                # out_http payload subset (sources/http.py): each sink
+                # dir lands request-body lines — deterministic
+                # (tag, order_key) batches of batch_records records per
+                # POST body, flb_pack json/json_lines/json_stream
+                # rendering. One exchange keyed by (tag, batch_no).
+                from ..sources.http import encode_http_json
+                ho = spec.http_output or {}
+                payload_cols = [c for c in good.columns
+                                if c not in ("sinks", "routes_mask",
+                                             "dlq_reason", "_lineage",
+                                             "tag")]
+                order_key = ho.get("order_key") or (
+                    "doc_id" if "doc_id" in good.columns else None)
+                for s in sinks:
+                    bodies = encode_http_json(
+                        good.filter(F.array_contains("sinks", s)),
+                        payload_cols, fmt=ho.get("format", "json"),
+                        batch_records=int(ho.get("batch_records", 100)),
+                        order_col=order_key, tag_col="tag",
+                        ts_col=ho.get("ts_key"),
+                        json_date_key=ho.get("json_date_key", "date"),
+                        json_date_format=ho.get("json_date_format",
+                                                "double"))
+                    (bodies.select(F.col("body").alias("value"))
+                           .write.mode("overwrite")
+                           .text(f"{output_dir}/sinks/{s}/batch_id={i}"))
             elif spec.sink_format == "msgpack":
                 # out_forward posture: per-task PackedForward chunk
                 # files — the bytes fluent-bit's forward consumers and
@@ -618,6 +741,26 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                          .partitionBy(*spec.sink_partition_by)
                          .parquet(f"{output_dir}/sinks/{s}/"
                                   f"batch_id={i}"))
+            # [FILTER] log_to_metrics side outputs: the batch analogue
+            # of re-emitting metric records under a new tag — each
+            # slice writes the metric frame per block
+            # (upstream:plugins/filter_log_to_metrics). Derived from
+            # the routed GOOD frame (the filter sits after parsing),
+            # optionally pre-filtered by the block's regex/exclude.
+            for ms in spec.metrics_specs:
+                from ..operators.aggregate import log_to_metrics
+                src = good
+                if ms.get("grep_rules"):
+                    src = src.filter(grep_predicate(
+                        ms["grep_rules"], ms.get("grep_op", "AND")))
+                mdf = log_to_metrics(
+                    src, ms["mode"], ms.get("labels", []),
+                    value_field=ms.get("value_field"),
+                    buckets=ms.get("buckets"),
+                    gauge_mode=ms.get("gauge_mode", "avg"))
+                mdf.write.mode("overwrite").parquet(
+                    f"{output_dir}/metrics_out/{ms['name']}/"
+                    f"batch_id={i}")
             dlq_cols = [c for c in ("doc_id", "tokens", "n_tok", "source",
                                     "decoded", "tag", "dlq_reason",
                                     "_lineage") if c in routed.columns]

@@ -550,6 +550,37 @@ def log_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log_histogram(ev, ["event_type"], "value", 0.0, 500.0, 10)
 
 
+@q("log_hist_explicit", """
+WITH b AS (SELECT event_type,
+                  CASE WHEN value <= 10 THEN 0
+                       WHEN value <= 100 THEN 1
+                       WHEN value <= 250 THEN 2
+                       ELSE 3 END AS bi
+           FROM events),
+c AS (SELECT event_type, bi, count(*) AS cnt FROM b GROUP BY 1, 2),
+les AS (SELECT * FROM (VALUES (0, '10.0'), (1, '100.0'),
+                              (2, '250.0'), (3, '+Inf')) t(bi, le)),
+grid AS (SELECT DISTINCT event_type FROM b),
+g2 AS (SELECT event_type, bi, le FROM grid CROSS JOIN les)
+SELECT event_type, le,
+       CAST(sum(coalesce(cnt, 0)) OVER (PARTITION BY event_type
+                                        ORDER BY g2.bi) AS BIGINT) AS n
+FROM g2 LEFT JOIN c USING (event_type, bi)
+""")
+def log_hist_explicit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``[FILTER] log_to_metrics`` explicit-boundary histogram
+    (operators/aggregate.log_histogram_bounds ← the repeatable
+    ``bucket`` property of upstream:plugins/filter_log_to_metrics):
+    Prometheus cumulative ``le`` rows per label, densified so every
+    boundary appears even at count 0. The oracle rebuilds bucket
+    assignment, densification, and cumulation independently."""
+    from .operators.aggregate import log_to_metrics
+    ev = t(spark, sf_dir, "events")
+    return log_to_metrics(ev, "histogram", ["event_type"],
+                          value_field="value",
+                          buckets=[10, 100, 250])
+
+
 @q("forecast_linear", """
 SELECT event_type,
        round(regr_slope(value, epoch_of(ts)), 8) AS slope,

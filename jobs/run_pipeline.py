@@ -33,12 +33,14 @@ def main() -> int:
                     default="parquet",
                     help="sink payload format (out_file Format analogue)")
     ap.add_argument("--input-format",
-                    choices=["tokens", "text", "forward"],
+                    choices=["tokens", "text", "forward", "http"],
                     default="tokens",
                     help="tokens parquet (north-star schema), raw "
-                         ".log text files (in_tail posture), or "
+                         ".log text files (in_tail posture), "
                          "forward-protocol msgpack chunk files "
-                         "(in_forward file subset)")
+                         "(in_forward file subset), or http "
+                         "body-per-line capture files (in_http "
+                         "file subset)")
     ap.add_argument("--gen-rows", type=int, default=0,
                     help="synthesize the input first with N rows")
     ap.add_argument("--lookup", default=None,

@@ -1230,3 +1230,155 @@ def test_template_output_format_from_config():
             "    Format template\n    Template {tag}\n"
             "[OUTPUT]\n    Name file\n    Match b.*\n    Sink t\n"
             "    Format template\n    Template {doc_id}\n"), vocab=["x"])
+
+
+def test_log_to_metrics_filter_from_config(spark, fixture_paths,
+                                           tmp_path):
+    """[FILTER] log_to_metrics: counter/gauge/histogram blocks map onto
+    operators/aggregate.log_to_metrics; a config-driven run writes each
+    metric frame under metrics_out/<name>/ equal to the direct operator
+    call over the routed good frame."""
+    from fluent_bit_spark.operators.aggregate import log_to_metrics
+    from fluent_bit_spark.plans.pipeline import build_stages
+    conf = tmp_path / "m.conf"
+    conf.write_text(
+        "[INPUT]\n    Name tokens\n    Format tokens\n"
+        "[FILTER]\n    Name log_to_metrics\n    Match *\n"
+        "    Metric_mode counter\n    Metric_name records_by_tag\n"
+        "    Label_field tag\n"
+        "[FILTER]\n    Name log_to_metrics\n    Match *\n"
+        "    Metric_mode gauge\n    Metric_name ntok_avg\n"
+        "    Label_field source\n    Value_field n_tok\n"
+        "[FILTER]\n    Name log_to_metrics\n    Match *\n"
+        "    Metric_mode histogram\n    Metric_name ntok_hist\n"
+        "    Label_field source\n    Value_field n_tok\n"
+        "    Bucket 8\n    Bucket 16\n    Bucket 32\n"
+        "    Regex source ^(web|src1)$\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec, _ = spec_from_tree(parse_classic(conf.read_text()))
+    assert [m["name"] for m in spec.metrics_specs] == [
+        "records_by_tag", "ntok_avg", "ntok_hist"]
+    assert spec.metrics_specs[2]["buckets"] == [8.0, 16.0, 32.0]
+
+    tok = spark.read.parquet(fixture_paths["tokens"]).limit(1500)
+    sub = str(tmp_path / "tok_sub")
+    tok.write.parquet(sub)
+    out = str(tmp_path / "out")
+    run_pipeline(spark, spec, sub, out)
+
+    lineage = F.struct(F.lit(0).alias("batch_id"),
+                       F.input_file_name().alias("input_file"))
+    routed = build_stages(
+        spark, spark.read.parquet(sub).withColumn("_lineage", lineage),
+        spec)
+    good = routed.filter(F.col("dlq_reason").isNull())
+
+    got = {r["tag"]: r["value"] for r in spark.read.parquet(
+        f"{out}/metrics_out/records_by_tag").collect()}
+    want = {r["tag"]: r["value"] for r in
+            log_to_metrics(good, "counter", ["tag"]).collect()}
+    assert got == want and got
+
+    got_g = {r["source"]: r["value"] for r in spark.read.parquet(
+        f"{out}/metrics_out/ntok_avg").collect()}
+    want_g = {r["source"]: r["value"] for r in
+              log_to_metrics(good, "gauge", ["source"],
+                             value_field="n_tok").collect()}
+    assert got_g == want_g and got_g
+
+    hist = spark.read.parquet(f"{out}/metrics_out/ntok_hist")
+    got_h = {(r["source"], r["le"]): r["n"] for r in hist.collect()}
+    pre = good.filter(F.col("source").rlike("^(web|src1)$"))
+    want_h = {(r["source"], r["le"]): r["n"] for r in
+              log_to_metrics(pre, "histogram", ["source"],
+                             value_field="n_tok",
+                             buckets=[8, 16, 32]).collect()}
+    assert got_h == want_h and got_h
+    # exposition contract: per source, 4 le rows (3 bounds + +Inf),
+    # cumulative and ending at the group total
+    for src in {k[0] for k in got_h}:
+        les = [got_h[(src, le)] for le in ("8.0", "16.0", "32.0",
+                                           "+Inf")]
+        assert les == sorted(les)
+        assert les[-1] == pre.filter(F.col("source") == src).count()
+
+
+def test_log_to_metrics_config_errors(tmp_path):
+    base = ("[INPUT]\n    Name tokens\n{f}"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    with pytest.raises(ValueError, match="needs metric_name"):
+        spec_from_tree(parse_classic(base.format(
+            f="[FILTER]\n    Name log_to_metrics\n    Match *\n")),
+            vocab=["x"])
+    with pytest.raises(ValueError, match="metric_mode must be"):
+        spec_from_tree(parse_classic(base.format(
+            f="[FILTER]\n    Name log_to_metrics\n    Match *\n"
+              "    Metric_mode summary\n    Metric_name m\n")),
+            vocab=["x"])
+    with pytest.raises(ValueError, match="gauge needs value_field"):
+        spec_from_tree(parse_classic(base.format(
+            f="[FILTER]\n    Name log_to_metrics\n    Match *\n"
+              "    Metric_mode gauge\n    Metric_name m\n")),
+            vocab=["x"])
+    with pytest.raises(ValueError, match="needs at least one bucket"):
+        spec_from_tree(parse_classic(base.format(
+            f="[FILTER]\n    Name log_to_metrics\n    Match *\n"
+              "    Metric_mode histogram\n    Metric_name m\n"
+              "    Value_field n_tok\n")), vocab=["x"])
+    with pytest.raises(ValueError, match="float boundary"):
+        spec_from_tree(parse_classic(base.format(
+            f="[FILTER]\n    Name log_to_metrics\n    Match *\n"
+              "    Metric_mode histogram\n    Metric_name m\n"
+              "    Value_field n_tok\n    Bucket tiny\n")), vocab=["x"])
+
+
+def test_script_filter_from_config(spark, tmp_path):
+    """[FILTER] script: Script+Call load a Python batch function and
+    run it via mapInPandas; config run equals the direct
+    filter_map_batches call. .lua files and missing functions raise."""
+    from fluent_bit_spark.operators.script import filter_map_batches
+    from fluent_bit_spark.plans.pipeline import (_post_parse_stages,
+                                                 load_script_fn)
+    py = tmp_path / "scrub.py"
+    py.write_text(
+        "def cb_filter(b):\n"
+        "    b = b[b['text'].str.len() > 8].copy()\n"
+        "    b['text'] = b['text'].str.upper()\n"
+        "    return b\n")
+    base = ("[INPUT]\n    Name tokens\n"
+            "[FILTER]\n    Name script\n    Match *\n"
+            f"    Script {py}\n    Call cb_filter\n"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec, _ = spec_from_tree(parse_classic(base), vocab=["x"])
+    assert spec.script_specs == [{"path": str(py), "call": "cb_filter"}]
+
+    df = spark.createDataFrame(
+        [("d1", "short", "s1", True),
+         ("d2", "long enough to keep", "s1", True)],
+        "doc_id string, text string, source string, parse_ok boolean"
+    ).withColumn("fields", F.expr("named_struct('kind', 'raw')"))
+    got = {(r.doc_id, r.text) for r in
+           _post_parse_stages(spark, df, spec).collect()}
+    want = {(r.doc_id, r.text) for r in
+            filter_map_batches(df, load_script_fn(str(py),
+                                                  "cb_filter"))
+            .collect()}
+    assert got == want
+    assert got and all(t == t.upper() for _, t in got)
+    assert not any(d == "d1" for d, _ in got)
+
+    with pytest.raises(ValueError, match="no Lua runtime"):
+        spec_from_tree(parse_classic(
+            "[INPUT]\n    Name tokens\n"
+            "[FILTER]\n    Name lua\n    Match *\n"
+            "    Script f.lua\n    Call cb\n"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"),
+            vocab=["x"])
+    with pytest.raises(ValueError, match="needs a Script"):
+        spec_from_tree(parse_classic(
+            "[INPUT]\n    Name tokens\n"
+            "[FILTER]\n    Name script\n    Match *\n    Call cb\n"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"),
+            vocab=["x"])
+    with pytest.raises(ValueError, match="no callable"):
+        load_script_fn(str(py), "missing_fn")

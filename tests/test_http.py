@@ -84,3 +84,77 @@ def test_encode_rejects_unknown_format(spark):
     df = spark.createDataFrame([(1, "x")], "id long, msg string")
     with pytest.raises(ValueError, match="json|format"):
         encode_http_json(df, ["msg"], fmt="msgpack").collect()
+
+
+def test_http_pipeline_end_to_end(spark, fixture_paths, tmp_path):
+    """[INPUT] http → pipeline → [OUTPUT] http: capture-file bodies
+    decode to records that parse/route like the text path, malformed
+    bodies hit the DLQ with the raw body preserved, and sink request
+    bodies decode back to exactly the routed record count."""
+    import json as _json
+
+    from fluent_bit_spark import fixtures as fx
+    from fluent_bit_spark.functions.parsers import fused_detok_parse
+    from fluent_bit_spark.plans.config import (parse_classic,
+                                               spec_from_tree)
+    from fluent_bit_spark.plans.pipeline import run_pipeline
+
+    tok = spark.read.parquet(fixture_paths["tokens"]).limit(300)
+    lines = [r.decoded for r in
+             fused_detok_parse(tok, spark, fx.vocab())
+             .select("decoded").collect()]
+    bodies = []
+    for i in range(0, len(lines) - 1, 2):
+        if i % 6 == 0:  # array batch, tag lifted from the record
+            bodies.append(_json.dumps(
+                [{"log": lines[i], "tag": "batch.a"},
+                 {"log": lines[i + 1]}]))
+        else:           # two single-record bodies
+            bodies.append(_json.dumps({"log": lines[i]}))
+            bodies.append(_json.dumps({"log": lines[i + 1]}))
+    n_records = len(lines) - (len(lines) % 2)
+    bodies += ["{broken", "[1, 2]"]   # 1 body DLQ + 2 record DLQs
+    cap = tmp_path / "cap"
+    cap.mkdir()
+    (cap / "listener.log").write_text("\n".join(bodies) + "\n")
+
+    conf = tmp_path / "h.conf"
+    conf.write_text(
+        "[INPUT]\n    Name http\n    Tag http.0\n    Tag_Key tag\n"
+        "[OUTPUT]\n    Name http\n    Match http.*\n    Sink web\n"
+        "    Format json\n    Batch_records 40\n"
+        "[OUTPUT]\n    Name http\n    Match batch.*\n    Sink batch\n"
+        "    Format json\n    Batch_records 40\n")
+    spec, io = spec_from_tree(parse_classic(conf.read_text()))
+    assert io["input_format"] == "http"
+    assert spec.http_input == {"tag": "http.0", "tag_key": "tag"}
+    assert spec.sink_format == "http"
+    assert spec.http_output["batch_records"] == 40
+
+    out = str(tmp_path / "out")
+    stats = run_pipeline(spark, spec, str(cap), out,
+                         input_format="http")
+    # every record row lands somewhere: 3 malformed-record DLQs plus
+    # any parse_fail lines; the rest route by the http-supplied tag
+    assert stats["rows_in"] == n_records + 3
+
+    from fluent_bit_spark.plans.pipeline import read_dlq
+    dlq = read_dlq(spark, out)
+    bad = dlq.filter(F.col("dlq_reason") == "parse_fail")
+    # the raw body survives on the decode-failure DLQ rows
+    kept = [r.decoded for r in bad.collect()]
+    assert "{broken" in kept
+    assert kept.count("[1, 2]") == 2  # one DLQ row per bad record
+
+    # read the sink request bodies back through the DECODER: record
+    # conservation through encode→decode
+    n_sunk = 0
+    for sink in ("web", "batch"):
+        raw = (spark.read.text(f"{out}/sinks/{sink}")
+               .withColumnRenamed("value", "body"))
+        dec = decode_http_json(raw)
+        assert dec.filter(~F.col("parse_ok")).count() == 0
+        n_sunk += dec.count()
+    n_dlq = dlq.count()
+    assert n_sunk == stats["rows_in"] - n_dlq
+    assert n_sunk > 0
