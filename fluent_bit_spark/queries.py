@@ -1369,6 +1369,77 @@ def parse_otlp_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attributes")["user"].alias("user_attr"))
 
 
+def _ann_ivf_pq_oracle(n_centroids: int = 16, n_probe: int = 4,
+                       m: int = 8, sub: int = 8, n_codes: int = 32,
+                       cand: int = 80) -> str:
+    """DuckDB reproduction of ivf_pq_topk: the ann_ivf assign/probe
+    CTEs select the probed-cell population, then the ann_pq encode +
+    ADC terms score ONLY that population; candidate cut and exact
+    refine follow. Composing the two proven oracles keeps every
+    tie-break (asc cid, asc j, asc vec_id) aligned with the plan."""
+    def d2(a: str, b: str) -> str:
+        return (f"list_sum(list_transform({a}, "
+                f"(x, i) -> (x - {b}[i]) * (x - {b}[i])))")
+
+    terms = []
+    for s in range(m):
+        lo, hi = s * sub + 1, s * sub + sub
+        csub = f"cb.cvec[{lo}:{hi}]"
+        terms.append(
+            f"(SELECT {d2(f'q.v[{lo}:{hi}]', csub)} "
+            f"FROM cb, q "
+            f"ORDER BY {d2(f'b.v[{lo}:{hi}]', csub)}, cb.j "
+            f"LIMIT 1)")
+    d2_sum = " + ".join(terms)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id = 0),
+cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+         FROM embeddings WHERE vec_id != 0
+         ORDER BY vec_id LIMIT {n_centroids}),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+              embedding::DOUBLE[] AS cvec
+       FROM embeddings WHERE vec_id != 0
+       ORDER BY vec_id LIMIT {n_codes}),
+assign AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         (SELECT c.cid FROM cent c
+          ORDER BY list_cosine_similarity(c.cvec, e.embedding::DOUBLE[])
+            DESC, c.cid LIMIT 1) AS cid
+  FROM embeddings e WHERE e.vec_id != 0),
+probe AS (SELECT cid FROM cent, q
+          ORDER BY list_cosine_similarity(cvec, q.v) DESC, cid
+          LIMIT {n_probe}),
+bucket AS (SELECT a.vec_id, a.v FROM assign a JOIN probe p USING (cid)),
+scored AS (SELECT b.vec_id, b.v, ({d2_sum}) AS d2 FROM bucket b),
+c AS (SELECT vec_id FROM scored ORDER BY d2, vec_id LIMIT {cand})
+SELECT b.vec_id, round(list_cosine_similarity(q.v, b.v), 5) AS cos
+FROM bucket b JOIN c USING (vec_id), q
+ORDER BY list_cosine_similarity(q.v, b.v) DESC, b.vec_id
+LIMIT 10
+"""
+
+
+@q("ann_ivf_pq", _ann_ivf_pq_oracle())
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed ANN (operators/similarity.py ivf_pq_topk — the
+    IVFADC serving path): 16-cell coarse quantizer, probe the 4 cells
+    nearest the query, ADC-scan only the probed cells' 8×1-byte codes
+    (32-entry codebooks), refine the top-80 exactly. On a deployed
+    corpus the probe filter is partition pruning over cell-partitioned
+    code files and the scan reads ~3%% of the vector bytes — the
+    composition is what serves 10^12 vectors. Recall@10 measured vs
+    brute force at sf0.01: 0.5 at n_probe=4, 0.7 at n_probe=8 — equal
+    to exact IVF at the same probes, so the PQ stage costs zero recall
+    at refine=8 (test_kmeans.py::test_ivf_pq_recall_two_probes)."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    out = SIM.ivf_pq_topk(emb, "vec_id", "embedding", qv, k=10, dim=64,
+                          n_centroids=16, n_probe=4, m=8, n_codes=32,
+                          refine=8)
+    return out.select("vec_id", F.round("cos", 5).alias("cos"))
+
+
 @q("ann_pq", _ann_pq_oracle())
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py pq_topk): 8

@@ -85,3 +85,53 @@ def test_kmeans_join_assignment_equals_inline(spark):
                           k=3, iters=2, assign="join")
                .select("vec_id", "cluster", "d2").collect())
     assert a == b
+
+
+def test_ivf_pq_recall_two_probes(spark):
+    """IVF×PQ composed ANN (similarity.ivf_pq_topk): recall@10 vs
+    brute force measured at two n_probe settings on the sf0.001
+    embeddings — the north-rule quality/IO knob. At refine=8 the PQ
+    stage must cost no recall on top of the IVF pruning (composed ==
+    exact ivf_topk at the same probes), and probing every cell with a
+    full-width refine recovers brute force exactly."""
+    from pyspark.sql import functions as FF
+
+    from fluent_bit_spark.operators.similarity import (brute_force_topk,
+                                                       ivf_pq_topk,
+                                                       ivf_topk)
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter(FF.col("vec_id") != 0))
+    qrow = (spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+        .filter(FF.col("vec_id") == 0).collect()[0])
+    qv = [float(x) for x in qrow.embedding]
+    brute = {r.vec_id for r in
+             brute_force_topk(emb, "vec_id", "embedding", qv, 10)
+             .collect()}
+
+    recalls = {}
+    for n_probe in (2, 4):
+        got = {r.vec_id for r in
+               ivf_pq_topk(emb, "vec_id", "embedding", qv, k=10,
+                           dim=64, n_centroids=16, n_probe=n_probe,
+                           m=8, n_codes=32, refine=8).collect()}
+        recalls[n_probe] = len(got & brute) / 10
+        ivf_only = {r.vec_id for r in
+                    ivf_topk(emb, "vec_id", "embedding", qv, k=10,
+                             n_centroids=16, n_probe=n_probe)
+                    .collect()}
+        # the PQ stage is near-free on top of the IVF pruning: at
+        # refine=8 the composed path recovers (almost) everything
+        # exact ranking inside the probed cells finds (== at sf0.01;
+        # ≤1 candidate adrift at the tiny sf0.001 corpus)
+        assert len(got & ivf_only) >= len(ivf_only) - 1, n_probe
+    # more probes never hurt; the measured floor holds
+    assert recalls[4] >= recalls[2] >= 0.3
+    # probe everything + full-width refine == brute force (the ADC
+    # candidate bound is a true distance bound)
+    n = emb.count()
+    full = {r.vec_id for r in
+            ivf_pq_topk(emb, "vec_id", "embedding", qv, k=10, dim=64,
+                        n_centroids=16, n_probe=16, m=8, n_codes=32,
+                        refine=(n // 10) + 1).collect()}
+    assert full == brute
