@@ -133,3 +133,96 @@ def range_lookup(fact: DataFrame, fact_key: str, ranges: DataFrame,
         dim, (F.shiftright(key, bucket_bits) == F.col("__b"))
         & (key >= F.col("__rs")) & (key <= F.col("__re")), "left")
     return out.drop("__rs", "__re", "__b")
+
+
+# ---------------------------------------------------------------------------
+# TTL-cached dimension snapshot — the filter_kubernetes metadata cache
+# ---------------------------------------------------------------------------
+
+
+class DimCache:
+    """TTL-cached dimension snapshot — filter_kubernetes' metadata
+    cache (upstream:plugins/filter_kubernetes/kube_meta.c,
+    ``Kube_Meta_Cache_TTL``) re-expressed for a batch / micro-batch
+    engine. Upstream keeps an in-memory pod-metadata hash refreshed
+    from the API server when entries age out; here the "API" is an
+    externally-maintained dim table (parquet dir a sync job rewrites)
+    and the cache is a PINNED cluster-side snapshot of it:
+
+    - :meth:`resolve` returns the current snapshot; when the snapshot
+      is older than ``ttl_seconds`` it re-reads the source path —
+      picking up whatever the external refresher wrote — and bumps
+      ``version``. ``ttl_seconds=0`` re-resolves every call (the
+      always-fresh posture); ``float("inf")`` pins forever.
+    - The snapshot is ``localCheckpoint(eager=True)``: the dim's rows
+      are materialized cluster-side ONCE per refresh, so (a) every
+      action between refreshes sees one consistent version even if
+      the source dir is overwritten mid-run — the read-after-delete
+      race a lazy re-planned frame has — and (b) the join side
+      Catalyst broadcasts is a stable in-memory table, not a re-scan.
+      A dim is broadcast-small by construction (filter_lookup /
+      kubernetes scope); this is the batch analogue of upstream
+      holding the cache in process memory.
+    - Streaming: call :meth:`resolve` inside ``foreachBatch`` — fresh
+      batches reuse the pinned snapshot, stale ones re-resolve, which
+      is exactly the static-side-replan posture of
+      ``dedup_stream_vs_corpus`` with an explicit TTL instead of
+      per-batch replan.
+
+    ``clock`` is injectable (tests drive TTL expiry deterministically;
+    production uses ``time.monotonic``).
+    """
+
+    def __init__(self, path: str, ttl_seconds: float = 300.0,
+                 clock=None):
+        import time as _time
+        self.path = path
+        self.ttl_seconds = float(ttl_seconds)
+        self._clock = clock or _time.monotonic
+        self._snapshot: DataFrame | None = None
+        self._resolved_at: float | None = None
+        self.version = 0
+
+    def invalidate(self) -> None:
+        """Drop the snapshot — the next resolve re-reads regardless of
+        TTL (upstream's cache flush on watch disconnect)."""
+        self._snapshot = None
+        self._resolved_at = None
+
+    def resolve(self, spark) -> DataFrame:
+        now = self._clock()
+        stale = (self._snapshot is None
+                 or self._resolved_at is None
+                 or (now - self._resolved_at) >= self.ttl_seconds)
+        if stale:
+            self._snapshot = (spark.read.parquet(self.path)
+                              .localCheckpoint(eager=True))
+            self._resolved_at = now
+            self.version += 1
+        return self._snapshot
+
+
+def enrich_cached(fact: DataFrame, cache: DimCache, lookup_key: str,
+                  dim_key: str | None = None,
+                  result_keys: list[str] | None = None) -> DataFrame:
+    """filter_kubernetes-shaped enrichment: :func:`lookup_join` against
+    the cache's current snapshot (broadcast left-outer; misses keep the
+    record with nulls — upstream leaves the record unenriched when the
+    pod is unknown)."""
+    return lookup_join(fact, cache.resolve(fact.sparkSession),
+                       lookup_key, dim_key=dim_key,
+                       result_keys=result_keys)
+
+
+_DIM_CACHES: dict = {}
+
+
+def dim_cache_for(path: str, ttl_seconds: float) -> DimCache:
+    """Process-wide DimCache registry — config-driven pipelines build
+    a fresh spec per run, but the CACHE must outlive specs for the TTL
+    to mean anything (slices / micro-batches / repeated runs in one
+    driver share the snapshot until it ages out)."""
+    key = (path, float(ttl_seconds))
+    if key not in _DIM_CACHES:
+        _DIM_CACHES[key] = DimCache(path, ttl_seconds=ttl_seconds)
+    return _DIM_CACHES[key]

@@ -540,6 +540,7 @@ def spec_from_tree(tree: dict[str, Any],
         multiline_parser = inp_ml
     lookup_path: str | None = None
     lookup_key = "source"
+    lookup_ttl: float | None = None
     for f in pipe.get("filters", []):
         name = str(f.get("name", "")).lower()
         if name not in _KNOWN_FILTERS:
@@ -559,6 +560,10 @@ def spec_from_tree(tree: dict[str, Any],
         elif name == "lookup":
             lookup_path = f.get("file") or f.get("path")
             lookup_key = str(f.get("lookup_key", lookup_key))
+            if f.get("cache_ttl") is not None:
+                # TTL-cached pinned dim snapshot (DimCache — the
+                # filter_kubernetes Kube_Meta_Cache_TTL posture)
+                lookup_ttl = float(f["cache_ttl"])
         elif name == "parser":
             # upstream:plugins/filter_parser — Key_Name + Parser
             # (repeatable, first match wins). Reserve_Data Off is
@@ -995,6 +1000,7 @@ def spec_from_tree(tree: dict[str, Any],
         rewrite_rules=rewrite_rules,
         lookup_path=lookup_path,
         lookup_key=lookup_key,
+        lookup_ttl=lookup_ttl,
         tag_expr=inp.get("tag_expr"),
         sink_partition_by=[
             s.strip() for s in

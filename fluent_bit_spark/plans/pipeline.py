@@ -75,6 +75,10 @@ class PipelineSpec:
     rewrite_rules: list[RewriteTagRule] = field(default_factory=list)
     lookup_path: str | None = None          # enrichment dim parquet
     lookup_key: str = "source"
+    # [FILTER] lookup Cache_TTL — resolve the dim through a TTL-cached
+    # pinned snapshot (operators/enrich.DimCache, the
+    # filter_kubernetes metadata-cache posture). None = plain read.
+    lookup_ttl: float | None = None
     tag_expr: str | None = None             # SQL expr for the tag column
     sink_partition_by: list[str] = field(default_factory=lambda: ["source"])
     salt_buckets: int = 32
@@ -345,7 +349,12 @@ def _post_parse_stages(spark: SparkSession, out: DataFrame,
         key, rate = spec.sample_spec
         out = deterministic_sample(out, key, rate)
     if spec.lookup_path:
-        dim = spark.read.parquet(spec.lookup_path)
+        if spec.lookup_ttl is not None:
+            from ..operators.enrich import dim_cache_for
+            dim = dim_cache_for(spec.lookup_path,
+                                spec.lookup_ttl).resolve(spark)
+        else:
+            dim = spark.read.parquet(spec.lookup_path)
         out = lookup_join(out, dim, spec.lookup_key)
     for ck in spec.checklist_specs:
         out = _apply_checklist(spark, out, ck)

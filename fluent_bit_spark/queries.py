@@ -329,6 +329,33 @@ def enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal")))
 
 
+@q("enrich_cached_dim", """
+SELECT n_name AS nation, count(*) AS events,
+       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_val
+FROM events
+LEFT JOIN nation ON user_id % 25 = n_nationkey
+GROUP BY n_name
+""")
+def enrich_cached_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_kubernetes-shaped cached-dim enrichment
+    (operators/enrich.py DimCache + enrich_cached ←
+    upstream:plugins/filter_kubernetes/kube_meta.c's TTL metadata
+    cache): the dim snapshot resolves through the cache (pinned
+    localCheckpoint, TTL-refreshed) and joins broadcast-left like
+    filter_lookup. The oracle is the plain join — the cache is a
+    LIFECYCLE wrapper and must be value-invisible; TTL/refresh
+    behavior is pinned by tests/test_enrich_agg.py and the streaming
+    parity test."""
+    from .operators.enrich import DimCache, enrich_cached
+    ev = t(spark, sf_dir, "events").withColumn(
+        "nkey", (F.col("user_id") % 25).cast("int"))
+    cache = DimCache(f"{sf_dir}/nation.parquet", ttl_seconds=300.0)
+    out = enrich_cached(ev, cache, "nkey", "n_nationkey", ["n_name"])
+    return (out.groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("events"),
+                 F.sum(F.floor("value").cast("long")).alias("sum_val")))
+
+
 @q("checklist_semi", """
 SELECT l_returnflag, count(*) AS n FROM lineitem
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey

@@ -1382,3 +1382,47 @@ def test_script_filter_from_config(spark, tmp_path):
             vocab=["x"])
     with pytest.raises(ValueError, match="no callable"):
         load_script_fn(str(py), "missing_fn")
+
+
+def test_lookup_cache_ttl_config(spark, tmp_path):
+    """[FILTER] lookup Cache_TTL → spec.lookup_ttl, and the pipeline's
+    lookup stage resolves the dim through a pinned DimCache snapshot:
+    a second run within TTL does not see an external dim rewrite; with
+    no Cache_TTL the spec stays None (plain per-run read)."""
+    from fluent_bit_spark.operators.enrich import _DIM_CACHES
+    from fluent_bit_spark.plans.pipeline import _post_parse_stages
+
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame([("s1", "alpha")], "source string, label string") \
+        .write.mode("overwrite").parquet(dim)
+    base = ("[INPUT]\n    Name tokens\n"
+            "[FILTER]\n    Name lookup\n    Match *\n"
+            f"    File {dim}\n    Lookup_key source\n{{ttl}}"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    spec0, _ = spec_from_tree(parse_classic(base.format(ttl="")),
+                              vocab=["x"])
+    assert spec0.lookup_ttl is None
+    spec, _ = spec_from_tree(
+        parse_classic(base.format(ttl="    Cache_TTL 300\n")),
+        vocab=["x"])
+    assert spec.lookup_ttl == 300.0 and spec.lookup_path == dim
+
+    _DIM_CACHES.clear()   # isolate from other tests in this process
+    df = spark.createDataFrame(
+        [("d1", "s1", True)],
+        "doc_id string, source string, parse_ok boolean"
+    ).withColumn("fields", F.expr("named_struct('kind', 'raw')"))
+    out1 = {r.doc_id: r.label
+            for r in _post_parse_stages(spark, df, spec).collect()}
+    assert out1 == {"d1": "alpha"}
+    # external rewrite is invisible within TTL (pinned snapshot) …
+    spark.createDataFrame([("s1", "beta")], "source string, label string") \
+        .write.mode("overwrite").parquet(dim)
+    out2 = {r.doc_id: r.label
+            for r in _post_parse_stages(spark, df, spec).collect()}
+    assert out2 == {"d1": "alpha"}
+    # … but the TTL-less spec re-reads per run and sees it
+    out3 = {r.doc_id: r.label
+            for r in _post_parse_stages(spark, df, spec0).collect()}
+    assert out3 == {"d1": "beta"}
+    _DIM_CACHES.clear()

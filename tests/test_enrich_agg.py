@@ -145,3 +145,101 @@ def test_salted_join_rejects_dim_duplicating_how(spark):
             salted_join(fact, dim, "k", how=bad)
     # left outer is fact-preserving and allowed
     assert salted_join(fact, dim, "k", how="left").count() == 1
+
+
+def test_dim_cache_ttl_semantics(spark, tmp_path):
+    """DimCache: within TTL the pinned snapshot is reused (external
+    rewrites invisible — upstream serves cached pod metadata until
+    Kube_Meta_Cache_TTL lapses); past TTL resolve picks up the
+    rewrite; ttl=0 refreshes every call; invalidate() forces it; the
+    pinned snapshot stays readable after the source dir is
+    OVERWRITTEN (the read-after-delete race a lazy frame has)."""
+    from fluent_bit_spark.operators.enrich import DimCache, enrich_cached
+
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame([("p1", "team-a"), ("p2", "team-b")],
+                          "pod string, team string") \
+        .write.mode("overwrite").parquet(dim)
+    now = [0.0]
+    cache = DimCache(dim, ttl_seconds=60.0, clock=lambda: now[0])
+    fact = spark.createDataFrame([("p1",), ("p2",), ("p9",)],
+                                 "pod string")
+
+    out1 = {r.pod: r.team for r in
+            enrich_cached(fact, cache, "pod").collect()}
+    assert out1 == {"p1": "team-a", "p2": "team-b", "p9": None}
+    assert cache.version == 1
+
+    # external sync job rewrites the dim (overwrite deletes old files)
+    spark.createDataFrame([("p1", "team-z"), ("p9", "team-new")],
+                          "pod string, team string") \
+        .write.mode("overwrite").parquet(dim)
+
+    now[0] = 59.0   # within TTL: pinned snapshot, rewrite invisible
+    out2 = {r.pod: r.team for r in
+            enrich_cached(fact, cache, "pod").collect()}
+    assert out2 == out1 and cache.version == 1
+
+    now[0] = 60.0   # TTL lapsed: re-resolve sees the rewrite
+    out3 = {r.pod: r.team for r in
+            enrich_cached(fact, cache, "pod").collect()}
+    assert out3 == {"p1": "team-z", "p2": None, "p9": "team-new"}
+    assert cache.version == 2
+
+    cache.invalidate()
+    cache.resolve(spark)
+    assert cache.version == 3
+
+    always = DimCache(dim, ttl_seconds=0.0, clock=lambda: now[0])
+    always.resolve(spark)
+    always.resolve(spark)
+    assert always.version == 2
+
+
+def test_dim_cache_stream_enrichment_parity(spark, tmp_path):
+    """Streaming face: enrich_cached inside foreachBatch. With ttl=0
+    each micro-batch re-resolves — a dim rewrite between batches is
+    visible to the next batch (the dedup_stream_vs_corpus replan
+    posture); with ttl=inf every batch carries the first snapshot.
+    Batch parity: each micro-batch's rows equal a batch lookup_join
+    against the dim version live at that batch."""
+    from fluent_bit_spark.operators.enrich import DimCache, enrich_cached
+
+    dim = str(tmp_path / "dim")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    spark.createDataFrame([("p1", "v1")], "pod string, team string") \
+        .write.mode("overwrite").parquet(dim)
+    for i in range(2):
+        spark.createDataFrame([(f"d{i}", "p1")], "id string, pod string") \
+            .coalesce(1).write.parquet(str(landing / f"f{i}"))
+
+    def run(ttl):
+        cache = DimCache(dim, ttl_seconds=ttl)
+        seen = []
+
+        def fb(batch_df, batch_id):
+            rows = enrich_cached(batch_df, cache, "pod").collect()
+            seen.extend((r.id, r.team) for r in rows)
+            # the external sync job rewrites the dim AFTER the first
+            # batch — deterministic because foreachBatch runs serially
+            spark.createDataFrame([("p1", "v2")],
+                                  "pod string, team string") \
+                .write.mode("overwrite").parquet(dim)
+
+        q = (spark.readStream.schema("id string, pod string")
+             .option("maxFilesPerTrigger", 1)
+             .parquet(f"{landing}/*")
+             .writeStream.foreachBatch(fb)
+             .option("checkpointLocation",
+                     str(tmp_path / f"ck_{ttl}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return dict(seen), cache.version
+
+    got0, v0 = run(0.0)
+    assert got0 == {"d0": "v1", "d1": "v2"} and v0 == 2
+    spark.createDataFrame([("p1", "v1")], "pod string, team string") \
+        .write.mode("overwrite").parquet(dim)
+    gotinf, vinf = run(float("inf"))
+    assert gotinf == {"d0": "v1", "d1": "v1"} and vinf == 1
