@@ -139,6 +139,171 @@ def to_gelf(df: DataFrame, host_col: str, message_col: str,
     return df.withColumn(out, F.to_json(F.struct(*fields)))
 
 
+def to_es_bulk(df: DataFrame, doc_cols: list[str], *,
+               index: str = "fluent-bit",
+               logstash_format: bool = False,
+               logstash_prefix: str = "logstash",
+               logstash_dateformat: str = "yyyy.MM.dd",
+               ts_col: str | None = None,
+               time_key: str = "@timestamp",
+               id_col: str | None = None,
+               write_op: str = "create",
+               batch_records: int = 500,
+               order_col: str | None = None,
+               out: str = "body") -> DataFrame:
+    """Elasticsearch ``_bulk`` request bodies — the payload subset of
+    upstream:plugins/out_es (es.c config surface; es_bulk.c NDJSON
+    builder). Transport (HTTP client, auth, retries-on-429) is a
+    connector concern and stays out, same posture as forward/OTLP/http;
+    the bytes are real:
+
+    - each record renders as an action line + source line pair::
+
+        {"create":{"_index":"idx"}}
+        {"@timestamp":"...","k":"v",...}
+
+    - ``write_op`` follows es.c ``Write_Operation``: ``create`` /
+      ``index`` emit the document as-is; ``update`` wraps it as
+      ``{"doc":{...}}``; ``upsert`` adds ``"doc_as_upsert":true``.
+    - ``logstash_format`` (es.c ``Logstash_Format``): the index becomes
+      ``<prefix>-<date>`` from the record time and ``time_key`` is
+      injected as ISO-8601 — upstream's Kibana-compatible daily-index
+      layout.
+    - ``id_col`` is es.c ``Id_Key``: the ``_id`` lifts from a record
+      column (``Generate_ID``'s content hash is just
+      ``F.md5(F.to_json(...))`` in that column).
+
+    Batching is DETERMINISTIC like :func:`~fluent_bit_spark.sources.
+    http.encode_http_json`: records group per index in ``order_col``
+    order, ``batch_records`` pairs per body, trailing newline included
+    (the _bulk API requires it). Scale shape: the ordering window and
+    the body agg both key on the index — with ``logstash_format`` the
+    daily indexes parallelize naturally; a single static ``index``
+    serializes the global ordering through one task (the price of any
+    globally-ordered sink — shard upstream by adding a key to the
+    index name if that matters at your volume). Bodies are bounded at
+    ``batch_records`` records so no reduce task materializes an
+    unbounded string; everything else is codegen'd concat.
+    """
+    from pyspark.sql import Window
+
+    if logstash_format:
+        if ts_col is None:
+            raise ValueError("logstash_format needs ts_col")
+        idx = F.concat(F.lit(logstash_prefix + "-"),
+                       F.date_format(F.col(ts_col).cast("timestamp"),
+                                     logstash_dateformat))
+    else:
+        idx = F.lit(index)
+
+    action_key = {"create": "create", "index": "index",
+                  "update": "update", "upsert": "update"}.get(write_op)
+    if action_key is None:
+        raise ValueError("write_op must be create|index|update|upsert,"
+                         f" got {write_op!r}")
+    action_parts = [F.lit('{"' + action_key + '":{"_index":"'), idx,
+                    F.lit('"')]
+    if id_col is not None:
+        action_parts += [F.lit(',"_id":"'),
+                         F.col(id_col).cast("string"), F.lit('"')]
+    action = F.concat(*action_parts, F.lit("}}"))
+
+    fields = []
+    if logstash_format:
+        fields.append(F.date_format(
+            F.col(ts_col).cast("timestamp"),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias(time_key))
+    fields += [F.col(c).alias(c) for c in doc_cols if c != ts_col]
+    doc = F.to_json(F.struct(*fields))
+    if write_op in ("update", "upsert"):
+        doc = F.concat(F.lit('{"doc":'), doc,
+                       F.lit(',"doc_as_upsert":true}' if
+                             write_op == "upsert" else "}"))
+    pair = F.concat(action, F.lit("\n"), doc)
+
+    order = (F.col(order_col) if order_col
+             else F.monotonically_increasing_id())
+    w = Window.partitionBy(idx).orderBy(order)
+    numbered = (df.withColumn("__idx", idx)
+                  .withColumn("__pair", pair)
+                  .withColumn("__rn", F.row_number().over(w))
+                  .withColumn("__batch", ((F.col("__rn") - 1)
+                                          / batch_records).cast("long")))
+    return (numbered.groupBy(F.col("__idx").alias("index"),
+                             F.col("__batch").alias("batch_no"))
+            .agg(F.count("*").alias("n_records"),
+                 F.concat(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("__rn").alias("o"),
+                                      F.col("__pair").alias("p")))),
+                         lambda s: s["p"]),
+                     "\n"), F.lit("\n")).alias(out)))
+
+
+def to_loki_push(df: DataFrame, label_cols: list[str], line_col: str,
+                 ts_col: str, *, order_col: str | None = None,
+                 out: str = "stream_body") -> DataFrame:
+    """Loki push-API stream objects — the payload subset of
+    upstream:plugins/out_loki (loki.c: ``labels``/``label_keys`` pick
+    the stream labels, records render into
+    ``{"streams":[{"stream":{...},"values":[["<ns>","<line>"],...]}]}``
+    bodies; transport + tenant header scoped out as connectors).
+
+    One output row per STREAM (distinct label set):
+    ``(labels…, n_values, stream_body)`` where ``stream_body`` is the
+    complete ``{"stream":…,"values":…}`` object with values in
+    (timestamp, order) order, timestamps as epoch-nanosecond strings —
+    Loki rejects out-of-order appends within a stream, so the ordered
+    build is part of the semantics, not cosmetics. Use
+    :func:`loki_request_body` to assemble POST bodies.
+
+    Scale shape: one hash exchange keyed by the label set. A stream's
+    values concatenate in one reduce task — exactly the upstream
+    constraint (a Loki stream is an ordered unit); cardinality guidance
+    (bounded label sets) is the user contract as it is for Loki itself.
+    JVM-side throughout; the line escapes via ``to_json`` (Jackson), no
+    hand escaping."""
+    ns = (F.col(ts_col).cast("timestamp").cast("long")
+          * F.lit(1000000000)).cast("string")
+    # ["<ns>","<line>"] with full JSON string escaping of the line
+    value = F.to_json(F.array(ns, F.col(line_col).cast("string")))
+    stream = F.to_json(F.struct(*[F.col(c).alias(c)
+                                  for c in label_cols]))
+    order = F.struct(
+        F.col(ts_col).cast("timestamp").alias("t"),
+        (F.col(order_col) if order_col
+         else F.monotonically_increasing_id()).alias("o"),
+    )
+    agg = (df.withColumn("__v", value).withColumn("__stream", stream)
+             .groupBy(*[F.col(c) for c in label_cols],
+                      F.col("__stream"))
+             .agg(F.count("*").alias("n_values"),
+                  F.array_join(
+                      F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct(order.alias("k"),
+                                       F.col("__v").alias("v")))),
+                          lambda s: s["v"]),
+                      ",").alias("__joined")))
+    return (agg.withColumn(
+        out, F.concat(F.lit('{"stream":'), F.col("__stream"),
+                      F.lit(',"values":['), F.col("__joined"),
+                      F.lit("]}")))
+        .drop("__stream", "__joined"))
+
+
+def loki_request_body(streams: DataFrame,
+                      body_col: str = "stream_body") -> str:
+    """Assemble one push-API POST body from :func:`to_loki_push` rows
+    (streams sorted by their label JSON for determinism). Driver-side
+    by design — a POST body is a driver/connector artifact; bounded by
+    the label-set cardinality, not the record count."""
+    rows = (streams.select(F.col(body_col).alias("b"))
+            .orderBy("b").collect())
+    return '{"streams":[' + ",".join(r.b for r in rows) + "]}"
+
+
 def to_template(df: DataFrame, template: str,
                 out: str = "value") -> DataFrame:
     """out_file ``Format template`` (upstream:plugins/out_file/file.c

@@ -1344,6 +1344,102 @@ def serialize_http_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         json_date_format="epoch")
 
 
+@q("serialize_es_bulk", """
+WITH r AS (SELECT event_id AS id, 'evt ' || event_type AS msg,
+                  row_number() OVER (ORDER BY event_id) AS rn
+           FROM events),
+p AS (SELECT rn, (rn - 1) // 500 AS batch_no,
+             '{"create":{"_index":"events","_id":"' || id || '"}}'
+             || chr(10) || '{"id":' || id || ',"msg":"' || msg || '"}'
+             AS pair
+      FROM r)
+SELECT 'events' AS index, CAST(batch_no AS BIGINT) AS batch_no,
+       CAST(count(*) AS BIGINT) AS n_records,
+       string_agg(pair, chr(10) ORDER BY rn) || chr(10) AS body
+FROM p GROUP BY batch_no
+""")
+def serialize_es_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch _bulk bodies (functions/serialize.to_es_bulk ← the
+    payload subset of upstream:plugins/out_es es_bulk.c): action line +
+    source line pairs, Id_Key lifting _id from the record, 500 pairs
+    per body in id order, trailing newline. The oracle rebuilds every
+    body byte-for-byte — action-format-, batching-, and
+    doc-rendering-exact. Logstash_Format daily indexes and the
+    update/upsert doc wrapping are pinned by pytest (timezone-dependent
+    rendering stays out of the cross-engine hash)."""
+    from .functions.serialize import to_es_bulk
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.concat(F.lit("evt "), F.col("event_type")).alias("msg"))
+    return to_es_bulk(ev, ["id", "msg"], index="events", id_col="id",
+                      write_op="create", batch_records=500,
+                      order_col="id", out="body")
+
+
+@q("serialize_loki_push", """
+WITH r AS (SELECT event_type AS et, strftime(ts, '%Y-%m-%d') AS day,
+                  ts, event_id,
+                  '["' || CAST(CAST(floor(epoch(ts)) AS BIGINT)
+                               * 1000000000 AS VARCHAR)
+                  || '","evt ' || event_type || ' user='
+                  || user_id || '"]' AS v
+           FROM events)
+SELECT et, day, CAST(count(*) AS BIGINT) AS n_values,
+       '{"stream":{"et":"' || et || '","day":"' || day
+       || '"},"values":['
+       || string_agg(v, ',' ORDER BY ts, event_id) || ']}'
+       AS stream_body
+FROM r GROUP BY et, day
+""")
+def serialize_loki_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loki push-API stream objects (functions/serialize.to_loki_push ←
+    the payload subset of upstream:plugins/out_loki loki.c): label set
+    (event_type, day) picks the stream, values are
+    ["<epoch-ns>","<line>"] pairs in (ts, id) order — Loki rejects
+    out-of-order appends, so ordering is semantics. The oracle rebuilds
+    each stream object byte-for-byte including the ns rendering and the
+    Jackson array escaping (lines are escape-free by construction;
+    escaping itself is pinned by pytest)."""
+    from .functions.serialize import to_loki_push
+    ev = (t(spark, sf_dir, "events")
+          .withColumn("et", F.col("event_type"))
+          .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+          .withColumn("line", F.concat(
+              F.lit("evt "), F.col("event_type"), F.lit(" user="),
+              F.col("user_id").cast("string"))))
+    return to_loki_push(ev, ["et", "day"], "line", "ts",
+                        order_col="event_id")
+
+
+@q("syslog_octet_roundtrip", """
+SELECT event_type AS "group", CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY event_id) AS INT
+       ) AS frame_no,
+       '<13>evt ' || event_type || ' id=' || event_id AS msg,
+       true AS frame_ok
+FROM events
+""")
+def syslog_octet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 6587 octet-counted framing round trip
+    (sources/syslog_frames.py ← the TCP stream-payload subset of
+    upstream:plugins/in_syslog): messages frame into one byte stream
+    per event_type (Catalyst encode), then the Arrow kernel walks each
+    stream back out sequentially. The oracle computes the decoded rows
+    directly from the source columns — a length/offset bug anywhere in
+    the framing walk mismatches. Byte-length (not char-length) framing
+    and malformed-stream tolerance are pinned by pytest."""
+    from .sources.syslog_frames import (decode_octet_frames,
+                                        encode_octet_frames)
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.concat(F.lit("<13>evt "), F.col("event_type"),
+                 F.lit(" id="), F.col("event_id").cast("string"))
+        .alias("msg"))
+    streams = encode_octet_frames(ev, "msg", group_col="event_type",
+                                  order_col="event_id")
+    return decode_octet_frames(streams, "stream")
+
+
 @q("parse_otlp_logs", """
 SELECT event_id,
        CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 AS ts_unix_nano,

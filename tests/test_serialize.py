@@ -73,3 +73,82 @@ def test_prometheus_label_escaping_newline(spark):
     assert got["crlf\r\nx"] == 'm{svc="crlf\\nx"} 3.0'
     for line in got.values():
         assert "\n" not in line and "\r" not in line
+
+
+def test_es_bulk_bodies(spark):
+    """to_es_bulk: action+source NDJSON pairs, deterministic batching,
+    trailing newline; Logstash_Format daily index + @timestamp
+    injection; update/upsert doc wrapping; bad write_op raises."""
+    import json
+
+    from fluent_bit_spark.functions.serialize import to_es_bulk
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-03-01 10:00:00"),
+         (2, "b", "2024-03-01 11:00:00"),
+         (3, "c", "2024-03-02 09:00:00")],
+        "id bigint, msg string, ts string")
+
+    rows = to_es_bulk(df, ["id", "msg"], index="logs", id_col="id",
+                      batch_records=2, order_col="id").collect()
+    bodies = {r.batch_no: r for r in rows}
+    assert {r["index"] for r in rows} == {"logs"}
+    assert bodies[0].n_records == 2 and bodies[1].n_records == 1
+    lines = bodies[0].body.split("\n")
+    assert bodies[0].body.endswith("\n") and lines[-1] == ""
+    assert json.loads(lines[0]) == {"create": {"_index": "logs",
+                                               "_id": "1"}}
+    assert json.loads(lines[1]) == {"id": 1, "msg": "a"}
+    assert json.loads(lines[2])["create"]["_id"] == "2"
+
+    # logstash daily indexes: one body per day, @timestamp injected
+    ls = to_es_bulk(df, ["id", "msg", "ts"], logstash_format=True,
+                    ts_col="ts", order_col="id").collect()
+    assert {r["index"] for r in ls} == {"logstash-2024.03.01",
+                                     "logstash-2024.03.02"}
+    doc = json.loads([r for r in ls if r["index"].endswith("01")]
+                     [0].body.split("\n")[1])
+    assert set(doc) == {"@timestamp", "id", "msg"}
+    assert doc["@timestamp"].startswith("2024-03-01T10:00:00.000")
+
+    # update/upsert wrap the doc; create/index do not
+    up = to_es_bulk(df.limit(1), ["id"], write_op="upsert",
+                    order_col="id").collect()[0]
+    a, d = up.body.split("\n")[:2]
+    assert json.loads(a)["update"]["_index"] == "fluent-bit"
+    assert json.loads(d) == {"doc": {"id": 1}, "doc_as_upsert": True}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="write_op"):
+        to_es_bulk(df, ["id"], write_op="delete")
+    with _pt.raises(ValueError, match="needs ts_col"):
+        to_es_bulk(df, ["id"], logstash_format=True)
+
+
+def test_loki_push_streams(spark):
+    """to_loki_push: per-label-set stream objects, ns timestamps,
+    (ts, order) value ordering, Jackson escaping of the line, and
+    loki_request_body assembly."""
+    import json
+
+    from fluent_bit_spark.functions.serialize import (
+        loki_request_body, to_loki_push)
+
+    df = spark.createDataFrame(
+        [("app", "2024-03-01 10:00:01", 2, 'say "hi"\nok'),
+         ("app", "2024-03-01 10:00:01", 1, "first"),
+         ("db", "2024-03-01 10:00:02", 3, "later")],
+        "job string, ts string, seq int, line string")
+    rows = to_loki_push(df, ["job"], "line", "ts",
+                        order_col="seq").collect()
+    got = {r.job: r for r in rows}
+    assert got["app"].n_values == 2 and got["db"].n_values == 1
+    obj = json.loads(got["app"].stream_body)
+    assert obj["stream"] == {"job": "app"}
+    # same ts → seq breaks the tie; escaping survives json parse
+    assert [v[1] for v in obj["values"]] == ["first", 'say "hi"\nok']
+    assert obj["values"][0][0] == str(1709287201 * 1000000000)
+
+    body = json.loads(loki_request_body(
+        to_loki_push(df, ["job"], "line", "ts", order_col="seq")))
+    assert {s["stream"]["job"] for s in body["streams"]} == {"app", "db"}
