@@ -139,6 +139,22 @@ def to_gelf(df: DataFrame, host_col: str, message_col: str,
     return df.withColumn(out, F.to_json(F.struct(*fields)))
 
 
+def to_key_value_line(df: DataFrame, cols: list[str],
+                      out: str = "value") -> DataFrame:
+    """``key="value"`` pairs, space-separated — out_loki's
+    ``line_format key_value`` rendering (upstream:plugins/out_loki
+    loki.c). Values always quote, escaping backslash and double-quote;
+    nulls render as ``""`` (a dropped pair would shift the line shape
+    per record). Complex-typed columns render as JSON first."""
+    def render(c: str) -> Column:
+        v = F.coalesce(_stringify(df, c), F.lit(""))
+        v = F.regexp_replace(v, r"\\", r"\\\\")
+        v = F.regexp_replace(v, '"', r'\\"')
+        return F.concat(F.lit(f'{c}="'), v, F.lit('"'))
+    return df.withColumn(out, F.concat_ws(" ", *[render(c)
+                                                 for c in cols]))
+
+
 def to_es_bulk(df: DataFrame, doc_cols: list[str], *,
                index: str = "fluent-bit",
                logstash_format: bool = False,

@@ -74,6 +74,17 @@ Supported sections / properties (the subset with a batch meaning here):
 - ``[OUTPUT] name http`` — ``format`` ``json``/``json_lines``/
   ``json_stream`` request bodies (sources/http.py), ``batch_records``,
   ``order_key``, ``ts_key`` + ``json_date_key``/``json_date_format``.
+- ``[OUTPUT] name es`` — ``index``, ``logstash_format`` +
+  ``logstash_prefix``/``logstash_dateformat`` (strftime) + ``ts_key``,
+  ``time_key``, ``id_key``/``generate_id``, ``write_operation``,
+  ``batch_records``/``order_key``: _bulk bodies via
+  functions/serialize.to_es_bulk (upstream:plugins/out_es payload;
+  transport scoped out).
+- ``[OUTPUT] name loki`` — ``labels`` (static ``k=v`` list),
+  ``label_keys`` (``$record`` columns), ``line_format``
+  ``json``/``key_value``, ``ts_key``/``order_key``: stream objects via
+  functions/serialize.to_loki_push (upstream:plugins/out_loki payload;
+  transport + tenant header scoped out).
 - ``[PARSER]`` — ``name`` + ``format regex`` + ``regex`` (+ ``types``,
   ``time_key``, ``time_format``); syslog preset names map to the
   built-in presets.
@@ -920,14 +931,86 @@ def spec_from_tree(tree: dict[str, Any],
     sink_template = None
     gelf_keys = None
     http_output: dict[str, Any] | None = None
+    es_output: dict[str, Any] | None = None
+    loki_output: dict[str, Any] | None = None
+
+    def _on(o: dict, key: str, default: str = "off") -> bool:
+        return str(o.get(key, default)).lower() in ("on", "true", "1")
+
     for i, o in enumerate(pipe.get("outputs", [])):
         sink = str(o.get("sink") or f"{o.get('name', 'out')}_{i}")
         if o.get("match_regex"):
             routes.append(Route(sink, str(o["match_regex"]), "regex"))
         else:
             routes.append(Route(sink, str(o.get("match", "*")), "glob"))
+        nm = str(o.get("name", "")).lower()
+        if nm == "es":
+            # upstream:plugins/out_es property names; the bulk payload
+            # is real (functions/serialize.to_es_bulk), transport
+            # scoped out. Logstash_DateFormat arrives as strftime and
+            # converts once here.
+            from ..functions.parsers import strptime_to_java
+            wo = str(o.get("write_operation", "create")).lower()
+            if wo not in ("create", "index", "update", "upsert"):
+                raise ValueError("[OUTPUT] es Write_Operation must be "
+                                 f"create|index|update|upsert, got {wo!r}")
+            if _on(o, "logstash_format") and not o.get("ts_key"):
+                raise ValueError("[OUTPUT] es Logstash_Format needs a "
+                                 "Ts_Key naming the record-time column "
+                                 "(the batch analogue of event time)")
+            eo = {
+                "index": str(o.get("index", "fluent-bit")),
+                "logstash_format": _on(o, "logstash_format"),
+                "logstash_prefix": str(o.get("logstash_prefix",
+                                             "logstash")),
+                "logstash_dateformat": strptime_to_java(
+                    str(o.get("logstash_dateformat", "%Y.%m.%d"))),
+                "time_key": str(o.get("time_key", "@timestamp")),
+                "ts_key": o.get("ts_key"),
+                "id_key": o.get("id_key"),
+                "generate_id": _on(o, "generate_id"),
+                "write_operation": wo,
+                "batch_records": int(o.get("batch_records", 500)),
+                "order_key": o.get("order_key"),
+            }
+            if es_output is not None and eo != es_output:
+                raise ValueError("all es outputs must share one bulk "
+                                 "rendering")
+            es_output = eo
+        elif nm == "loki":
+            # upstream:plugins/out_loki: labels (static k=v list),
+            # label_keys ($record columns), line_format. Tenant_ID /
+            # transport scoped out as connectors.
+            labels: dict[str, str] = {}
+            for part in str(o.get("labels", "job=fluent-bit")).split(","):
+                if not part.strip():
+                    continue
+                k, eq, v = part.partition("=")
+                if not eq:
+                    raise ValueError(f"[OUTPUT] loki labels want k=v, "
+                                     f"got {part.strip()!r}")
+                labels[k.strip()] = v.strip()
+            lf = str(o.get("line_format", "json")).lower()
+            if lf not in ("json", "key_value"):
+                raise ValueError("[OUTPUT] loki Line_Format must be "
+                                 f"json|key_value, got {lf!r}")
+            lo = {
+                "labels": labels,
+                "label_keys": [s.strip().lstrip("$") for s in
+                               str(o.get("label_keys", "")).split(",")
+                               if s.strip()],
+                "line_format": lf,
+                "ts_key": o.get("ts_key"),
+                "order_key": o.get("order_key"),
+            }
+            if loki_output is not None and lo != loki_output:
+                raise ValueError("all loki outputs must share one "
+                                 "stream rendering")
+            loki_output = lo
         fmt = o.get("format")
-        if fmt is None and str(o.get("name", "")).lower() == "http":
+        if nm in ("es", "loki"):
+            fmt = nm  # out_es/out_loki have no Format property
+        elif fmt is None and nm == "http":
             fmt = "json"  # out_http default body format
         if fmt is not None:
             fmt = str(fmt).lower()
@@ -951,10 +1034,12 @@ def spec_from_tree(tree: dict[str, Any],
                                      "Batch_Records/Json_Date_*)")
                 http_output = ho
             if fmt not in ("parquet", "json_lines", "csv", "ltsv",
-                           "template", "msgpack", "gelf", "http"):
+                           "template", "msgpack", "gelf", "http",
+                           "es", "loki"):
                 raise ValueError(f"output format must be parquet|"
                                  f"json_lines|csv|ltsv|template|"
-                                 f"msgpack|gelf|http, got {fmt!r}")
+                                 f"msgpack|gelf|http|es|loki, "
+                                 f"got {fmt!r}")
             if sink_format is not None and fmt != sink_format:
                 raise ValueError("all outputs must share one format "
                                  "(the fan-out writes one payload shape)")
@@ -1027,6 +1112,8 @@ def spec_from_tree(tree: dict[str, Any],
         script_specs=script_specs,
         http_input=http_input,
         http_output=http_output,
+        es_output=es_output,
+        loki_output=loki_output,
     )
     io = {
         "input_path": inp.get("path"),

@@ -178,6 +178,17 @@ class PipelineSpec:
     # batch_records, order_key, json_date_key, json_date_format,
     # ts_key} — sinks land request-body text files.
     http_output: dict | None = None
+    # [OUTPUT] Name es (functions/serialize.to_es_bulk): {index,
+    # logstash_format, logstash_prefix, logstash_dateformat (Java
+    # pattern), time_key, ts_key, id_key, generate_id,
+    # write_operation, batch_records, order_key} — sinks land _bulk
+    # body text files.
+    es_output: dict | None = None
+    # [OUTPUT] Name loki (functions/serialize.to_loki_push): {labels
+    # (static k=v map), label_keys (record columns), line_format
+    # json|key_value, ts_key, order_key} — sinks land one stream
+    # object per line.
+    loki_output: dict | None = None
 
 
 @dataclass
@@ -707,6 +718,92 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                     (bodies.select(F.col("body").alias("value"))
                            .write.mode("overwrite")
                            .text(f"{output_dir}/sinks/{s}/batch_id={i}"))
+            elif spec.sink_format == "es":
+                # out_es payload subset (functions/serialize.py
+                # to_es_bulk): each sink dir lands _bulk request
+                # bodies — action+source NDJSON pairs in deterministic
+                # (index, order_key) batches. Transport (HTTP client,
+                # auth, 429 retry) is a connector concern.
+                from ..functions.serialize import to_es_bulk
+                eo = spec.es_output or {}
+                payload_cols = [c for c in good.columns
+                                if c not in ("sinks", "routes_mask",
+                                             "dlq_reason", "_lineage",
+                                             "tag")]
+                order_key = eo.get("order_key") or (
+                    "doc_id" if "doc_id" in good.columns else None)
+                for s in sinks:
+                    sel = good.filter(F.array_contains("sinks", s))
+                    if eo.get("generate_id"):
+                        # upstream Generate_ID: content-hash _id —
+                        # idempotent re-delivery dedupes server-side
+                        sel = sel.withColumn("__gen_id", F.md5(
+                            F.to_json(F.struct(*[F.col(c) for c
+                                                 in payload_cols]))))
+                        id_col = "__gen_id"
+                    else:
+                        id_col = eo.get("id_key")
+                    bodies = to_es_bulk(
+                        sel, payload_cols,
+                        index=eo.get("index", "fluent-bit"),
+                        logstash_format=bool(eo.get("logstash_format")),
+                        logstash_prefix=eo.get("logstash_prefix",
+                                               "logstash"),
+                        logstash_dateformat=eo.get("logstash_dateformat",
+                                                   "yyyy.MM.dd"),
+                        ts_col=eo.get("ts_key"),
+                        time_key=eo.get("time_key", "@timestamp"),
+                        id_col=id_col,
+                        write_op=eo.get("write_operation", "create"),
+                        batch_records=int(eo.get("batch_records", 500)),
+                        order_col=order_key)
+                    (bodies.select(F.col("body").alias("value"))
+                           .write.mode("overwrite")
+                           .text(f"{output_dir}/sinks/{s}/batch_id={i}"))
+            elif spec.sink_format == "loki":
+                # out_loki payload subset (functions/serialize.py
+                # to_loki_push): each sink dir lands one stream object
+                # per line (labels + ordered ["<ns>","<line>"] values);
+                # a push connector wraps lines into {"streams":[...]}.
+                # Without Ts_Key the batch id stands in for flush time
+                # (deterministic replay beats wall clock).
+                from ..functions.serialize import (to_key_value_line,
+                                                   to_loki_push)
+                lo = spec.loki_output or {}
+                base_payload = [c for c in good.columns
+                                if c not in ("sinks", "routes_mask",
+                                             "dlq_reason", "_lineage",
+                                             "tag")]
+                for s in sinks:
+                    sel = good.filter(F.array_contains("sinks", s))
+                    label_cols: list[str] = []
+                    for k, v in (lo.get("labels")
+                                 or {"job": "fluent-bit"}).items():
+                        sel = sel.withColumn(k, F.lit(v))
+                        label_cols.append(k)
+                    for k in lo.get("label_keys") or []:
+                        if k not in label_cols:
+                            label_cols.append(k)
+                    line_cols = [c for c in base_payload
+                                 if c not in label_cols]
+                    if lo.get("line_format", "json") == "key_value":
+                        sel = to_key_value_line(sel, line_cols,
+                                                out="__line")
+                    else:
+                        sel = sel.withColumn("__line", F.to_json(
+                            F.struct(*[F.col(c) for c in line_cols])))
+                    ts_key = lo.get("ts_key")
+                    if ts_key is None:
+                        sel = sel.withColumn(
+                            "__ts", F.timestamp_seconds(F.lit(i)))
+                        ts_key = "__ts"
+                    order_key = lo.get("order_key") or (
+                        "doc_id" if "doc_id" in sel.columns else None)
+                    streams = to_loki_push(sel, label_cols, "__line",
+                                           ts_key, order_col=order_key)
+                    (streams.select(F.col("stream_body").alias("value"))
+                            .write.mode("overwrite")
+                            .text(f"{output_dir}/sinks/{s}/batch_id={i}"))
             elif spec.sink_format == "msgpack":
                 # out_forward posture: per-task PackedForward chunk
                 # files — the bytes fluent-bit's forward consumers and

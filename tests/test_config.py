@@ -1426,3 +1426,112 @@ def test_lookup_cache_ttl_config(spark, tmp_path):
             for r in _post_parse_stages(spark, df, spec0).collect()}
     assert out3 == {"d1": "beta"}
     _DIM_CACHES.clear()
+
+
+def test_es_and_loki_outputs_from_config(spark, fixture_paths,
+                                         tmp_path):
+    """[OUTPUT] Name es / Name loki: config-driven runs land exactly
+    the bodies the serializers produce directly over the routed good
+    frame; property validation errors are loud."""
+    from fluent_bit_spark.functions.serialize import (
+        to_es_bulk, to_key_value_line, to_loki_push)
+    from fluent_bit_spark.plans.pipeline import build_stages
+
+    tok = spark.read.parquet(fixture_paths["tokens"]).limit(800)
+    sub = str(tmp_path / "tok_sub")
+    tok.write.parquet(sub)
+
+    def routed_good(spec):
+        lineage = F.struct(F.lit(0).alias("batch_id"),
+                           F.input_file_name().alias("input_file"))
+        routed = build_stages(
+            spark,
+            spark.read.parquet(sub).withColumn("_lineage", lineage),
+            spec)
+        good = routed.filter(F.col("dlq_reason").isNull())
+        pay = [c for c in good.columns
+               if c not in ("sinks", "routes_mask", "dlq_reason",
+                            "_lineage", "tag")]
+        return good.filter(F.array_contains("sinks", "s")), pay
+
+    def sink_lines(out):
+        # a body's own trailing newline + the text writer's terminator
+        # leave one blank line per body — a replay connector splits on
+        # those to recover exact POST bodies; drop them for the
+        # line-set comparison
+        return sorted(r.value for r in
+                      spark.read.text(f"{out}/sinks/s/batch_id=0")
+                      .collect() if r.value)
+
+    # --- es ---
+    es_conf = tmp_path / "es.conf"
+    es_conf.write_text(
+        "[INPUT]\n    Name tokens\n    Format tokens\n"
+        "[OUTPUT]\n    Name es\n    Match *\n    Sink s\n"
+        "    Index app\n    Id_Key doc_id\n    Batch_Records 50\n"
+        "    Order_Key doc_id\n    Write_Operation index\n")
+    spec, _ = spec_from_tree(parse_classic(es_conf.read_text()))
+    assert spec.sink_format == "es"
+    assert spec.es_output["index"] == "app"
+    assert spec.es_output["logstash_dateformat"] == "yyyy.MM.dd"
+    out_es = str(tmp_path / "out_es")
+    run_pipeline(spark, spec, sub, out_es)
+
+    good, pay = routed_good(spec)
+    bodies = to_es_bulk(good, pay, index="app", id_col="doc_id",
+                        write_op="index", batch_records=50,
+                        order_col="doc_id").collect()
+    want = sorted(ln for r in bodies
+                  for ln in r.body.split("\n") if ln)
+    assert sink_lines(out_es) == want and want
+
+    # --- loki ---
+    lk_conf = tmp_path / "loki.conf"
+    lk_conf.write_text(
+        "[INPUT]\n    Name tokens\n    Format tokens\n"
+        "[OUTPUT]\n    Name loki\n    Match *\n    Sink s\n"
+        "    Labels job=app, env=test\n    Label_Keys $source\n"
+        "    Line_Format key_value\n    Order_Key doc_id\n")
+    spec_l, _ = spec_from_tree(parse_classic(lk_conf.read_text()))
+    assert spec_l.sink_format == "loki"
+    assert spec_l.loki_output["labels"] == {"job": "app",
+                                            "env": "test"}
+    assert spec_l.loki_output["label_keys"] == ["source"]
+    out_lk = str(tmp_path / "out_loki")
+    run_pipeline(spark, spec_l, sub, out_lk)
+
+    good_l, pay_l = routed_good(spec_l)
+    labelled = (good_l.withColumn("job", F.lit("app"))
+                      .withColumn("env", F.lit("test")))
+    line_cols = [c for c in pay_l if c not in ("job", "env", "source")]
+    lined = to_key_value_line(labelled, line_cols, out="__line") \
+        .withColumn("__ts", F.timestamp_seconds(F.lit(0)))
+    streams = to_loki_push(lined, ["job", "env", "source"], "__line",
+                           "__ts", order_col="doc_id")
+    want_l = sorted(r.stream_body for r in streams.collect())
+    assert sink_lines(out_lk) == want_l and want_l
+    # every stream object is valid JSON with the static labels
+    import json
+    for s in want_l:
+        obj = json.loads(s)
+        assert obj["stream"]["job"] == "app"
+        assert obj["stream"]["env"] == "test"
+        assert obj["values"] and all(len(v) == 2 for v in obj["values"])
+
+    # --- validation ---
+    base = ("[INPUT]\n    Name tokens\n"
+            "[OUTPUT]\n    Name es\n    Match *\n    Sink s\n{p}")
+    with pytest.raises(ValueError, match="Write_Operation"):
+        spec_from_tree(parse_classic(
+            base.format(p="    Write_Operation delete\n")))
+    with pytest.raises(ValueError, match="Logstash_Format needs"):
+        spec_from_tree(parse_classic(
+            base.format(p="    Logstash_Format On\n")))
+    lbase = ("[INPUT]\n    Name tokens\n"
+             "[OUTPUT]\n    Name loki\n    Match *\n    Sink s\n{p}")
+    with pytest.raises(ValueError, match="k=v"):
+        spec_from_tree(parse_classic(
+            lbase.format(p="    Labels jobapp\n")))
+    with pytest.raises(ValueError, match="Line_Format"):
+        spec_from_tree(parse_classic(
+            lbase.format(p="    Line_Format logfmt\n")))
