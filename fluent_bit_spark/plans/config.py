@@ -498,12 +498,24 @@ def spec_from_tree(tree: dict[str, Any],
     input_format = str(inp.get("format")
                        or ("forward" if inp_name == "forward"
                            else "http" if inp_name == "http"
+                           else "syslog" if inp_name == "syslog"
                            else "text" if inp_name == "tail"
                            and str(inp.get("path", "")).endswith(".log")
                            else "tokens")).lower()
-    if input_format not in ("tokens", "text", "forward", "http"):
+    if input_format not in ("tokens", "text", "forward", "http",
+                            "syslog"):
         raise ValueError(f"input format must be tokens|text|forward|"
-                         f"http, got {input_format!r}")
+                         f"http|syslog, got {input_format!r}")
+    if inp_name == "syslog":
+        # upstream:plugins/in_syslog — Mode tcp is the octet-framed
+        # stream this file subset captures; udp/unix datagrams have no
+        # framing to decode (one message per datagram → a text input)
+        mode = str(inp.get("mode", "tcp")).lower()
+        if mode != "tcp":
+            raise ValueError("[INPUT] syslog file subset supports "
+                             "Mode tcp (octet-framed streams); "
+                             f"datagram captures are Format text — got "
+                             f"Mode {mode!r}")
     # [INPUT] http (sources/http.py — the payload subset of
     # upstream:plugins/in_http): Tag is the listener tag, Tag_Key
     # lifts it from a record field.

@@ -436,10 +436,16 @@ def build_stages_text(spark: SparkSession, df_text: DataFrame,
       pandas UDF — no per-row Python).
     """
     from ..functions.parsers import with_parsed
-    extra = [c for c in df_text.columns if c not in ("value", "line_no")]
+    extra = [c for c in df_text.columns
+             if c not in ("value", "line_no", "_input_file")]
+    # a decoder that crossed the Python/Arrow boundary (syslog framing)
+    # supplies _input_file itself — input_file_name() is empty there
+    src_file = (F.col("_input_file")
+                if "_input_file" in df_text.columns
+                else F.input_file_name())
     out = df_text.select(
         F.col("value").alias("decoded"),
-        F.input_file_name().alias("_input_file"),
+        src_file.alias("_input_file"),
         *(["line_no"] if "line_no" in df_text.columns else []),
         *extra)
     if spec.multiline_parser:
@@ -550,7 +556,7 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
     tune_scan_partitions(spark, input_path)
     if input_format in ("text", "http"):
         all_files = sorted(spark.read.text(input_path).inputFiles())
-    elif input_format == "forward":
+    elif input_format in ("forward", "syslog"):
         all_files = sorted(spark.read.format("binaryFile")
                            .load(input_path).inputFiles())
     else:
@@ -616,6 +622,37 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                                          F.lit("parse_fail"))
                                    .otherwise(F.col("dlq_reason")))
                       .drop("__http_ok", "http_tag"))
+        elif input_format == "syslog":
+            # in_syslog TCP file subset (sources/syslog_frames.py):
+            # each capture file is one connection's octet-framed byte
+            # stream (RFC 6587); frames walk out sequentially in the
+            # Arrow kernel and each message rides the shared text
+            # stages (the configured [FILTER] parser applies the
+            # syslog preset, upstream in_syslog's Parser property).
+            # Framing errors are FORCED to the DLQ as parse_fail
+            # (the reason class the metrics contract counts — same
+            # posture as malformed http bodies); upstream drops the
+            # connection, a batch replay keeps the bytes for the
+            # dead-letter audit.
+            from ..sources.syslog_frames import decode_octet_frames
+            raw = (spark.read.format("binaryFile").load(files)
+                   .select("path", "content"))
+            dec = decode_octet_frames(raw, "content", group_col="path")
+            df = dec.select(
+                F.col("msg").alias("value"),
+                F.col("group").alias("_input_file"),
+                F.col("frame_ok").alias("__frame_ok"),
+                F.struct(F.lit(i).alias("batch_id"),
+                         F.col("group").alias("input_file"))
+                 .alias("_lineage"))
+            routed = (build_stages_text(spark, df, spec)
+                      .withColumn("parse_ok",
+                                  F.col("parse_ok") & F.col("__frame_ok"))
+                      .withColumn("dlq_reason",
+                                  F.when(~F.col("__frame_ok"),
+                                         F.lit("parse_fail"))
+                                   .otherwise(F.col("dlq_reason")))
+                      .drop("__frame_ok"))
         elif input_format == "forward":
             # in_forward file subset: decode another pipeline's (or
             # fluent-bit sender's) chunk files; the transmitted tag is

@@ -449,3 +449,55 @@ def test_config_gelf_output(tmp_path):
         "    Gelf_Host_Key source\n")
     with _pytest.raises(ValueError, match="needs Format gelf"):
         spec_from_config(str(bad))
+
+
+def test_syslog_input_end_to_end(spark, tmp_path):
+    """in_syslog TCP file subset: octet-framed capture files decode
+    into messages that ride the shared text stages; framing errors
+    land in the DLQ as frame_fail with the undecodable bytes kept;
+    source derives from the capture filename."""
+    cap = tmp_path / "captures"
+    cap.mkdir()
+
+    def frame(msgs: list[str]) -> bytes:
+        return b"".join(
+            str(len(m.encode())).encode() + b" " + m.encode()
+            for m in msgs)
+
+    good1 = [f'level=info msg="m{i}" code=200 dur_ms={i}'
+             for i in range(3)]
+    good2 = ['level=error msg="boom" code=500 dur_ms=9']
+    (cap / "conn1.log").write_bytes(frame(good1))
+    # second capture ends in a framing error (truncated length head)
+    (cap / "conn2.log").write_bytes(frame(good2) + b"junk tail")
+
+    spec = PipelineSpec(vocab=fx.vocab(),
+                        routes=[Route("sink_kv", "*")])
+    out = str(tmp_path / "out")
+    stats = run_pipeline(spark, spec, str(cap), out,
+                         input_format="syslog")
+    assert stats["rows_in"] == 5 and stats["rows_dlq"] == 1
+
+    rows = read_sink(spark, out, "sink_kv").collect()
+    assert {r.decoded for r in rows} == set(good1 + good2)
+    assert {r.source for r in rows} == {"conn1", "conn2"}
+    # the parsed stage saw each message as a logfmt record
+    assert all(r.fields["kind"] == "logfmt" for r in rows)
+    codes = sorted(int(r.fields["code"]) for r in rows)
+    assert codes == [200, 200, 200, 500]
+
+    dlq = read_dlq(spark, out).collect()
+    assert len(dlq) == 1 and dlq[0].dlq_reason == "parse_fail"
+    assert dlq[0].decoded.startswith("junk")
+
+    # config front end maps [INPUT] Name syslog; datagram modes are a
+    # text input, not a framed one
+    from fluent_bit_spark.plans.config import parse_classic, spec_from_tree
+    base = ("[INPUT]\n    Name syslog\n{m}"
+            "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+    _, io = spec_from_tree(parse_classic(base.format(m="")),
+                           vocab=["x"])
+    assert io["input_format"] == "syslog"
+    with pytest.raises(ValueError, match="Mode tcp"):
+        spec_from_tree(parse_classic(
+            base.format(m="    Mode udp\n")), vocab=["x"])
