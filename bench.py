@@ -82,6 +82,13 @@ HEADLINE = [
     "substring_dedup",
     "kmeans_embeddings",
     "semdedup_drop",
+    # r5: composed ANN serving path, order-3 surprisal, sink payload
+    # codecs (window+agg shapes), framed-source decode (Arrow kernel)
+    "ann_ivf_pq",
+    "trigram_surprisal",
+    "serialize_es_bulk",
+    "serialize_loki_push",
+    "syslog_octet_roundtrip",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))
