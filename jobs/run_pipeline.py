@@ -33,7 +33,8 @@ def main() -> int:
                     default="parquet",
                     help="sink payload format (out_file Format analogue)")
     ap.add_argument("--input-format",
-                    choices=["tokens", "text", "forward", "http"],
+                    choices=["tokens", "text", "forward", "http",
+                             "syslog"],
                     default="tokens",
                     help="tokens parquet (north-star schema), raw "
                          ".log text files (in_tail posture), "
@@ -119,6 +120,38 @@ def main() -> int:
             fspec = (spec if spec.tag_expr else
                      dataclasses.replace(spec, tag_expr="fwd_tag"))
             tagged = build_stages(spark, fdf, fspec)
+        elif input_format == "syslog":
+            from pyspark.sql import functions as F
+
+            from fluent_bit_spark.sources.syslog_frames import (
+                decode_octet_frames)
+            raw = (spark.read.format("binaryFile").load(args.input)
+                   .select("path", "content"))
+            dec = decode_octet_frames(raw, "content",
+                                      group_col="path")
+            tagged = build_stages_text(
+                spark,
+                dec.filter("frame_ok").select(
+                    F.col("msg").alias("value"),
+                    F.col("group").alias("_input_file")),
+                spec)
+        elif input_format == "http":
+            import dataclasses
+
+            from pyspark.sql import functions as F
+
+            from fluent_bit_spark.sources.http import read_http_json
+            hp = spec.http_input or {}
+            dec = read_http_json(spark, args.input,
+                                 tag=hp.get("tag", "http.0"),
+                                 tag_key=hp.get("tag_key"))
+            hdf = dec.filter("parse_ok").select(
+                F.coalesce(F.col("record")["log"],
+                           F.to_json("record")).alias("value"),
+                F.col("tag").alias("http_tag"))
+            hspec = (spec if spec.tag_expr else
+                     dataclasses.replace(spec, tag_expr="http_tag"))
+            tagged = build_stages_text(spark, hdf, hspec)
         else:
             tagged = build_stages(
                 spark,

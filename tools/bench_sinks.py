@@ -74,7 +74,9 @@ def run_size(n: int) -> dict:
 
     ncpu = os.cpu_count() or 8
     spark = get_spark(app_name=f"bench_sinks_{n}",
-                      shuffle_partitions=max(8, ncpu * 4))
+                      shuffle_partitions=max(8, ncpu * 4),
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.port": "4040"})
     spark.catalog.clearCache()
     spark._jvm.System.gc()
 
@@ -188,8 +190,10 @@ def main() -> int:
             f"{gate_line['worst_shuffle_x']}× ({gate_line['worst_key']}); "
             "record/value/frame conservation EXACT at both sizes. "
             "Per-stream loki value strings stay bounded by the "
-            f"(service × day) label contract ({N_SERVICES * N_DAYS} "
-            "streams at any corpus size).", ""]
+            "(service × calendar-day) label contract "
+            f"({b['loki_streams']} streams at BOTH sizes — stream "
+            "count is a label-space property, independent of corpus "
+            "size).", ""]
         with open(args.md, "a") as f:
             f.write("\n".join(lines))
     return 0
