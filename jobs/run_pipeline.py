@@ -164,7 +164,8 @@ def main() -> int:
         stats["stream_tasks"] = [n for n, _ in tasks]
     rate = stats["rows_in"] / stats["wall_sec"] if stats["wall_sec"] else 0
     print(json.dumps({**stats, "rows_per_sec": round(rate, 1)}))
-    spark.stop()
+    # no spark.stop(): spark-submit tears the JVM down at exit, and an
+    # in-suite main() shares the test session (the run_dedup r4 lesson)
     return 0
 
 

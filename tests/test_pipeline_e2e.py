@@ -501,3 +501,57 @@ def test_syslog_input_end_to_end(spark, tmp_path):
     with pytest.raises(ValueError, match="Mode tcp"):
         spec_from_tree(parse_classic(
             base.format(m="    Mode udp\n")), vocab=["x"])
+
+
+def test_run_pipeline_cli_syslog_stream_task(spark, tmp_path,
+                                             monkeypatch):
+    """jobs/run_pipeline.py CLI with --config over a syslog capture
+    dir: the [STREAM_TASK] path decodes frames through the syslog
+    reader (it must not fall through to the tokens parquet reader) and
+    the task output matches a direct count over the decoded frames."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    import run_pipeline as rp
+
+    cap = tmp_path / "captures"
+    cap.mkdir()
+
+    def frame(msgs):
+        return b"".join(
+            str(len(m.encode())).encode() + b" " + m.encode()
+            for m in msgs)
+
+    (cap / "conn1.log").write_bytes(frame(
+        [f'level=info msg="m{i}" code=200 dur_ms={i}' for i in range(4)]))
+    (cap / "conn2.log").write_bytes(frame(
+        ['level=error msg="boom" code=500 dur_ms=9'] * 2))
+
+    streams = tmp_path / "tasks.streams"
+    streams.write_text(
+        "[STREAM_TASK]\n    Name by_tag\n"
+        "    Exec SELECT RECORD_TAG() AS tag, COUNT(*) AS c "
+        "FROM TAG:'app.*' GROUP BY RECORD_TAG();\n")
+    conf = tmp_path / "pipe.conf"
+    conf.write_text(
+        "[SERVICE]\n"
+        f"    Streams_File {streams}\n"
+        "[INPUT]\n    Name syslog\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n")
+
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "run_pipeline.py", "--input", str(cap), "--output", out,
+        "--config", str(conf)])
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    assert rp.main() == 0
+    rep = json.loads(printed[-1])
+    assert rep["rows_in"] == 6 and rep["rows_dlq"] == 0
+
+    task = {(r.tag, r.c) for r in
+            spark.read.parquet(f"{out}/stream_tasks/by_tag").collect()}
+    assert task == {("app.conn1.logfmt", 4), ("app.conn2.logfmt", 2)}
