@@ -499,13 +499,16 @@ def spec_from_tree(tree: dict[str, Any],
                        or ("forward" if inp_name == "forward"
                            else "http" if inp_name == "http"
                            else "syslog" if inp_name == "syslog"
+                           else "kafka" if inp_name == "kafka"
+                           else "systemd" if inp_name == "systemd"
                            else "text" if inp_name == "tail"
                            and str(inp.get("path", "")).endswith(".log")
                            else "tokens")).lower()
     if input_format not in ("tokens", "text", "forward", "http",
-                            "syslog"):
+                            "syslog", "kafka", "systemd"):
         raise ValueError(f"input format must be tokens|text|forward|"
-                         f"http|syslog, got {input_format!r}")
+                         f"http|syslog|kafka|systemd, "
+                         f"got {input_format!r}")
     if inp_name == "syslog":
         # upstream:plugins/in_syslog — Mode tcp is the octet-framed
         # stream this file subset captures; udp/unix datagrams have no

@@ -556,7 +556,7 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
     tune_scan_partitions(spark, input_path)
     if input_format in ("text", "http"):
         all_files = sorted(spark.read.text(input_path).inputFiles())
-    elif input_format in ("forward", "syslog"):
+    elif input_format in ("forward", "syslog", "kafka", "systemd"):
         all_files = sorted(spark.read.format("binaryFile")
                            .load(input_path).inputFiles())
     else:
@@ -653,6 +653,76 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                                          F.lit("parse_fail"))
                                    .otherwise(F.col("dlq_reason")))
                       .drop("__frame_ok"))
+        elif input_format == "kafka":
+            # in_kafka file subset (sources/kafka_batches.py): each
+            # capture file is a concatenation of RecordBatch v2
+            # batches; record values ride the shared text stages and
+            # the topic becomes the tag by default (upstream in_kafka
+            # tags by topic) — an explicit tag_expr overrides. A
+            # CRC-failed batch decodes to one sentinel row that is
+            # FORCED to the DLQ as parse_fail (upstream's consumer
+            # aborts the fetch; a batch replay keeps the evidence).
+            import dataclasses
+
+            from ..sources.kafka_batches import read_kafka_segments
+            kdf = read_kafka_segments(spark, files, with_path=True)
+            df = kdf.select(
+                F.coalesce(F.col("value").cast("string"), F.lit(""))
+                 .alias("value"),
+                F.col("topic").alias("kafka_tag"),
+                F.col("crc_ok").alias("__crc_ok"),
+                F.col("_input_file"),
+                F.struct(F.lit(i).alias("batch_id"),
+                         F.col("_input_file").alias("input_file"))
+                 .alias("_lineage"))
+            kspec = (spec if spec.tag_expr
+                     else dataclasses.replace(spec,
+                                              tag_expr="kafka_tag"))
+            routed = (build_stages_text(spark, df, kspec)
+                      .withColumn("parse_ok",
+                                  F.col("parse_ok") & F.col("__crc_ok"))
+                      .withColumn("dlq_reason",
+                                  F.when(~F.col("__crc_ok"),
+                                         F.lit("parse_fail"))
+                                   .otherwise(F.col("dlq_reason")))
+                      .drop("__crc_ok", "kafka_tag"))
+        elif input_format == "systemd":
+            # in_systemd file subset (sources/journal_export.py):
+            # each capture file is a Journal Export Format stream
+            # (journalctl -o export / systemd-journal-remote). The
+            # MESSAGE field rides the shared text stages; the tag
+            # derives from _SYSTEMD_UNIT (systemd.<unit>) unless the
+            # config sets tag_expr. Malformed entries are FORCED to
+            # the DLQ as parse_fail with their partial fields kept.
+            import dataclasses
+
+            from ..sources.journal_export import (decode_export,
+                                                  with_journal_tag)
+            raw = (spark.read.format("binaryFile").load(files)
+                   .select("path", "content"))
+            dec = with_journal_tag(
+                decode_export(raw, "content", passthrough=["path"]))
+            df = dec.select(
+                F.coalesce(F.element_at("fields", "MESSAGE"),
+                           F.lit("")).alias("value"),
+                F.col("tag").alias("journal_tag"),
+                F.col("entry_ok").alias("__entry_ok"),
+                F.col("path").alias("_input_file"),
+                F.struct(F.lit(i).alias("batch_id"),
+                         F.col("path").alias("input_file"))
+                 .alias("_lineage"))
+            jspec = (spec if spec.tag_expr
+                     else dataclasses.replace(spec,
+                                              tag_expr="journal_tag"))
+            routed = (build_stages_text(spark, df, jspec)
+                      .withColumn("parse_ok",
+                                  F.col("parse_ok")
+                                  & F.col("__entry_ok"))
+                      .withColumn("dlq_reason",
+                                  F.when(~F.col("__entry_ok"),
+                                         F.lit("parse_fail"))
+                                   .otherwise(F.col("dlq_reason")))
+                      .drop("__entry_ok", "journal_tag"))
         elif input_format == "forward":
             # in_forward file subset: decode another pipeline's (or
             # fluent-bit sender's) chunk files; the transmitted tag is

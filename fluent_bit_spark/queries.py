@@ -3792,3 +3792,93 @@ def nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.tokens import nb_quality_score
     docs = t(spark, sf_dir, "documents")
     return nb_quality_score(docs, F.col("lang") == "en")
+
+
+# ===========================================================================
+# Kafka RecordBatch v2 + journald export file subsets (r5 — closes the
+# in_kafka/out_kafka and in_systemd rows at the payload-codec level)
+# ===========================================================================
+
+@q("kafka_batch_roundtrip", """
+SELECT 'events.' || event_type AS topic,
+       CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       CAST(event_id AS VARCHAR) AS k,
+       props,
+       event_type AS et,
+       true AS crc_ok
+FROM events
+""")
+def kafka_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka record-batch payload subset, end to end
+    (sources/kafka_batches.py ← upstream:plugins/in_kafka /
+    out_kafka with the librdkafka transport scoped out; RecordBatch
+    v2 per the public Apache Kafka protocol spec): every event row is
+    encoded as a record (CreateTime millis, key, value, one header),
+    folded into one CRC32C-stamped RecordBatch per topic per task
+    (functions/kafka_codec.py — ZigZag varints, big-endian batch
+    header, Castagnoli CRC pinned by known-answer vectors), then
+    decoded back by the per-file Arrow kernel. The oracle computes
+    every decoded field independently from the source columns — a
+    varint, framing, or CRC bug anywhere mismatches. No shuffle on
+    encode (batches are per-task, like producer flushes); decode is
+    map-only."""
+    from .sources import kafka_batches as kb
+    ev = t(spark, sf_dir, "events").select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("topic"),
+        "ts", F.col("event_id").cast("string").alias("k"),
+        "props", "event_type")
+    chunks = kb.pack_record_batches(
+        ev, topic_col="topic", ts_col="ts", key_col="k",
+        value_col="props", header_cols=["event_type"])
+    back = kb.decode_kafka_binary(chunks, "batch",
+                                  passthrough=["topic"])
+    return back.select(
+        "topic", "ts_ms", F.col("key").cast("string").alias("k"),
+        F.col("value").cast("string").alias("props"),
+        F.element_at("headers", 1)["value"].cast("string").alias("et"),
+        "crc_ok")
+
+
+@q("journal_export_roundtrip", """
+SELECT event_type AS "group",
+       'evt ' || event_type || ' id=' || event_id AS message,
+       CAST(event_id % 8 AS VARCHAR) AS priority,
+       ts,
+       'systemd.' || event_type || '.service' AS tag,
+       true AS entry_ok
+FROM events
+""")
+def journal_export_roundtrip(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """systemd Journal Export Format round trip
+    (sources/journal_export.py ← the interchange-format subset of
+    upstream:plugins/in_systemd; systemd.io/JOURNAL_EXPORT_FORMATS):
+    per event a journal entry (MESSAGE/PRIORITY/_SYSTEMD_UNIT/
+    __REALTIME_TIMESTAMP) renders into one export stream per
+    event_type (Catalyst encode), then the Arrow kernel walks the
+    streams back out — entry boundaries, field splits, the
+    microsecond timestamp lift, and unit-based tagging are all
+    exercised. The oracle computes the decoded rows directly from the
+    source columns. Binary-safe fields and malformed-stream tolerance
+    are pinned by pytest (they need byte values a parquet VARCHAR
+    column can't express)."""
+    from .sources import journal_export as je
+    ev = t(spark, sf_dir, "events").select(
+        F.concat(F.lit("evt "), F.col("event_type"), F.lit(" id="),
+                 F.col("event_id")).alias("MESSAGE"),
+        (F.col("event_id") % 8).cast("string").alias("PRIORITY"),
+        F.concat(F.col("event_type"), F.lit(".service"))
+        .alias("_SYSTEMD_UNIT"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string")
+        .alias("__REALTIME_TIMESTAMP"),
+        "event_type", "event_id")
+    streams = je.encode_export(
+        ev, ["MESSAGE", "PRIORITY", "_SYSTEMD_UNIT",
+             "__REALTIME_TIMESTAMP"],
+        group_col="event_type", order_col="event_id")
+    dec = je.with_journal_tag(je.with_journal_ts(
+        je.decode_export(streams, "stream", passthrough=["group"])))
+    return dec.select(
+        "group", F.element_at("fields", "MESSAGE").alias("message"),
+        F.element_at("fields", "PRIORITY").alias("priority"),
+        "ts", "tag", "entry_ok")

@@ -34,14 +34,17 @@ def main() -> int:
                     help="sink payload format (out_file Format analogue)")
     ap.add_argument("--input-format",
                     choices=["tokens", "text", "forward", "http",
-                             "syslog"],
+                             "syslog", "kafka", "systemd"],
                     default="tokens",
                     help="tokens parquet (north-star schema), raw "
                          ".log text files (in_tail posture), "
                          "forward-protocol msgpack chunk files "
-                         "(in_forward file subset), or http "
+                         "(in_forward file subset), http "
                          "body-per-line capture files (in_http "
-                         "file subset)")
+                         "file subset), kafka RecordBatch v2 "
+                         "segment files (in_kafka file subset), or "
+                         "systemd journal export captures "
+                         "(in_systemd file subset)")
     ap.add_argument("--gen-rows", type=int, default=0,
                     help="synthesize the input first with N rows")
     ap.add_argument("--lookup", default=None,
@@ -135,6 +138,44 @@ def main() -> int:
                     F.col("msg").alias("value"),
                     F.col("group").alias("_input_file")),
                 spec)
+        elif input_format == "kafka":
+            import dataclasses
+
+            from pyspark.sql import functions as F
+
+            from fluent_bit_spark.sources.kafka_batches import (
+                read_kafka_segments)
+            kdf = read_kafka_segments(spark, args.input)
+            kspec = (spec if spec.tag_expr else
+                     dataclasses.replace(spec, tag_expr="kafka_tag"))
+            tagged = build_stages_text(
+                spark,
+                kdf.filter("crc_ok").select(
+                    F.col("value").cast("string").alias("value"),
+                    F.col("topic").alias("kafka_tag"),
+                    F.lit("").alias("_input_file")),
+                kspec)
+        elif input_format == "systemd":
+            import dataclasses
+
+            from pyspark.sql import functions as F
+
+            from fluent_bit_spark.sources.journal_export import (
+                decode_export, with_journal_tag)
+            raw = (spark.read.format("binaryFile").load(args.input)
+                   .select("path", "content"))
+            dec = with_journal_tag(
+                decode_export(raw, "content", passthrough=["path"]))
+            jspec = (spec if spec.tag_expr else
+                     dataclasses.replace(spec, tag_expr="journal_tag"))
+            tagged = build_stages_text(
+                spark,
+                dec.filter("entry_ok").select(
+                    F.coalesce(F.element_at("fields", "MESSAGE"),
+                               F.lit("")).alias("value"),
+                    F.col("tag").alias("journal_tag"),
+                    F.col("path").alias("_input_file")),
+                jspec)
         elif input_format == "http":
             import dataclasses
 

@@ -555,3 +555,87 @@ def test_run_pipeline_cli_syslog_stream_task(spark, tmp_path,
     task = {(r.tag, r.c) for r in
             spark.read.parquet(f"{out}/stream_tasks/by_tag").collect()}
     assert task == {("app.conn1.logfmt", 4), ("app.conn2.logfmt", 2)}
+
+
+def test_kafka_input_end_to_end(spark, tmp_path):
+    """in_kafka file subset: RecordBatch v2 segment files decode into
+    records that ride the shared text stages; the topic becomes the
+    tag; a CRC-corrupted batch lands in the DLQ as parse_fail."""
+    from fluent_bit_spark.functions import kafka_codec as kc
+
+    seg = tmp_path / "segments"
+    seg.mkdir()
+    msgs_a = [f'level=info msg="k{i}" code=200 dur_ms={i}'
+              for i in range(3)]
+    msgs_b = ['level=error msg="boom" code=500 dur_ms=9']
+    mk = lambda msgs: kc.encode_batch(
+        0, [(1700000000000 + i, None, m.encode(), [])
+            for i, m in enumerate(msgs)])
+    (seg / "web-aaaaaaaaaaaa.log").write_bytes(mk(msgs_a))
+    corrupt = bytearray(mk(msgs_b))
+    corrupt[-1] ^= 0xFF
+    (seg / "app-bbbbbbbbbbbb.log").write_bytes(mk(msgs_b)
+                                               + bytes(corrupt))
+
+    spec = PipelineSpec(vocab=fx.vocab(), routes=[Route("sink_kv", "*")])
+    out = str(tmp_path / "out")
+    stats = run_pipeline(spark, spec, str(seg), out,
+                         input_format="kafka")
+    assert stats["rows_in"] == 5 and stats["rows_dlq"] == 1
+
+    rows = read_sink(spark, out, "sink_kv").collect()
+    assert {r.decoded for r in rows} == set(msgs_a + msgs_b)
+    assert {r.tag for r in rows} == {"web", "app"}
+    assert all(r.fields["kind"] == "logfmt" for r in rows)
+
+    dlq = read_dlq(spark, out).collect()
+    assert len(dlq) == 1 and dlq[0].dlq_reason == "parse_fail"
+
+    # config front end maps [INPUT] Name kafka
+    from fluent_bit_spark.plans.config import parse_classic, spec_from_tree
+    _, io = spec_from_tree(parse_classic(
+        "[INPUT]\n    Name kafka\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"),
+        vocab=["x"])
+    assert io["input_format"] == "kafka"
+
+
+def test_systemd_input_end_to_end(spark, tmp_path):
+    """in_systemd file subset: journal export captures decode into
+    MESSAGE-driven records tagged systemd.<unit>; a malformed entry
+    lands in the DLQ with its partial fields kept."""
+    from fluent_bit_spark.sources.journal_export import py_encode_entry
+
+    cap = tmp_path / "journal"
+    cap.mkdir()
+    ent = lambda unit, msg: py_encode_entry([
+        ("MESSAGE", msg), ("PRIORITY", "6"),
+        ("_SYSTEMD_UNIT", unit),
+        ("__REALTIME_TIMESTAMP", "1700000000123456")])
+    msgs = [f'level=info msg="j{i}" code=200 dur_ms={i}'
+            for i in range(3)]
+    buf = b"".join(ent("nginx.service", m) for m in msgs)
+    buf += ent("db.service", 'level=error msg="down" code=500 dur_ms=1')
+    # a malformed trailing entry (garbage line)
+    (cap / "host1.export").write_bytes(buf + b"???not a field\n\n")
+
+    spec = PipelineSpec(vocab=fx.vocab(), routes=[Route("sink_kv", "*")])
+    out = str(tmp_path / "out")
+    stats = run_pipeline(spark, spec, str(cap), out,
+                         input_format="systemd")
+    assert stats["rows_in"] == 5 and stats["rows_dlq"] == 1
+
+    rows = read_sink(spark, out, "sink_kv").collect()
+    assert {r.tag for r in rows} == {"systemd.nginx.service",
+                                     "systemd.db.service"}
+    assert all(r.fields["kind"] == "logfmt" for r in rows)
+
+    dlq = read_dlq(spark, out).collect()
+    assert len(dlq) == 1 and dlq[0].dlq_reason == "parse_fail"
+
+    from fluent_bit_spark.plans.config import parse_classic, spec_from_tree
+    _, io = spec_from_tree(parse_classic(
+        "[INPUT]\n    Name systemd\n"
+        "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"),
+        vocab=["x"])
+    assert io["input_format"] == "systemd"
