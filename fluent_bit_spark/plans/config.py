@@ -948,6 +948,7 @@ def spec_from_tree(tree: dict[str, Any],
     http_output: dict[str, Any] | None = None
     es_output: dict[str, Any] | None = None
     loki_output: dict[str, Any] | None = None
+    kafka_output: dict[str, Any] | None = None
 
     def _on(o: dict, key: str, default: str = "off") -> bool:
         return str(o.get(key, default)).lower() in ("on", "true", "1")
@@ -1022,9 +1023,31 @@ def spec_from_tree(tree: dict[str, Any],
                 raise ValueError("all loki outputs must share one "
                                  "stream rendering")
             loki_output = lo
+        elif nm == "kafka":
+            # upstream:plugins/out_kafka property names
+            # (Message_Key_Field, Topic_Key, Timestamp_Key); brokers/
+            # rdkafka.* are connector config and scoped out. Records
+            # render JSON (the default Format json) into RecordBatch
+            # v2 segment files (sources/kafka_batches.py).
+            kfmt = str(o.get("format", "json")).lower()
+            if kfmt != "json":
+                raise ValueError("[OUTPUT] kafka Format: only json is "
+                                 f"implemented (msgpack payloads ride "
+                                 f"the forward sink), got {kfmt!r}")
+            ko = {
+                "message_key_field": o.get("message_key_field"),
+                "topic_key": o.get("topic_key"),
+                "ts_key": o.get("ts_key") or o.get("timestamp_key"),
+            }
+            if kafka_output is not None and ko != kafka_output:
+                raise ValueError("all kafka outputs must share one "
+                                 "record rendering")
+            kafka_output = ko
         fmt = o.get("format")
         if nm in ("es", "loki"):
             fmt = nm  # out_es/out_loki have no Format property
+        elif nm == "kafka":
+            fmt = "kafka"  # Format json is the record rendering
         elif fmt is None and nm == "http":
             fmt = "json"  # out_http default body format
         if fmt is not None:
@@ -1050,10 +1073,10 @@ def spec_from_tree(tree: dict[str, Any],
                 http_output = ho
             if fmt not in ("parquet", "json_lines", "csv", "ltsv",
                            "template", "msgpack", "gelf", "http",
-                           "es", "loki"):
+                           "es", "loki", "kafka"):
                 raise ValueError(f"output format must be parquet|"
                                  f"json_lines|csv|ltsv|template|"
-                                 f"msgpack|gelf|http|es|loki, "
+                                 f"msgpack|gelf|http|es|loki|kafka, "
                                  f"got {fmt!r}")
             if sink_format is not None and fmt != sink_format:
                 raise ValueError("all outputs must share one format "
@@ -1129,6 +1152,7 @@ def spec_from_tree(tree: dict[str, Any],
         http_output=http_output,
         es_output=es_output,
         loki_output=loki_output,
+        kafka_output=kafka_output,
     )
     io = {
         "input_path": inp.get("path"),

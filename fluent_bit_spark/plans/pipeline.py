@@ -189,6 +189,11 @@ class PipelineSpec:
     # json|key_value, ts_key, order_key} — sinks land one stream
     # object per line.
     loki_output: dict | None = None
+    # [OUTPUT] Name kafka (sources/kafka_batches.py encode side):
+    # {message_key_field, topic_key, ts_key} — sinks land RecordBatch
+    # v2 segment files, topic = tag (or the Topic_Key record field),
+    # records JSON-rendered like out_kafka's default Format json.
+    kafka_output: dict | None = None
 
 
 @dataclass
@@ -911,6 +916,47 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec, input_path: str,
                     (streams.select(F.col("stream_body").alias("value"))
                             .write.mode("overwrite")
                             .text(f"{output_dir}/sinks/{s}/batch_id={i}"))
+            elif spec.sink_format == "kafka":
+                # out_kafka posture (upstream:plugins/out_kafka with
+                # the librdkafka transport scoped out): records render
+                # to JSON (the default Format json), fold into
+                # RecordBatch v2 segments per topic per task, and land
+                # as .log files a real consumer (or in_kafka here)
+                # can replay. Topic = tag, or Topic_Key lifts it from
+                # a record column; Message_Key_Field sets the record
+                # key; Timestamp_Key stamps CreateTime from a record
+                # timestamp column.
+                from ..sources.kafka_batches import (
+                    pack_record_batches, write_kafka_segments)
+                ko = spec.kafka_output or {}
+                payload_cols = [c for c in good.columns
+                                if c not in ("sinks", "routes_mask",
+                                             "dlq_reason", "_lineage",
+                                             "tag")]
+                topic = (F.col(ko["topic_key"]).cast("string")
+                         if ko.get("topic_key") else F.col("tag"))
+                kcols = [F.to_json(F.struct(*[F.col(c)
+                                              for c in payload_cols]))
+                         .alias("__body"),
+                         topic.alias("__topic"), F.col("sinks")]
+                kf = ko.get("message_key_field")
+                if kf:
+                    kcols.append(F.col(kf).cast("string")
+                                 .alias("__key"))
+                ts_key = ko.get("ts_key")
+                if ts_key:
+                    kcols.append(F.col(ts_key).alias("__ts"))
+                body_all = good.select(*kcols)
+                for s in sinks:
+                    sel = body_all.filter(
+                        F.array_contains("sinks", s))
+                    chunks = pack_record_batches(
+                        sel, topic_col="__topic",
+                        ts_col="__ts" if ts_key else None,
+                        key_col="__key" if kf else None,
+                        value_col="__body")
+                    write_kafka_segments(
+                        chunks, f"{output_dir}/sinks/{s}/batch_id={i}")
             elif spec.sink_format == "msgpack":
                 # out_forward posture: per-task PackedForward chunk
                 # files — the bytes fluent-bit's forward consumers and

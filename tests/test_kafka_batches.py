@@ -173,3 +173,55 @@ def test_header_type_rejection(spark):
         kb.pack_record_batches(ev, topic_col="topic",
                                value_col="payload",
                                header_cols=["event_id"])
+
+
+def test_kafka_stream_landing_dir(spark, tmp_path):
+    """Streaming twin: .log batch files dropped in a landing dir
+    arrive as decoded records (availableNow batch drain)."""
+    ev = _events(spark, 60).withColumn(
+        "k", F.col("event_id").cast("string"))
+    chunks = kb.pack_record_batches(
+        ev, topic_col="topic", ts_col="ts", key_col="k",
+        value_col="payload")
+    land = str(tmp_path / "land")
+    kb.write_kafka_segments(chunks, land)
+    q = (kb.read_kafka_segments_stream(spark, land + "/*.log")
+         .writeStream.format("memory").queryName("kafka_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = spark.sql("select * from kafka_stream").collect()
+    assert len(rows) == 60
+    assert sorted({r["topic"] for r in rows}) == ["t0", "t1", "t2"]
+    assert all(r["crc_ok"] for r in rows)
+
+
+def test_kafka_output_from_config(spark, tmp_path):
+    """[OUTPUT] Name kafka: a config-driven run lands RecordBatch v2
+    segment files whose decoded records reproduce the routed good
+    frame (topic = tag, key = Message_Key_Field, value = JSON)."""
+    import json
+
+    from fluent_bit_spark import fixtures as fx
+    from fluent_bit_spark.plans.config import (parse_classic,
+                                               spec_from_tree)
+    from fluent_bit_spark.plans.pipeline import run_pipeline
+
+    tok = str(tmp_path / "tok")
+    fx.generate_tokens_table(tok, 600)
+    conf = ("[INPUT]\n    Name tokens\n    Format tokens\n"
+            "[OUTPUT]\n    Name kafka\n    Match *\n    Sink s\n"
+            "    Message_Key_Field doc_id\n")
+    spec, io = spec_from_tree(parse_classic(conf))
+    assert spec.sink_format == "kafka"
+    assert spec.kafka_output["message_key_field"] == "doc_id"
+    out = str(tmp_path / "out")
+    stats = run_pipeline(spark, spec, tok, out)
+    back = kb.read_kafka_segments(spark, f"{out}/sinks/s/batch_id=0")
+    rows = back.select("topic", F.col("key").cast("string"),
+                       F.col("value").cast("string"), "crc_ok").collect()
+    assert len(rows) == stats["rows_in"] - stats["rows_dlq"]
+    assert all(r["crc_ok"] for r in rows)
+    recs = [json.loads(r["value"]) for r in rows]
+    assert all(r["key"] == rec["doc_id"] for r, rec in zip(rows, recs))
+    # topics are the route tags
+    assert all(r["topic"].startswith(("app.", "err.")) for r in rows)
