@@ -67,18 +67,23 @@ def pack_record_batches(df: DataFrame, *, topic_col: str = "topic",
             raise ValueError(f"kafka header column {c}: {dt[c]} "
                              f"(string/binary only)")
 
+    def as_bytes(c: str) -> "F.Column":
+        # binary passes through; anything else renders UTF-8 via its
+        # string form (ANSI forbids numeric→binary casts directly)
+        if dt.get(c) == "binary":
+            return F.col(c)
+        return F.col(c).cast("string").cast("binary")
+
     ts = (F.lit(0).cast("long") if ts_col is None
           else F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
                        / 1000).cast("long"))
     key = (F.lit(None).cast("binary") if key_col is None
-           else F.col(key_col).cast("binary"))
+           else as_bytes(key_col))
     sel = [F.col(topic_col).alias("topic"), ts.alias("ts_ms"),
-           key.alias("key"), F.col(value_col).cast("binary")
-           .alias("value")]
+           key.alias("key"), as_bytes(value_col).alias("value")]
     # positional aliases: a header column may also be the topic/key
     # column (tracing the route key is a common header)
-    sel += [F.col(c).cast("binary").alias(f"_h{i}")
-            for i, c in enumerate(hdr_names)]
+    sel += [as_bytes(c).alias(f"_h{i}") for i, c in enumerate(hdr_names)]
     narrow = df.select(*sel)
 
     out_schema = pa.schema([("topic", pa.string()),

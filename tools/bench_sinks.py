@@ -125,6 +125,50 @@ def run_size(n: int) -> dict:
                               and int(tot["ok"]) == n)
     res["frame_conns"] = conns
 
+    # kafka RecordBatch v2: per-task fold (ZERO shuffle — the 100 TB
+    # posture: batches are producer-flush units) → CRC-verified decode
+    from fluent_bit_spark.sources.kafka_batches import (
+        decode_kafka_binary, pack_record_batches)
+    t0 = time.time()
+    batches = pack_record_batches(
+        ev, topic_col="service", ts_col="ts",
+        key_col="event_id", value_col="line")
+    kdec = decode_kafka_binary(batches, "batch", passthrough=["topic"])
+    tot = kdec.agg(F.count("*").alias("r"),
+                   F.sum(F.col("crc_ok").cast("long")).alias("ok")
+                   ).collect()[0]
+    res["kafka_wall_s"] = round(time.time() - t0, 2)
+    rd4, wr4 = shuffle_totals()
+    res["kafka_shuffle_write_mb"] = round((wr4 - wr3) / 1e6, 1)
+    res["kafka_conserved"] = (int(tot["r"]) == n
+                              and int(tot["ok"]) == n)
+
+    # journal export: one exchange keyed by the capture id (bounded
+    # streams like framing) → binary-safe Arrow walk back out
+    from fluent_bit_spark.sources.journal_export import (
+        decode_export, encode_export)
+    t0 = time.time()
+    jsrc = ev.select(
+        F.pmod(F.xxhash64("event_id"), F.lit(conns)).alias("cap"),
+        F.col("event_id"),
+        F.col("line").alias("MESSAGE"),
+        F.concat(F.col("service"), F.lit(".service"))
+        .alias("_SYSTEMD_UNIT"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string")
+        .alias("__REALTIME_TIMESTAMP"))
+    jstreams = encode_export(
+        jsrc, ["MESSAGE", "_SYSTEMD_UNIT", "__REALTIME_TIMESTAMP"],
+        group_col="cap", order_col="event_id")
+    jdec = decode_export(jstreams, "stream")
+    tot = jdec.agg(F.count("*").alias("e"),
+                   F.sum(F.col("entry_ok").cast("long")).alias("ok")
+                   ).collect()[0]
+    res["journal_wall_s"] = round(time.time() - t0, 2)
+    rd5, wr5 = shuffle_totals()
+    res["journal_shuffle_write_mb"] = round((wr5 - wr4) / 1e6, 1)
+    res["journal_conserved"] = (int(tot["e"]) == n
+                                and int(tot["ok"]) == n)
+
     ev.unpersist()
     spark.stop()
     return res
@@ -143,7 +187,8 @@ def main() -> int:
         r = run_size(n)
         print(json.dumps(r))
         if not (r["es_conserved"] and r["loki_conserved"]
-                and r["frame_conserved"]):
+                and r["frame_conserved"] and r["kafka_conserved"]
+                and r["journal_conserved"]):
             print(json.dumps({"gate": "FAIL", "why": "conservation",
                               "at": n}))
             return 2
@@ -156,7 +201,9 @@ def main() -> int:
         worst = max(
             (b[k] / max(a[k], 0.1), k)
             for k in ("es_shuffle_write_mb", "loki_shuffle_write_mb",
-                      "frame_shuffle_write_mb"))
+                      "frame_shuffle_write_mb",
+                      "kafka_shuffle_write_mb",
+                      "journal_shuffle_write_mb"))
         gate_line = {"rows_x": ratio,
                      "worst_shuffle_x": round(worst[0], 2),
                      "worst_key": worst[1]}
@@ -175,8 +222,9 @@ def main() -> int:
             f" (sizes {args.sizes}; {N_SERVICES} services × {N_DAYS} "
             "days; logstash daily indexes; per-conn framing)", "",
             "| rows | es s / shufMB / bodies | loki s / shufMB / "
-            "streams | frame s / shufMB / conns | conserved |",
-            "|" + "---|" * 5]
+            "streams | frame s / shufMB / conns | kafka s / shufMB | "
+            "journal s / shufMB | conserved |",
+            "|" + "---|" * 7]
         for r in results:
             lines.append(
                 f"| {r['rows']:,} | {r['es_wall_s']} / "
@@ -184,7 +232,10 @@ def main() -> int:
                 f"{r['loki_wall_s']} / {r['loki_shuffle_write_mb']} / "
                 f"{r['loki_streams']:,} | {r['frame_wall_s']} / "
                 f"{r['frame_shuffle_write_mb']} / {r['frame_conns']:,} "
-                f"| {r['es_conserved'] and r['loki_conserved'] and r['frame_conserved']} |")
+                f"| {r['kafka_wall_s']} / {r['kafka_shuffle_write_mb']} "
+                f"| {r['journal_wall_s']} / "
+                f"{r['journal_shuffle_write_mb']} "
+                f"| {r['es_conserved'] and r['loki_conserved'] and r['frame_conserved'] and r['kafka_conserved'] and r['journal_conserved']} |")
         lines += [
             "", f"{ratio:.0f}× rows → worst shuffle-write growth "
             f"{gate_line['worst_shuffle_x']}× ({gate_line['worst_key']}); "
