@@ -89,6 +89,11 @@ HEADLINE = [
     "serialize_es_bulk",
     "serialize_loki_push",
     "syslog_octet_roundtrip",
+    # r5 late: compressed-codec structural probes (map-only Arrow
+    # kernels over real mp3 frame chains / H.264 Annex B streams)
+    "multimodal_mp3_probe",
+    "multimodal_h264_probe",
+    "multimodal_aac_probe",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

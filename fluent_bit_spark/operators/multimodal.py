@@ -14,10 +14,17 @@ libraries needed in-container:
 
 ``decode_images`` / ``decode_audio`` / ``sample_video_frames`` and the
 image path of ``resize_images`` operate on actual samples/pixels.
-COMPRESSED audio/video codecs (mp3/aac/h264…) are the remaining
-plug-point — those genuinely need ffmpeg-class libraries, and the
-``strict=True`` NotImplementedError markers below document exactly
-where they slot in.
+
+Compressed codecs (r5) get STRUCTURAL probes — real container/frame
+parsing without sample decode: mp3 frame-header walk
+(``functions/mpeg_audio.py``), AAC ADTS header walk
+(``functions/adts.py``), and H.264 Annex B NAL walk + Exp-Golomb
+SPS parse (``functions/h264.py``) in ``probe_audio_frames`` /
+``probe_adts_frames`` / ``probe_video_structure`` below. Only full
+SAMPLE decode of
+mp3/aac/h264 remains a plug-point — that genuinely needs ffmpeg-class
+libraries, and the ``strict=True`` NotImplementedError markers below
+document exactly where they slot in.
 """
 
 from __future__ import annotations
@@ -392,5 +399,200 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
                 bytes(b)[i::n_frames] for b in pdf[payload_col]
                 for i in range(n_frames)]
             yield reps
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+# ---------------------------------------------------------------------------
+# Compressed-codec STRUCTURAL probes (r5). Full sample decode of
+# mp3/aac/h264 remains the documented ffmpeg plug-point above, but the
+# frame/NAL layer — validate, meter, and fingerprint 100 TB of crawled
+# media without decoding a sample — is pure public-spec arithmetic
+# (functions/mpeg_audio.py, functions/h264.py). Map-only Arrow kernels,
+# one pass, no shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+def fixture_mp3_stream(doc_id: int) -> bytes:
+    """Formula-keyed spec-valid mp3 stream: sample rate by id mod 3,
+    3..9 frames, per-frame bitrate index (CBR for even ids, VBR walk
+    for odd), alternating padding bit, ID3v2 tag on every 4th id."""
+    from ..functions.mpeg_audio import encode_mp3_frames
+    n = 3 + doc_id % 7
+    frames = [(1 + ((doc_id + (doc_id % 2) * i) % 14), (doc_id + i) % 2)
+              for i in range(n)]
+    id3 = (17 + doc_id % 23) if doc_id % 4 == 0 else 0
+    return encode_mp3_frames(frames, doc_id % 3, id3_body=id3)
+
+
+def encode_fixture_mp3s(df: DataFrame, id_col: str = "doc_id",
+                        out_col: str = "payload") -> DataFrame:
+    """mapInPandas producing a REAL mp3 frame chain per row (headers
+    spec-valid, payload filler) — the encode half of the compressed-
+    audio structural round-trip."""
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += f", {out_col} binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[id_col].map(
+                lambda i: fixture_mp3_stream(int(i)))
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+def probe_audio_frames(df: DataFrame,
+                       payload_col: str = "payload") -> DataFrame:
+    """Structural mp3 probe: frame count, sample rate, CBR/VBR bitrate
+    band, exact sample count → duration, ID3 overhead — all from the
+    frame headers (functions/mpeg_audio.py), zero samples decoded."""
+    from ..functions.mpeg_audio import probe_mp3
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += (", n_frames int, sample_rate int, kbps_min int"
+                   ", kbps_max int, vbr boolean, total_samples bigint"
+                   ", duration_ms bigint, id3_bytes int"
+                   ", parsed_bytes bigint")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ("n_frames", "sample_rate", "kbps_min", "kbps_max",
+                "vbr", "total_samples", "duration_ms", "id3_bytes",
+                "parsed_bytes")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for b in pdf[payload_col]:
+                m = probe_mp3(bytes(b))
+                for k in keys:
+                    cols[k].append(m[k])
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+def fixture_h264_stream(doc_id: int) -> bytes:
+    """Formula-keyed Annex B stream: even non-mod-16 dimensions (real
+    frame-cropping fields), profile sweep baseline/main/high (the high
+    branch adds the chroma/bit-depth SPS fields), IDR every 3rd slice,
+    slice payloads in 0x10..0xEE (no start-code emulation needed —
+    the SPS path still exercises escape/unescape)."""
+    from ..functions.h264 import build_annexb, encode_sps
+    w = 300 + 2 * (doc_id % 11)
+    h = 180 + 2 * (doc_id % 7)
+    prof = (66, 77, 100)[doc_id % 3]
+    lev = 30 + 10 * (doc_id % 3)
+    n_sl = 2 + doc_id % 6
+    slices = [(s % 3 == 0,
+               bytes((doc_id * 7 + s * 13 + j * 29) % 223 + 16
+                     for j in range(5 + s % 3)))
+              for s in range(n_sl)]
+    return build_annexb(encode_sps(w, h, prof, lev), b"\xc8\x42", slices)
+
+
+def encode_fixture_h264s(df: DataFrame, id_col: str = "doc_id",
+                         out_col: str = "payload") -> DataFrame:
+    """mapInPandas producing a REAL Annex B H.264 structure per row
+    (bit-exact SPS, start codes, NAL headers; slice payload filler)."""
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += f", {out_col} binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[id_col].map(
+                lambda i: fixture_h264_stream(int(i)))
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+def probe_video_structure(df: DataFrame,
+                          payload_col: str = "payload") -> DataFrame:
+    """Structural H.264 probe: resolution/profile/level from a real
+    Exp-Golomb SPS parse, keyframe (IDR) and slice counts from the
+    Annex B NAL walk (functions/h264.py) — zero pixels decoded."""
+    from ..functions.h264 import probe_h264
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += (", width int, height int, profile_idc int"
+                   ", level_idc int, n_sps int, n_pps int, n_idr int"
+                   ", n_slices int")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ("width", "height", "profile_idc", "level_idc",
+                "n_sps", "n_pps", "n_idr", "n_slices")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for b in pdf[payload_col]:
+                m = probe_h264(bytes(b))
+                for k in keys:
+                    cols[k].append(m[k])
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+def fixture_aac_stream(doc_id: int) -> bytes:
+    """Formula-keyed spec-valid ADTS stream: profile sweep
+    Main/LC/SSR/LTP, sample rate by id mod 5, 1-3 channels, 2..7
+    frames with varying payload length and 1-2 raw data blocks each,
+    CRC-present header on every 3rd frame for even ids."""
+    from ..functions.adts import encode_adts_frames
+    n = 2 + doc_id % 6
+    frames = [(100 + (doc_id * 3 + i * 17) % 200, 1 + (doc_id + i) % 2)
+              for i in range(n)]
+    return encode_adts_frames(
+        frames, doc_id % 4, 3 + doc_id % 5, 1 + doc_id % 3,
+        crc_every=3 if doc_id % 2 == 0 else 0)
+
+
+def encode_fixture_aacs(df: DataFrame, id_col: str = "doc_id",
+                        out_col: str = "payload") -> DataFrame:
+    """mapInPandas producing a REAL ADTS frame chain per row (headers
+    bit-exact per ISO 13818-7 §6.2, payload filler)."""
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += f", {out_col} binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[id_col].map(
+                lambda i: fixture_aac_stream(int(i)))
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+def probe_adts_frames(df: DataFrame,
+                      payload_col: str = "payload") -> DataFrame:
+    """Structural AAC/ADTS probe: frame/raw-block counts, profile,
+    rate, channels, CRC-frame count, exact sample count → duration —
+    all from the 7/9-byte headers (functions/adts.py), zero samples
+    decoded. Map-only Arrow kernel, no shuffle at any scale."""
+    from ..functions.adts import probe_adts
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += (", n_frames int, profile string, sample_rate int"
+                   ", channels int, n_crc_frames int"
+                   ", total_samples bigint, duration_ms bigint"
+                   ", parsed_bytes bigint")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ("n_frames", "profile", "sample_rate", "channels",
+                "n_crc_frames", "total_samples", "duration_ms",
+                "parsed_bytes")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for b in pdf[payload_col]:
+                m = probe_adts(bytes(b))
+                for k in keys:
+                    cols[k].append(m[k])
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
 
     return df.mapInPandas(op, schema=schema_str)

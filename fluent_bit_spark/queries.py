@@ -2596,6 +2596,122 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "frame_w", "frame_h", "frame_sum")
 
 
+@q("multimodal_mp3_probe", """
+WITH d AS (
+  SELECT doc_id, CAST(3 + doc_id % 7 AS INT) AS n_frames,
+         ([44100, 48000, 32000])[CAST(1 + doc_id % 3 AS INT)] AS sr,
+         CASE WHEN doc_id % 4 = 0 THEN 27 + doc_id % 23 ELSE 0 END
+           AS id3_bytes
+  FROM documents),
+f AS (
+  SELECT d.*,
+         ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+           320])[CAST(1 + (d.doc_id + (d.doc_id % 2) * i.g) % 14 AS INT)]
+           AS kbps,
+         (d.doc_id + i.g) % 2 AS padding
+  FROM d, generate_series(0, 8) AS i(g)
+  WHERE i.g < d.n_frames)
+SELECT doc_id, n_frames, CAST(sr AS INT) AS sample_rate,
+       CAST(min(kbps) AS INT) AS kbps_min,
+       CAST(max(kbps) AS INT) AS kbps_max,
+       min(kbps) <> max(kbps) AS vbr,
+       CAST(n_frames * 1152 AS BIGINT) AS total_samples,
+       CAST(n_frames * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(id3_bytes AS INT) AS id3_bytes,
+       CAST(id3_bytes + sum(144000 * kbps // sr + padding) AS BIGINT)
+         AS parsed_bytes
+FROM f GROUP BY doc_id, n_frames, sr, id3_bytes
+""")
+def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio STRUCTURAL probe (r5 — narrows the mp3
+    plug-point): per doc, a spec-valid MPEG-1 Layer III frame chain
+    (CBR for even ids, VBR walk for odd, ID3v2 tag every 4th id,
+    alternating padding bit) is built then header-walked
+    (functions/mpeg_audio.py) — frame count, rate, bitrate band,
+    exact sample count → duration, tag overhead, all WITHOUT decoding
+    a sample. The DuckDB oracle recomputes every field arithmetically
+    from ISO/IEC 11172-3's frame-length formula (144*bitrate/rate +
+    padding) — no codec on the oracle side. Map-only Arrow kernels,
+    no shuffle at any scale: this is the validate/meter pass a 100 TB
+    crawled-audio corpus gets before any sample-level work."""
+    from .operators.multimodal import encode_fixture_mp3s, probe_audio_frames
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return probe_audio_frames(encode_fixture_mp3s(docs)).drop("payload")
+
+
+@q("multimodal_h264_probe", """
+SELECT doc_id,
+       CAST(300 + 2 * (doc_id % 11) AS INT) AS width,
+       CAST(180 + 2 * (doc_id % 7) AS INT) AS height,
+       CAST(([66, 77, 100])[CAST(1 + doc_id % 3 AS INT)] AS INT)
+         AS profile_idc,
+       CAST(30 + 10 * (doc_id % 3) AS INT) AS level_idc,
+       CAST(1 AS INT) AS n_sps, CAST(1 AS INT) AS n_pps,
+       CAST((2 + doc_id % 6 + 2) // 3 AS INT) AS n_idr,
+       CAST(2 + doc_id % 6 AS INT) AS n_slices
+FROM documents
+""")
+def multimodal_h264_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-video STRUCTURAL probe (r5 — narrows the h264
+    plug-point): per doc, a real Annex B stream (bit-exact Exp-Golomb
+    SPS with frame-cropping for non-mod-16 sizes, profile sweep
+    baseline/main/high, 3- and 4-byte start codes, RBSP
+    emulation-prevention escaping) is built then structurally parsed
+    (functions/h264.py): resolution/profile/level from the SPS bits,
+    keyframe/slice counts from the NAL walk — zero pixels decoded.
+    Oracle recomputes expectations from the fixture formulas alone.
+    Map-only, no shuffle; full pixel decode stays the documented
+    ffmpeg plug-point (operators/multimodal.py)."""
+    from .operators.multimodal import (
+        encode_fixture_h264s, probe_video_structure,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return probe_video_structure(encode_fixture_h264s(docs)).drop("payload")
+
+
+@q("multimodal_aac_probe", """
+WITH d AS (
+  SELECT doc_id, CAST(2 + doc_id % 6 AS INT) AS n_frames,
+         doc_id % 4 AS prof,
+         ([48000, 44100, 32000, 24000, 22050])[CAST(1 + doc_id % 5
+           AS INT)] AS sr,
+         CAST(1 + doc_id % 3 AS INT) AS channels,
+         doc_id % 2 = 0 AS has_crc
+  FROM documents),
+f AS (
+  SELECT d.*,
+         100 + (d.doc_id * 3 + i.g * 17) % 200 AS payload_len,
+         1 + (d.doc_id + i.g) % 2 AS blocks,
+         CASE WHEN d.has_crc AND i.g % 3 = 0 THEN 1 ELSE 0 END AS crc
+  FROM d, generate_series(0, 7) AS i(g)
+  WHERE i.g < d.n_frames)
+SELECT doc_id, n_frames,
+       (['Main', 'LC', 'SSR', 'LTP'])[CAST(1 + prof AS INT)] AS profile,
+       CAST(sr AS INT) AS sample_rate, channels,
+       CAST(sum(crc) AS INT) AS n_crc_frames,
+       CAST(1024 * sum(blocks) AS BIGINT) AS total_samples,
+       CAST(1024 * sum(blocks) * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(sum(7 + 2 * crc + payload_len) AS BIGINT) AS parsed_bytes
+FROM f GROUP BY doc_id, n_frames, prof, sr, channels
+""")
+def multimodal_aac_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio STRUCTURAL probe #2 (r5 — completes the
+    mp3/aac/h264 triple): per doc, a spec-valid ADTS frame chain
+    (profile sweep Main/LC/SSR/LTP, varying payload length, 1-2 raw
+    data blocks per frame, CRC-present 9-byte header on every 3rd
+    frame for even ids) is built then header-walked
+    (functions/adts.py): frame/raw-block counts, profile, rate,
+    channels, exact sample count → duration — zero samples decoded.
+    The DuckDB oracle recomputes every field arithmetically from
+    ISO/IEC 13818-7's header layout (13-bit frame length includes the
+    7/9-byte header; 1024 samples per raw data block) — no codec on
+    the oracle side. Map-only Arrow kernels, no shuffle at any
+    scale."""
+    from .operators.multimodal import encode_fixture_aacs, probe_adts_frames
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return probe_adts_frames(encode_fixture_aacs(docs)).drop("payload")
+
+
 @q("redact_pii", """
 WITH d AS (
   SELECT doc_id, text,

@@ -304,3 +304,189 @@ def test_sample_video_frames_real_pixels(spark):
         for r in rows:
             assert (r["n_frames"], r["frame_h"], r["frame_w"]) == v.shape
             assert r["frame_sum"] == int(v[r["frame_idx"]].sum())
+
+
+# ---------------------------------------------------------------------------
+# Compressed-codec structural probes (r5): mp3 frame chain, H.264 Annex B
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_probe_cbr_vbr_id3_and_truncation():
+    from fluent_bit_spark.functions.mpeg_audio import (
+        encode_mp3_frames, frame_length, probe_mp3,
+    )
+    # CBR, no ID3: 4 frames at 128 kbps / 44100, alternating padding.
+    b = encode_mp3_frames([(9, i % 2) for i in range(4)], 0)
+    m = probe_mp3(b)
+    assert m["n_frames"] == 4 and m["sample_rate"] == 44100
+    assert (m["kbps_min"], m["kbps_max"], m["vbr"]) == (128, 128, False)
+    assert m["total_samples"] == 4 * 1152
+    assert m["duration_ms"] == 4 * 1152 * 1000 // 44100
+    assert m["parsed_bytes"] == len(b) == sum(
+        frame_length(128, 44100, i % 2) for i in range(4))
+    # VBR with ID3v2 tag: sizes and flags tracked.
+    b = encode_mp3_frames([(1, 0), (14, 1), (5, 0)], 1, id3_body=300)
+    m = probe_mp3(b)
+    assert (m["kbps_min"], m["kbps_max"], m["vbr"]) == (32, 320, True)
+    assert m["sample_rate"] == 48000 and m["id3_bytes"] == 310
+    assert m["parsed_bytes"] == len(b)
+    # Truncated trailing frame: complete frames only, parse stops clean.
+    m2 = probe_mp3(b[:-3])
+    assert m2["n_frames"] == 2 and m2["parsed_bytes"] < len(b) - 3
+
+
+def test_mp3_probe_rejects_bad_streams():
+    from fluent_bit_spark.functions.mpeg_audio import (
+        encode_mp3_frames, probe_mp3,
+    )
+    with pytest.raises(ValueError, match="lost sync"):
+        probe_mp3(b"\x00\x00\x00\x00")
+    good = encode_mp3_frames([(9, 0)], 0)
+    with pytest.raises(ValueError, match="Layer III"):
+        probe_mp3(bytes((good[0], good[1] & ~0x08)) + good[2:])  # MPEG-2
+    with pytest.raises(ValueError, match="bad bitrate"):
+        probe_mp3(bytes((good[0], good[1], 0xF0, 0)) + good[4:])
+    with pytest.raises(ValueError, match="no complete"):
+        probe_mp3(good[:-1])
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        probe_mp3(encode_mp3_frames([(9, 0)], 0)
+                  + encode_mp3_frames([(9, 0)], 1))
+
+
+def test_h264_rbsp_escape_roundtrip_property():
+    from fluent_bit_spark.functions.h264 import escape_rbsp, unescape_rbsp
+    import itertools
+    # Exhaustive over short strings from the dangerous alphabet.
+    for n in range(1, 5):
+        for tup in itertools.product((0, 1, 2, 3, 0xFF), repeat=n):
+            raw = bytes(tup)
+            esc = escape_rbsp(raw)
+            assert unescape_rbsp(esc) == raw
+            # No forbidden 00 00 0x (x<=2) survives escaping; 00 00 03
+            # is the legal emulation-prevention form itself (§7.4.1).
+            for i in range(len(esc) - 2):
+                assert not (esc[i] == 0 and esc[i + 1] == 0
+                            and esc[i + 2] <= 2)
+
+
+def test_h264_sps_roundtrip_crop_and_profiles():
+    from fluent_bit_spark.functions.h264 import encode_sps, parse_sps
+    for w, h in ((320, 192), (322, 182), (1920, 1080), (16, 16), (2, 2)):
+        for prof in (66, 77, 100):
+            m = parse_sps(encode_sps(w, h, prof, 41))
+            assert (m["width"], m["height"]) == (w, h)
+            assert (m["profile_idc"], m["level_idc"]) == (prof, 41)
+    with pytest.raises(ValueError, match="even"):
+        encode_sps(321, 180)
+
+
+def test_h264_probe_annexb_walk():
+    from fluent_bit_spark.functions.h264 import (
+        build_annexb, encode_sps, probe_h264,
+    )
+    slices = [(True, b"\x55" * 6), (False, b"\x66" * 4), (False, b"\x20")]
+    b = build_annexb(encode_sps(640, 360, 100, 31), b"\xc8\x42", slices)
+    m = probe_h264(b)
+    assert (m["width"], m["height"]) == (640, 360)
+    assert (m["profile_idc"], m["level_idc"]) == (100, 31)
+    assert (m["n_sps"], m["n_pps"], m["n_idr"], m["n_slices"]) == (1, 1, 1, 3)
+    with pytest.raises(ValueError, match="start code"):
+        probe_h264(b"\xff" * 12)
+    with pytest.raises(ValueError, match="forbidden_zero_bit"):
+        probe_h264(b"\x00\x00\x01\x80")
+    with pytest.raises(ValueError, match="no SPS"):
+        probe_h264(b"\x00\x00\x01" + bytes((0x41,)) + b"\x99")
+
+
+def test_mp3_h264_probe_spark_paths(spark):
+    from fluent_bit_spark.operators.multimodal import (
+        encode_fixture_h264s, encode_fixture_mp3s, fixture_h264_stream,
+        fixture_mp3_stream, probe_audio_frames, probe_video_structure,
+    )
+    from fluent_bit_spark.functions.h264 import probe_h264
+    from fluent_bit_spark.functions.mpeg_audio import probe_mp3
+    df = spark.range(24).withColumnRenamed("id", "doc_id")
+    audio = {r["doc_id"]: r.asDict()
+             for r in probe_audio_frames(encode_fixture_mp3s(df)).collect()}
+    video = {r["doc_id"]: r.asDict()
+             for r in probe_video_structure(
+                 encode_fixture_h264s(df)).collect()}
+    for i in range(24):
+        am = probe_mp3(fixture_mp3_stream(i))
+        vm = probe_h264(fixture_h264_stream(i))
+        for k, v in am.items():
+            assert audio[i][k] == v, (i, k)
+        for k, v in vm.items():
+            assert video[i][k] == v, (i, k)
+        # Fixture-formula expectations, independent of the prober:
+        assert audio[i]["n_frames"] == 3 + i % 7
+        assert audio[i]["vbr"] == (i % 2 == 1 and 3 + i % 7 > 1)
+        assert video[i]["width"] == 300 + 2 * (i % 11)
+        assert video[i]["n_idr"] == (2 + i % 6 + 2) // 3
+
+
+def test_adts_probe_fields_crc_and_truncation():
+    from fluent_bit_spark.functions.adts import encode_adts_frames, probe_adts
+    # LC stereo at 44100, 3 frames, 2 blocks on frame 1, CRC on frame 0.
+    b = encode_adts_frames([(64, 1), (80, 2), (96, 1)], 1, 4, 2,
+                           crc_every=3)
+    m = probe_adts(b)
+    assert (m["n_frames"], m["profile"], m["sample_rate"],
+            m["channels"]) == (3, "LC", 44100, 2)
+    assert m["n_crc_frames"] == 1
+    assert m["total_samples"] == 4 * 1024
+    assert m["duration_ms"] == 4 * 1024 * 1000 // 44100
+    assert m["parsed_bytes"] == len(b) == 9 + 64 + 7 + 80 + 7 + 96
+    # Truncated trailing frame: complete frames only.
+    m2 = probe_adts(b[:-1])
+    assert m2["n_frames"] == 2 and m2["parsed_bytes"] == 9 + 64 + 7 + 80
+    # 7.1-style channel_config crossing the byte boundary (bit 2 in
+    # byte 2, bits 1-0 in byte 3).
+    assert probe_adts(encode_adts_frames([(10, 1)], 0, 7, 7))[
+        "channels"] == 7
+
+
+def test_adts_probe_rejects_bad_streams():
+    from fluent_bit_spark.functions.adts import encode_adts_frames, probe_adts
+    good = encode_adts_frames([(32, 1)], 1, 4, 2)
+    with pytest.raises(ValueError, match="lost sync"):
+        probe_adts(b"\x00" * 8)
+    with pytest.raises(ValueError, match="layer"):
+        probe_adts(bytes((good[0], good[1] | 0b010)) + good[2:])
+    with pytest.raises(ValueError, match="reserved sampling"):
+        probe_adts(bytes((good[0], good[1], (good[2] & 0xC3) | (15 << 2)))
+                   + good[3:])
+    with pytest.raises(ValueError, match="channel_config 0"):
+        probe_adts(bytes((good[0], good[1], good[2] & ~1,
+                          good[3] & 0x3F)) + good[4:])
+    with pytest.raises(ValueError, match="no complete"):
+        probe_adts(good[:-1])
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        probe_adts(good + encode_adts_frames([(32, 1)], 2, 4, 2))
+    with pytest.raises(ValueError, match="shorter than header"):
+        bad = bytearray(good)
+        bad[3] &= 0b11000000   # frame_length high bits -> 0
+        bad[4] = 0
+        bad[5] &= 0b00011111   # frame_length -> 0
+        probe_adts(bytes(bad))
+
+
+def test_aac_probe_spark_path(spark):
+    from fluent_bit_spark.operators.multimodal import (
+        encode_fixture_aacs, fixture_aac_stream, probe_adts_frames,
+    )
+    from fluent_bit_spark.functions.adts import probe_adts
+    df = spark.range(24).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r.asDict()
+           for r in probe_adts_frames(encode_fixture_aacs(df)).collect()}
+    for i in range(24):
+        m = probe_adts(fixture_aac_stream(i))
+        for k, v in m.items():
+            assert got[i][k] == v, (i, k)
+        # Fixture-formula expectations, independent of the prober:
+        n = 2 + i % 6
+        assert got[i]["n_frames"] == n
+        assert got[i]["profile"] == ("Main", "LC", "SSR", "LTP")[i % 4]
+        assert got[i]["channels"] == 1 + i % 3
+        assert got[i]["n_crc_frames"] == ((n + 2) // 3 if i % 2 == 0 else 0)
+        assert got[i]["total_samples"] == 1024 * (n + (n + i % 2) // 2)
