@@ -94,6 +94,7 @@ HEADLINE = [
     "multimodal_mp3_probe",
     "multimodal_h264_probe",
     "multimodal_aac_probe",
+    "multimodal_mp4_probe",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

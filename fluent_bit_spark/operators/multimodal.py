@@ -18,11 +18,12 @@ image path of ``resize_images`` operate on actual samples/pixels.
 Compressed codecs (r5) get STRUCTURAL probes — real container/frame
 parsing without sample decode: mp3 frame-header walk
 (``functions/mpeg_audio.py``), AAC ADTS header walk
-(``functions/adts.py``), and H.264 Annex B NAL walk + Exp-Golomb
-SPS parse (``functions/h264.py``) in ``probe_audio_frames`` /
-``probe_adts_frames`` / ``probe_video_structure`` below. Only full
-SAMPLE decode of
-mp3/aac/h264 remains a plug-point — that genuinely needs ffmpeg-class
+(``functions/adts.py``), H.264 Annex B NAL walk + Exp-Golomb SPS
+parse (``functions/h264.py``), and MP4/ISO-BMFF box-tree walk
+(``functions/mp4.py``) in ``probe_audio_frames`` /
+``probe_adts_frames`` / ``probe_video_structure`` /
+``probe_mp4_structure`` below. Only full SAMPLE decode of compressed
+codecs remains a plug-point — that genuinely needs ffmpeg-class
 libraries, and the ``strict=True`` NotImplementedError markers below
 document exactly where they slot in.
 """
@@ -589,6 +590,77 @@ def probe_adts_frames(df: DataFrame,
             cols = {k: [] for k in keys}
             for b in pdf[payload_col]:
                 m = probe_adts(bytes(b))
+                for k in keys:
+                    cols[k].append(m[k])
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+def fixture_mp4_stream(doc_id: int) -> bytes:
+    """Formula-keyed spec-valid ISO-BMFF tree: brand/timescale/codec
+    sweeps, non-round durations (exercise the ms floor division),
+    audio trak dropped on every 3rd id, mvhd v1 on odd ids, 64-bit
+    largesize mdat on every 5th id."""
+    from ..functions.mp4 import encode_mp4
+    ts = (1000, 90000, 600, 30000, 12288)[doc_id % 5]
+    return encode_mp4(
+        brand=(b"isom", b"mp42", b"avc1", b"dash")[doc_id % 4],
+        timescale=ts,
+        duration=ts * (3 + doc_id % 10) + doc_id % 7,
+        width=320 + doc_id % 65,
+        height=180 + doc_id % 37,
+        video_codec=(b"avc1", b"hev1", b"av01")[doc_id % 3],
+        audio_codec=(None if doc_id % 3 == 0
+                     else (b"mp4a", b"opus")[doc_id % 2]),
+        mdat_len=1000 + (doc_id * 37) % 5000,
+        mvhd_version=doc_id % 2,
+        largesize_mdat=doc_id % 5 == 0,
+    )
+
+
+def encode_fixture_mp4s(df: DataFrame, id_col: str = "doc_id",
+                        out_col: str = "payload") -> DataFrame:
+    """mapInPandas producing a REAL MP4 box tree per row (ISO 14496-12
+    headers bit-exact; mdat filler)."""
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += f", {out_col} binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[id_col].map(
+                lambda i: fixture_mp4_stream(int(i)))
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema_str)
+
+
+def probe_mp4_structure(df: DataFrame,
+                        payload_col: str = "payload") -> DataFrame:
+    """Structural MP4 probe: brand, movie duration, track count,
+    video dimensions + codec fourccs, mdat payload size, box count —
+    from the box-tree walk (functions/mp4.py), zero samples touched.
+    Map-only Arrow kernel, no shuffle at any scale."""
+    from ..functions.mp4 import probe_mp4
+    schema_str = ",".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema_str += (", major_brand string, timescale int"
+                   ", duration_ms bigint, n_tracks int, width int"
+                   ", height int, video_codec string"
+                   ", audio_codec string, mdat_bytes bigint"
+                   ", n_boxes int")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ("major_brand", "timescale", "duration_ms", "n_tracks",
+                "width", "height", "video_codec", "audio_codec",
+                "mdat_bytes", "n_boxes")
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for b in pdf[payload_col]:
+                m = probe_mp4(bytes(b))
                 for k in keys:
                     cols[k].append(m[k])
             for k, v in cols.items():

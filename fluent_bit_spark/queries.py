@@ -2712,6 +2712,52 @@ def multimodal_aac_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_adts_frames(encode_fixture_aacs(docs)).drop("payload")
 
 
+@q("multimodal_mp4_probe", """
+WITH d AS (
+  SELECT doc_id,
+         ([1000, 90000, 600, 30000, 12288])[CAST(1 + doc_id % 5
+           AS INT)] AS ts
+  FROM documents)
+SELECT doc_id,
+       (['isom', 'mp42', 'avc1', 'dash'])[CAST(1 + doc_id % 4 AS INT)]
+         AS major_brand,
+       CAST(ts AS INT) AS timescale,
+       CAST((ts * (3 + doc_id % 10) + doc_id % 7) * 1000 // ts
+         AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
+         AS n_tracks,
+       CAST(320 + doc_id % 65 AS INT) AS width,
+       CAST(180 + doc_id % 37 AS INT) AS height,
+       (['avc1', 'hev1', 'av01'])[CAST(1 + doc_id % 3 AS INT)]
+         AS video_codec,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE (['mp4a', 'opus'])[CAST(1 + doc_id % 2 AS INT)] END
+         AS audio_codec,
+       CAST(1000 + (doc_id * 37) % 5000 AS BIGINT) AS mdat_bytes,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 20 END AS INT)
+         AS n_boxes
+FROM d
+""")
+def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-layer STRUCTURAL probe (r5 — completes the crawled-
+    video story: H.264-in-MP4 is the dominant web form): per doc, a
+    spec-valid ISO-BMFF box tree (brand/timescale/codec sweeps,
+    non-round durations, audio trak dropped on every 3rd id, mvhd v1
+    64-bit times on odd ids, largesize mdat on every 5th id) is built
+    then box-walked (functions/mp4.py): brand, movie duration, track
+    count, video dimensions (tkhd 16.16 fixed point), sample-entry
+    fourccs, mdat payload size, box count — zero samples touched. The
+    DuckDB oracle recomputes every field arithmetically from ISO/IEC
+    14496-12's layout (box count = 4 + 8 per trak; ms = duration *
+    1000 // timescale). Map-only Arrow kernels, no shuffle at any
+    scale."""
+    from .operators.multimodal import (
+        encode_fixture_mp4s, probe_mp4_structure,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return probe_mp4_structure(encode_fixture_mp4s(docs)).drop("payload")
+
+
 @q("redact_pii", """
 WITH d AS (
   SELECT doc_id, text,

@@ -490,3 +490,76 @@ def test_aac_probe_spark_path(spark):
         assert got[i]["channels"] == 1 + i % 3
         assert got[i]["n_crc_frames"] == ((n + 2) // 3 if i % 2 == 0 else 0)
         assert got[i]["total_samples"] == 1024 * (n + (n + i % 2) // 2)
+
+
+def test_mp4_probe_box_walk_versions_and_largesize():
+    from fluent_bit_spark.functions.mp4 import encode_mp4, probe_mp4
+    for ver, large in ((0, False), (1, True)):
+        b = encode_mp4(b"isom", 90000, 90000 * 7 + 3, 1920, 1080,
+                       b"avc1", b"mp4a", 4096,
+                       mvhd_version=ver, largesize_mdat=large)
+        m = probe_mp4(b)
+        assert m["major_brand"] == "isom"
+        assert m["timescale"] == 90000
+        assert m["duration_ms"] == (90000 * 7 + 3) * 1000 // 90000
+        assert (m["n_tracks"], m["width"], m["height"]) == (2, 1920, 1080)
+        assert (m["video_codec"], m["audio_codec"]) == ("avc1", "mp4a")
+        assert m["mdat_bytes"] == 4096
+        assert m["n_boxes"] == 20
+    # Video-only tree: audio fourcc stays NULL, box count shrinks.
+    m = probe_mp4(encode_mp4(b"mp42", 600, 1200, 640, 360, b"hev1",
+                             None, 10))
+    assert m["audio_codec"] is None and m["n_tracks"] == 1
+    assert m["n_boxes"] == 12
+
+
+def test_mp4_probe_rejects_bad_trees():
+    from fluent_bit_spark.functions.mp4 import encode_mp4, probe_mp4
+    good = encode_mp4(b"isom", 1000, 5000, 320, 240, b"avc1", None, 50)
+    with pytest.raises(ValueError, match="no ftyp"):
+        probe_mp4(good[24:])          # strip the ftyp box
+    with pytest.raises(ValueError, match="overruns"):
+        bad = bytearray(good)
+        bad[0:4] = b"\x7f\xff\xff\xff"  # ftyp size far past EOF
+        probe_mp4(bytes(bad))
+    with pytest.raises(ValueError, match="truncated box header"):
+        probe_mp4(good + b"\x00\x00\x00")
+    with pytest.raises(ValueError, match="no moov/mvhd"):
+        probe_mp4(good[:24])          # ftyp alone
+    with pytest.raises(ValueError, match="mvhd version"):
+        bad = bytearray(good)
+        i = bad.index(b"mvhd") + 4
+        bad[i] = 9
+        probe_mp4(bytes(bad))
+
+
+def test_mp4_size_zero_to_eof():
+    from fluent_bit_spark.functions.mp4 import encode_mp4, probe_mp4
+    import struct
+    b = bytearray(encode_mp4(b"isom", 1000, 2000, 64, 64, b"avc1",
+                             None, 100))
+    i = b.index(b"mdat") - 4
+    assert struct.unpack_from(">I", b, i)[0] == 108
+    b[i:i + 4] = b"\x00\x00\x00\x00"  # size 0 = to EOF (§4.2)
+    assert probe_mp4(bytes(b))["mdat_bytes"] == 100
+
+
+def test_mp4_probe_spark_path(spark):
+    from fluent_bit_spark.operators.multimodal import (
+        encode_fixture_mp4s, fixture_mp4_stream, probe_mp4_structure,
+    )
+    from fluent_bit_spark.functions.mp4 import probe_mp4
+    df = spark.range(30).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r.asDict()
+           for r in probe_mp4_structure(encode_fixture_mp4s(df)).collect()}
+    for i in range(30):
+        m = probe_mp4(fixture_mp4_stream(i))
+        for k, v in m.items():
+            assert got[i][k] == v, (i, k)
+        # Fixture-formula expectations, independent of the prober:
+        ts = (1000, 90000, 600, 30000, 12288)[i % 5]
+        assert got[i]["duration_ms"] == (ts * (3 + i % 10) + i % 7) \
+            * 1000 // ts
+        assert got[i]["n_tracks"] == (1 if i % 3 == 0 else 2)
+        assert got[i]["n_boxes"] == (12 if i % 3 == 0 else 20)
+        assert got[i]["mdat_bytes"] == 1000 + (i * 37) % 5000
