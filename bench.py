@@ -95,6 +95,8 @@ HEADLINE = [
     "multimodal_h264_probe",
     "multimodal_aac_probe",
     "multimodal_mp4_probe",
+    # r5 late: WARC crawl-archive ingestion (1:N record explode)
+    "warc_ingest",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

@@ -4044,3 +4044,57 @@ def journal_export_roundtrip(spark: SparkSession,
         "group", F.element_at("fields", "MESSAGE").alias("message"),
         F.element_at("fields", "PRIORITY").alias("priority"),
         "ts", "tag", "entry_ok")
+
+
+@q("warc_ingest", """
+WITH d AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n_rec
+           FROM documents),
+r AS (
+  SELECT d.doc_id, CAST(i.g AS INT) AS rec_idx, d.n_rec
+  FROM d, generate_series(0, 5) AS i(g)
+  WHERE i.g <= d.n_rec),
+b AS (
+  SELECT *,
+         CASE WHEN rec_idx = 0 THEN NULL
+              ELSE '<html><body>doc ' || doc_id || ' rec '
+                   || (rec_idx - 1) || ' '
+                   || repeat('x', CAST(doc_id % 50 AS INT))
+                   || '</body></html>' END AS body,
+         CASE WHEN rec_idx = 0 THEN NULL
+              ELSE (['200 OK', '404 Not Found',
+                     '301 Moved Permanently'])[CAST(
+                       1 + (doc_id + rec_idx - 1) % 3 AS INT)] END
+           AS status_text
+  FROM r)
+SELECT doc_id, rec_idx,
+       CASE WHEN rec_idx = 0 THEN 'warcinfo' ELSE 'response' END
+         AS warc_type,
+       CASE WHEN rec_idx = 0 THEN NULL
+            ELSE 'http://h' || doc_id || '.example/p' || (rec_idx - 1)
+            END AS target_uri,
+       CAST(CASE WHEN rec_idx = 0 THEN NULL
+                 ELSE CAST(split_part(status_text, ' ', 1) AS INT) END
+         AS INT) AS http_status,
+       CAST(CASE WHEN rec_idx = 0
+                 THEN length('software: fluent-bit-spark') + 2
+                 ELSE 38 + length(status_text) + length(body) END
+         AS BIGINT) AS content_length,
+       body, TRUE AS rec_ok
+FROM b
+""")
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingestion (sources/warc.py — ISO 28500 /
+    Common Crawl interchange; training-data extension): per doc a
+    spec-valid capture (warcinfo leader + 2-5 HTTP response records,
+    gzip-member-compressed on every 3rd id exactly like a real
+    ``.warc.gz``) is built, then the 1:N Arrow record walk explodes it
+    back into rows — WARC headers, Content-Length framing, HTTP
+    status/body split, gzip transparency all exercised. The oracle
+    reconstructs every record — URIs, status codes, exact
+    Content-Length byte counts, bodies — arithmetically from the
+    fixture formulas. Map-only at any scale: one capture per task,
+    records never shuffle to be parsed; downstream this feeds the
+    html_text → C4-clean → pack chain."""
+    from .sources.warc import decode_warc, encode_fixture_warcs
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return decode_warc(encode_fixture_warcs(docs))
