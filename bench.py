@@ -97,6 +97,7 @@ HEADLINE = [
     "multimodal_mp4_probe",
     # r5 late: WARC crawl-archive ingestion (1:N record explode)
     "warc_ingest",
+    "crawl_to_pack",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

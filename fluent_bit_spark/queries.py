@@ -4098,3 +4098,63 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.warc import decode_warc, encode_fixture_warcs
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return decode_warc(encode_fixture_warcs(docs))
+
+
+@q("crawl_to_pack", f"""
+WITH d0 AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS n_rec
+            FROM documents),
+r AS (SELECT d0.doc_id, CAST(i.g AS INT) AS rec_idx
+      FROM d0, generate_series(1, 5) AS i(g)
+      WHERE i.g <= d0.n_rec),
+ok AS (SELECT doc_id, rec_idx FROM r
+       WHERE (doc_id + rec_idx - 1) % 3 = 0),
+txt AS (SELECT doc_id * 8 + rec_idx AS rid,
+               'crawl-' || CAST(doc_id % 3 AS VARCHAR) AS source,
+               'doc ' || CAST(doc_id AS VARCHAR) || ' rec '
+               || CAST(rec_idx - 1 AS VARCHAR)
+               || CASE WHEN doc_id % 50 > 0
+                       THEN ' ' || repeat('x', CAST(doc_id % 50 AS INT))
+                       ELSE '' END AS text
+        FROM ok),
+d AS (SELECT rid AS doc_id, source, {{_TOK_IDS_SQL}} AS tokens,
+             len(string_split(text, ' ')) AS n_tok
+      FROM txt),
+{{_pack_oracle_suffix_64}}
+""".format(_TOK_IDS_SQL=_TOK_IDS_SQL,
+           _pack_oracle_suffix_64=_pack_oracle_suffix(64)))
+def crawl_to_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl→training-data chain under ONE oracle (the
+    warc_ingest fixture feeding the corpus_clean_pack machinery):
+    spec-valid ``.warc.gz`` captures (sources/warc.py) → 1:N record
+    explode → keep HTTP-200 responses → html_to_text boilerplate
+    strip (operators/web.py) → deterministic tokenization →
+    concat-and-chunk packing into 64-token windows
+    (operators/tokens.py pack_sequences, distributed two-phase prefix
+    sum). The oracle reconstructs every stage arithmetically from the
+    fixture formulas — record selection, extracted text, token ids,
+    chunk boundaries — and value-checks each packed window by md5
+    over its token ids. 100 TB shape: scan → map-only explode +
+    strip + tokenize (zero shuffle until packing), then the packing
+    prefix-sum's two narrow exchanges; nothing materializes the
+    corpus twice."""
+    from .operators.tokens import pack_sequences
+    from .operators.web import html_to_text
+    from .sources.warc import decode_warc, encode_fixture_warcs
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    recs = decode_warc(encode_fixture_warcs(docs))
+    resp = recs.filter((F.col("warc_type") == "response")
+                       & F.col("rec_ok") & (F.col("http_status") == 200))
+    pages = html_to_text(resp, "body", "text")
+    tok = F.transform(
+        F.split("text", " "),
+        lambda w: (F.conv(F.substring(F.md5(w), 1, 7), 16, 10)
+                   .cast("long") % 50000).cast("int"))
+    d = (pages.select(
+            (F.col("doc_id") * 8 + F.col("rec_idx")).alias("doc_id"),
+            F.concat(F.lit("crawl-"),
+                     (F.col("doc_id") % 3).cast("string")).alias("source"),
+            tok.alias("tokens"))
+         .withColumn("n_tok", F.size("tokens")))
+    packed = pack_sequences(d, ctx_len=64, id_col="doc_id",
+                            group_size=1 << 20)
+    return _pack_select(packed)
