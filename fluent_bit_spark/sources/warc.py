@@ -183,15 +183,19 @@ def decode_warc(df: DataFrame, col: str = "payload") -> DataFrame:
                           for f in keep) + _REC_SCHEMA
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keep_names = [f.name for f in keep]
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                base = {f.name: r[f.name] for f in keep}
-                for rec in parse_warc(bytes(r[col])):
+            # zip over column lists, not iterrows (a Series per row is
+            # the expensive idiom; the walk itself dominates already)
+            for vals in zip(*(pdf[n].tolist() for n in keep_names),
+                            pdf[col].tolist()):
+                base = dict(zip(keep_names, vals[:-1]))
+                for rec in parse_warc(bytes(vals[-1])):
                     rows.append({**base,
                                  **{k: rec[k] for k in _REC_KEYS}})
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in keep] + list(_REC_KEYS))
+            yield pd.DataFrame(rows,
+                               columns=keep_names + list(_REC_KEYS))
 
     return df.mapInPandas(op, schema=schema_str)
 

@@ -38,6 +38,10 @@ PROBES = {
              "probe_h264"),
     "mp4": ("fixture_mp4_stream", "fluent_bit_spark.functions.mp4",
             "probe_mp4"),
+    # warc: fixture + walk live in sources/warc.py (1:N record explode,
+    # ~3.5 records/capture, every 3rd capture gzip-membered)
+    "warc": ("fixture_warc_capture", "fluent_bit_spark.sources.warc",
+             "parse_warc"),
 }
 
 
@@ -47,8 +51,9 @@ def micro() -> dict:
     from fluent_bit_spark.operators import multimodal as mm
     out = {}
     for name, (fix_name, mod_name, probe_name) in PROBES.items():
-        fix = getattr(mm, fix_name)
-        probe = getattr(importlib.import_module(mod_name), probe_name)
+        mod = importlib.import_module(mod_name)
+        fix = getattr(mm, fix_name, None) or getattr(mod, fix_name)
+        probe = getattr(mod, probe_name)
         sizes = {}
         payload_bytes = 0
         for n in (2_000, 10_000, 40_000):
@@ -66,20 +71,23 @@ def micro() -> dict:
     return out
 
 
-def spark_runs(rows: int, runs: int) -> dict:
+def spark_runs(rows: int, runs: int, codec: str | None = None) -> dict:
     from fluent_bit_spark.session import get_spark
     from fluent_bit_spark.operators import multimodal as mm
     spark = get_spark(app_name="probe_bench", master="local[32]")
+    from fluent_bit_spark.sources import warc as wa
     encoders = {"mp3": mm.encode_fixture_mp3s, "aac": mm.encode_fixture_aacs,
                 "h264": mm.encode_fixture_h264s,
-                "mp4": mm.encode_fixture_mp4s}
+                "mp4": mm.encode_fixture_mp4s,
+                "warc": wa.encode_fixture_warcs}
     probers = {"mp3": mm.probe_audio_frames, "aac": mm.probe_adts_frames,
                "h264": mm.probe_video_structure,
-               "mp4": mm.probe_mp4_structure}
+               "mp4": mm.probe_mp4_structure,
+               "warc": wa.decode_warc}
     out = {}
     # Interleave sizes within each codec (NOTES #19/#22): the ratio is
     # min-of-runs at each size from the same window.
-    for name in PROBES:
+    for name in (PROBES if codec is None else [codec]):
         per_size = {}
         for n in (rows, 4 * rows):
             walls = []
@@ -107,10 +115,12 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=1_000_000)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--micro-only", action="store_true")
+    ap.add_argument("--codec", choices=sorted(PROBES), default=None,
+                    help="limit the Spark two-size run to one codec")
     args = ap.parse_args()
     result = {"micro": micro()}
     if not args.micro_only:
-        result["spark"] = spark_runs(args.rows, args.runs)
+        result["spark"] = spark_runs(args.rows, args.runs, args.codec)
         result["rows"] = args.rows
     print(json.dumps(result))
     return 0
