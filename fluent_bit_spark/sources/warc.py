@@ -211,6 +211,22 @@ def read_warc_files(spark, path: str) -> DataFrame:
     return decode_warc(blobs, col="content")
 
 
+def read_warc_files_stream(spark, path: str,
+                           max_files: int | None = None) -> DataFrame:
+    """Streaming twin: a landing-directory tail of ``.warc``/
+    ``.warc.gz`` archives — the continuous-arrival shape of a crawl
+    feed, same posture as the forward / kafka / journal landing-dir
+    twins. ``maxFilesPerTrigger`` bounds per-micro-batch work (one
+    archive = one task)."""
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary"))
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    blobs = reader.load(path).select("path", "content")
+    return decode_warc(blobs, col="content")
+
+
 # ---------------------------------------------------------------------------
 # Formula-keyed fixture captures (oracle-reconstructable)
 # ---------------------------------------------------------------------------

@@ -111,3 +111,25 @@ def test_read_warc_files(spark, tmp_path):
     assert n_resp == sum(2 + i % 4 for i in range(4))
     assert all(r["body"] is not None
                for r in out if r["warc_type"] == "response")
+
+
+def test_warc_stream_landing_dir(spark, tmp_path):
+    """Streaming twin: archives dropped in a landing dir arrive as
+    decoded records (availableNow drain) — identical rows to the
+    batch file source over the same files."""
+    from fluent_bit_spark.sources.warc import read_warc_files_stream
+
+    land = tmp_path / "land"
+    land.mkdir()
+    for i in range(6):
+        ext = "warc.gz" if i % 3 == 0 else "warc"
+        (land / f"cap{i}.{ext}").write_bytes(fixture_warc_capture(i))
+    q = (read_warc_files_stream(spark, str(land), max_files=2)
+         .writeStream.format("memory").queryName("warc_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("select * from warc_stream").collect()
+    want = read_warc_files(spark, str(land)).collect()
+    order = lambda t: (t[0], t[1] if t[1] is not None else -1)
+    assert sorted(map(tuple, got), key=order) \
+        == sorted(map(tuple, want), key=order)
