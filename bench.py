@@ -98,6 +98,7 @@ HEADLINE = [
     # r5 late: WARC crawl-archive ingestion (1:N record explode)
     "warc_ingest",
     "crawl_to_pack",
+    "url_canonical_dedup",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

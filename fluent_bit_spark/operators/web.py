@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["normalize_text", "url_parts", "base_domain", "cap_per_host",
-           "html_to_text"]
+           "html_to_text", "canonical_url"]
 
 
 def normalize_text(df: DataFrame, col: str = "text",
@@ -197,3 +197,55 @@ def html_to_text(df: DataFrame, col: str = "html",
     c = F.regexp_replace(c, r"^\s+", "")
     c = F.regexp_replace(c, r"\s+$", "")
     return df.withColumn(out, c)
+
+
+# query params that identify a click, not a resource — the standard
+# strip set every crawl canonicalizer carries (utm_* per Google's
+# campaign-tagging docs; the click ids per their owners' docs).
+_TRACKING_PARAM_RE = (r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid"
+                      r"|ref|ref_src)=")
+
+
+def canonical_url(df: DataFrame, url_col: str = "url",
+                  out: str = "url_canon") -> DataFrame:
+    """URL canonicalization — the key for URL-level dedup, the stage
+    crawl pipelines run BEFORE content dedup (two captures of one page
+    differ only in click-tracking noise).
+
+    Rules (the conservative, lossless-intent subset):
+    - scheme and host lowercased (path case is significant — kept);
+    - default port stripped only when it matches the scheme
+      (``http…:80``, ``https…:443``; ``https://x:80`` is preserved);
+    - fragment dropped;
+    - tracking params (``utm_*``, click ids, ``ref``) removed, the
+      remaining params sorted for order-independence;
+    - empty path → ``/``, otherwise one trailing slash stripped.
+
+    Non-URLs (no ``scheme://``) yield NULL — the tolerate-and-null
+    posture of ``url_parts``/``try_parse_url``. Entire expression is
+    Catalyst (regexp in the Java∩RE2 subset + array filter/sort) —
+    map-only, zero Python, zero shuffle at any scale.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(
+        u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    auth = F.lower(F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    host = (F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(auth, r":443$", ""))
+            .otherwise(auth))
+    path = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")) \
+            .when(path != "/", F.regexp_replace(path, r"/$", "")) \
+            .otherwise(path)
+    params = F.filter(
+        F.split(F.regexp_extract(u, r"\?([^#]*)", 1), "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE))
+    q = F.concat_ws("&", F.array_sort(params))
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)))
+    return df.withColumn(out,
+                         F.when(scheme == "", F.lit(None)).otherwise(canon))

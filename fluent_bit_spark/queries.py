@@ -4158,3 +4158,62 @@ def crawl_to_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_sequences(d, ctx_len=64, id_col="doc_id",
                             group_size=1 << 20)
     return _pack_select(packed)
+
+
+@q("url_canonical_dedup", """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS sch,
+         'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
+         CASE WHEN doc_id % 11 = 10 THEN '/'
+              ELSE '/P' || CAST(doc_id % 9 AS VARCHAR) END AS p,
+         CASE WHEN doc_id % 3 < 2 THEN '?a=1&b=2' ELSE '' END AS qq
+  FROM documents),
+c AS (SELECT doc_id, sch || '://' || host || p || qq AS url_canon
+      FROM u)
+SELECT url_canon, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM c GROUP BY url_canon
+""")
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/web.py canonical_url — the stage
+    crawl pipelines run before content dedup): per doc a MESSY url is
+    rendered by formula — mixed-case scheme/host, scheme-matched
+    default ports, trailing slashes, tracking params in shuffled
+    positions, fragments — then canonicalized and exact-deduped by
+    the canonical string (count + min-id keep per group). The oracle
+    constructs the EXPECTED canonical form directly from the same
+    formulas (it never runs a canonicalizer), so every rule —
+    lowercase, port strip, utm/fragment drop, param sort, slash
+    normalization — is value-checked independently. Map-only until
+    the one dedup agg; skew-free (hash keys)."""
+    from .operators.web import canonical_url
+    did = F.col("doc_id")
+    sch_raw = (F.when(did % 8 == 6, F.lit("HTTP"))
+               .when(did % 8 == 7, F.lit("HTTPS"))
+               .when(did % 2 == 0, F.lit("http"))
+               .otherwise(F.lit("https")))
+    host_raw = F.concat(F.lit("H"), (did % 40).cast("string"),
+                        F.lit(".Example.com"))
+    port = F.when(did % 5 == 0,
+                  F.when(did % 2 == 0, F.lit(":80"))
+                   .otherwise(F.lit(":443"))).otherwise(F.lit(""))
+    path_raw = (F.when(did % 11 == 10, F.lit(""))
+                .otherwise(F.concat(
+                    F.lit("/P"), (did % 9).cast("string"),
+                    F.when(did % 4 == 0, F.lit("/"))
+                     .otherwise(F.lit("")))))
+    q_raw = (F.when(did % 3 == 0, F.lit("?utm_source=t&b=2&a=1"))
+             .when(did % 3 == 1, F.lit("?b=2&a=1"))
+             .otherwise(F.lit("")))
+    frag = (F.when(did % 6 < 3,
+                   F.concat(F.lit("#s"), (did % 6).cast("string")))
+            .otherwise(F.lit("")))
+    url = F.concat(sch_raw, F.lit("://"), host_raw, port, path_raw,
+                   q_raw, frag)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"))
+    return (canonical_url(docs)
+            .groupBy("url_canon")
+            .agg(F.count("*").alias("n_urls"),
+                 F.min("doc_id").alias("keep_id")))

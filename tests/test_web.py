@@ -217,3 +217,33 @@ def test_run_curate_cli_warc_input(spark, tmp_path, monkeypatch):
     assert len(r) == 1 and r[0].target_uri == "http://h5.example/p1"
     assert r[0].text.startswith("doc 5 rec 1")
     assert "<body>" not in r[0].text
+
+
+def test_canonical_url_rules(spark):
+    """Scheme/host lowercase, scheme-matched default-port strip,
+    fragment drop, tracking-param strip + param sort, trailing-slash
+    and empty-path normalization, NULL on non-URLs."""
+    from fluent_bit_spark.operators.web import canonical_url
+
+    cases = [
+        ("HTTP://Ex.COM:80/A/?b=2&utm_source=x&a=1#frag",
+         "http://ex.com/A?a=1&b=2"),
+        ("https://ex.com:443/p", "https://ex.com/p"),
+        # :80 on https is NOT the default port — preserved
+        ("https://ex.com:80/p", "https://ex.com:80/p"),
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com/?fbclid=abc", "http://ex.com/"),
+        ("http://ex.com/p/", "http://ex.com/p"),
+        ("http://ex.com/p?ref=tw&z=1&gclid=2", "http://ex.com/p?z=1"),
+        ("not a url", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r.url: r.url_canon
+           for r in canonical_url(df).select("url", "url_canon").collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+    # map-only: no Python boundary, no exchange
+    plan = canonical_url(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

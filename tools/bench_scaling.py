@@ -122,7 +122,22 @@ def main() -> int:
     ap.add_argument("--workdir", default="/tmp/bench_scaling")
     ap.add_argument("--with-write", action="store_true",
                     help="also time the partitioned-parquet-write variant")
+    ap.add_argument("--probe-only", action="store_true",
+                    help="run ONLY the hardware bandwidth probe and "
+                         "print its 8->32 scaling ratio — the NOTES "
+                         "#24 quiet-window poll (run the real bench "
+                         "immediately after a reading near the 1.60x "
+                         "quiet ceiling)")
     args = ap.parse_args()
+
+    if args.probe_only:
+        probe = {}
+        for procs, cpus in ((8, list(range(8))), (32, None)):
+            probe[procs] = min(run_probe(procs, cpus) for _ in range(2))
+        ratio = (32 / probe[32]) / (8 / probe[8])
+        print(json.dumps({"probe_wall": probe,
+                          "hardware_speedup_8_to_32": round(ratio, 3)}))
+        return 0
 
     os.makedirs(args.workdir, exist_ok=True)
     tokens = os.path.join(args.workdir, f"tokens_{args.rows}_f{args.files}")
