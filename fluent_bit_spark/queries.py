@@ -2221,16 +2221,17 @@ def _tok_int_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_tok", F.size("tokens")))
 
 
-def _pack_oracle_suffix(ctx: int) -> str:
+def _pack_oracle_suffix(ctx: int, order_by: str = "doc_id") -> str:
     """DuckDB reproduction of pack_sequences over a CTE named ``d``
     with columns (doc_id, source, tokens, n_tok): naive window prefix
     sum (small-scale oracle for the distributed two-phase scan),
     boundary-split chunk explode, in-order reassembly, md5 over the
-    packed token ids."""
+    packed token ids. ``order_by`` overrides the concatenation order
+    (the shuffled-pack oracle orders by a hash key)."""
     return f"""
 o AS (
   SELECT *, CAST(coalesce(sum(n_tok) OVER (
-           PARTITION BY source ORDER BY doc_id
+           PARTITION BY source ORDER BY {order_by}
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          AS BIGINT) AS off
   FROM d),
@@ -2292,6 +2293,38 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tok_int_docs(spark, sf_dir)
     packed = pack_sequences(d, ctx_len=64, id_col="doc_id",
                             group_size=1 << 20)
+    return _pack_select(packed)
+
+
+@q("pack_shuffled", f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens,
+         len(string_split(text, ' ')) AS n_tok,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS skey
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+{_pack_oracle_suffix(64, order_by="skey, doc_id")}
+""")
+def pack_shuffled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global shuffle-then-chunk (operators/tokens.py pack_sequences
+    with a hash-derived ``order_col``): the training-data "shuffle the
+    corpus deterministically, then pack" step. The order key is a
+    portable 60-bit md5 prefix (reproducible by any engine, unlike
+    rand()/xxhash64), ``tiebreak_col=doc_id`` pins hash collisions, and
+    ``group_size`` is sized to the KEY DOMAIN (2^56 → 16 range groups
+    over the 60-bit key space) per hash_order_bucket_width's contract —
+    the dense default would degenerate the two-phase scan. Chunk
+    content + doc boundaries are value-checked by md5 (token-array
+    equality, the north-star per-row invariant)."""
+    from .operators.tokens import pack_sequences
+    d = _tok_int_docs(spark, sf_dir)
+    d = d.withColumn(
+        "skey",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"))
+    packed = pack_sequences(d, ctx_len=64, id_col="doc_id",
+                            order_col="skey", tiebreak_col="doc_id",
+                            group_size=1 << 56)
     return _pack_select(packed)
 
 
