@@ -9,6 +9,8 @@ parse→enrich→route engine:
 - ``pack_sequences``   — concat-and-chunk packing of variable-length
   documents into fixed context windows (the step between a deduplicated
   corpus and a training dataloader);
+- ``pack_documents``   — non-splitting greedy packing (SFT posture:
+  docs stay whole, bins pad, overlong docs routed aside);
 - ``line_dedup``       — C4-style cross-corpus line deduplication
   (drop lines occurring more than ``max_occ`` times anywhere);
 - ``decontaminate``    — benchmark n-gram decontamination (flag
@@ -18,9 +20,12 @@ parse→enrich→route engine:
 - ``repetition_stats`` — within-document repetition ratios
   (Gopher-style duplicate-line quality signals).
 
-All pure DataFrame compositions — no Python UDFs; every op stays inside
-whole-stage codegen / JVM hash aggregates and scales by shuffle
-partitioning. Scale notes are on each function.
+All pure DataFrame compositions — no Python UDFs — with ONE exception:
+``pack_documents``' greedy bin walk (a non-associative recurrence with
+no Catalyst/prefix-sum form) runs as an Arrow-batched stage over NARROW
+columns only; token arrays never cross the Python boundary. Everything
+else stays inside whole-stage codegen / JVM hash aggregates and scales
+by shuffle partitioning. Scale notes are on each function.
 """
 
 from __future__ import annotations
@@ -213,6 +218,125 @@ def pack_sequences(df: DataFrame, ctx_len: int, id_col: str = "doc_id",
     return (packed
             .withColumn("n_tok_chunk", F.size(tokens_col))
             .withColumn("full", F.col("n_tok_chunk") == ctx_len))
+
+
+# ---------------------------------------------------------------------------
+# non-splitting document packing (SFT posture: docs stay whole, bins pad)
+# ---------------------------------------------------------------------------
+
+
+def _portable_order_key(col: Column) -> Column:
+    """60-bit integer order key from an md5 prefix — reproducible by
+    any engine (same bucket as deterministic_sample), unlike
+    xxhash64/rand()."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def pack_documents(df: DataFrame, ctx_len: int, id_col: str = "doc_id",
+                   tokens_col: str = "tokens", len_col: str = "n_tok",
+                   part_col: str = "source",
+                   cell_width: int = 1 << 56) -> DataFrame:
+    """Pack documents into ``ctx_len`` bins WITHOUT splitting them —
+    the SFT/finetune dataloader posture (attention cannot span a
+    truncated document, so unlike ``pack_sequences`` a doc never
+    straddles bins; bins are padded by the dataloader instead).
+
+    Semantics: within each (``part_col``, cell) the documents are
+    walked in deterministic md5-key order and greedily appended to the
+    current bin; the bin closes when the next document would overflow
+    ``ctx_len`` (first-fit-in-order — the streaming-friendly greedy,
+    not best-fit-decreasing, so the walk order alone determines bins).
+    Documents longer than ``ctx_len`` never enter the greedy; they are
+    emitted whole as single-doc bins with ``overlong = true`` (callers
+    route them to a long-context sink or drop them). ``pad`` counts the
+    wasted tokens per bin — the metric an SFT pipeline tunes ctx/order
+    against.
+
+    Scale shape: the corpus is range-partitioned into cells by the
+    60-bit order key (``cell = key DIV cell_width``; size
+    ``cell_width ≈ 2^60 · rows_per_cell / n_rows`` so a cell holds
+    ~rows_per_cell docs — the same key-domain sizing contract as
+    ``hash_order_bucket_width``). The greedy walk runs per cell over
+    NARROW columns only (key, id, n_tok) — token arrays never cross
+    the Python boundary; the recurrence (bin base resets on overflow)
+    is non-associative, so it has no Catalyst/prefix-sum form — this is
+    the module's one Arrow-batched stage, and its per-iteration unit is
+    a BIN (a C ``searchsorted`` over the cell's cumsum), not a row.
+    Bin assembly is pure Catalyst: one unique-key join puts ``bin`` on
+    the token rows and one skew-free groupBy (bins ≤ ctx_len tokens)
+    reassembles, so tokens move through exactly two exchanges. Cell
+    boundaries cost at most one underfull bin per cell — waste ≤
+    ctx_len·n_cells tokens, negligible at the intended cell sizing.
+
+    Output: (part, bin_key, n_docs, n_tok_bin, pad, overlong, tokens).
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+    from pyspark.sql import types as T
+
+    d = (df.filter(F.col(len_col) > 0)
+         .select(part_col, id_col, tokens_col, len_col)
+         .withColumn("__k", _portable_order_key(F.col(id_col)))
+         .withColumn("__cell", F.expr(f"__k DIV {cell_width}")))
+
+    overlong = (d.filter(F.col(len_col) > ctx_len)
+                .select(F.col(part_col),
+                        F.concat(F.lit("L:"), F.col(id_col).cast("string"))
+                         .alias("bin_key"),
+                        F.lit(1).cast("long").alias("n_docs"),
+                        F.col(len_col).cast("long").alias("n_tok_bin"),
+                        F.lit(0).cast("long").alias("pad"),
+                        F.lit(True).alias("overlong"),
+                        F.col(tokens_col).alias(tokens_col)))
+
+    fits = d.filter(F.col(len_col) <= ctx_len)
+    narrow = fits.select(part_col, "__cell", "__k", id_col, len_col)
+
+    id_field = df.schema[id_col]
+    part_field = df.schema[part_col]
+    out_schema = T.StructType([
+        part_field, T.StructField("__cell", T.LongType()),
+        id_field, T.StructField("__bin", T.LongType())])
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        pdf = pdf.sort_values(["__k", id_col], kind="mergesort")
+        lens = pdf[len_col].to_numpy(dtype="int64")
+        cum = np.cumsum(lens)
+        bins = np.empty(len(lens), dtype="int64")
+        start, base, b = 0, 0, 0
+        while start < len(lens):
+            j = int(np.searchsorted(cum, base + ctx_len, side="right"))
+            j = max(j, start + 1)  # progress even on a pathological row
+            bins[start:j] = b
+            base = int(cum[j - 1])
+            start, b = j, b + 1
+        return pdf.assign(__bin=bins)[
+            [part_col, "__cell", id_col, "__bin"]]
+
+    assign = (narrow.groupBy(part_col, "__cell")
+              .applyInPandas(greedy, schema=out_schema))
+
+    packed = (fits.join(assign.drop(part_col), ["__cell", id_col])
+              .groupBy(part_col, "__cell", "__bin")
+              .agg(F.flatten(F.transform(
+                       F.sort_array(F.collect_list(F.struct(
+                           F.col("__k").alias("k"),
+                           F.col(id_col).alias("i"),
+                           F.col(tokens_col).alias("p")))),
+                       lambda s: s["p"])).alias(tokens_col),
+                   F.count("*").alias("n_docs"),
+                   F.sum(len_col).cast("long").alias("n_tok_bin"))
+              .select(F.col(part_col),
+                      F.concat_ws(":", F.col("__cell"), F.col("__bin"))
+                       .alias("bin_key"),
+                      F.col("n_docs"),
+                      F.col("n_tok_bin"),
+                      (F.lit(ctx_len) - F.col("n_tok_bin")).cast("long")
+                       .alias("pad"),
+                      F.lit(False).alias("overlong"),
+                      F.col(tokens_col)))
+    return packed.unionByName(overlong)
 
 
 # ---------------------------------------------------------------------------

@@ -2328,6 +2328,72 @@ def pack_shuffled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_select(packed)
 
 
+@q("pack_docs_nosplit", f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens,
+         len(string_split(text, ' ')) AS n_tok,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS k
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+c AS (SELECT *, k // {1 << 56} AS cell FROM d),
+fits AS (
+  SELECT *, row_number() OVER (PARTITION BY source, cell
+                               ORDER BY k, doc_id) AS rn
+  FROM c WHERE n_tok <= 64),
+walk AS (
+  SELECT source, cell, rn, CAST(0 AS BIGINT) AS bin,
+         CAST(n_tok AS BIGINT) AS fill
+  FROM fits WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.cell, s.rn,
+         CASE WHEN w.fill + s.n_tok <= 64 THEN w.bin ELSE w.bin + 1 END,
+         CASE WHEN w.fill + s.n_tok <= 64 THEN w.fill + s.n_tok
+              ELSE CAST(s.n_tok AS BIGINT) END
+  FROM walk w JOIN fits s
+    ON s.source = w.source AND s.cell = w.cell AND s.rn = w.rn + 1),
+bins AS (
+  SELECT f.source, f.cell, w.bin,
+         count(*) AS n_docs,
+         CAST(sum(f.n_tok) AS BIGINT) AS n_tok_bin,
+         md5(array_to_string(list_transform(
+             flatten(list(f.tokens ORDER BY f.rn)),
+             x -> CAST(x AS VARCHAR)), ' ')) AS tok_hash
+  FROM walk w JOIN fits f
+    ON f.source = w.source AND f.cell = w.cell AND f.rn = w.rn
+  GROUP BY f.source, f.cell, w.bin)
+SELECT source,
+       CAST(cell AS VARCHAR) || ':' || CAST(bin AS VARCHAR) AS bin_key,
+       n_docs, n_tok_bin,
+       CAST(64 - n_tok_bin AS BIGINT) AS pad,
+       FALSE AS overlong, tok_hash
+FROM bins
+UNION ALL
+SELECT source, 'L:' || CAST(doc_id AS VARCHAR) AS bin_key,
+       CAST(1 AS BIGINT) AS n_docs, CAST(n_tok AS BIGINT) AS n_tok_bin,
+       CAST(0 AS BIGINT) AS pad, TRUE AS overlong,
+       md5(array_to_string(list_transform(tokens,
+           x -> CAST(x AS VARCHAR)), ' ')) AS tok_hash
+FROM c WHERE n_tok > 64
+""")
+def pack_docs_nosplit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-splitting greedy packing (operators/tokens.py
+    pack_documents): the SFT posture — documents stay whole, a bin
+    closes when the next doc in deterministic md5-key order would
+    overflow ctx=64, overlong docs are emitted whole with
+    ``overlong = true``, ``pad`` meters the waste. The oracle replays
+    the greedy walk as a DuckDB recursive CTE advancing one document
+    per iteration in every (source, cell) simultaneously, and
+    value-checks bin content by md5 over the packed token ids
+    (token-array equality, the north-star per-row invariant)."""
+    from .operators.tokens import pack_documents
+    d = _tok_int_docs(spark, sf_dir)
+    packed = pack_documents(d, ctx_len=64, cell_width=1 << 56)
+    return packed.select(
+        "source", "bin_key", "n_docs", "n_tok_bin", "pad", "overlong",
+        F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
+         .alias("tok_hash"))
+
+
 @q("line_dedup_c4", """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
            FROM documents),

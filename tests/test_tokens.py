@@ -172,6 +172,81 @@ def test_pack_hash_order_is_deterministic_shuffle(spark, tokens_df):
     assert a != by_id
 
 
+def test_pack_documents_nosplit_invariants(spark, tokens_df):
+    """Non-splitting greedy packing: tokens conserved exactly, no
+    packed bin exceeds ctx, every doc appears in exactly one bin, the
+    greedy is tight (the first doc of bin b+1 would have overflowed
+    bin b), and overlong docs ride through whole."""
+    ctx = 96
+    d = tokens_df.limit(600)
+    out = TK.pack_documents(d, ctx_len=ctx).collect()
+    in_rows = {r["doc_id"]: r["tokens"]
+               for r in d.filter(F.size("tokens") > 0).collect()}
+    # conservation: multiset of tokens per source is preserved
+    tok_in = sum(len(v) for v in in_rows.values())
+    tok_out = sum(len(r["tokens"]) for r in out)
+    assert tok_in == tok_out
+    for r in out:
+        assert r["n_tok_bin"] == len(r["tokens"])
+        if r["overlong"]:
+            assert r["n_docs"] == 1 and r["n_tok_bin"] > ctx
+            assert r["pad"] == 0
+            assert r["tokens"] == in_rows[r["bin_key"][2:]]
+        else:
+            assert r["n_tok_bin"] <= ctx
+            assert r["pad"] == ctx - r["n_tok_bin"]
+    # bins are numbered contiguously from 0 within each (source, cell)
+    # (exact greedy semantics are pinned doc-for-doc by
+    # test_pack_documents_greedy_matches_reference_walk)
+    from collections import defaultdict
+    by_cell = defaultdict(set)
+    for r in out:
+        if not r["overlong"]:
+            cell, b = r["bin_key"].rsplit(":", 1)
+            by_cell[(r["source"], cell)].add(int(b))
+    for bins in by_cell.values():
+        assert sorted(bins) == list(range(len(bins)))
+    # determinism
+    out2 = TK.pack_documents(d, ctx_len=ctx).collect()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
+
+
+def test_pack_documents_greedy_matches_reference_walk(spark):
+    """Tiny corpus: pure-python greedy replay over the same md5 walk
+    order reproduces the operator's bins doc-for-doc."""
+    import hashlib
+    rows = [(f"d{i:03d}", "s", list(range(i)), i) for i in range(1, 40)]
+    d = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>, "
+              "n_tok int")
+    ctx = 50
+    out = {r["bin_key"]: r for r in
+           TK.pack_documents(d, ctx_len=ctx).collect()}
+
+    def key(i):
+        return int(hashlib.md5(f"d{i:03d}".encode()).hexdigest()[:15], 16)
+    walk = sorted((key(i), f"d{i:03d}", i) for i in range(1, 40))
+    cell_of = {doc: k >> 56 for k, doc, _ in walk}
+    bins, fill, cur = {}, {}, {}
+    for k, doc, n in walk:
+        c = cell_of[doc]
+        if n > ctx:
+            continue
+        if c not in cur:
+            cur[c], fill[c] = 0, 0
+        if fill[c] + n > ctx:
+            cur[c] += 1
+            fill[c] = 0
+        fill[c] += n
+        bins.setdefault((c, cur[c]), []).append(doc)
+    for (c, b), docs in bins.items():
+        r = out[f"{c}:{b}"]
+        assert r["n_docs"] == len(docs)
+        assert r["n_tok_bin"] == sum(int(doc[1:]) for doc in docs)
+    n_overlong = sum(1 for _, _, n in walk if n > ctx)
+    assert sum(1 for r in out.values() if r["overlong"]) == n_overlong
+
+
 def test_pack_long_docs_span_many_chunks(spark):
     """A document longer than several context windows splits across
     all of them in order; mixed with short docs the stream still
