@@ -823,6 +823,129 @@ def ngram_surprisal(df: DataFrame, order: int = 3,
         gc)
 
 
+def _gram_positions(df: DataFrame, n: int, tokens_col: str,
+                    *keep_cols: str) -> DataFrame:
+    """One row per full-context order-``n`` position: ``keep_cols +
+    (t1..tn)``. Explode stays narrow (struct of n ints per position);
+    docs shorter than ``n`` produce no rows."""
+    c = tokens_col
+    fields = ", ".join(f"{c}[i + {j}] AS t{j + 1}" for j in range(n))
+    gram_expr = F.expr(
+        f"transform(sequence(0, size({c}) - {n}), i -> struct({fields}))")
+    return (df.filter(F.size(F.col(c)) >= n)
+              .select(*keep_cols, F.explode(gram_expr).alias("g"))
+              .select(*keep_cols,
+                      *[F.col(f"g.t{j + 1}").alias(f"t{j + 1}")
+                        for j in range(n)]))
+
+
+def ngram_model(df: DataFrame, order: int, tokens_col: str = "tokens",
+                millinats_scale: int = 1000) -> DataFrame:
+    """Train a standalone conditional ``order``-gram model table
+    ``(t1..tk, nll_milli)`` — the train-once half of the n-gram ladder
+    (order 1 delegates to :func:`unigram_model`, key renamed ``t1``).
+    Counts run over ALL order-k positions of ``df``. The returned frame
+    CARRIES its persisted gram-count intermediate (see caching.carry);
+    score-side callers release() after their action.
+
+    Scale shape: same as :func:`ngram_surprisal`'s in-line model —
+    vocab-bounded at order 1 (broadcastable), corpus-sized gram keys
+    above (shuffle join + AQE skew split on the scoring side)."""
+    if order == 1:
+        return (unigram_model(df, tokens_col=tokens_col,
+                              millinats_scale=millinats_scale)
+                .withColumnRenamed("tok", "t1"))
+    tcols = [f"t{j + 1}" for j in range(order)]
+    grams = _gram_positions(df, order, tokens_col)
+    gc = grams.groupBy(*tcols).agg(F.count("*").alias("c"))
+    from pyspark import StorageLevel
+    gc = gc.persist(StorageLevel.MEMORY_AND_DISK)
+    ctx = gc.groupBy(*tcols[:-1]).agg(F.sum("c").alias("cc"))
+    from fluent_bit_spark.caching import carry
+    return carry(
+        gc.join(ctx, tcols[:-1])
+          .select(*tcols,
+                  F.round(-F.log(F.col("c") / F.col("cc"))
+                          * millinats_scale)
+                   .cast("long").alias("nll_milli")),
+        gc)
+
+
+def backoff_surprisal(train: DataFrame, score: DataFrame,
+                      order: int = 3, tokens_col: str = "tokens",
+                      id_cols: tuple[str, ...] = ("doc_id", "source"),
+                      millinats_scale: int = 1000,
+                      backoff_penalty_milli: int = 916,
+                      oov_nll_milli: int = 20_000,
+                      broadcast_models: bool = False) -> DataFrame:
+    """Stupid-backoff ``order``-gram scoring (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the
+    train-once/score-many posture where backoff actually fires: models
+    of orders 1..n are trained on ``train``; each full-context position
+    of ``score`` is scored by the HIGHEST order whose gram the train
+    corpus contains, with a fixed per-level penalty (stupid backoff's
+    ``α = 0.4`` → ``-ln α ≈ 0.9163`` ≈ the 916 milli-nat default)
+    instead of a normalized discount — the published web-scale choice
+    precisely because it needs no second pass over the counts.
+    Positions unseen even as unigrams score ``oov_nll_milli`` plus the
+    full penalty ladder.
+
+    Per-level surprisal is rounded to INTEGER milli-nats at model-build
+    time and penalties are integers, so per-document sums stay exact
+    BIGINT arithmetic — order-independent and engine-portable (the
+    module-wide scorer contract).
+
+    Output: ``id_cols + (nll_millinats, n_scored, n_full, n_oov)`` —
+    ``n_full`` counts top-order hits, ``n_oov`` counts full misses;
+    ``n_scored - n_full - n_oov`` positions used a backoff level.
+
+    Scale shape (10^12 sequences): the unigram model is vocab-bounded
+    and broadcast; higher orders are corpus-sized gram tables joined by
+    shuffle hash join with AQE skew split (1-row build side per key) —
+    one left join per order, each keyed on a suffix of the position's
+    gram. Models are trained ONCE (one corpus pass per order over
+    ``train``) and reusable across score batches; the result frame
+    carries the models' persisted intermediates for release()."""
+    if order < 2:
+        raise ValueError("backoff_surprisal: order must be >= 2")
+    n = order
+    models = {k: ngram_model(train, k, tokens_col=tokens_col,
+                             millinats_scale=millinats_scale)
+              for k in range(1, n + 1)}
+    j = _gram_positions(score, n, tokens_col, *id_cols)
+    for k in range(n, 0, -1):
+        mk = models[k].select(
+            *[F.col(f"t{i + 1}").alias(f"b{k}_{i + 1}")
+              for i in range(k)],
+            F.col("nll_milli").alias(f"nll_{k}"))
+        if broadcast_models or k == 1:
+            mk = F.broadcast(mk)
+        cond = None
+        for i in range(k):
+            eq = F.col(f"t{n - k + i + 1}") == F.col(f"b{k}_{i + 1}")
+            cond = eq if cond is None else cond & eq
+        j = j.join(mk, cond, "left")
+    pos_nll = F.coalesce(
+        *[F.col(f"nll_{k}")
+          + F.lit((n - k) * backoff_penalty_milli).cast("long")
+          for k in range(n, 0, -1)],
+        F.lit(oov_nll_milli
+              + (n - 1) * backoff_penalty_milli).cast("long"))
+    is_full = F.col(f"nll_{n}").isNotNull()
+    is_oov = None
+    for k in range(n, 0, -1):
+        miss = F.col(f"nll_{k}").isNull()
+        is_oov = miss if is_oov is None else is_oov & miss
+    from fluent_bit_spark.caching import carry
+    return carry(
+        j.groupBy(*[F.col(c) for c in id_cols])
+         .agg(F.sum(pos_nll).alias("nll_millinats"),
+              F.count("*").alias("n_scored"),
+              F.sum(is_full.cast("long")).alias("n_full"),
+              F.sum(is_oov.cast("long")).alias("n_oov")),
+        *models.values())
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top-k terms per document
 # ---------------------------------------------------------------------------

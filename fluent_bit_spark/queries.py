@@ -3081,6 +3081,84 @@ def trigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_ngrams_scored").alias("sum_grams")))
 
 
+@q("backoff_surprisal", f"""
+WITH d AS (SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+tr AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+uf AS (SELECT t, count(*) AS c
+       FROM (SELECT unnest(tokens) AS t FROM tr) GROUP BY t),
+ut AS (SELECT sum(c) AS tt FROM uf),
+m1 AS (SELECT t, CAST(round(-ln(c / tt) * 1000) AS BIGINT) AS nll
+       FROM uf, ut),
+bc AS (SELECT u1, u2, count(*) AS c FROM (
+         SELECT tokens[i] AS u1, tokens[i + 1] AS u2
+         FROM (SELECT tokens, unnest(range(1, len(tokens))) AS i
+               FROM tr WHERE len(tokens) >= 2))
+       GROUP BY u1, u2),
+bcx AS (SELECT u1, sum(c) AS cc FROM bc GROUP BY u1),
+m2 AS (SELECT u1, u2, CAST(round(-ln(c / cc) * 1000) AS BIGINT) AS nll
+       FROM bc JOIN bcx USING (u1)),
+tc AS (SELECT v1, v2, v3, count(*) AS c FROM (
+         SELECT tokens[i] AS v1, tokens[i + 1] AS v2,
+                tokens[i + 2] AS v3
+         FROM (SELECT tokens, unnest(range(1, len(tokens) - 1)) AS i
+               FROM tr WHERE len(tokens) >= 3))
+       GROUP BY v1, v2, v3),
+tcx AS (SELECT v1, v2, sum(c) AS cc FROM tc GROUP BY v1, v2),
+m3 AS (SELECT v1, v2, v3,
+              CAST(round(-ln(c / cc) * 1000) AS BIGINT) AS nll
+       FROM tc JOIN tcx USING (v1, v2)),
+sg AS (SELECT doc_id, source, tokens[i] AS t1, tokens[i + 1] AS t2,
+              tokens[i + 2] AS t3
+       FROM (SELECT doc_id, source, tokens,
+                    unnest(range(1, len(tokens) - 1)) AS i
+             FROM d WHERE len(tokens) >= 3)),
+ps AS (SELECT sg.doc_id, sg.source,
+              coalesce(m3.nll, m2.nll + 916, m1.nll + 1832,
+                       20000 + 1832) AS nll,
+              m3.nll IS NOT NULL AS fullhit,
+              (m3.nll IS NULL AND m2.nll IS NULL AND m1.nll IS NULL)
+                AS oov
+       FROM sg
+       LEFT JOIN m3 ON m3.v1 = sg.t1 AND m3.v2 = sg.t2
+                   AND m3.v3 = sg.t3
+       LEFT JOIN m2 ON m2.u1 = sg.t2 AND m2.u2 = sg.t3
+       LEFT JOIN m1 ON m1.t = sg.t3),
+doc AS (SELECT doc_id, source, sum(nll) AS nll, count(*) AS n,
+               sum(CASE WHEN fullhit THEN 1 ELSE 0 END) AS nf,
+               sum(CASE WHEN oov THEN 1 ELSE 0 END) AS no
+        FROM ps GROUP BY doc_id, source)
+SELECT source, CAST(nll // n // 500 AS BIGINT) AS surprisal_band,
+       count(*) AS docs, CAST(sum(nll) AS BIGINT) AS sum_nll,
+       CAST(sum(n) AS BIGINT) AS sum_grams,
+       CAST(sum(nf) AS BIGINT) AS sum_full,
+       CAST(sum(no) AS BIGINT) AS sum_oov
+FROM doc GROUP BY source, surprisal_band
+""")
+def backoff_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram scoring (operators/tokens.py
+    backoff_surprisal): orders 1..3 trained on the even-doc_id half of
+    the corpus, ALL documents scored — held-out grams back off
+    trigram → bigram → unigram with the integer 916 milli-nat penalty
+    (−ln 0.4), full misses take the OOV floor. The oracle rebuilds all
+    three models, replays the coalesce ladder, and value-checks the
+    exact BIGINT sums plus the per-order audit counts, banded per
+    source like the other scorers."""
+    from .operators.tokens import backoff_surprisal
+    d = _tok_int_docs(spark, sf_dir)
+    doc = backoff_surprisal(d.filter(F.col("doc_id") % 2 == 0), d,
+                            order=3)
+    return (doc.groupBy(
+                "source",
+                F.expr("nll_millinats DIV n_scored DIV 500")
+                 .alias("surprisal_band"))
+            .agg(F.count("*").alias("docs"),
+                 F.sum("nll_millinats").alias("sum_nll"),
+                 F.sum("n_scored").alias("sum_grams"),
+                 F.sum("n_full").alias("sum_full"),
+                 F.sum("n_oov").alias("sum_oov")))
+
+
 @q("web_curate_chain", r"""
 WITH pages AS (
   SELECT doc_id,

@@ -615,6 +615,46 @@ def test_nb_quality_score_matches_pure_python(spark):
     assert not out["b1"].pred and not out["b2"].pred
 
 
+def test_backoff_surprisal_each_level_hand_computed(spark):
+    """Stupid backoff fires the exact level ladder: trigram hit scores
+    the trigram model alone; an unseen trigram with a seen bigram
+    suffix scores bigram + 916; unigram-only scores unigram + 2*916;
+    a full miss takes the OOV floor + 2*916. Audit counts split
+    full/backed/oov correctly."""
+    import math
+
+    from fluent_bit_spark.operators.tokens import backoff_surprisal
+    train = spark.createDataFrame(
+        [("t1", "s", [1, 2, 3, 4])],
+        "doc_id string, source string, tokens array<int>")
+    score = spark.createDataFrame(
+        [("a", "s", [1, 2, 3]),   # trigram (1,2,3) observed
+         ("b", "s", [9, 2, 3]),   # backoff to bigram (2,3)
+         ("c", "s", [9, 9, 3]),   # backoff to unigram (3)
+         ("d", "s", [9, 9, 9]),   # OOV
+         ("e", "s", [1, 2])],     # too short: no trigram position
+        "doc_id string, source string, tokens array<int>")
+    rows = {r.doc_id: r for r in
+            backoff_surprisal(train, score, order=3).collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    nll1_3 = round(-math.log(1 / 4) * 1000)        # 1386
+    # every train bigram/trigram is its context's only continuation
+    assert rows["a"].nll_millinats == 0
+    assert (rows["a"].n_full, rows["a"].n_oov) == (1, 0)
+    assert rows["b"].nll_millinats == 0 + 916
+    assert (rows["b"].n_full, rows["b"].n_oov) == (0, 0)
+    assert rows["c"].nll_millinats == nll1_3 + 2 * 916
+    assert rows["d"].nll_millinats == 20_000 + 2 * 916
+    assert (rows["d"].n_full, rows["d"].n_oov) == (0, 1)
+    for r in rows.values():
+        assert r.n_scored == 1
+    # broadcast fast path must agree exactly
+    b = {r.doc_id: r.nll_millinats for r in
+         backoff_surprisal(train, score, order=3,
+                           broadcast_models=True).collect()}
+    assert b == {k: v.nll_millinats for k, v in rows.items()}
+
+
 def test_bigram_surprisal_hand_computed(spark):
     """Conditional bigram model, integer milli-nats, hand-checked:
     after token 1 the corpus continues with 2 twice and 3 once
