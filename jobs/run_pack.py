@@ -56,11 +56,24 @@ def main() -> int:
     ap.add_argument("--sep-token", type=int, default=None,
                     help="append this end-of-document token to every "
                          "doc before chunking")
+    ap.add_argument("--mode", choices=["chunk", "nosplit"],
+                    default="chunk",
+                    help="'chunk' = GPT-style concat-and-chunk (docs "
+                         "may split across windows); 'nosplit' = SFT "
+                         "greedy packing (docs stay whole, bins pad, "
+                         "overlong docs land in the overlong/ dir)")
     args = ap.parse_args()
+    if args.mode == "nosplit" and args.sep_token is not None:
+        ap.error("--sep-token applies to --mode chunk only (nosplit "
+                 "bins are padded by the dataloader, not separated)")
+    if args.mode == "nosplit" and args.order is not None:
+        ap.error("--mode nosplit walks a fixed deterministic md5-key "
+                 "order; --order does not apply")
 
     from pyspark.sql import functions as F
 
     from fluent_bit_spark.operators.tokens import (hash_order_bucket_width,
+                                                   pack_documents,
                                                    pack_sequences)
     from fluent_bit_spark.session import get_spark
 
@@ -76,6 +89,53 @@ def main() -> int:
         ap.error(f"input not found: {args.input}")
     df = spark.read.parquet(args.input)
 
+    tok_in = df.agg(F.sum(args.len_col)).first()[0] or 0
+    n_in = df.count()
+    n_packed_docs = df.filter(F.col(args.len_col) > 0).count()
+
+    if args.mode == "nosplit":
+        # cell width over the 60-bit md5-key domain, sized so a cell
+        # holds ~rows_per_group docs (bounds the greedy walk's memory;
+        # waste ≤ one underfull bin per cell)
+        cells = max(n_packed_docs // args.rows_per_group, 1)
+        cell_width = max((1 << 60) // cells, 1)
+        packed = pack_documents(df, ctx_len=args.ctx,
+                                id_col=args.id_col,
+                                tokens_col=args.tokens_col,
+                                len_col=args.len_col,
+                                part_col=args.part_col,
+                                cell_width=cell_width)
+        out = f"{args.output}/packed"
+        packed.write.mode("overwrite").parquet(out)
+        p = spark.read.parquet(out)
+        a = p.agg(
+            F.count("*").alias("bins"),
+            F.coalesce(F.sum("n_tok_bin"), F.lit(0)).alias("tok"),
+            F.coalesce(F.sum(F.col("overlong").cast("long")),
+                       F.lit(0)).alias("over"),
+            F.coalesce(F.sum(F.when(~F.col("overlong"), F.col("pad"))
+                             .otherwise(F.lit(0))), F.lit(0))
+             .alias("pad")).first()
+        wall = time.time() - t0
+        bins_packed = int(a["bins"]) - int(a["over"])
+        res = {
+            "rows_in": n_in,
+            "tokens_in": int(tok_in),
+            "tokens_out": int(a["tok"]),
+            "conserved": int(tok_in) == int(a["tok"]),
+            "bins": bins_packed,
+            "overlong_docs": int(a["over"]),
+            "pad_tokens": int(a["pad"]),
+            "fill_rate": round(
+                1 - a["pad"] / max(bins_packed * args.ctx, 1), 4),
+            "ctx": args.ctx,
+            "mode": "nosplit",
+            "wall_sec": round(wall, 2),
+            "tokens_per_sec": round(tok_in / wall, 1),
+        }
+        print(json.dumps(res))
+        return 0 if res["conserved"] else 2
+
     id_integral = (df.schema[args.id_col].dataType.simpleString()
                    in ("tinyint", "smallint", "int", "bigint"))
     order = args.order or ("id" if id_integral else "hash")
@@ -87,10 +147,6 @@ def main() -> int:
         okey, tiebreak = "__okey", args.id_col
     else:
         okey, tiebreak = args.id_col, None
-
-    tok_in = df.agg(F.sum(args.len_col)).first()[0] or 0
-    n_in = df.count()
-    n_packed_docs = df.filter(F.col(args.len_col) > 0).count()
     # with an EOD separator every packed doc contributes one extra token
     tok_expected = tok_in + (n_packed_docs
                              if args.sep_token is not None else 0)

@@ -261,6 +261,46 @@ def test_run_pack_job_main(spark, fixture_paths, tmp_path, monkeypatch):
     assert rep["tokens_out"] == rep["tokens_in"] + rep["rows_in"]
 
 
+def test_run_pack_job_nosplit_mode(spark, fixture_paths, tmp_path,
+                                   monkeypatch):
+    """jobs/run_pack.py --mode nosplit: conservation holds, no packed
+    bin exceeds ctx, fill_rate is coherent with pad_tokens, and
+    incompatible flags are rejected."""
+    import json
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    import run_pack
+
+    out = str(tmp_path / "pack_ns")
+    monkeypatch.setattr(sys, "argv", [
+        "run_pack.py", "--input", fixture_paths["tokens"],
+        "--output", out, "--ctx", "128", "--mode", "nosplit"])
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    assert run_pack.main() == 0
+    rep = json.loads(printed[-1])
+    assert rep["conserved"] and rep["mode"] == "nosplit"
+    assert 0 < rep["fill_rate"] <= 1
+    # fill_rate is reported at 4 decimals — compare within that grain
+    assert abs(rep["pad_tokens"]
+               - (1 - rep["fill_rate"]) * rep["bins"] * 128) \
+        <= rep["bins"] * 128 * 1e-4 + 0.5
+    p = spark.read.parquet(f"{out}/packed")
+    from pyspark.sql import functions as F
+    assert p.filter(~F.col("overlong")
+                    & (F.col("n_tok_bin") > 128)).count() == 0
+    monkeypatch.setattr(sys, "argv", [
+        "run_pack.py", "--input", fixture_paths["tokens"],
+        "--output", out, "--mode", "nosplit", "--sep-token", "-1"])
+    with pytest.raises(SystemExit):
+        run_pack.main()
+
+
 def test_csv_and_ltsv_sink_formats(spark, fixture_paths, tmp_path):
     """sink_format csv/ltsv route the same row set as parquet and each
     sink line is byte-identical to the serializer applied to the routed
