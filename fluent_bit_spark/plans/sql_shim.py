@@ -53,6 +53,7 @@ _FROM_STREAM_RE = re.compile(r"\bSTREAM:(\w+)", re.IGNORECASE)
 _PACK_RE = re.compile(
     r"^\s*PACK\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
     r"INTO\s+(?P<ctx>\d+)\s+TOKENS"
+    r"(?P<nosplit>\s+NOSPLIT)?"
     r"(?:\s+PARTITION\s+BY\s+(?P<part>\w+))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>HASH\(\s*\w+\s*\)|\w+))?"
     r"(?:\s+SEP\s+(?P<sep>-?\d+))?\s*;?\s*$",
@@ -70,7 +71,9 @@ _DEDUP_SPANS_RE = re.compile(
 _SCORE_RE = re.compile(
     r"^\s*SCORE\s+SURPRISAL\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
     r"(?:\s+TOKENS\s+(?P<col>\w+))?"
-    r"(?:\s+ORDER\s+(?P<order>[12]))?\s*;?\s*$",
+    r"(?:\s+ORDER\s+(?P<order>\d+))?"
+    r"(?:\s+BACKOFF\s+TRAIN\s+(?P<train>STREAM:\w+|TAG:'[^']*'))?"
+    r"\s*;?\s*$",
     re.IGNORECASE)
 _SCORE_NB_RE = re.compile(
     r"^\s*SCORE\s+QUALITY\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
@@ -239,17 +242,30 @@ class StreamProcessor:
         return self.spark.table(f"sp_stream_{sm.group(1)}")
 
     def _pack(self, m: re.Match) -> DataFrame:
-        """PACK STREAM:src INTO n TOKENS [PARTITION BY col]
+        """PACK STREAM:src INTO n TOKENS [NOSPLIT] [PARTITION BY col]
         [ORDER BY col | HASH(col)] [SEP tok] — concat-and-chunk packing
         (operators/tokens.py pack_sequences) over the north-star token
-        shape. ORDER BY HASH(col) packs in deterministically shuffled
-        order; the range-group width derives from the row count
-        (hash_order_bucket_width), costing one count() at plan time."""
+        shape, or with NOSPLIT the SFT greedy packer (pack_documents:
+        docs stay whole, bins pad; order is its fixed md5 walk, so
+        ORDER BY / SEP do not combine with it). ORDER BY HASH(col)
+        packs in deterministically shuffled order; the range-group
+        width derives from the row count (hash_order_bucket_width),
+        costing one count() at plan time."""
         from pyspark.sql import functions as F
 
         from ..operators.tokens import (hash_order_bucket_width,
-                                        pack_sequences)
+                                        pack_documents, pack_sequences)
         df = self._source_df(m.group("src"))
+        if m.group("nosplit"):
+            if m.group("order") or m.group("sep") is not None:
+                raise ValueError(
+                    "PACK … NOSPLIT walks a fixed deterministic "
+                    "md5-key order and pads bins: ORDER BY / SEP "
+                    "do not apply")
+            kw2: dict = {"ctx_len": int(m.group("ctx"))}
+            if m.group("part"):
+                kw2["part_col"] = m.group("part")
+            return pack_documents(df, **kw2)
         kw: dict = {"ctx_len": int(m.group("ctx"))}
         if m.group("part"):
             kw["part_col"] = m.group("part")
@@ -286,15 +302,32 @@ class StreamProcessor:
                                tokens_col=m.group("col") or "tokens")
 
     def _score_surprisal(self, m: re.Match) -> DataFrame:
-        """SCORE SURPRISAL STREAM:src [TOKENS col] [ORDER 1|2] —
-        surprisal quality scoring over the north-star token shape:
-        ORDER 1 (default) = unigram_surprisal, ORDER 2 =
-        bigram_surprisal (operators/tokens.py)."""
-        from ..operators.tokens import bigram_surprisal, unigram_surprisal
-        fn = (bigram_surprisal if m.group("order") == "2"
-              else unigram_surprisal)
-        return fn(self._source_df(m.group("src")),
-                  tokens_col=m.group("col") or "tokens")
+        """SCORE SURPRISAL STREAM:src [TOKENS col] [ORDER n]
+        [BACKOFF TRAIN STREAM:train] — surprisal quality scoring over
+        the north-star token shape: ORDER 1 (default) =
+        unigram_surprisal, ORDER 2 = bigram_surprisal, ORDER n ≥ 3 =
+        ngram_surprisal; with BACKOFF TRAIN, stupid-backoff
+        train-once/score-many scoring (backoff_surprisal: models of
+        orders 1..n from the train stream, src scored with the
+        916 milli-nat ladder)."""
+        from ..operators.tokens import (backoff_surprisal,
+                                        bigram_surprisal,
+                                        ngram_surprisal,
+                                        unigram_surprisal)
+        col = m.group("col") or "tokens"
+        order = int(m.group("order") or 1)
+        src = self._source_df(m.group("src"))
+        if m.group("train"):
+            if order < 2:
+                raise ValueError(
+                    "SCORE SURPRISAL … BACKOFF requires ORDER >= 2")
+            return backoff_surprisal(self._source_df(m.group("train")),
+                                     src, order=order, tokens_col=col)
+        if order == 1:
+            return unigram_surprisal(src, tokens_col=col)
+        if order == 2:
+            return bigram_surprisal(src, tokens_col=col)
+        return ngram_surprisal(src, order=order, tokens_col=col)
 
     def _split_holdout(self, m: re.Match) -> DataFrame:
         """SPLIT STREAM:src HOLDOUT n [BY group_col] [KEY hash_col] —

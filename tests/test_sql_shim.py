@@ -271,6 +271,52 @@ def test_score_surprisal_verb_matches_operator(sp, spark):
     assert got == want and len(got) == 40
 
 
+def test_pack_verb_nosplit(sp, spark):
+    """PACK … NOSPLIT equals the direct pack_documents call; ORDER BY
+    / SEP are rejected with it."""
+    import pytest as _pytest
+    from fluent_bit_spark.operators.tokens import pack_documents
+    df = spark.table("sp_stream_toks")
+    got = {r.bin_key: (r.tokens, r.n_docs, r.pad) for r in
+           sp.sql("PACK STREAM:toks INTO 8 TOKENS NOSPLIT;").collect()}
+    want = {r.bin_key: (r.tokens, r.n_docs, r.pad) for r in
+            pack_documents(df, ctx_len=8).collect()}
+    assert got == want and len(got) > 5
+    with _pytest.raises(ValueError, match="NOSPLIT"):
+        sp.sql("PACK STREAM:toks INTO 8 TOKENS NOSPLIT SEP -1;")
+    with _pytest.raises(ValueError, match="NOSPLIT"):
+        sp.sql("PACK STREAM:toks INTO 8 TOKENS NOSPLIT "
+               "ORDER BY HASH(doc_id);")
+
+
+def test_score_surprisal_verb_order_n_and_backoff(sp, spark):
+    """SCORE SURPRISAL … ORDER 3 reaches ngram_surprisal; BACKOFF
+    TRAIN STREAM:y reaches backoff_surprisal; BACKOFF with ORDER 1 is
+    rejected."""
+    import pytest as _pytest
+    from fluent_bit_spark.operators.tokens import (backoff_surprisal,
+                                                   ngram_surprisal)
+    df = spark.table("sp_stream_toks")
+    got = {(r.doc_id, r.source): r.nll_millinats for r in
+           sp.sql("SCORE SURPRISAL STREAM:toks ORDER 3;").collect()}
+    want = {(r.doc_id, r.source): r.nll_millinats for r in
+            ngram_surprisal(df, order=3).collect()}
+    assert got == want and len(got) == 40
+    sp.register_stream("toks_train",
+                       df.filter("doc_id % 2 = 0"))
+    got_b = {(r.doc_id, r.source): (r.nll_millinats, r.n_full, r.n_oov)
+             for r in sp.sql(
+                 "SCORE SURPRISAL STREAM:toks ORDER 3 "
+                 "BACKOFF TRAIN STREAM:toks_train;").collect()}
+    want_b = {(r.doc_id, r.source): (r.nll_millinats, r.n_full, r.n_oov)
+              for r in backoff_surprisal(
+                  df.filter("doc_id % 2 = 0"), df, order=3).collect()}
+    assert got_b == want_b and len(got_b) == 40
+    with _pytest.raises(ValueError, match="ORDER >= 2"):
+        sp.sql("SCORE SURPRISAL STREAM:toks "
+               "BACKOFF TRAIN STREAM:toks_train;")
+
+
 def test_split_holdout_verb_matches_operator(sp, spark):
     """SPLIT STREAM:x HOLDOUT n [BY g] [KEY k] equals the direct
     stratified_split call at a uniform rate."""

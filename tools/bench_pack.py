@@ -56,10 +56,12 @@ def tokens_sql(n_docs: int) -> str:
     """
 
 
-def run_size(n_docs: int, ctx: int, out: str) -> dict:
+def run_size(n_docs: int, ctx: int, out: str,
+             mode: str = "chunk") -> dict:
     from pyspark.sql import functions as F
 
-    from fluent_bit_spark.operators.tokens import pack_sequences
+    from fluent_bit_spark.operators.tokens import (pack_documents,
+                                                   pack_sequences)
     from fluent_bit_spark.session import get_spark
 
     # Reduce tasks sized at ~4M tokens (~16 MB of int32) AND at least
@@ -96,19 +98,38 @@ def run_size(n_docs: int, ctx: int, out: str) -> dict:
     tok_in = docs.agg(F.sum("n_tok")).first()[0]
 
     t0 = time.time()
-    packed = pack_sequences(docs, ctx_len=ctx)
+    if mode == "nosplit":
+        # ~1M docs per greedy cell (the walk's bounded-memory knob)
+        cells = max(n_docs // (1 << 20), 1)
+        packed = pack_documents(docs, ctx_len=ctx,
+                                cell_width=max((1 << 60) // cells, 1))
+    else:
+        packed = pack_sequences(docs, ctx_len=ctx)
     packed.write.mode("overwrite").parquet(f"{out}/packed")
     phase("pack", t0)
 
     p = spark.read.parquet(f"{out}/packed")
-    agg = p.agg(F.count("*").alias("chunks"),
-                F.sum("n_tok_chunk").alias("tok_out"),
-                F.sum(F.col("full").cast("long")).alias("full_chunks")
-                ).first()
+    if mode == "nosplit":
+        agg = p.agg(F.count("*").alias("chunks"),
+                    F.sum("n_tok_bin").alias("tok_out"),
+                    F.sum(F.col("overlong").cast("long")).alias("over"),
+                    F.sum(F.when(~F.col("overlong"), F.col("pad"))
+                          .otherwise(F.lit(0))).alias("pad")).first()
+        res["overlong_docs"] = int(agg["over"])
+        res["pad_tokens"] = int(agg["pad"])
+        bins_packed = int(agg["chunks"]) - int(agg["over"])
+        # report fill rate in the full-chunk column slot
+        res["full_frac"] = round(
+            1 - agg["pad"] / max(bins_packed * ctx, 1), 4)
+    else:
+        agg = p.agg(F.count("*").alias("chunks"),
+                    F.sum("n_tok_chunk").alias("tok_out"),
+                    F.sum(F.col("full").cast("long"))
+                     .alias("full_chunks")).first()
+        res["full_frac"] = round(agg["full_chunks"] / agg["chunks"], 4)
     res["tokens_in"] = int(tok_in)
     res["tokens_out"] = int(agg["tok_out"])
     res["chunks"] = int(agg["chunks"])
-    res["full_frac"] = round(agg["full_chunks"] / agg["chunks"], 4)
     res["conserved"] = res["tokens_in"] == res["tokens_out"]
     res["docs_per_sec"] = round(n_docs / res["pack_wall_s"], 1)
     res["tokens_per_sec"] = round(tok_in / res["pack_wall_s"], 1)
@@ -124,6 +145,10 @@ def main() -> int:
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--out", default="/tmp/pack_vol")
     ap.add_argument("--md", default=None, help="append a markdown report")
+    ap.add_argument("--mode", choices=["chunk", "nosplit"],
+                    default="chunk",
+                    help="'nosplit' benches pack_documents (SFT "
+                         "greedy; full%% column reports FILL RATE)")
     ap.add_argument("--gate", action="store_true",
                     help="exit non-zero when shuffle write grows "
                          "super-linearly across the sizes (conservation "
@@ -132,7 +157,7 @@ def main() -> int:
 
     results = []
     for n in [int(s) for s in args.sizes.split(",")]:
-        r = run_size(n, args.ctx, f"{args.out}/{n}")
+        r = run_size(n, args.ctx, f"{args.out}/{n}", mode=args.mode)
         print(json.dumps(r))
         results.append(r)
 
@@ -156,7 +181,7 @@ def main() -> int:
         ratio = b["n_docs"] / a["n_docs"]
         lines = [
             "", f"## Volume run {time.strftime('%Y-%m-%d')} "
-            f"(sizes {args.sizes}, ctx {args.ctx})", "",
+            f"(sizes {args.sizes}, ctx {args.ctx}, mode {args.mode})", "",
             "| n_docs | tokens in | gen s | pack s | chunks | full % | "
             "conserved | shuffle R/W MB (pack) | tokens/s |",
             "|" + "---|" * 9]

@@ -39,7 +39,7 @@ def run_size(n_docs: int, out: str, model: str = "unigram") -> dict:
     from pyspark.sql import functions as F
 
     from fluent_bit_spark.operators.tokens import (
-        bigram_surprisal, unigram_surprisal,
+        backoff_surprisal, bigram_surprisal, unigram_surprisal,
     )
     from fluent_bit_spark.session import get_spark
 
@@ -76,6 +76,11 @@ def run_size(n_docs: int, out: str, model: str = "unigram") -> dict:
         tok_in = docs.agg(F.sum(F.greatest(F.col("n_tok") - 1,
                                            F.lit(0)))).first()[0]
         n_expected = docs.filter(F.col("n_tok") >= 2).count()
+    elif model == "backoff":
+        # order-3 backoff scores one unit per full-context position
+        tok_in = docs.agg(F.sum(F.greatest(F.col("n_tok") - 2,
+                                           F.lit(0)))).first()[0]
+        n_expected = docs.filter(F.col("n_tok") >= 3).count()
     else:
         tok_in = docs.agg(F.sum("n_tok")).first()[0]
         n_expected = n_docs
@@ -84,6 +89,14 @@ def run_size(n_docs: int, out: str, model: str = "unigram") -> dict:
     if model == "bigram":
         scored = (bigram_surprisal(docs)
                   .withColumnRenamed("n_bigrams_scored", "n_tok_scored"))
+    elif model == "backoff":
+        # the train-once/score-many posture backoff exists for: models
+        # from HALF the corpus (even ids), every doc scored — held-out
+        # grams exercise the backoff ladder at volume
+        scored = (backoff_surprisal(
+                      docs.filter(F.col("doc_id") % 2 == 0), docs,
+                      order=3)
+                  .withColumnRenamed("n_scored", "n_tok_scored"))
     else:
         scored = unigram_surprisal(docs)
     scored.write.mode("overwrite").parquet(f"{out}/scored")
@@ -93,12 +106,25 @@ def run_size(n_docs: int, out: str, model: str = "unigram") -> dict:
     agg = s.agg(F.count("*").alias("docs"),
                 F.sum("n_tok_scored").alias("tok_scored"),
                 F.sum("nll_millinats").alias("nll_total")).first()
+    if model == "backoff":
+        lv = s.agg(F.sum("n_full").alias("nf"),
+                   F.sum("n_oov").alias("no")).first()
+        res["full_frac"] = round(lv["nf"] / max(agg["tok_scored"], 1), 4)
+        res["oov_frac"] = round(lv["no"] / max(agg["tok_scored"], 1), 4)
     # claim 1 (unigram): the model is vocab-bounded — the distinct-token
     # count IS its row count. For the bigram model the analogous figure
     # is distinct ADJACENT PAIRS: corpus-dependent by design, reported
     # at both sizes to show saturation toward vocab^2 (sub-linear
     # growth), never gated as bounded.
-    if model == "bigram":
+    if model == "backoff":
+        tri = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.explode(F.expr(
+                "transform(sequence(0, size(tokens) - 3), "
+                "i -> struct(tokens[i] AS t1, tokens[i+1] AS t2, "
+                "tokens[i+2] AS t3))")).alias("g"))
+        model_rows = (tri.select("g.t1", "g.t2", "g.t3")
+                      .distinct().count())
+    elif model == "bigram":
         pairs = docs.select(
             F.explode(F.expr(
                 "transform(sequence(0, size(tokens) - 2), "
@@ -123,6 +149,12 @@ def run_size(n_docs: int, out: str, model: str = "unigram") -> dict:
         raise SystemExit(f"MODEL NOT VOCAB-BOUNDED: {res}")
     if model == "bigram" and res["model_rows"] > VOCAB * VOCAB:
         raise SystemExit(f"PAIR MODEL EXCEEDS VOCAB^2: {res}")
+    if model == "backoff" and res["full_frac"] >= 1:
+        # oov_frac IS 0 by construction at volume (50k vocab, every
+        # unigram observed); the backoff-exercised signal is top-order
+        # misses — the held-out half must contain unseen trigrams
+        raise SystemExit(f"BACKOFF NEVER FIRED (held-out half saw "
+                         f"no new trigrams — fixture broken?): {res}")
     return res
 
 
@@ -132,7 +164,7 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/surprisal_vol")
     ap.add_argument("--md", default=None, help="append a markdown report")
     ap.add_argument("--model", default="unigram",
-                    choices=["unigram", "bigram"])
+                    choices=["unigram", "bigram", "backoff"])
     ap.add_argument("--gate", action="store_true",
                     help="exit non-zero on super-linear shuffle growth "
                          "or an unbounded model (conservation breaches "
