@@ -98,6 +98,9 @@ HEADLINE = [
     # r5 late: WARC crawl-archive ingestion (1:N record explode)
     "warc_ingest",
     "crawl_to_pack",
+    # r5 late: DSIR importance resampling (K-bounded hashed-feature
+    # model + broadcast scoring + Gumbel top-k)
+    "dsir_select",
     "url_canonical_dedup",
 ]
 

@@ -1057,3 +1057,144 @@ def nb_quality_score(df: DataFrame, label: Column,
             .agg(F.sum("w").alias("llr_millinats"),
                  F.count("*").alias("n_tok"))
             .withColumn("pred", F.col("llr_millinats") > 0))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_feature_array(tokens_col: str, n_buckets: int) -> Column:
+    """Hashed unigram+bigram feature buckets of a token array, as one
+    ``array<bigint>`` column — the DSIR bag-of-hashed-ngrams feature
+    map (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling", which hashes unigrams and bigrams into a
+    fixed bucket space). Bucket ids come from the portable md5 ladder
+    (first 7 hex chars mod ``n_buckets``) so DuckDB reproduces them
+    bit-for-bit. Map-only: no shuffle, no Python."""
+    toks = F.col(tokens_col)
+    uni = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t.cast("string")), 1, 7),
+                               16, 10).cast("long") % n_buckets)
+    # bigram text "t1 t2": zip tokens with tokens[2..]; zip_with pads
+    # the shorter side with null, so the dangling last pair nulls out
+    # of concat and is filtered (single-arg HOF lambdas per NOTES #1;
+    # zip_with's two args are its own signature, not a closure trap)
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    big = F.filter(
+        F.zip_with(toks, shifted,
+                   lambda a, b: F.conv(
+                       F.substring(F.md5(F.concat(a.cast("string"),
+                                                  F.lit(" "),
+                                                  b.cast("string"))), 1, 7),
+                       16, 10).cast("long") % n_buckets),
+        lambda x: x.isNotNull())
+    return F.concat(uni, big)
+
+
+def dsir_logratio_model(raw: DataFrame, target: DataFrame,
+                        tokens_col: str = "tokens",
+                        n_buckets: int = 4096,
+                        millinats_scale: int = 1000) -> DataFrame:
+    """Fit the DSIR importance log-ratio model: hashed-n-gram unigram
+    distributions for the TARGET sample (what we want more of) and the
+    RAW corpus (what we are selecting from), Laplace-smoothed, emitted
+    as an exactly-``n_buckets``-row table ``(bucket, llr_milli)`` with
+    ``llr_milli = round(ln(p_target(k)) - ln(p_raw(k))) * scale`` in
+    integer milli-nats.
+
+    Train-once/score-many: persist this table and score any later
+    batch (or stream micro-batch) with :func:`dsir_score` — scoring is
+    stateless.
+
+    Scale shape (10^12 sequences):
+    - feature extraction is map-only (md5 over array elements);
+    - each count agg exchanges at most ``n_buckets`` map-side-combined
+      partials per partition — the model is K-bounded (default 4096
+      rows) NO MATTER the corpus size, and broadcasts;
+    - the bucket spine is ``spark.range(K)`` so every bucket has a row
+      (no OOV path at score time), joined K-vs-K at trivial cost;
+    - totals are 1-row broadcasts.
+    """
+    spark = raw.sparkSession
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        feats = df.select(F.explode(
+            _dsir_feature_array(tokens_col, n_buckets)).alias("bucket"))
+        return feats.groupBy("bucket").agg(F.count("*").alias(name))
+
+    cq = counts(raw, "cq")
+    cp = counts(target, "cp")
+    tq = cq.agg(F.sum("cq").cast("long").alias("tq"))
+    tp = cp.agg(F.sum("cp").cast("long").alias("tp"))
+    spine = spark.range(0, n_buckets).select(F.col("id").alias("bucket"))
+    k = F.lit(n_buckets)
+    return (spine.join(F.broadcast(cp), "bucket", "left")
+            .join(F.broadcast(cq), "bucket", "left")
+            .crossJoin(F.broadcast(tp)).crossJoin(F.broadcast(tq))
+            .select("bucket", F.round(
+                (F.log((F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1))
+                       / (F.col("tp") + k))
+                 - F.log((F.coalesce(F.col("cq"), F.lit(0)) + F.lit(1))
+                         / (F.col("tq") + k)))
+                * millinats_scale).cast("long").alias("llr_milli")))
+
+
+def dsir_score(df: DataFrame, model: DataFrame,
+               tokens_col: str = "tokens",
+               n_buckets: int = 4096,
+               id_cols: tuple[str, ...] = ("doc_id", "source")
+               ) -> DataFrame:
+    """Score documents against a fitted DSIR model: per-doc importance
+    log-weight ``llr_millinats = sum over hashed features of
+    llr_milli`` (exact BIGINT — order-independent, engine-portable)
+    plus the feature count ``n_feat``. Explode → broadcast join →
+    map-side-combined per-doc agg; one narrow exchange row per doc."""
+    ex = df.select(*id_cols, F.explode(
+        _dsir_feature_array(tokens_col, n_buckets)).alias("bucket"))
+    return (ex.join(F.broadcast(model), "bucket")
+            .groupBy(*[F.col(c) for c in id_cols])
+            .agg(F.sum("llr_milli").alias("llr_millinats"),
+                 F.count("*").alias("n_feat")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, n: int,
+                tokens_col: str = "tokens",
+                n_buckets: int = 4096,
+                id_col: str = "doc_id",
+                id_cols: tuple[str, ...] = ("doc_id", "source"),
+                seed: str = "dsir",
+                millinats_scale: int = 1000) -> DataFrame:
+    """DSIR end-to-end: fit the log-ratio model, score the raw corpus,
+    and resample ``n`` documents WITHOUT replacement via the Gumbel
+    top-k trick — ``argmax_n(log w_i + g_i)`` with i.i.d. Gumbel noise
+    is a sample from the importance distribution. The Gumbel draw is
+    DETERMINISTIC (md5 of ``doc_id:seed`` → uniform in (0,1) →
+    ``-ln(-ln(u))``, rounded to integer milli-nats) so reruns and the
+    DuckDB oracle reproduce the exact selection.
+
+    Output: ``id_cols + (llr_millinats, n_feat, sel_key)`` for the
+    ``n`` selected docs; ``sel_key = llr_millinats + gumbel_milli``.
+
+    Scale shape: model K-bounded + broadcast (see
+    :func:`dsir_logratio_model`); scoring one narrow row per doc; the
+    top-n is ``ORDER BY ... LIMIT n`` = TakeOrderedAndProject — each
+    partition keeps its local top ``n`` and the driver merges
+    ``n × partitions`` narrow rows, never a global sort. For n large
+    enough to strain the driver, swap the limit for a sel_key
+    threshold computed from approxQuantile (same plan shape as the
+    mixture sampler's budget walk)."""
+    model = dsir_logratio_model(raw, target, tokens_col=tokens_col,
+                                n_buckets=n_buckets,
+                                millinats_scale=millinats_scale)
+    scored = dsir_score(raw, model, tokens_col=tokens_col,
+                        n_buckets=n_buckets, id_cols=id_cols)
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))),
+        1, 15), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    gumbel = F.round(-F.log(-F.log(u)) * millinats_scale).cast("long")
+    return (scored
+            .withColumn("sel_key", F.col("llr_millinats") + gumbel)
+            .orderBy(F.desc("sel_key"), F.asc(id_col))
+            .limit(n))

@@ -4394,3 +4394,70 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("url_canon")
             .agg(F.count("*").alias("n_urls"),
                  F.min("doc_id").alias("keep_id")))
+
+
+# ===========================================================================
+# DSIR — data selection via importance resampling (Xie et al. 2023):
+# hashed unigram+bigram features, target-vs-raw log-ratio model,
+# deterministic Gumbel top-k resampling
+# ===========================================================================
+
+@q("dsir_select", f"""
+WITH d AS (SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+uni AS (SELECT doc_id, source,
+               ('0x' || substring(md5(CAST(tok AS VARCHAR)), 1, 7))::BIGINT
+                 % 512 AS bucket
+        FROM (SELECT doc_id, source, unnest(tokens) AS tok FROM d)),
+big AS (SELECT doc_id, source,
+               ('0x' || substring(md5(CAST(tokens[i] AS VARCHAR) || ' ' ||
+                                      CAST(tokens[i + 1] AS VARCHAR)),
+                                  1, 7))::BIGINT % 512 AS bucket
+        FROM (SELECT doc_id, source, tokens,
+                     unnest(range(1, len(tokens))) AS i FROM d)),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+cq AS (SELECT bucket, count(*) AS cq FROM feats GROUP BY bucket),
+cp AS (SELECT bucket, count(*) AS cp FROM feats WHERE doc_id % 7 = 0
+       GROUP BY bucket),
+tq AS (SELECT CAST(sum(cq) AS BIGINT) AS tq FROM cq),
+tp AS (SELECT CAST(sum(cp) AS BIGINT) AS tp FROM cp),
+m AS (SELECT bucket,
+             CAST(round((ln((coalesce(cp, 0) + 1) / (tp + 512))
+                         - ln((coalesce(cq, 0) + 1) / (tq + 512)))
+                        * 1000) AS BIGINT) AS llr_milli
+      FROM (SELECT r.range AS bucket, cp.cp, cq.cq
+            FROM range(0, 512) r
+            LEFT JOIN cp ON cp.bucket = r.range
+            LEFT JOIN cq ON cq.bucket = r.range), tp, tq),
+doc AS (SELECT doc_id, source,
+               CAST(sum(llr_milli) AS BIGINT) AS llr_millinats,
+               count(*) AS n_feat
+        FROM feats JOIN m USING (bucket) GROUP BY doc_id, source),
+sel AS (SELECT doc_id, source, llr_millinats, n_feat,
+               llr_millinats + CAST(round(-ln(-ln(
+                   ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                            || ':dsir'), 1, 15))::BIGINT
+                     + 0.5) / 1152921504606846976.0))) * 1000) AS BIGINT)
+                 AS sel_key
+        FROM doc)
+SELECT doc_id, source, llr_millinats, n_feat, sel_key
+FROM sel ORDER BY sel_key DESC, doc_id LIMIT 120
+""")
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/tokens.py dsir_select; Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): hash each document's unigrams+bigrams into 512
+    buckets (portable md5 ladder), fit Laplace-smoothed bucket
+    distributions for a deterministic target sample (doc_id % 7 == 0)
+    vs the raw corpus, score every document by its exact-BIGINT
+    milli-nat importance log-ratio, and Gumbel-top-k resample 120
+    docs without replacement (Gumbel noise derived from
+    md5(doc_id:seed) so the draw — and the oracle — is reproducible).
+    The oracle replays the entire chain: feature hashing, K-row
+    spine model, milli-nat rounding, per-doc sums, the Gumbel
+    perturbation, and the top-k cut."""
+    from .operators.tokens import dsir_select
+    d = _tok_int_docs(spark, sf_dir)
+    raw = d.select("doc_id", "source", "tokens")
+    target = raw.filter(F.col("doc_id") % 7 == 0)
+    return dsir_select(raw, target, n=120, n_buckets=512, seed="dsir")

@@ -681,3 +681,84 @@ def test_bigram_surprisal_hand_computed(spark):
     b = {r.doc_id: r.nll_millinats
          for r in bigram_surprisal(df, broadcast_model=True).collect()}
     assert b == {k: v.nll_millinats for k, v in rows.items()}
+
+
+def test_dsir_matches_pure_python(spark):
+    """dsir_logratio_model / dsir_score / dsir_select must equal a
+    from-scratch python replay: hashed unigram+bigram buckets,
+    Laplace-smoothed target/raw log-ratios in milli-nats, exact
+    per-doc sums, Gumbel-perturbed top-k — and must prefer docs that
+    look like the target sample."""
+    import hashlib
+    import math
+
+    K = 64
+    docs = [
+        (1, "s", [5, 6, 5, 6]),       # target-ish content
+        (2, "s", [5, 6, 6, 5]),
+        (3, "s", [7, 8, 9, 10]),      # off-target content
+        (4, "s", [7, 9, 8, 10]),
+        (5, "s", [5, 6]),
+        (6, "s", [11]),               # single token: no bigrams
+    ]
+    raw = spark.createDataFrame(
+        docs, "doc_id long, source string, tokens array<int>")
+    target = raw.filter(F.col("doc_id").isin(1, 2, 5))
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16) % K
+
+    def feats(toks):
+        out = [bucket(str(t)) for t in toks]
+        out += [bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])]
+        return out
+
+    cq, cp = {}, {}
+    for did, _, toks in docs:
+        for b in feats(toks):
+            cq[b] = cq.get(b, 0) + 1
+            if did in (1, 2, 5):
+                cp[b] = cp.get(b, 0) + 1
+    tq, tp = sum(cq.values()), sum(cp.values())
+    llr = {b: round((math.log((cp.get(b, 0) + 1) / (tp + K))
+                     - math.log((cq.get(b, 0) + 1) / (tq + K))) * 1000)
+           for b in range(K)}
+
+    model = {r.bucket: r.llr_milli
+             for r in TK.dsir_logratio_model(
+                 raw, target, n_buckets=K).collect()}
+    assert model == llr
+
+    scored = {r.doc_id: r for r in TK.dsir_score(
+        raw, TK.dsir_logratio_model(raw, target, n_buckets=K),
+        n_buckets=K).collect()}
+    for did, _, toks in docs:
+        fs = feats(toks)
+        assert scored[did].llr_millinats == sum(llr[b] for b in fs), did
+        assert scored[did].n_feat == len(fs)
+    # target-like docs outscore off-target docs
+    assert min(scored[d].llr_millinats for d in (1, 2, 5)) > \
+        max(scored[d].llr_millinats for d in (3, 4))
+
+    sel = TK.dsir_select(raw, target, n=3, n_buckets=K,
+                         seed="t").collect()
+    assert len(sel) == 3
+    for r in sel:
+        h = int(hashlib.md5(f"{r.doc_id}:t".encode())
+                .hexdigest()[:15], 16)
+        g = round(-math.log(-math.log((h + 0.5) / 2.0 ** 60)) * 1000)
+        assert r.sel_key == r.llr_millinats + g
+
+
+def test_dsir_plan_is_jvm_only(spark):
+    """The whole DSIR chain stays JVM-side: no Python-eval boundary in
+    the selection plan."""
+    raw = spark.createDataFrame(
+        [(1, "s", [1, 2, 3]), (2, "s", [4, 5, 6])],
+        "doc_id long, source string, tokens array<int>")
+    plan = TK.dsir_select(
+        raw, raw.filter(F.col("doc_id") == 1), n=1,
+        n_buckets=32)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "MapInArrow"):
+        assert marker not in plan
