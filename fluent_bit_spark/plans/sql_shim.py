@@ -115,6 +115,14 @@ _DEDUP_VS_RE = re.compile(
     r"(?:\s+TEXT\s+(?P<text>\w+))?(?:\s+ID\s+(?P<id>\w+))?"
     r"(?:\s+JACCARD\s+(?P<pm>\d+))?\s*;?\s*$",
     re.IGNORECASE)
+_RESAMPLE_RE = re.compile(
+    r"^\s*RESAMPLE\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"TARGET\s+(?P<target>STREAM:\w+|TAG:'[^']*')\s+"
+    r"TOP\s+(?P<n>\d+)"
+    r"(?:\s+TOKENS\s+(?P<col>\w+))?"
+    r"(?:\s+BUCKETS\s+(?P<k>\d+))?"
+    r"(?:\s+SEED\s+'(?P<seed>[^']*)')?\s*;?\s*$",
+    re.IGNORECASE)
 _FROM_TAG_RE = re.compile(r"\bTAG:'([^']*)'", re.IGNORECASE)
 _WINDOW_RE = re.compile(
     r"\bWINDOW\s+(?P<kind>TUMBLING|HOPPING)\s*\(\s*(?P<n>\d+)\s+"
@@ -432,6 +440,21 @@ class StreamProcessor:
         return bpe_encode_arrow(self._source_df(m.group("src")), merges,
                                 text_col=m.group("col") or "text")
 
+    def _resample(self, m: re.Match) -> DataFrame:
+        """RESAMPLE STREAM:raw TARGET STREAM:tgt TOP n [TOKENS col]
+        [BUCKETS k] [SEED 'name'] — DSIR importance resampling
+        (operators/tokens.py dsir_select): fit the hashed-n-gram
+        target-vs-raw log-ratio model and keep the top-n docs under
+        the deterministic Gumbel perturbation."""
+        from ..operators.tokens import dsir_select
+        return dsir_select(
+            self._source_df(m.group("src")),
+            self._source_df(m.group("target")),
+            n=int(m.group("n")),
+            tokens_col=m.group("col") or "tokens",
+            n_buckets=int(m.group("k") or 4096),
+            seed=m.group("seed") or "dsir")
+
     def _exec_select(self, text: str) -> DataFrame:
         """A statement body: a token-op verb, else translated SQL."""
         tm = _TOKENIZE_RE.match(text)
@@ -470,6 +493,9 @@ class StreamProcessor:
         hm = _SPLIT_RE.match(text)
         if hm:
             return self._split_holdout(hm)
+        im = _RESAMPLE_RE.match(text)
+        if im:
+            return self._resample(im)
         return self.spark.sql(self.translate(text))
 
     # -- execution ----------------------------------------------------------

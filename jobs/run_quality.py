@@ -18,6 +18,12 @@ Outputs under --output:
     train/     input schema + nll_millinats, n_tok_scored
     holdout/   same schema, the held-out eval slice
     dropped/   rows over the surprisal ceiling (audit trail)
+
+DSIR mode (--dsir-target "SQLEXPR" --dsir-top N [--dsir-buckets K]
+[--dsir-seed s]): importance-resample N docs toward the target sample
+(operators/tokens.py dsir_select) instead of the surprisal chain;
+writes selected/ (full schema + llr_millinats, n_feat, sel_key) and
+rejected/, exits non-zero unless selected + rejected == docs_in.
 Prints one JSON line with counts + exact conservation checks
 (docs in == train + holdout + dropped; tokens scored == tokens in).
 """
@@ -56,6 +62,18 @@ def main() -> int:
     ap.add_argument("--rate", nargs=2, action="append", default=[],
                     metavar=("GROUP", "PERMILLE"),
                     help="per-group holdout override (repeatable)")
+    ap.add_argument("--dsir-target", default=None, metavar="SQLEXPR",
+                    help="DSIR mode: SQL filter expression defining "
+                         "the target sample (e.g. \"source = 'wiki'\")"
+                         "; selects --dsir-top docs by importance "
+                         "resampling instead of the surprisal chain")
+    ap.add_argument("--dsir-top", type=int, default=0,
+                    help="number of docs to select in DSIR mode")
+    ap.add_argument("--dsir-buckets", type=int, default=4096,
+                    help="hashed-feature bucket count (model size)")
+    ap.add_argument("--dsir-seed", default="dsir",
+                    help="seed string for the deterministic Gumbel "
+                         "perturbation (reruns reproduce the draw)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -76,6 +94,42 @@ def main() -> int:
     df = spark.read.parquet(args.input)
     n_in = df.count()
     tok_in = df.agg(F.sum(args.len_col)).first()[0] or 0
+
+    if args.dsir_target is not None:
+        # DSIR importance resampling (operators/tokens.py
+        # dsir_select): K-bounded hashed-feature model, broadcast
+        # scoring, deterministic Gumbel top-k. Same write/conservation
+        # posture as the surprisal chain: selected + rejected == in.
+        from fluent_bit_spark.operators.tokens import dsir_select
+        if args.dsir_top <= 0:
+            ap.error("--dsir-target requires --dsir-top N > 0")
+        target = df.filter(args.dsir_target)
+        if target.limit(1).count() == 0:
+            ap.error("--dsir-target matched no rows")
+        picked = dsir_select(df, target, n=args.dsir_top,
+                             tokens_col=args.tokens_col,
+                             n_buckets=args.dsir_buckets,
+                             id_col=args.id_col,
+                             id_cols=(args.id_col,),
+                             seed=args.dsir_seed)
+        joined = (df.join(picked, args.id_col, "left").persist())
+        sel = joined.filter(F.col("sel_key").isNotNull())
+        rej = (joined.filter(F.col("sel_key").isNull())
+               .drop("llr_millinats", "n_feat", "sel_key"))
+        sel.write.mode("overwrite").parquet(f"{args.output}/selected")
+        rej.write.mode("overwrite").parquet(f"{args.output}/rejected")
+        n_sel = spark.read.parquet(f"{args.output}/selected").count()
+        n_rej = spark.read.parquet(f"{args.output}/rejected").count()
+        joined.unpersist()
+        conserved = (n_sel + n_rej == n_in
+                     and n_sel == min(args.dsir_top, n_in))
+        print(json.dumps({"docs_in": n_in, "selected": n_sel,
+                          "rejected": n_rej, "model": "dsir",
+                          "buckets": args.dsir_buckets,
+                          "tokens_in": int(tok_in),
+                          "conserved": conserved,
+                          "wall_sec": round(time.time() - t0, 2)}))
+        return 0 if conserved else 2
 
     if args.model == "bigram":
         scores = (bigram_surprisal(df, tokens_col=args.tokens_col,

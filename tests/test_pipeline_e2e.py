@@ -679,3 +679,45 @@ def test_systemd_input_end_to_end(spark, tmp_path):
         "[OUTPUT]\n    Name file\n    Match *\n    Sink s\n"),
         vocab=["x"])
     assert io["input_format"] == "systemd"
+
+
+def test_run_quality_dsir_mode(spark, fixture_paths, tmp_path,
+                               monkeypatch):
+    """--dsir-target: importance-resampling selection — exactly
+    --dsir-top docs land in selected/, the rest in rejected/, doc
+    conservation exact, and reruns with the same seed pick the same
+    set (deterministic Gumbel)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    import run_quality
+
+    out = str(tmp_path / "quality_dsir")
+    argv = ["run_quality.py", "--input", fixture_paths["tokens"],
+            "--output", out, "--dsir-target", "source = 'src1'",
+            "--dsir-top", "200", "--dsir-buckets", "256"]
+    monkeypatch.setattr(sys, "argv", argv)
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    assert run_quality.main() == 0
+    rep = json.loads(printed[-1])
+    assert rep["conserved"] and rep["model"] == "dsir"
+    assert rep["selected"] == 200
+    assert rep["selected"] + rep["rejected"] == rep["docs_in"]
+    sel = spark.read.parquet(f"{out}/selected")
+    ids1 = {r.doc_id for r in sel.select("doc_id").collect()}
+    assert len(ids1) == 200
+    # selected rows keep full input schema + score columns
+    assert {"doc_id", "tokens", "n_tok", "source", "llr_millinats",
+            "n_feat", "sel_key"} <= set(sel.columns)
+    # deterministic rerun: same seed -> identical selection
+    out2 = str(tmp_path / "quality_dsir2")
+    monkeypatch.setattr(sys, "argv",
+                        argv[:4] + [out2] + argv[5:])
+    assert run_quality.main() == 0
+    ids2 = {r.doc_id for r in spark.read.parquet(f"{out2}/selected")
+            .select("doc_id").collect()}
+    assert ids1 == ids2

@@ -477,3 +477,22 @@ def test_score_surprisal_order2_verb(sp, spark):
     want1 = {(r.doc_id, r.nll_millinats) for r in
              unigram_surprisal(df).collect()}
     assert got1 == want1 and got1 != got2
+
+
+def test_resample_verb_matches_operator(sp, spark):
+    """RESAMPLE STREAM:raw TARGET STREAM:tgt TOP n [BUCKETS k]
+    [SEED 's'] == dsir_select."""
+    from fluent_bit_spark.operators.tokens import dsir_select
+    raw = spark.createDataFrame(
+        [(1, "s", [5, 6, 5]), (2, "s", [5, 6]), (3, "s", [7, 8, 9]),
+         (4, "s", [9, 7, 8])],
+        "doc_id long, source string, tokens array<int>")
+    tgt = raw.filter("doc_id <= 2")
+    sp.register_stream("rawdocs", raw)
+    sp.register_stream("tgtdocs", tgt)
+    got = sp.sql("RESAMPLE STREAM:rawdocs TARGET STREAM:tgtdocs "
+                 "TOP 2 BUCKETS 64 SEED 'v';")
+    want = dsir_select(raw, tgt, n=2, n_buckets=64, seed="v")
+    key = lambda r: (r.doc_id, r.llr_millinats, r.n_feat, r.sel_key)
+    assert {key(r) for r in got.collect()} == \
+        {key(r) for r in want.collect()}
