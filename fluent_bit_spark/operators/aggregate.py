@@ -233,3 +233,119 @@ def log_to_metrics(df: DataFrame, mode: str, labels: list[str],
         return log_histogram_bounds(df, labels, value_field, buckets)
     raise ValueError(f"metric_mode must be counter|gauge|histogram, "
                      f"got {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min-Sketch heavy hitters (bounded-memory skew detection)
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(key: Column, d: Column | int, width: int) -> Column:
+    """Row d's hash bucket for a key — portable md5 ladder (first 7
+    hex chars of md5("d:key") mod width) so DuckDB reproduces the
+    sketch bit-for-bit."""
+    drow = d if isinstance(d, Column) else F.lit(d)
+    return (F.conv(F.substring(
+        F.md5(F.concat(drow.cast("string"), F.lit(":"),
+                       key.cast("string"))), 1, 7), 16, 10)
+        .cast("long") % width)
+
+
+def count_min_table(df: DataFrame, key_col: str,
+                    width: int = 4096, depth: int = 4) -> DataFrame:
+    """Build a Count-Min Sketch of the key column as a DataFrame of
+    EXACTLY ``depth × width`` cells ``(d, bucket, c)`` (Cormode &
+    Muthukrishnan 2005). The sketch answers point frequency queries
+    with one-sided error: estimate ≥ true count always, and
+    estimate ≤ true + εN with probability 1-δ for width = ⌈e/ε⌉,
+    depth = ⌈ln 1/δ⌉.
+
+    This is the bounded-memory alternative to ``groupBy(key).count()``
+    when key cardinality is corpus-sized (URLs, doc hashes): the
+    exchange carries at most ``depth × width`` map-side-combined
+    partials per partition no matter how many distinct keys exist, and
+    the result broadcasts. The zero-count spine (``spark.range``
+    cross) makes the cell count exact so downstream joins never miss.
+
+    Scale shape (10^12 rows): map-only explode to ``depth`` narrow
+    rows per record, one K-bounded hash agg — the same posture as the
+    DSIR bucket model; merging sketches of two corpora is cell-wise
+    addition (a union + re-agg), which is how per-day sketches roll up.
+    """
+    spark = df.sparkSession
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        F.col(key_col).alias("k"))
+    counted = (rows.select("d", _cms_bucket(F.col("k"), F.col("d"),
+                                            width).alias("bucket"))
+               .groupBy("d", "bucket").agg(F.count("*").alias("c")))
+    spine = (spark.range(0, depth).select(F.col("id").alias("d"))
+             .crossJoin(spark.range(0, width)
+                        .select(F.col("id").alias("bucket"))))
+    return (spine.join(F.broadcast(counted), ["d", "bucket"], "left")
+            .select("d", "bucket",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+
+
+def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str,
+                 width: int = 4096, depth: int = 4) -> DataFrame:
+    """Point-query a Count-Min sketch for each distinct key in
+    ``keys``: explode the key into its ``depth`` (row, bucket) probes,
+    broadcast-join the sketch cells, take the MIN over rows — the CMS
+    estimate, ``est_count ≥ true count`` always. One narrow exchange
+    row per queried key."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"))
+    probes = probes.withColumn(
+        "bucket", _cms_bucket(F.col(key_col), F.col("d"), width))
+    return (probes.join(F.broadcast(cms), ["d", "bucket"])
+            .groupBy(key_col)
+            .agg(F.min("c").alias("est_count")))
+
+
+def heavy_hitters_cms(df: DataFrame, key_col: str,
+                      min_count: int,
+                      width: int = 4096, depth: int = 4,
+                      sample_permille: int = 1000,
+                      row_id_col: str | None = None) -> DataFrame:
+    """Detect heavy keys (the salting decision's input) with bounded
+    memory: build the CMS, draw a DETERMINISTIC content-hash sample of
+    rows as the candidate pool (portable md5 permille — the
+    deterministic_sample rule), estimate each distinct candidate, keep
+    ``est_count >= min_count``.
+
+    Guarantee shape: CMS never underestimates, so no candidate above
+    threshold is missed; candidate recall is the sampling story — a
+    key with true count ≥ min_count appears in a p-rate sample with
+    probability 1-(1-p)^min_count (≥ 1-e^{-p·min_count}, i.e. ~1 for
+    any key actually worth salting at production thresholds). At
+    ``sample_permille=1000`` the pool is all rows — exact recall, used
+    by the oracle; production sets the permille so that
+    p·min_count ≳ 7 (recall > 99.9%). Sub-1000 rates hash
+    ``key:row_id`` (``row_id_col`` required — a per-ROW key, so a
+    heavy key's many rows are sampled independently; hashing the key
+    alone would drop whole keys), deterministic and engine-portable
+    like every sampler here.
+
+    Output: ``(key_col, est_count)``, est_count ≥ true count.
+    """
+    cms = count_min_table(df, key_col, width=width, depth=depth)
+    if sample_permille < 1000:
+        if row_id_col is None:
+            raise ValueError(
+                "heavy_hitters_cms: sample_permille < 1000 needs "
+                "row_id_col (per-row sampling key) — hashing the key "
+                "alone would sample whole keys in or out")
+        keep = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("hh:"), F.col(key_col).cast("string"),
+                           F.lit(":"),
+                           F.col(row_id_col).cast("string"))),
+            1, 7), 16, 10)
+            .cast("long") % 1000) < sample_permille
+        pool = df.filter(keep).select(key_col)
+    else:
+        pool = df.select(key_col)
+    cands = pool.distinct()
+    est = cms_estimate(cms, cands, key_col, width=width, depth=depth)
+    return est.filter(F.col("est_count") >= min_count)

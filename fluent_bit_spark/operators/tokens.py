@@ -1064,32 +1064,44 @@ def nb_quality_score(df: DataFrame, label: Column,
 # ---------------------------------------------------------------------------
 
 
-def _dsir_feature_array(tokens_col: str, n_buckets: int) -> Column:
-    """Hashed unigram+bigram feature buckets of a token array, as one
-    ``array<bigint>`` column — the DSIR bag-of-hashed-ngrams feature
+def _dsir_feature_strings(tokens_col: str) -> Column:
+    """Unigram+bigram feature STRINGS of a token array, as one
+    ``array<string>`` column — the DSIR bag-of-hashed-ngrams feature
     map (Xie et al. 2023, "Data Selection for Language Models via
     Importance Resampling", which hashes unigrams and bigrams into a
-    fixed bucket space). Bucket ids come from the portable md5 ladder
-    (first 7 hex chars mod ``n_buckets``) so DuckDB reproduces them
-    bit-for-bit. Map-only: no shuffle, no Python."""
+    fixed bucket space). The HOF lambdas do only cheap cast/concat;
+    the md5 bucket ladder is applied AFTER the explode so it runs
+    inside whole-stage codegen, not the interpreted HOF evaluator
+    (NOTES #2 — same lesson as the MinHash explode rewrite)."""
     toks = F.col(tokens_col)
-    uni = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t.cast("string")), 1, 7),
-                               16, 10).cast("long") % n_buckets)
+    uni = F.transform(toks, lambda t: t.cast("string"))
     # bigram text "t1 t2": zip tokens with tokens[2..]; zip_with pads
-    # the shorter side with null, so the dangling last pair nulls out
-    # of concat and is filtered (single-arg HOF lambdas per NOTES #1;
-    # zip_with's two args are its own signature, not a closure trap)
+    # the shorter side with null, and F.concat (NOT concat_ws, which
+    # would skip the null and alias the dangling pair onto a unigram
+    # string) nulls the last pair out for the filter (single-arg HOF
+    # lambdas per NOTES #1; zip_with's two args are its own signature)
     shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
     big = F.filter(
         F.zip_with(toks, shifted,
-                   lambda a, b: F.conv(
-                       F.substring(F.md5(F.concat(a.cast("string"),
-                                                  F.lit(" "),
-                                                  b.cast("string"))), 1, 7),
-                       16, 10).cast("long") % n_buckets),
+                   lambda a, b: F.concat(a.cast("string"), F.lit(" "),
+                                         b.cast("string"))),
         lambda x: x.isNotNull())
     return F.concat(uni, big)
+
+
+def _dsir_exploded_buckets(df: DataFrame, tokens_col: str,
+                           n_buckets: int,
+                           id_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Explode the feature strings and bucket them with the portable
+    md5 ladder (first 7 hex chars mod ``n_buckets`` — DuckDB
+    reproduces it bit-for-bit). Post-explode, so md5/conv stay in
+    codegen. Map-only: no shuffle, no Python."""
+    ex = df.select(*id_cols,
+                   F.explode(_dsir_feature_strings(tokens_col))
+                    .alias("fs"))
+    return ex.select(*id_cols,
+                     (F.conv(F.substring(F.md5("fs"), 1, 7), 16, 10)
+                      .cast("long") % n_buckets).alias("bucket"))
 
 
 def dsir_logratio_model(raw: DataFrame, target: DataFrame,
@@ -1119,14 +1131,22 @@ def dsir_logratio_model(raw: DataFrame, target: DataFrame,
     spark = raw.sparkSession
 
     def counts(df: DataFrame, name: str) -> DataFrame:
-        feats = df.select(F.explode(
-            _dsir_feature_array(tokens_col, n_buckets)).alias("bucket"))
+        feats = _dsir_exploded_buckets(df, tokens_col, n_buckets)
         return feats.groupBy("bucket").agg(F.count("*").alias(name))
+
+    # totals == sum of the bucket counts, but computed arithmetically
+    # from the array sizes (n unigrams + n-1 bigrams per doc): one
+    # NARROW scan instead of a second md5 feature-extraction pass over
+    # the corpus (same trick as unigram_model's corpus total — Catalyst
+    # does not dedupe the counts subtree across its two uses)
+    def total(df: DataFrame, name: str) -> DataFrame:
+        n_feat = F.greatest(F.size(F.col(tokens_col)) * 2 - 1, F.lit(0))
+        return df.agg(F.sum(n_feat).cast("long").alias(name))
 
     cq = counts(raw, "cq")
     cp = counts(target, "cp")
-    tq = cq.agg(F.sum("cq").cast("long").alias("tq"))
-    tp = cp.agg(F.sum("cp").cast("long").alias("tp"))
+    tq = total(raw, "tq")
+    tp = total(target, "tp")
     spine = spark.range(0, n_buckets).select(F.col("id").alias("bucket"))
     k = F.lit(n_buckets)
     return (spine.join(F.broadcast(cp), "bucket", "left")
@@ -1150,8 +1170,8 @@ def dsir_score(df: DataFrame, model: DataFrame,
     llr_milli`` (exact BIGINT — order-independent, engine-portable)
     plus the feature count ``n_feat``. Explode → broadcast join →
     map-side-combined per-doc agg; one narrow exchange row per doc."""
-    ex = df.select(*id_cols, F.explode(
-        _dsir_feature_array(tokens_col, n_buckets)).alias("bucket"))
+    ex = _dsir_exploded_buckets(df, tokens_col, n_buckets,
+                                id_cols=id_cols)
     return (ex.join(F.broadcast(model), "bucket")
             .groupBy(*[F.col(c) for c in id_cols])
             .agg(F.sum("llr_milli").alias("llr_millinats"),
@@ -1184,9 +1204,15 @@ def dsir_select(raw: DataFrame, target: DataFrame, n: int,
     enough to strain the driver, swap the limit for a sel_key
     threshold computed from approxQuantile (same plan shape as the
     mixture sampler's budget walk)."""
+    # persist the K-row model: it is a REDUCTION (NOTES #20 rule) and
+    # without it every action over the result re-runs both md5
+    # feature-extraction scans that feed the bucket counts; the caller
+    # releases via the caching.carry handle
+    from fluent_bit_spark.caching import carry
     model = dsir_logratio_model(raw, target, tokens_col=tokens_col,
                                 n_buckets=n_buckets,
                                 millinats_scale=millinats_scale)
+    model = model.persist(StorageLevel.MEMORY_AND_DISK)
     scored = dsir_score(raw, model, tokens_col=tokens_col,
                         n_buckets=n_buckets, id_cols=id_cols)
     h = F.conv(F.substring(
@@ -1194,7 +1220,9 @@ def dsir_select(raw: DataFrame, target: DataFrame, n: int,
         1, 15), 16, 10).cast("long")
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
     gumbel = F.round(-F.log(-F.log(u)) * millinats_scale).cast("long")
-    return (scored
-            .withColumn("sel_key", F.col("llr_millinats") + gumbel)
-            .orderBy(F.desc("sel_key"), F.asc(id_col))
-            .limit(n))
+    return carry(
+        scored
+        .withColumn("sel_key", F.col("llr_millinats") + gumbel)
+        .orderBy(F.desc("sel_key"), F.asc(id_col))
+        .limit(n),
+        model)

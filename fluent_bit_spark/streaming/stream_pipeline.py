@@ -253,6 +253,47 @@ def start_scored_stream(spark: SparkSession, stream_df: DataFrame,
     return q.start()
 
 
+def start_dsir_scored_stream(spark: SparkSession, stream_df: DataFrame,
+                             model: DataFrame, output_dir: str,
+                             tokens_col: str = "tokens",
+                             n_buckets: int = 4096,
+                             id_cols: tuple[str, ...] = ("doc_id",
+                                                         "source"),
+                             checkpoint_dir: str | None = None,
+                             available_now: bool = True):
+    """Streaming face of DSIR importance scoring: score each
+    micro-batch against a MAINTAINED static log-ratio model table
+    (:func:`~fluent_bit_spark.operators.tokens.dsir_logratio_model`,
+    exactly ``n_buckets`` rows) and append per-document importance
+    log-weights as parquet.
+
+    Same zero-state posture as :func:`start_scored_stream`: scoring is
+    a broadcast join + batch-local agg inside ``foreachBatch``, so the
+    query carries no streaming state and a FIXED model scores the
+    stream bit-identically to one batch pass over the union (integer
+    milli-nat sums are order-independent). The model spine covers all
+    K buckets, so — unlike the surprisal scorer — no feature is ever
+    OOV and every document emits a row. The Gumbel top-k SELECTION
+    stays a batch/periodic concern (a global cut is not a per-batch
+    decision); this face maintains the scores that cut reads."""
+    from ..operators.tokens import dsir_score
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        (dsir_score(batch, model, tokens_col=tokens_col,
+                    n_buckets=n_buckets, id_cols=id_cols)
+         .write.mode("append")
+         .parquet(os.path.join(output_dir, "scores")))
+
+    q = (stream_df.writeStream
+         .foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 checkpoint_dir
+                 or os.path.join(output_dir, "_dsir_ckpt")))
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()
+
+
 # ---------------------------------------------------------------------------
 # Streaming exact dedup (cross-batch duplicate suppression)
 # ---------------------------------------------------------------------------

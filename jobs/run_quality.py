@@ -121,6 +121,8 @@ def main() -> int:
         n_sel = spark.read.parquet(f"{args.output}/selected").count()
         n_rej = spark.read.parquet(f"{args.output}/rejected").count()
         joined.unpersist()
+        from fluent_bit_spark.caching import release
+        release(picked)  # the K-row model persist inside dsir_select
         conserved = (n_sel + n_rej == n_in
                      and n_sel == min(args.dsir_top, n_in))
         print(json.dumps({"docs_in": n_in, "selected": n_sel,

@@ -570,3 +570,49 @@ def test_start_scored_stream_matches_batch(spark, tmp_path):
     assert {d for d, *_ in got} == {"a0", "a1", "a2"}   # a3 fully OOV
     a2 = next(t for t in got if t[0] == "a2")
     assert a2[3] == 2                                   # 99 unscored
+
+
+def test_start_dsir_scored_stream_matches_batch(spark, tmp_path):
+    """Streaming DSIR scoring vs a maintained K-row model: scores
+    appended across micro-batches are EXACTLY the batch dsir_score
+    over the union; the full bucket spine means every doc (even one
+    whose features the corpora never saw) emits a row."""
+    from fluent_bit_spark.operators.tokens import (
+        dsir_logratio_model, dsir_score,
+    )
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        start_dsir_scored_stream,
+    )
+    K = 64
+    raw = spark.createDataFrame(
+        [("t0", "s", [1, 2, 2, 3]), ("t1", "s", [7, 8, 9])],
+        "doc_id string, source string, tokens array<int>")
+    tgt = raw.filter("doc_id = 't0'")
+    model = dsir_logratio_model(raw, tgt, n_buckets=K)
+    model = spark.createDataFrame(model.collect(), model.schema)
+
+    d = str(tmp_path / "landing_dsir")
+    schema = "doc_id string, source string, tokens array<int>"
+    rows0 = [("a0", "web", [1, 2, 3]), ("a1", "web", [2, 2])]
+    rows1 = [("a2", "app", [3, 1, 99]),  # unseen token: still scored
+             ("a3", "app", [99])]        # fully unseen: still a row
+    spark.createDataFrame(rows0, schema).coalesce(1) \
+        .write.parquet(f"{d}/f0.parquet")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(f"{d}/f1.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*"))
+    out = str(tmp_path / "dsir_out")
+    q = start_dsir_scored_stream(spark, stream, model, out,
+                                 n_buckets=K)
+    q.awaitTermination(120)
+
+    got = {(r.doc_id, r.source, r.llr_millinats, r.n_feat)
+           for r in spark.read.parquet(f"{out}/scores").collect()}
+    both = spark.createDataFrame(rows0 + rows1, schema)
+    want = {(r.doc_id, r.source, r.llr_millinats, r.n_feat)
+            for r in dsir_score(both, model, n_buckets=K).collect()}
+    assert got == want
+    assert {t[0] for t in got} == {"a0", "a1", "a2", "a3"}
+    a3 = next(t for t in got if t[0] == "a3")
+    assert a3[3] == 1   # one unigram feature, no bigram

@@ -81,6 +81,10 @@ def run_size(n_docs: int, out: str, model: str = "unigram") -> dict:
         tok_in = docs.agg(F.sum(F.greatest(F.col("n_tok") - 2,
                                            F.lit(0)))).first()[0]
         n_expected = docs.filter(F.col("n_tok") >= 3).count()
+    elif model == "dsir":
+        # hashed features per doc: n_tok unigrams + (n_tok-1) bigrams
+        tok_in = docs.agg(F.sum(F.col("n_tok") * 2 - 1)).first()[0]
+        n_expected = n_docs
     else:
         tok_in = docs.agg(F.sum("n_tok")).first()[0]
         n_expected = n_docs
@@ -97,6 +101,20 @@ def run_size(n_docs: int, out: str, model: str = "unigram") -> dict:
                       docs.filter(F.col("doc_id") % 2 == 0), docs,
                       order=3)
                   .withColumnRenamed("n_scored", "n_tok_scored"))
+    elif model == "dsir":
+        # K-bounded hashed-feature log-ratio model + broadcast scoring
+        # (operators/tokens.py): the model row count is gated EXACTLY
+        # == n_buckets at every corpus size
+        from fluent_bit_spark.operators.tokens import (
+            dsir_logratio_model, dsir_score,
+        )
+        lr = dsir_logratio_model(
+            docs, docs.filter(F.col("doc_id") % 7 == 0),
+            n_buckets=4096).persist()
+        dsir_model_rows = lr.count()
+        scored = (dsir_score(docs, lr, id_cols=("doc_id", "source"))
+                  .withColumnRenamed("n_feat", "n_tok_scored")
+                  .withColumnRenamed("llr_millinats", "nll_millinats"))
     else:
         scored = unigram_surprisal(docs)
     scored.write.mode("overwrite").parquet(f"{out}/scored")
@@ -131,6 +149,8 @@ def run_size(n_docs: int, out: str, model: str = "unigram") -> dict:
                 "i -> struct(tokens[i] AS t1, tokens[i+1] AS t2))"))
             .alias("bg"))
         model_rows = pairs.select("bg.t1", "bg.t2").distinct().count()
+    elif model == "dsir":
+        model_rows = dsir_model_rows
     else:
         model_rows = (docs.select(F.explode("tokens").alias("tok"))
                       .agg(F.count_distinct("tok")).first()[0])
@@ -142,11 +162,27 @@ def run_size(n_docs: int, out: str, model: str = "unigram") -> dict:
     res["conserved"] = (res["tokens_in"] == res["tokens_scored"]
                         and res["docs_scored"] == n_expected)
     res["tokens_per_sec"] = round(tok_in / res["score_wall_s"], 1)
+    if model == "dsir":
+        # the end-to-end selection path (model + score + Gumbel top-n
+        # via TakeOrderedAndProject) — n bounded well under driver size
+        from fluent_bit_spark.operators.tokens import dsir_select
+        t0 = time.time()
+        n_top = min(100_000, n_docs)
+        n_sel = dsir_select(docs,
+                            docs.filter(F.col("doc_id") % 7 == 0),
+                            n=n_top, n_buckets=4096).count()
+        phase("select", t0)
+        res["selected"] = int(n_sel)
+        if n_sel != n_top:
+            spark.stop()
+            raise SystemExit(f"SELECTION COUNT WRONG: {res}")
     spark.stop()
     if not res["conserved"]:
         raise SystemExit(f"SCORING LOSS: {res}")
     if model == "unigram" and res["model_rows"] > VOCAB:
         raise SystemExit(f"MODEL NOT VOCAB-BOUNDED: {res}")
+    if model == "dsir" and res["model_rows"] != 4096:
+        raise SystemExit(f"DSIR MODEL NOT EXACTLY K ROWS: {res}")
     if model == "bigram" and res["model_rows"] > VOCAB * VOCAB:
         raise SystemExit(f"PAIR MODEL EXCEEDS VOCAB^2: {res}")
     if model == "backoff" and res["full_frac"] >= 1:
@@ -164,7 +200,7 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/surprisal_vol")
     ap.add_argument("--md", default=None, help="append a markdown report")
     ap.add_argument("--model", default="unigram",
-                    choices=["unigram", "bigram", "backoff"])
+                    choices=["unigram", "bigram", "backoff", "dsir"])
     ap.add_argument("--gate", action="store_true",
                     help="exit non-zero on super-linear shuffle growth "
                          "or an unbounded model (conservation breaches "
@@ -187,7 +223,7 @@ def main() -> int:
                               "why": "super-linear shuffle write",
                               "rows_x": ratio, "shuffle_x": shuf_x}))
             return 3
-        if args.model == "unigram" and \
+        if args.model in ("unigram", "dsir") and \
                 b["model_rows"] > a["model_rows"] * 1.05:
             print(json.dumps({"gate": "FAIL",
                               "why": "model grows with corpus",
