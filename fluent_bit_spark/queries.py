@@ -4461,3 +4461,53 @@ def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = d.select("doc_id", "source", "tokens")
     target = raw.filter(F.col("doc_id") % 7 == 0)
     return dsir_select(raw, target, n=120, n_buckets=512, seed="dsir")
+
+
+# ===========================================================================
+# Count-Min-Sketch heavy hitters (bounded-memory skew detection —
+# the "which keys need salting" primitive)
+# ===========================================================================
+
+@q("cms_heavy_hitters", """
+WITH keys AS (SELECT DISTINCT user_id FROM events),
+rows_d AS (SELECT user_id, unnest(range(0, 4)) AS d FROM events),
+cells AS (SELECT d,
+                 ('0x' || substring(md5(CAST(d AS VARCHAR) || ':' ||
+                                        CAST(user_id AS VARCHAR)),
+                                    1, 7))::BIGINT % 128 AS bucket,
+                 count(*) AS c
+          FROM rows_d GROUP BY d, bucket),
+probes AS (SELECT user_id, d,
+                  ('0x' || substring(md5(CAST(d AS VARCHAR) || ':' ||
+                                         CAST(user_id AS VARCHAR)),
+                                     1, 7))::BIGINT % 128 AS bucket
+           FROM (SELECT user_id, unnest(range(0, 4)) AS d FROM keys)),
+est AS (SELECT p.user_id, CAST(min(c.c) AS BIGINT) AS est_count
+        FROM probes p JOIN cells c USING (d, bucket)
+        GROUP BY p.user_id),
+tc AS (SELECT user_id, count(*) AS true_count FROM events
+       GROUP BY user_id)
+SELECT e.user_id, e.est_count, t.true_count,
+       e.est_count >= t.true_count AS over_ok,
+       e.est_count >= 40 AS is_heavy
+FROM est e JOIN tc t USING (user_id)
+""")
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimation (operators/aggregate.py
+    count_min_table / cms_estimate / heavy_hitters_cms; Cormode &
+    Muthukrishnan 2005): depth×width bounded sketch of the event
+    user_id stream (width 128 forces real collisions at sf0.01's 150
+    users), every distinct key point-queried, checked against exact
+    counts for the one-sided guarantee (est >= true, ALWAYS — the
+    oracle value-checks every estimate AND the guarantee flag), plus
+    the >=40 heavy flag that feeds the salting decision."""
+    from .operators.aggregate import heavy_hitters_cms
+    ev = t(spark, sf_dir, "events")
+    hh = heavy_hitters_cms(ev, "user_id", min_count=1,
+                           width=128, depth=4)
+    true = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    return (hh.join(true, "user_id")
+            .select("user_id", "est_count", "true_count",
+                    (F.col("est_count") >= F.col("true_count"))
+                    .alias("over_ok"),
+                    (F.col("est_count") >= 40).alias("is_heavy")))

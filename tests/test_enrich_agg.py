@@ -243,3 +243,92 @@ def test_dim_cache_stream_enrichment_parity(spark, tmp_path):
         .write.mode("overwrite").parquet(dim)
     gotinf, vinf = run(float("inf"))
     assert gotinf == {"d0": "v1", "d1": "v1"} and vinf == 1
+
+
+def test_cms_matches_pure_python_and_never_underestimates(spark):
+    """count_min_table / cms_estimate vs a from-scratch python CMS:
+    identical cells, identical estimates, and the one-sided guarantee
+    (estimate >= true count for EVERY key) at a width small enough to
+    force collisions."""
+    import hashlib
+    from collections import Counter
+
+    from fluent_bit_spark.operators.aggregate import (
+        cms_estimate, count_min_table,
+    )
+    W, D = 8, 3
+    vals = (["hot"] * 20 + ["warm"] * 7 +
+            [f"cold{i}" for i in range(15)])
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+
+    def bucket(d, k):
+        return int(hashlib.md5(f"{d}:{k}".encode())
+                   .hexdigest()[:7], 16) % W
+
+    cells = Counter()
+    for v in vals:
+        for d in range(D):
+            cells[(d, bucket(d, v))] += 1
+
+    got_cells = {(r.d, r.bucket): r.c
+                 for r in count_min_table(df, "k", width=W,
+                                          depth=D).collect()}
+    assert len(got_cells) == W * D          # zero-count spine complete
+    for (d, b), c in got_cells.items():
+        assert c == cells.get((d, b), 0), (d, b)
+
+    keys = df.distinct()
+    est = {r.k: r.est_count
+           for r in cms_estimate(count_min_table(df, "k", width=W,
+                                                 depth=D),
+                                 keys, "k", width=W, depth=D).collect()}
+    true = Counter(vals)
+    for k, t in true.items():
+        want = min(cells[(d, bucket(d, k))] for d in range(D))
+        assert est[k] == want, k
+        assert est[k] >= t, k               # one-sided, always
+
+
+def test_cms_heavy_hitters_threshold_and_sampling(spark):
+    """heavy_hitters_cms finds every key over the threshold (no false
+    negatives — CMS overestimates); per-row sampling keeps heavy keys
+    with near-1 probability and requires an explicit row id."""
+    import pytest
+
+    from fluent_bit_spark.operators.aggregate import heavy_hitters_cms
+    rows = ([("hot", i) for i in range(200)]
+            + [("warm", i) for i in range(40)]
+            + [(f"cold{i}", i) for i in range(30)])
+    df = spark.createDataFrame(rows, "k string, rid long")
+
+    hh = {r.k for r in heavy_hitters_cms(df, "k", min_count=40,
+                                         width=512, depth=4).collect()}
+    assert {"hot", "warm"} <= hh            # no false negatives
+    assert not any(k.startswith("cold") for k in hh) or len(hh) <= 4
+
+    sampled = {r.k for r in heavy_hitters_cms(
+        df, "k", min_count=100, width=512, depth=4,
+        sample_permille=300, row_id_col="rid").collect()}
+    assert "hot" in sampled                 # 200 rows at 30% — certain
+
+    with pytest.raises(ValueError, match="row_id_col"):
+        heavy_hitters_cms(df, "k", min_count=10,
+                          sample_permille=100)
+
+
+def test_cms_merge_is_cellwise_addition(spark):
+    """Sketches of two corpora merged by union + re-agg equal the
+    sketch of the union — the per-day rollup property."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.aggregate import count_min_table
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "k string")
+    b = spark.createDataFrame([("x",), ("z",)], "k string")
+    W, D = 16, 2
+    merged = (count_min_table(a, "k", width=W, depth=D)
+              .unionByName(count_min_table(b, "k", width=W, depth=D))
+              .groupBy("d", "bucket").agg(F.sum("c").alias("c")))
+    whole = count_min_table(a.unionByName(b), "k", width=W, depth=D)
+    g = {(r.d, r.bucket): r.c for r in merged.collect()}
+    w = {(r.d, r.bucket): r.c for r in whole.collect()}
+    assert g == w
