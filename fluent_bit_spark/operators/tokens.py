@@ -1226,3 +1226,88 @@ def dsir_select(raw: DataFrame, target: DataFrame, n: int,
         .orderBy(F.desc("sel_key"), F.asc(id_col))
         .limit(n),
         model)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-audit statistics (Zipf rank/coverage, Heaps vocab growth)
+# ---------------------------------------------------------------------------
+
+
+def zipf_table(df: DataFrame, tokens_col: str = "tokens",
+               k: int = 50) -> DataFrame:
+    """Token-frequency rank table with cumulative mass coverage — the
+    Zipf audit a corpus-health dashboard reads: ``(rank, tok, freq,
+    cum_permille)`` for the top ``k`` tokens, rank ordered by
+    frequency DESC with token id as the deterministic tiebreak,
+    ``cum_permille`` = exact integer permille of total token mass
+    covered by ranks 1..rank (BIGINT cross-multiply, no floats).
+
+    Scale shape: the frequency table is VOCAB-bounded (map-side
+    combined partials, same as unigram_model); the rank window runs
+    over that vocab-bounded table — a single-partition window over
+    10^4-10^6 rows, NOT over the corpus (bounded regardless of corpus
+    size); the total is a 1-row broadcast."""
+    ex = df.select(F.explode(F.col(tokens_col)).alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count("*").alias("freq"))
+    total = df.agg(F.sum(F.size(F.col(tokens_col)))
+                   .cast("long").alias("t"))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = (freq.withColumn("rank", F.row_number().over(w))
+              .withColumn("cum_freq",
+                          F.sum("freq").over(
+                              w.rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)))
+              .filter(F.col("rank") <= k))
+    # integer DIV, not float-divide-then-cast: Spark's double→long cast
+    # truncates while DuckDB's rounds — DIV is exact in both engines
+    return (ranked.crossJoin(F.broadcast(total))
+            .select("rank", "tok", "freq",
+                    F.expr("cum_freq * 1000 DIV t")
+                    .alias("cum_permille")))
+
+
+def vocab_growth(df: DataFrame, tokens_col: str = "tokens",
+                 id_col: str = "doc_id",
+                 permilles: tuple[int, ...] = (125, 250, 500, 1000)
+                 ) -> DataFrame:
+    """Heaps-law audit points: distinct-token (vocab) and total-token
+    counts over deterministic md5 permille fractions of the corpus —
+    ``(permille, docs, total_toks, distinct_toks)``, one row per
+    requested fraction. Sub-linear vocab growth vs token growth is the
+    expected natural-text shape; a vocab that grows LINEARLY with the
+    corpus flags an id-leak or noise flood.
+
+    The fraction is a content-hash subset (md5(doc_id) mod 1000 — the
+    deterministic_sample rule), which is the right estimator for a
+    growth curve (order-free, engine-portable, monotone: each fraction
+    is a superset of the smaller ones).
+
+    Scale shape: one explode + ONE agg computes every point
+    (conditional count_distinct per threshold — Spark expands to a
+    multi-distinct expand, each keyed by tok: vocab-bounded
+    exchanges); no per-point corpus rescans."""
+    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                 1, 7), 16, 10).cast("long") % 1000)
+    ex = df.select(bucket.alias("b"),
+                   F.col(id_col).alias("_id"),
+                   F.explode(F.col(tokens_col)).alias("tok"))
+    aggs = []
+    for p in permilles:
+        cond = F.col("b") < p
+        aggs += [
+            F.count_distinct(F.when(cond, F.col("_id")))
+             .alias(f"docs_{p}"),
+            F.count(F.when(cond, F.lit(1))).alias(f"toks_{p}"),
+            F.count_distinct(F.when(cond, F.col("tok")))
+             .alias(f"vocab_{p}"),
+        ]
+    row = ex.agg(*aggs)
+    pts = F.array(*[
+        F.struct(F.lit(p).cast("long").alias("permille"),
+                 F.col(f"docs_{p}").alias("docs"),
+                 F.col(f"toks_{p}").alias("total_toks"),
+                 F.col(f"vocab_{p}").alias("distinct_toks"))
+        for p in permilles])
+    return (row.select(F.explode(pts).alias("pt"))
+            .select("pt.permille", "pt.docs", "pt.total_toks",
+                    "pt.distinct_toks"))

@@ -4511,3 +4511,69 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("est_count") >= F.col("true_count"))
                     .alias("over_ok"),
                     (F.col("est_count") >= 40).alias("is_heavy")))
+
+
+# ===========================================================================
+# Corpus-audit statistics: Zipf rank/coverage table + Heaps vocab
+# growth (the corpus-health dashboard layer)
+# ===========================================================================
+
+@q("zipf_coverage", f"""
+WITH d AS (SELECT doc_id, {_TOK_IDS_SQL} AS tokens
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+ex AS (SELECT unnest(tokens) AS tok FROM d),
+f AS (SELECT tok, count(*) AS freq FROM ex GROUP BY tok),
+tt AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM f),
+r AS (SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rank,
+             CAST(sum(freq) OVER (ORDER BY freq DESC, tok
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM f)
+SELECT rank, tok, CAST(freq AS BIGINT) AS freq,
+       cum * 1000 // t AS cum_permille
+FROM r, tt WHERE rank <= 50
+""")
+def zipf_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank/coverage audit (operators/tokens.py zipf_table): the
+    top-50 token-frequency ranks with exact integer-permille
+    cumulative mass — rank tiebreak by token id, cumulative sum and
+    the permille both BIGINT-exact (DIV, engine-portable). The oracle
+    replays frequency table, rank window, running sum, and the
+    integer division."""
+    from .operators.tokens import zipf_table
+    d = _tok_int_docs(spark, sf_dir)
+    return zipf_table(d, k=50)
+
+
+@q("vocab_growth", f"""
+WITH d AS (SELECT doc_id, {_TOK_IDS_SQL} AS tokens
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+ex AS (SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                ::BIGINT % 1000 AS b,
+              doc_id, unnest(tokens) AS tok FROM d),
+pts AS (SELECT p.permille,
+               count(DISTINCT CASE WHEN b < p.permille
+                                   THEN doc_id END) AS docs,
+               count(CASE WHEN b < p.permille THEN 1 END)
+                 AS total_toks,
+               count(DISTINCT CASE WHEN b < p.permille
+                                   THEN tok END) AS distinct_toks
+        FROM ex, (SELECT unnest([125, 250, 500, 1000])
+                  AS permille) p
+        GROUP BY p.permille)
+SELECT CAST(permille AS BIGINT) AS permille,
+       CAST(docs AS BIGINT) AS docs,
+       CAST(total_toks AS BIGINT) AS total_toks,
+       CAST(distinct_toks AS BIGINT) AS distinct_toks
+FROM pts
+""")
+def vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocab-growth audit (operators/tokens.py
+    vocab_growth): distinct-token vs total-token counts over
+    deterministic md5 permille fractions (monotone nested subsets) —
+    sub-linear vocab growth is the natural-text shape; linear growth
+    flags id leaks/noise. One explode + one multi-distinct agg; the
+    oracle replays the hash bucketing and every conditional count."""
+    from .operators.tokens import vocab_growth
+    d = _tok_int_docs(spark, sf_dir)
+    return vocab_growth(d)

@@ -762,3 +762,44 @@ def test_dsir_plan_is_jvm_only(spark):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                    "MapInArrow"):
         assert marker not in plan
+
+
+def test_zipf_table_hand_computed(spark):
+    """Rank by freq DESC with token tiebreak; cumulative permille is
+    exact integer DIV of the running mass."""
+    df = spark.createDataFrame(
+        [("a", [1, 1, 1, 2, 2, 3]), ("b", [1, 2, 4])],
+        "doc_id string, tokens array<int>")
+    rows = {r.rank: r for r in TK.zipf_table(df, k=3).collect()}
+    # freqs: 1->4, 2->3, 3->1, 4->1 ; total 9
+    assert (rows[1].tok, rows[1].freq) == (1, 4)
+    assert (rows[2].tok, rows[2].freq) == (2, 3)
+    assert (rows[3].tok, rows[3].freq) == (3, 1)   # tiebreak 3 < 4
+    assert rows[1].cum_permille == 4 * 1000 // 9
+    assert rows[2].cum_permille == 7 * 1000 // 9
+    assert rows[3].cum_permille == 8 * 1000 // 9
+    assert len(rows) == 3                          # k cut
+
+
+def test_vocab_growth_monotone_nested_fractions(spark):
+    """Each permille point is a superset of smaller ones: docs,
+    total_toks, distinct_toks all monotone; the 1000-point equals the
+    full corpus exactly."""
+    import hashlib
+    docs = [(i, list(range(i % 7)) or [99]) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    pts = {r.permille: r for r in TK.vocab_growth(df).collect()}
+    assert sorted(pts) == [125, 250, 500, 1000]
+    for a, b in [(125, 250), (250, 500), (500, 1000)]:
+        assert pts[a].docs <= pts[b].docs
+        assert pts[a].total_toks <= pts[b].total_toks
+        assert pts[a].distinct_toks <= pts[b].distinct_toks
+    assert pts[1000].docs == 200
+    assert pts[1000].total_toks == sum(len(t) for _, t in docs)
+    assert pts[1000].distinct_toks == len(
+        {x for _, t in docs for x in t})
+    # spot-check one fraction against the same md5 rule in python
+    want = {d for d, _ in docs
+            if int(hashlib.md5(str(d).encode()).hexdigest()[:7], 16)
+            % 1000 < 250}
+    assert pts[250].docs == len(want)
