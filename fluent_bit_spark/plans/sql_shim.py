@@ -115,6 +115,17 @@ _DEDUP_VS_RE = re.compile(
     r"(?:\s+TEXT\s+(?P<text>\w+))?(?:\s+ID\s+(?P<id>\w+))?"
     r"(?:\s+JACCARD\s+(?P<pm>\d+))?\s*;?\s*$",
     re.IGNORECASE)
+_HEAVY_RE = re.compile(
+    r"^\s*HEAVY\s+KEYS\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"KEY\s+(?P<key>\w+)\s+MIN\s+(?P<min>\d+)"
+    r"(?:\s+WIDTH\s+(?P<width>\d+))?(?:\s+DEPTH\s+(?P<depth>\d+))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE)
+_AUDIT_RE = re.compile(
+    r"^\s*AUDIT\s+(?P<kind>ZIPF|VOCAB)\s+"
+    r"(?P<src>STREAM:\w+|TAG:'[^']*')"
+    r"(?:\s+TOKENS\s+(?P<col>\w+))?(?:\s+TOP\s+(?P<k>\d+))?\s*;?\s*$",
+    re.IGNORECASE)
 _RESAMPLE_RE = re.compile(
     r"^\s*RESAMPLE\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
     r"TARGET\s+(?P<target>STREAM:\w+|TAG:'[^']*')\s+"
@@ -455,6 +466,30 @@ class StreamProcessor:
             n_buckets=int(m.group("k") or 4096),
             seed=m.group("seed") or "dsir")
 
+    def _heavy_keys(self, m: re.Match) -> DataFrame:
+        """HEAVY KEYS STREAM:src KEY col MIN n [WIDTH w] [DEPTH d] —
+        Count-Min-Sketch heavy-key detection (operators/aggregate.py
+        heavy_hitters_cms): bounded-memory frequency sketch +
+        threshold, the input to a salting decision."""
+        from ..operators.aggregate import heavy_hitters_cms
+        return heavy_hitters_cms(
+            self._source_df(m.group("src")), m.group("key"),
+            min_count=int(m.group("min")),
+            width=int(m.group("width") or 4096),
+            depth=int(m.group("depth") or 4))
+
+    def _audit(self, m: re.Match) -> DataFrame:
+        """AUDIT ZIPF STREAM:src [TOKENS col] [TOP k] /
+        AUDIT VOCAB STREAM:src [TOKENS col] — corpus-health statistics
+        (operators/tokens.py zipf_table / vocab_growth)."""
+        from ..operators.tokens import vocab_growth, zipf_table
+        src = self._source_df(m.group("src"))
+        col = m.group("col") or "tokens"
+        if m.group("kind").upper() == "ZIPF":
+            return zipf_table(src, tokens_col=col,
+                              k=int(m.group("k") or 50))
+        return vocab_growth(src, tokens_col=col)
+
     def _exec_select(self, text: str) -> DataFrame:
         """A statement body: a token-op verb, else translated SQL."""
         tm = _TOKENIZE_RE.match(text)
@@ -496,6 +531,12 @@ class StreamProcessor:
         im = _RESAMPLE_RE.match(text)
         if im:
             return self._resample(im)
+        hk = _HEAVY_RE.match(text)
+        if hk:
+            return self._heavy_keys(hk)
+        am = _AUDIT_RE.match(text)
+        if am:
+            return self._audit(am)
         return self.spark.sql(self.translate(text))
 
     # -- execution ----------------------------------------------------------

@@ -496,3 +496,39 @@ def test_resample_verb_matches_operator(sp, spark):
     key = lambda r: (r.doc_id, r.llr_millinats, r.n_feat, r.sel_key)
     assert {key(r) for r in got.collect()} == \
         {key(r) for r in want.collect()}
+
+
+def test_heavy_keys_verb_matches_operator(sp, spark):
+    """HEAVY KEYS STREAM:x KEY col MIN n == heavy_hitters_cms."""
+    from fluent_bit_spark.operators.aggregate import heavy_hitters_cms
+    df = spark.createDataFrame(
+        [("hot",)] * 30 + [("cold",)] * 2, "k string")
+    sp.register_stream("hhk", df)
+    got = {(r.k, r.est_count) for r in
+           sp.sql("HEAVY KEYS STREAM:hhk KEY k MIN 10 "
+                  "WIDTH 256 DEPTH 3;").collect()}
+    want = {(r.k, r.est_count) for r in
+            heavy_hitters_cms(df, "k", min_count=10, width=256,
+                              depth=3).collect()}
+    assert got == want and {k for k, _ in got} == {"hot"}
+
+
+def test_audit_verbs_match_operators(sp, spark):
+    """AUDIT ZIPF / AUDIT VOCAB == zipf_table / vocab_growth."""
+    from fluent_bit_spark.operators.tokens import (
+        vocab_growth, zipf_table,
+    )
+    df = spark.createDataFrame(
+        [(1, [1, 1, 2]), (2, [1, 3])],
+        "doc_id long, tokens array<int>")
+    sp.register_stream("aud", df)
+    gz = {(r.rank, r.tok, r.freq, r.cum_permille) for r in
+          sp.sql("AUDIT ZIPF STREAM:aud TOP 2;").collect()}
+    wz = {(r.rank, r.tok, r.freq, r.cum_permille) for r in
+          zipf_table(df, k=2).collect()}
+    assert gz == wz
+    gv = {(r.permille, r.docs, r.total_toks, r.distinct_toks) for r in
+          sp.sql("AUDIT VOCAB STREAM:aud;").collect()}
+    wv = {(r.permille, r.docs, r.total_toks, r.distinct_toks) for r in
+          vocab_growth(df).collect()}
+    assert gv == wv
