@@ -4577,3 +4577,57 @@ def vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.tokens import vocab_growth
     d = _tok_int_docs(spark, sf_dir)
     return vocab_growth(d)
+
+
+# ===========================================================================
+# Curriculum packing: quality-score -> easy-first deterministic order
+# -> fixed-window pack (the final dataloader-ordering chain)
+# ===========================================================================
+
+@q("curriculum_pack", f"""
+WITH d0 AS (SELECT doc_id, source, {{_TOK_IDS_SQL}} AS tokens,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents WHERE len(string_split(text, ' ')) > 0),
+ex AS (SELECT doc_id, source, unnest(tokens) AS tok FROM d0),
+f AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+tt AS (SELECT sum(c) AS t FROM f),
+m AS (SELECT tok, CAST(round(-ln(c / t) * 1000) AS BIGINT) AS nll
+      FROM f, tt),
+sc AS (SELECT doc_id, source, CAST(sum(nll) AS BIGINT) AS nllm,
+              count(*) AS ns
+       FROM ex JOIN m USING (tok) GROUP BY doc_id, source),
+d AS (SELECT d0.doc_id, d0.source, d0.tokens, d0.n_tok,
+             (sc.nllm // sc.ns // 500) * {1 << 44}
+             + ('0x' || substring(md5(CAST(d0.doc_id AS VARCHAR)),
+                                  1, 11))::BIGINT AS okey
+      FROM d0 JOIN sc ON d0.doc_id = sc.doc_id
+                     AND d0.source = sc.source),
+{{suffix}}
+""".format(_TOK_IDS_SQL=_TOK_IDS_SQL,
+           suffix=_pack_oracle_suffix(64, order_by="okey, doc_id")))
+def curriculum_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered packing — the COMPOSED chain a training run
+    reads last: self-trained unigram surprisal per doc
+    (integer milli-nats), docs bucketed into 500-milli-nat mean-
+    surprisal bands, concatenated easy-band-first with a portable
+    md5 shuffle WITHIN each band (band*2^44 + 44-bit md5 prefix as
+    the single integral order key, doc_id tiebreak), then packed into
+    64-token windows. Every packed window's token ids and doc starts
+    are md5 value-checked by the oracle, which replays the whole
+    chain: frequency model, milli-nat rounding, band arithmetic
+    (DIV — the NOTES #25 rule), order key, prefix sum, boundary
+    splits. group_size is sized to the banded key DOMAIN (~2^50) per
+    hash_order_bucket_width's contract, not the dense default."""
+    from .operators.tokens import pack_sequences, unigram_surprisal
+    d = _tok_int_docs(spark, sf_dir)
+    sc = unigram_surprisal(d)
+    dd = d.join(sc, ["doc_id", "source"])
+    okey = (F.expr("nll_millinats DIV n_tok_scored DIV 500")
+            * F.lit(1 << 44).cast("long")
+            + F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 11), 16, 10).cast("long"))
+    packed = pack_sequences(dd.withColumn("okey", okey),
+                            ctx_len=64, id_col="doc_id",
+                            order_col="okey", tiebreak_col="doc_id",
+                            group_size=1 << 46)
+    return _pack_select(packed)
