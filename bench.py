@@ -101,6 +101,10 @@ HEADLINE = [
     # r5 late: DSIR importance resampling (K-bounded hashed-feature
     # model + broadcast scoring + Gumbel top-k)
     "dsir_select",
+    # r5 late: CMS sketch + corpus-audit shapes (bounded cell agg /
+    # vocab-bounded rank window)
+    "cms_heavy_hitters",
+    "zipf_coverage",
     "url_canonical_dedup",
 ]
 

@@ -495,3 +495,23 @@ def test_bpe_paths_plan_shapes(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") == 2     # partial + final
+
+
+def test_cms_plans_are_bounded_and_broadcast(spark):
+    """count_min_table's only wide exchange is the d×w-bounded cell
+    agg; cms_estimate joins the sketch via BroadcastHashJoin; neither
+    path crosses a Python boundary."""
+    from fluent_bit_spark.operators.aggregate import (
+        cms_estimate, count_min_table,
+    )
+    df = spark.createDataFrame([(f"k{i % 9}",) for i in range(200)],
+                               "k string")
+    cms = count_min_table(df, "k", width=32, depth=3)
+    est = cms_estimate(cms, df.distinct(), "k", width=32, depth=3)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython",
+                   "MapInPandas", "MapInArrow", "CartesianProduct"):
+        assert marker not in plan
+    # the sketch itself is the complete spine — depth*width rows
+    assert cms.count() == 32 * 3

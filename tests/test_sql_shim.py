@@ -277,9 +277,13 @@ def test_pack_verb_nosplit(sp, spark):
     import pytest as _pytest
     from fluent_bit_spark.operators.tokens import pack_documents
     df = spark.table("sp_stream_toks")
-    got = {r.bin_key: (r.tokens, r.n_docs, r.pad) for r in
+    # key on (source, bin_key): bin_key is "cell:bin" and repeats
+    # across sources, so a bin_key-only dict silently keeps whichever
+    # source's row collect() returned last (partition-order-dependent
+    # — this flaked in the full suite while passing standalone)
+    got = {(r.source, r.bin_key): (r.tokens, r.n_docs, r.pad) for r in
            sp.sql("PACK STREAM:toks INTO 8 TOKENS NOSPLIT;").collect()}
-    want = {r.bin_key: (r.tokens, r.n_docs, r.pad) for r in
+    want = {(r.source, r.bin_key): (r.tokens, r.n_docs, r.pad) for r in
             pack_documents(df, ctx_len=8).collect()}
     assert got == want and len(got) > 5
     with _pytest.raises(ValueError, match="NOSPLIT"):
