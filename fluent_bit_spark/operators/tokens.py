@@ -1282,26 +1282,41 @@ def vocab_growth(df: DataFrame, tokens_col: str = "tokens",
     growth curve (order-free, engine-portable, monotone: each fraction
     is a superset of the smaller ones).
 
-    Scale shape: one explode + ONE agg computes every point
-    (conditional count_distinct per threshold — Spark expands to a
-    multi-distinct expand, each keyed by tok: vocab-bounded
-    exchanges); no per-point corpus rescans."""
+    Scale shape — NO multi-distinct anywhere (a conditional
+    count_distinct per threshold would plan an Expand that multiplies
+    the exploded corpus by the aggregate count):
+    - docs and token totals come from the UN-exploded frame
+      (conditional sums over one narrow row per doc — docs counted
+      when they contribute ≥1 token, matching the exploded-form
+      semantics);
+    - vocab sizes reduce to ``min(bucket) per token`` — a token is in
+      the p-fraction iff its smallest doc-bucket < p — so ONE
+      map-side-combined agg yields a VOCAB-bounded (tok, first_b)
+      table and every growth point is a conditional count over it.
+    One corpus pass for the doc stats, one explode pass for the vocab
+    table; no per-point rescans, no Expand."""
     bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
                                  1, 7), 16, 10).cast("long") % 1000)
-    ex = df.select(bucket.alias("b"),
-                   F.col(id_col).alias("_id"),
-                   F.explode(F.col(tokens_col)).alias("tok"))
+    per_doc = (df.filter(F.size(F.col(tokens_col)) > 0)
+               .select(bucket.alias("b"),
+                       F.size(F.col(tokens_col)).alias("n")))
+    first_b = (df.select(bucket.alias("b"),
+                         F.explode(F.col(tokens_col)).alias("tok"))
+               .groupBy("tok").agg(F.min("b").alias("first_b")))
     aggs = []
     for p in permilles:
         cond = F.col("b") < p
         aggs += [
-            F.count_distinct(F.when(cond, F.col("_id")))
-             .alias(f"docs_{p}"),
-            F.count(F.when(cond, F.lit(1))).alias(f"toks_{p}"),
-            F.count_distinct(F.when(cond, F.col("tok")))
-             .alias(f"vocab_{p}"),
+            F.count(F.when(cond, F.lit(1))).alias(f"docs_{p}"),
+            F.sum(F.when(cond, F.col("n")).otherwise(F.lit(0)))
+             .cast("long").alias(f"toks_{p}"),
         ]
-    row = ex.agg(*aggs)
+    vocab_aggs = [
+        F.count(F.when(F.col("first_b") < p, F.lit(1)))
+         .alias(f"vocab_{p}")
+        for p in permilles]
+    row = per_doc.agg(*aggs).crossJoin(
+        F.broadcast(first_b.agg(*vocab_aggs)))
     pts = F.array(*[
         F.struct(F.lit(p).cast("long").alias("permille"),
                  F.col(f"docs_{p}").alias("docs"),

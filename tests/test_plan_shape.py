@@ -515,3 +515,19 @@ def test_cms_plans_are_bounded_and_broadcast(spark):
         assert marker not in plan
     # the sketch itself is the complete spine — depth*width rows
     assert cms.count() == 32 * 3
+
+
+def test_vocab_growth_plan_has_no_expand(spark):
+    """vocab_growth must not plan a multi-distinct Expand (it would
+    multiply the exploded corpus by the aggregate count); the vocab
+    side is a min-bucket reduction instead."""
+    from fluent_bit_spark.operators.tokens import vocab_growth
+    df = spark.createDataFrame(
+        [(i, list(range(i % 5 + 1))) for i in range(50)],
+        "doc_id long, tokens array<int>")
+    plan = (vocab_growth(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Expand" not in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython",
+                   "CartesianProduct"):
+        assert marker not in plan
