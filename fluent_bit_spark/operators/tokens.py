@@ -11,6 +11,9 @@ parse→enrich→route engine:
   corpus and a training dataloader);
 - ``pack_documents``   — non-splitting greedy packing (SFT posture:
   docs stay whole, bins pad, overlong docs routed aside);
+- ``chunk_documents``  — per-document sliding-window chunking with
+  stride (RAG indexing / long-doc eval: overlapping windows that never
+  cross a document boundary);
 - ``line_dedup``       — C4-style cross-corpus line deduplication
   (drop lines occurring more than ``max_occ`` times anywhere);
 - ``decontaminate``    — benchmark n-gram decontamination (flag
@@ -1326,3 +1329,67 @@ def vocab_growth(df: DataFrame, tokens_col: str = "tokens",
     return (row.select(F.explode(pts).alias("pt"))
             .select("pt.permille", "pt.docs", "pt.total_toks",
                     "pt.distinct_toks"))
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking (per-document overlapping windows with stride)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(df: DataFrame, window: int, stride: int,
+                    id_col: str = "doc_id",
+                    tokens_col: str = "tokens",
+                    len_col: str = "n_tok") -> DataFrame:
+    """Per-document sliding-window chunking with ``stride`` — the
+    RAG-indexing / long-document-eval counterpart of ``pack_sequences``
+    (which concatenates ACROSS documents; this never crosses a document
+    boundary and windows may OVERLAP).
+
+    Window ``i`` of a document covers tokens
+    ``[i*stride, min(i*stride + window, n_tok))``; windows are emitted
+    for ``i = 0 .. ceil((n_tok - window) / stride)`` (one window when
+    ``n_tok <= window``), so every token is covered, consecutive
+    windows overlap by ``window - stride`` tokens, and no window starts
+    at or past the end. The tail window may be short (down to
+    ``n_tok - i*stride`` tokens) — it is never re-anchored backwards,
+    so a token's set of covering windows is a pure function of its
+    position (HF ``return_overflowing_tokens`` semantics, not the
+    clamp-to-end variant).
+
+    Output: one row per (doc, chunk_idx) with the ``tokens`` slice,
+    ``chunk_start`` (0-based token offset), ``n_tok_chunk`` and
+    ``is_tail``.
+
+    Scale shape: MAP-ONLY — a per-row ``sequence`` explode plus
+    ``slice``; no shuffle, no window function, no state. Output volume
+    is input volume × the overlap factor ``window/stride`` (callers
+    budget for that, the operator never amplifies beyond it: each
+    token lands in ≤ ceil(window/stride) chunks). Filters on doc
+    columns still push down through the generate.
+    """
+    if not (0 < stride <= window):
+        raise ValueError(
+            f"chunk_documents: need 0 < stride <= window, got "
+            f"stride={stride} window={window} (stride > window would "
+            f"leave token gaps between consecutive chunks)")
+    d = df.filter(F.col(len_col) > 0)
+    # ceil((n_tok - window)/stride) in pure integer arithmetic: DIV
+    # truncates toward zero, operands kept non-negative via greatest().
+    last_i = F.expr(
+        f"greatest({len_col} - {window}, 0L) DIV {stride} "
+        f"+ CASE WHEN {len_col} > {window} "
+        f"AND (({len_col} - {window}) % {stride}) != 0 "
+        f"THEN 1 ELSE 0 END")
+    e = d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), last_i)))
+    start = F.col("chunk_idx") * stride
+    length = F.least(F.lit(window), F.col(len_col) - start)
+    return (e.withColumn("chunk_start", start.cast("long"))
+            .withColumn(tokens_col,
+                        F.slice(tokens_col, (start + 1).cast("int"),
+                                length.cast("int")))
+            .withColumn("n_tok_chunk", F.size(tokens_col).cast("long"))
+            .withColumn("is_tail",
+                        F.col("chunk_start") + F.lit(window)
+                        >= F.col(len_col))
+            .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+            .drop(len_col))

@@ -4631,3 +4631,43 @@ def curriculum_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             order_col="okey", tiebreak_col="doc_id",
                             group_size=1 << 46)
     return _pack_select(packed)
+
+
+@q("chunk_documents", f"""
+WITH d AS (
+  SELECT doc_id, {_TOK_IDS_SQL} AS tokens,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+e AS (
+  SELECT doc_id, tokens, n_tok,
+         unnest(generate_series(0,
+           greatest(n_tok - 48, 0) // 32
+           + CASE WHEN n_tok > 48 AND ((n_tok - 48) % 32) != 0
+                  THEN 1 ELSE 0 END)) AS chunk_idx
+  FROM d)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 32 AS BIGINT) AS chunk_start,
+       CAST(least(48, n_tok - chunk_idx * 32) AS BIGINT) AS n_tok_chunk,
+       chunk_idx * 32 + 48 >= n_tok AS is_tail,
+       md5(array_to_string(list_transform(
+           tokens[chunk_idx*32 + 1 :
+                  chunk_idx*32 + least(48, n_tok - chunk_idx*32)],
+           x -> CAST(x AS VARCHAR)), ' ')) AS tok_hash
+FROM e
+""")
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/tokens.py chunk_documents):
+    48-token windows advancing by 32 (16-token overlap) WITHIN each
+    document — the RAG-indexing / long-doc-eval chunking step, never
+    crossing a doc boundary (pack_sequences is the cross-doc
+    counterpart). MAP-ONLY: sequence-explode + slice, no shuffle; the
+    oracle replays window count (integer ceil), offsets, tail
+    clamping, and every chunk's token ids by md5 (token-array
+    equality, the north-star per-row invariant)."""
+    from .operators.tokens import chunk_documents
+    d = _tok_int_docs(spark, sf_dir)
+    c = chunk_documents(d, window=48, stride=32)
+    return c.select(
+        "doc_id", "chunk_idx", "chunk_start", "n_tok_chunk", "is_tail",
+        F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
+         .alias("tok_hash"))

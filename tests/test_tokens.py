@@ -803,3 +803,60 @@ def test_vocab_growth_monotone_nested_fractions(spark):
             if int(hashlib.md5(str(d).encode()).hexdigest()[:7], 16)
             % 1000 < 250}
     assert pts[250].docs == len(want)
+
+
+def test_chunk_documents_reference_walk(spark):
+    """Chunk boundaries, tail clamping, and token content match a pure-
+    Python sliding window for assorted lengths around the window size."""
+    rows = [(i, list(range(100, 100 + n)), n)
+            for i, n in enumerate([1, 5, 8, 9, 15, 16, 17, 24, 33])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, tokens array<int>, n_tok int")
+    got = {(r.doc_id, r.chunk_idx):
+           (r.chunk_start, r.tokens, r.n_tok_chunk, r.is_tail)
+           for r in TK.chunk_documents(df, window=8, stride=5).collect()}
+    expect = {}
+    for doc_id, toks, n in rows:
+        starts = [0]
+        while starts[-1] + 8 < n:
+            starts.append(starts[-1] + 5)
+        for i, s in enumerate(starts):
+            piece = toks[s:s + 8]
+            expect[(doc_id, i)] = (s, piece, len(piece), s + 8 >= n)
+    assert got == expect
+
+
+def test_chunk_documents_covers_every_token_and_overlap(spark, tokens_df):
+    """Union of chunk spans covers [0, n_tok) for every doc, and
+    consecutive chunks overlap by exactly window - stride (except the
+    short tail)."""
+    w, s = 12, 7
+    c = TK.chunk_documents(tokens_df, window=w, stride=s)
+    per_doc = (c.groupBy("doc_id")
+               .agg(F.max(F.col("chunk_start") + F.col("n_tok_chunk"))
+                    .alias("covered_end"),
+                    F.count("*").alias("n_chunks"),
+                    F.max("chunk_start").alias("last_start")))
+    src = tokens_df.filter(F.col("n_tok") > 0).select("doc_id", "n_tok")
+    j = per_doc.join(src, "doc_id").collect()
+    assert j, "fixture produced no docs"
+    for r in j:
+        assert r.covered_end == r.n_tok
+        assert r.last_start < r.n_tok
+        # start of chunk i is exactly i*stride
+        assert r.last_start == (r.n_chunks - 1) * s
+
+
+def test_chunk_documents_rejects_gapping_stride(spark):
+    df = spark.createDataFrame([(1, [1, 2, 3], 3)],
+                               "doc_id long, tokens array<int>, n_tok int")
+    import pytest
+    with pytest.raises(ValueError, match="stride"):
+        TK.chunk_documents(df, window=4, stride=5)
+
+
+def test_chunk_documents_plan_is_map_only(spark, tokens_df):
+    """No exchange in the plan — the operator must stay map-only."""
+    c = TK.chunk_documents(tokens_df, window=16, stride=16)
+    plan = c._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
