@@ -11,6 +11,8 @@ parse→enrich→route engine:
   corpus and a training dataloader);
 - ``pack_documents``   — non-splitting greedy packing (SFT posture:
   docs stay whole, bins pad, overlong docs routed aside);
+- ``bm25_topk``        — Okapi BM25 top-k retrieval (broadcast query
+  terms, integer-exact tf normalization, salted exact top-k);
 - ``chunk_documents``  — per-document sliding-window chunking with
   stride (RAG indexing / long-doc eval: overlapping windows that never
   cross a document boundary);
@@ -1000,6 +1002,100 @@ def tfidf_topk(df: DataFrame, k: int = 3, tokens_col: str = "tokens",
         scored.withColumn("rank", F.row_number().over(w))
               .filter(F.col("rank") <= k)
               .select(id_col, "tok", "tf", "score", "rank"),
+        tf)
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (inverted-index scoring, integer-exact tf norm)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+              tokens_col: str = "tokens", id_col: str = "doc_id",
+              salt_buckets: int = 0) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25 — the sparse
+    half of corpus retrieval (decontamination-by-retrieval, RAG
+    indexing, hard-negative mining). ``queries`` is a small
+    (query_id, term) table of bag-of-terms queries; terms absent from
+    a document simply contribute nothing (no OOV special-casing).
+
+    Scoring is Lucene's non-negative variant with k1 = 1.2, b = 0.75
+    held as EXACT rationals (11/5, 3/4) so the tf normalization is
+    pure BIGINT arithmetic — with ``avgdl = T DIV N`` (truncated mean
+    doc length) the per-term factor reduces to::
+
+        norm_milli = (22000·tf·avgdl) DIV (10·tf·avgdl + 3·avgdl + 9·dl)
+
+    (multiply numerator and denominator of tf·(k1+1)/(tf + k1·(1−b +
+    b·dl/avgdl)) by 10·avgdl). Every operand is doc-length-scaled, so
+    nothing overflows at any corpus size. The idf is the one float
+    step, snapped to INTEGER milli-nats exactly like the surprisal
+    family (NOTES #25 posture): ``idf_milli = round(ln((2N+2)/(2·df_t
+    +1))·1000)`` — the ratio of two exact BIGINTs, identical across
+    engines. ``score_micro = Σ idf_milli·norm_milli`` per (query,
+    doc); ties break on the doc id (deterministic output).
+
+    Output: (query_id, doc_id, score_micro, rank), rank 1..k.
+
+    Scale shape (10^12 docs):
+    - the explode is filtered by a BROADCAST join against the query
+      terms before any aggregation — only matching (doc, term) rows
+      survive the map side;
+    - tf partial-combines map-side keyed by (doc, dl, query, term) —
+      uniform, skew-free; it feeds BOTH df_t and scoring, so it is
+      persisted once (the tfidf_topk fix class) and carried;
+    - df_t is exact from the matched rows (every doc containing a
+      query term survives the semi join) and query-vocab-bounded;
+      corpus totals are a 1-row broadcast;
+    - the final top-k partitions by query_id — few queries over a
+      huge corpus is the textbook skewed window, so pass
+      ``salt_buckets`` to prune to ≤ buckets·k per query first
+      (two-phase exact, the cap_per_host argument: a global top-k row
+      is in the top-k of whichever bucket it lands in).
+    """
+    if k <= 0:
+        raise ValueError("bm25_topk: k must be positive")
+    d = df.filter(F.size(F.col(tokens_col)) > 0)
+    tot = d.agg(F.count("*").alias("n"),
+                F.sum(F.size(F.col(tokens_col))).cast("long").alias("t"))
+    ex = d.select(id_col,
+                  F.size(F.col(tokens_col)).cast("long").alias("dl"),
+                  F.explode(F.col(tokens_col)).alias("tok"))
+    matched = ex.join(F.broadcast(queries),
+                      ex["tok"] == queries["term"]).drop("term")
+    tf = (matched.groupBy(id_col, "dl", "query_id", "tok")
+          .agg(F.count("*").alias("tf")))
+    from pyspark import StorageLevel
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    dft = (tf.select(id_col, "tok").distinct()
+           .groupBy("tok").agg(F.count("*").alias("df_t")))
+    idf = (dft.crossJoin(F.broadcast(tot))
+           .select("tok",
+                   F.round(F.log((2 * F.col("n") + 2).cast("double")
+                                 / (2 * F.col("df_t") + 1).cast("double"))
+                           * 1000).cast("long").alias("idf_milli")))
+    scored = (tf.join(F.broadcast(idf), "tok")
+              .crossJoin(F.broadcast(tot.select(
+                  F.expr("t DIV n").alias("avgdl"))))
+              .withColumn(
+                  "norm_milli",
+                  F.expr("(22000 * tf * avgdl) DIV "
+                         "(10 * tf * avgdl + 3 * avgdl + 9 * dl)"))
+              .groupBy("query_id", id_col)
+              .agg(F.sum(F.col("idf_milli") * F.col("norm_milli"))
+                   .cast("long").alias("score_micro")))
+    order = [F.desc("score_micro"), F.asc(id_col)]
+    if salt_buckets:
+        from fluent_bit_spark.operators.web import cap_per_host
+        scored = cap_per_host(scored, "query_id", order, k,
+                              salt_buckets=salt_buckets, salt_key=id_col)
+    w = Window.partitionBy("query_id").orderBy(*order)
+    from fluent_bit_spark.caching import carry
+    return carry(
+        scored.withColumn("rank",
+                          F.row_number().over(w).cast("long"))
+              .filter(F.col("rank") <= k)
+              .select("query_id", id_col, "score_micro", "rank"),
         tf)
 
 

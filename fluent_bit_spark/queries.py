@@ -4671,3 +4671,66 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_idx", "chunk_start", "n_tok_chunk", "is_tail",
         F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
          .alias("tok_hash"))
+
+
+@q("bm25_topk", """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM d),
+qr AS (SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'join'),
+  (CAST(1 AS BIGINT), 'shuffle'),
+  (CAST(2 AS BIGINT), 'hash'), (CAST(2 AS BIGINT), 'merge'),
+  (CAST(2 AS BIGINT), 'sort'),
+  (CAST(3 AS BIGINT), 'customer'), (CAST(3 AS BIGINT), 'query'),
+  (CAST(3 AS BIGINT), 'table')) AS v(query_id, term)),
+ex AS (SELECT doc_id, dl, unnest(toks) AS tok FROM d),
+tf AS (
+  SELECT e.doc_id, e.dl, qr.query_id, e.tok, count(*) AS tf
+  FROM ex e JOIN qr ON e.tok = qr.term
+  GROUP BY e.doc_id, e.dl, qr.query_id, e.tok),
+dft AS (
+  SELECT tok, count(*) AS df_t
+  FROM (SELECT DISTINCT doc_id, tok FROM tf) GROUP BY tok),
+idf AS (
+  SELECT tok, CAST(round(ln(CAST(2*n + 2 AS DOUBLE)
+                            / CAST(2*df_t + 1 AS DOUBLE)) * 1000)
+               AS BIGINT) AS idf_milli
+  FROM dft, tot),
+sc AS (
+  SELECT tf.query_id, tf.doc_id,
+         CAST(sum(idf.idf_milli *
+             ((22000 * tf.tf * (tot.t // tot.n)) //
+              (10 * tf.tf * (tot.t // tot.n)
+               + 3 * (tot.t // tot.n) + 9 * tf.dl))) AS BIGINT)
+           AS score_micro
+  FROM tf JOIN idf USING (tok), tot
+  GROUP BY tf.query_id, tf.doc_id)
+SELECT query_id, doc_id, score_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY score_micro DESC, doc_id) AS rank FROM sc)
+WHERE rank <= 10
+""")
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (operators/tokens.py bm25_topk): three
+    bag-of-terms queries over the documents table (one with an
+    absent-from-corpus term — the broadcast semi join drops it),
+    k1=1.2/b=0.75 as exact rationals so the tf normalization is pure
+    BIGINT, idf snapped to integer milli-nats (the surprisal NOTES #25
+    posture). The oracle replays the whole integer chain — truncated
+    avgdl, norm_milli DIV, idf rounding, rank ties on doc_id — so
+    scores AND ranks are value-checked. Runs the salted two-phase
+    top-k path (salt_buckets=8) to keep the skewed-by-construction
+    per-query window exercised under the oracle."""
+    from .operators.tokens import bm25_topk
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    terms = [(1, "spark"), (1, "join"), (1, "shuffle"),
+             (2, "hash"), (2, "merge"), (2, "sort"),
+             (3, "customer"), (3, "query"), (3, "table")]
+    qdf = spark.createDataFrame(terms, "query_id long, term string")
+    return bm25_topk(d, qdf, k=10, salt_buckets=8)

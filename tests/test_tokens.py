@@ -860,3 +860,70 @@ def test_chunk_documents_plan_is_map_only(spark, tokens_df):
     c = TK.chunk_documents(tokens_df, window=16, stride=16)
     plan = c._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _bm25_reference(docs, queries, k=10):
+    """Pure-python replay of the integer BM25 chain."""
+    import math
+    docs = [(i, t) for i, t in docs if t]
+    n = len(docs)
+    t_tot = sum(len(t) for _, t in docs)
+    avgdl = t_tot // n
+    terms = sorted({w for _, ws in queries for w in ws})
+    dft = {w: sum(1 for _, t in docs if w in t) for w in terms}
+    out = {}
+    for qid, ws in queries:
+        scores = []
+        for doc_id, toks in docs:
+            s = 0
+            for w in set(ws):
+                tf = toks.count(w)
+                if not tf:
+                    continue
+                idf = round(math.log((2 * n + 2) / (2 * dft[w] + 1))
+                            * 1000)
+                norm = ((22000 * tf * avgdl)
+                        // (10 * tf * avgdl + 3 * avgdl
+                            + 9 * len(toks)))
+                s += idf * norm
+            if s:
+                scores.append((-s, doc_id))
+        scores.sort()
+        for r, (neg, doc_id) in enumerate(scores[:k], 1):
+            out[(qid, doc_id)] = (-neg, r)
+    return out
+
+
+def test_bm25_topk_matches_pure_python(spark):
+    docs = [(i, f"w{j % 7} w{(i + j) % 5} common".split()[:1]
+             + [f"w{(i * 3 + j) % 9}" for j in range(3 + i % 6)])
+            for i, j in ((i, i) for i in range(40))]
+    queries = [(1, ["w0", "w3"]), (2, ["w1", "absent"]), (3, ["common"])]
+    qrows = [(qid, w) for qid, ws in queries for w in ws]
+    ddf = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    qdf = spark.createDataFrame(qrows, "query_id long, term string")
+    got = {(r.query_id, r.doc_id): (r.score_micro, r.rank)
+           for r in TK.bm25_topk(ddf, qdf, k=10).collect()}
+    assert got == _bm25_reference(docs, queries, k=10)
+
+
+def test_bm25_topk_salted_equals_unsalted(spark):
+    docs = [(i, [f"w{(i + j) % 4}" for j in range(2 + i % 5)])
+            for i in range(60)]
+    qdf = spark.createDataFrame([(1, "w0"), (1, "w2"), (2, "w3")],
+                                "query_id long, term string")
+    ddf = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    plain = sorted(map(tuple, TK.bm25_topk(ddf, qdf, k=5).collect()))
+    salted = sorted(map(tuple,
+                        TK.bm25_topk(ddf, qdf, k=5,
+                                     salt_buckets=7).collect()))
+    assert plain == salted and plain
+
+
+def test_bm25_topk_rejects_bad_k(spark):
+    import pytest
+    ddf = spark.createDataFrame([(1, ["a"])],
+                                "doc_id long, tokens array<string>")
+    qdf = spark.createDataFrame([(1, "a")], "query_id long, term string")
+    with pytest.raises(ValueError, match="k must be positive"):
+        TK.bm25_topk(ddf, qdf, k=0)
