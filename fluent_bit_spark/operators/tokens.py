@@ -1489,3 +1489,218 @@ def chunk_documents(df: DataFrame, window: int, stride: int,
                         >= F.col(len_col))
             .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
             .drop(len_col))
+
+
+# ---------------------------------------------------------------------------
+# winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        tokens_col: str = "tokens",
+                        k: int = 4, w: int = 4,
+                        keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): hash every ``k``-token gram, slide a window of ``w``
+    consecutive gram hashes, and in each window select the minimum hash
+    (rightmost position on ties). The distinct selected ``(pos, fp)``
+    pairs are the document's fingerprints.
+
+    Why next to MinHash: winnowing is the EXACT-guarantee fingerprinter
+    — any shared token run of length >= ``w + k - 1`` is certain to
+    produce a shared fingerprint in both documents (the SIGMOD'03
+    correctness theorem), while MinHash detection is probabilistic.
+    Density is bounded too: at least one selection per window, so
+    consecutive selected positions are never more than ``w`` apart and
+    the expected fingerprint count is ``2/(w+1)`` of the grams — the
+    storage/recall dial.
+
+    Output: one row per fingerprint, ``(id_col, *keep_cols, pos, fp)``
+    with ``pos`` the 0-based gram position and ``fp`` a 60-bit integer
+    (md5 prefix of the space-joined gram — engine-portable, the same
+    hash family as the portable MinHash).
+
+    Scale shape: MAP-ONLY. Gram hashing, the window fold, and the
+    distinct-selection dedup all run inside one projection on the
+    token array — nothing shuffles; the explode is a map-side 1:N.
+    Per-doc cost is O(grams * w) in the interpreted HOF evaluator,
+    linear in corpus size and embarrassingly parallel at any scale.
+    (For single documents of millions of tokens, chunk first with
+    ``chunk_documents`` — overlap >= w+k-1 preserves the guarantee
+    across chunk seams.)
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"winnow_fingerprints: k and w must be >= 1, "
+                         f"got k={k} w={w}")
+    longmax = 9223372036854775807
+    toks = F.col(tokens_col).cast("array<string>")
+    m = F.size(tokens_col) - (k - 1)          # gram count
+    gram_h = lambda i: (                       # noqa: E731
+        F.conv(F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 15),
+            16, 10).cast("long"))
+    grams = F.when(m >= 1, F.transform(
+        F.sequence(F.lit(0), m - 1), gram_h)
+    ).otherwise(F.array().cast("array<bigint>"))
+    d = df.withColumn("__gh", grams)
+    gh_at = lambda i: F.element_at(F.col("__gh"), i + 1)  # noqa: E731
+    fold = lambda j: F.aggregate(                          # noqa: E731
+        F.sequence(j, j + (w - 1)),
+        F.struct(F.lit(-1).cast("long").alias("pos"),
+                 F.lit(longmax).alias("fp")),
+        # <= keeps the RIGHTMOST minimal hash (ties are real: repeated
+        # grams inside one window), per the robust-winnowing rule
+        lambda acc, i: F.when(
+            gh_at(i) <= acc["fp"],
+            F.struct(i.cast("long").alias("pos"),
+                     gh_at(i).alias("fp"))).otherwise(acc))
+    sel = F.when(
+        F.size("__gh") >= w,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size("__gh") - w), fold))
+    ).otherwise(F.array().cast("array<struct<pos:bigint,fp:bigint>>"))
+    return (d.select(id_col, *keep_cols, F.explode(sel).alias("__s"))
+            .select(id_col, *keep_cols,
+                    F.col("__s.pos").alias("pos"),
+                    F.col("__s.fp").alias("fp")))
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                         tokens_col: str = "tokens",
+                         k: int = 4, w: int = 4,
+                         min_shared: int = 2,
+                         max_fp_freq: int = 20) -> DataFrame:
+    """Candidate near-duplicate pairs from shared winnowing
+    fingerprints — the exact-guarantee sibling of the MinHash LSH band
+    join: two documents sharing a token run of >= ``w + k - 1`` tokens
+    ALWAYS collide on at least one fingerprint, so a pair threshold of
+    ``min_shared`` shared fingerprints tunes precision without losing
+    the detection floor at ``min_shared=1``.
+
+    ``max_fp_freq`` drops fingerprints occurring in more than that many
+    documents before pairing (boilerplate guard — the same hot-key
+    discipline as the LSH band join: pair volume per fingerprint is
+    bounded by ``max_fp_freq**2``, so corpus-wide boilerplate can never
+    produce a quadratic pair blow-up or a skewed reduce task).
+
+    Scale shape: the map-only fingerprint derivation, one distinct on
+    ``(fp, id)``, one frequency agg on ``fp`` (map-side partials, AQE
+    broadcasts the surviving frequency table), a self-join keyed on
+    ``fp`` bounded by the frequency cap, and a pair-count agg. Shuffle
+    volume is fingerprints (~``2/(w+1)`` of grams), never token
+    content — the exchange carries 16-byte rows at any document size.
+    """
+    fp = (winnow_fingerprints(df, id_col, tokens_col, k, w)
+          .select(id_col, "fp").distinct())
+    freq = (fp.groupBy("fp").agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") <= max_fp_freq).select("fp"))
+    fp = fp.join(freq, "fp")
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared_fp"))
+            .filter(F.col("shared_fp") >= min_shared))
+
+
+def allocate_token_budget(totals: DataFrame, budget_tokens: int,
+                          part_col: str = "source",
+                          tokens_col: str = "unique_tokens",
+                          weight_col: str = "weight",
+                          max_epochs_milli: int = 4000) -> DataFrame:
+    """Data-constrained mixture allocation (the Muennighoff et al. 2023
+    "Scaling Data-Constrained Language Models" planning step): split a
+    total training-token budget across sources proportionally to
+    mixture ``weight_col``, but never draw more than
+    ``max_epochs_milli/1000`` epochs of a source's unique tokens;
+    budget displaced by capped sources redistributes proportionally
+    among the uncapped ones (exact water-filling).
+
+    Input is the per-source TOTALS table ``(part_col, tokens_col,
+    weight_col)`` — vocabulary-of-sources-sized (10s..1000s of rows at
+    any corpus size), typically the output of an exact-dedup count.
+    Output adds ``cap_tokens``, ``capped``, ``alloc_tokens``, and
+    ``epochs_milli`` per source.
+
+    Algorithm, exact and engine-portable (pure BIGINT, NOTES #25):
+    sort sources by cap/weight ascending (two-level integer key:
+    ``cap DIV w`` then the fraction at 1e-6 resolution — identical
+    ordering in any engine); a source is capped iff
+    ``cap_i * (W - cumw_{i-1}) < w_i * (B - cumcap_{i-1})`` over the
+    sorted prefix — the textbook monotone water-filling test, folded
+    to "condition holds for every row up to i" so the capped set is
+    exactly a prefix. Uncapped sources get
+    ``w_i * (B - sum(capped caps)) DIV (W - sum(capped weights))``;
+    the sub-token DIV remainder (< n_uncapped tokens) is left
+    unallocated, derivable as budget - sum(alloc_tokens) — never
+    silently re-spread.
+
+    Scale shape: the fact-table work (the totals) happens BEFORE this
+    operator; here everything is a couple of windows + one broadcast
+    1-row join over the source-bounded table — the same vocab-bounded
+    single-partition-window argument as the Zipf audit. Weights must
+    be positive and <= 1e6 so every product stays under 2^63 for
+    budgets up to ~10^12 tokens * 1e6.
+    """
+    if budget_tokens < 0:
+        raise ValueError("allocate_token_budget: negative budget")
+    if max_epochs_milli < 1:
+        raise ValueError("allocate_token_budget: max_epochs_milli >= 1")
+    B = int(budget_tokens)
+    cap = F.expr(f"CAST({tokens_col} AS BIGINT) * {max_epochs_milli} "
+                 f"DIV 1000")
+    gw = totals.agg(F.sum(F.col(weight_col).cast("long")).alias("__wsum"))
+    d = (totals
+         .withColumn("__w", F.col(weight_col).cast("long"))
+         .withColumn("cap_tokens", cap)
+         .crossJoin(F.broadcast(gw)))
+    ordk = [F.expr("cap_tokens DIV __w"),
+            F.expr("((cap_tokens % __w) * 1000000) DIV __w"),
+            F.col(part_col)]
+    win_prev = (Window.orderBy(*ordk)
+                .rowsBetween(Window.unboundedPreceding, -1))
+    win_upto = (Window.orderBy(*ordk)
+                .rowsBetween(Window.unboundedPreceding, 0))
+    d = (d.withColumn("__cumw", F.coalesce(
+            F.sum("__w").over(win_prev), F.lit(0)))
+         .withColumn("__cumcap", F.coalesce(
+            F.sum("cap_tokens").over(win_prev), F.lit(0)))
+         .withColumn("__cond",
+                     (F.col("cap_tokens")
+                      * (F.col("__wsum") - F.col("__cumw"))
+                      < F.col("__w")
+                      * (F.lit(B) - F.col("__cumcap")))
+                     .cast("int"))
+         .withColumn("capped",
+                     (F.min("__cond").over(win_upto) == 1)))
+    # capped-set totals as unbounded-window sums over the same (source-
+    # bounded, single-partition) frame — no self-join, no ambiguity
+    win_all = (Window.orderBy(*ordk)
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))
+    capped_cap = F.when(F.col("capped"), F.col("cap_tokens"))
+    capped_w = F.when(F.col("capped"), F.col("__w"))
+    out = (d.withColumn("__ccap", F.coalesce(
+               F.sum(capped_cap).over(win_all), F.lit(0)))
+           .withColumn("__cw", F.coalesce(
+               F.sum(capped_w).over(win_all), F.lit(0)))
+           .withColumn(
+               "alloc_tokens",
+               F.when(F.col("capped"), F.col("cap_tokens"))
+               .otherwise(F.when(
+                   F.col("__wsum") > F.col("__cw"),
+                   F.expr(f"__w * (CAST({B} AS BIGINT) - __ccap) "
+                          f"DIV (__wsum - __cw)"))
+                   .otherwise(F.lit(0))))
+           .withColumn("alloc_tokens",
+                       F.greatest(F.lit(0).cast("long"),
+                                  F.col("alloc_tokens")))
+           .withColumn("epochs_milli",
+                       F.expr(f"alloc_tokens * 1000 DIV {tokens_col}")))
+    return out.select(part_col, F.col(tokens_col).cast("long")
+                      .alias(tokens_col),
+                      F.col(weight_col).cast("long").alias(weight_col),
+                      "cap_tokens", "capped", "alloc_tokens",
+                      "epochs_milli")

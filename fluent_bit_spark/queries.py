@@ -4734,3 +4734,185 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              (3, "customer"), (3, "query"), (3, "table")]
     qdf = spark.createDataFrame(terms, "query_id long, term string")
     return bm25_topk(d, qdf, k=10, salt_buckets=8)
+
+
+# ===========================================================================
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03) — the
+# exact-guarantee document fingerprinter next to MinHash (SURVEY §2 ext.)
+# ===========================================================================
+
+_WINNOW_FP_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, i,
+             ('0x' || substring(md5(array_to_string(ws[i+1:i+4], ' ')),
+                                1, 15))::BIGINT AS h
+      FROM d, unnest(range(len(ws) - 3)) t(i)),
+w1 AS (SELECT doc_id, i, h,
+              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                AS mn,
+              count(*) OVER (PARTITION BY doc_id) AS m
+       FROM g),
+sel AS (SELECT a.doc_id, a.i AS win, max(b.i) AS p, a.mn AS v
+        FROM w1 a JOIN g b
+          ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 3
+         AND b.h = a.mn
+        WHERE a.i <= a.m - 4
+        GROUP BY a.doc_id, a.i, a.mn),
+fp AS (SELECT DISTINCT doc_id, p, v FROM sel)
+"""
+
+
+@q("winnow_fingerprint_digest", _WINNOW_FP_SQL + """,
+agg AS (SELECT doc_id, count(*) AS n_fp,
+               md5(array_to_string(list_sort(
+                 list(CAST(p AS VARCHAR) || ':' || CAST(v AS VARCHAR))),
+                 ',')) AS fp_digest
+        FROM fp GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(a.n_fp, 0) AS BIGINT) AS n_fp,
+       coalesce(a.fp_digest, md5('')) AS fp_digest
+FROM d LEFT JOIN agg a USING (doc_id)
+""")
+def winnow_fingerprint_digest(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (operators/tokens.py
+    winnow_fingerprints — Schleimer et al. SIGMOD'03): k=4 word grams,
+    window w=4, rightmost-minimum selection, all map-only inside one
+    projection. The oracle re-derives the selection with SQL window
+    functions (window min + rightmost-position tie-break) and
+    value-checks the EXACT fingerprint set per document via a sorted
+    pos:fp digest — selection positions, tie-breaks, and hash values
+    all have to match bit-for-bit."""
+    from .operators.tokens import winnow_fingerprints
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    fp = winnow_fingerprints(d, "doc_id", "tokens", k=4, w=4)
+    agg = (fp.groupBy("doc_id")
+           .agg(F.count("*").alias("n_fp"),
+                F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
+                    F.concat_ws(":", F.col("pos").cast("string"),
+                                F.col("fp").cast("string"))))))
+                .alias("fp_digest")))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_fp", F.lit(0)).cast("long")
+                    .alias("n_fp"),
+                    F.coalesce("fp_digest", F.md5(F.lit("")))
+                    .alias("fp_digest")))
+
+
+@q("winnow_overlap_pairs", _WINNOW_FP_SQL + """,
+fpd AS (SELECT DISTINCT doc_id, v FROM fp),
+keepfp AS (SELECT v FROM fpd GROUP BY v HAVING count(*) <= 20)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) AS shared_fp
+FROM fpd a JOIN fpd b ON a.v = b.v AND a.doc_id < b.doc_id
+WHERE a.v IN (SELECT v FROM keepfp)
+GROUP BY 1, 2 HAVING count(*) >= 2
+""")
+def winnow_overlap_pairs_q(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Fingerprint-overlap candidate pairs (operators/tokens.py
+    winnow_overlap_pairs): documents sharing >= 2 non-boilerplate
+    winnowing fingerprints — the exact-guarantee sibling of the
+    MinHash band join (a shared run of >= w+k-1 = 7 words ALWAYS
+    collides). The frequency cap (fp in <= 20 docs) is the hot-key
+    guard that bounds pair volume per fingerprint; the oracle
+    reproduces derivation, cap, pairing, and threshold."""
+    from .operators.tokens import winnow_overlap_pairs
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    return winnow_overlap_pairs(d, "doc_id", "tokens", k=4, w=4,
+                                min_shared=2, max_fp_freq=20)
+
+
+_BUDGET_ORD = ("cap_tokens // weight, "
+               "((cap_tokens % weight) * 1000000) // weight, source")
+
+
+@q("token_budget_fill", f"""
+WITH u AS (SELECT source, text, count(*) AS n_docs
+           FROM documents GROUP BY source, text),
+s AS (SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS unique_tokens,
+             CAST(sum(n_docs) AS BIGINT) AS weight
+      FROM u GROUP BY source),
+tot AS (SELECT CAST(sum(unique_tokens) AS BIGINT) AS ut,
+               CAST(sum(weight) AS BIGINT) AS w_all FROM s),
+base AS (SELECT s.*, unique_tokens * 1500 // 1000 AS cap_tokens,
+                tot.w_all, tot.ut * 2 AS b
+         FROM s, tot),
+ord1 AS (SELECT *,
+           CAST(coalesce(sum(weight) OVER w0, 0) AS BIGINT) AS cumw,
+           CAST(coalesce(sum(cap_tokens) OVER w0, 0) AS BIGINT)
+             AS cumcap
+         FROM base
+         WINDOW w0 AS (ORDER BY {_BUDGET_ORD}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+cnd AS (SELECT *, CASE WHEN cap_tokens * (w_all - cumw)
+                            < weight * (b - cumcap)
+                       THEN 1 ELSE 0 END AS cond
+        FROM ord1),
+cp AS (SELECT *,
+         min(cond) OVER (ORDER BY {_BUDGET_ORD}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+           AS capped
+       FROM cnd),
+ct AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END),
+                            0) AS BIGINT) AS ccap,
+              CAST(coalesce(sum(CASE WHEN capped THEN weight END),
+                            0) AS BIGINT) AS cw
+       FROM cp),
+fin AS (SELECT cp.*, ct.ccap, ct.cw,
+          greatest(0, CASE WHEN capped THEN cap_tokens
+                           WHEN w_all > cw
+                             THEN weight * (b - ccap) // (w_all - cw)
+                           ELSE 0 END) AS alloc_tokens
+        FROM cp, ct)
+SELECT source, unique_tokens, weight,
+       CAST(cap_tokens AS BIGINT) AS cap_tokens, capped,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST(alloc_tokens * 1000 // unique_tokens AS BIGINT)
+         AS epochs_milli
+FROM fin
+""")
+def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained token-budget allocation (operators/tokens.py
+    allocate_token_budget — the Muennighoff et al. 2023 planning step):
+    per-source unique tokens from an exact text dedup, mixture weights
+    proportional to raw document counts, budget = 2x the corpus's
+    unique tokens, per-source cap 1.5 epochs. Exact integer
+    water-filling: the oracle replays the ratio-sorted capped-prefix
+    test, the displaced-budget redistribution, and the DIV arithmetic
+    bit-for-bit (NOTES #25 integer-DIV discipline throughout)."""
+    from .operators.tokens import allocate_token_budget
+    docs = t(spark, sf_dir, "documents")
+    u = (docs.groupBy("source", "text")
+         .agg(F.count("*").alias("n_docs")))
+    s = (u.groupBy("source")
+         .agg(F.sum(F.size(F.split("text", " "))).cast("long")
+              .alias("unique_tokens"),
+              F.sum("n_docs").cast("long").alias("weight")))
+    # bounded collect: one BIGINT (the corpus unique-token total) to
+    # parameterize the budget — same posture as the ANN query vector
+    ut = s.agg(F.sum("unique_tokens")).collect()[0][0]
+    return allocate_token_budget(s, budget_tokens=2 * int(ut),
+                                 max_epochs_milli=1500)
+
+
+@q("compression_quality")  # rows-only: DEFLATE has no SQL oracle
+def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (functions/text.py
+    compressed_size — the RedPajama-v2/Dolma "gzip ratio" field):
+    per-document permille ratio plus the keep verdict for the
+    200..900 band. Arrow-batched zlib kernel (no per-row Python); no
+    SQL engine can reproduce DEFLATE so this entry is deliberately
+    rows-only at the driver — the exact byte counts are pinned by
+    pytest against a direct zlib replay instead."""
+    docs = t(spark, sf_dir, "documents")
+    r = TX.compression_ratio_permille("text")
+    return (docs.select("doc_id", "source",
+                        r.alias("compress_permille"))
+            .withColumn("keep",
+                        F.col("compress_permille").between(200, 900)))

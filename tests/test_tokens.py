@@ -927,3 +927,214 @@ def test_bm25_topk_rejects_bad_k(spark):
     qdf = spark.createDataFrame([(1, "a")], "query_id long, term string")
     with pytest.raises(ValueError, match="k must be positive"):
         TK.bm25_topk(ddf, qdf, k=0)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_py(words, k=4, w=4):
+    """Independent pure-python winnowing replay (rightmost-min rule)."""
+    import hashlib
+    m = len(words) - k + 1
+    if m < w:
+        return set()
+    hs = [int(hashlib.md5(" ".join(words[i:i + k]).encode())
+              .hexdigest()[:15], 16) for i in range(m)]
+    sel = set()
+    for j in range(m - w + 1):
+        p, v = -1, 1 << 63
+        for i in range(j, j + w):
+            if hs[i] <= v:
+                p, v = i, hs[i]
+        sel.add((p, v))
+    return sel
+
+
+def test_winnow_matches_python_replay(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog today ok"),
+        ("b", "alpha beta gamma delta alpha beta gamma delta alpha"),
+        ("c", "one two three four five six seven eight nine ten"),
+        ("d", "short doc"),                       # < k words: no grams
+        ("e", "exactly four word doc"),           # m=1 < w: no windows
+        ("f", "rep rep rep rep rep rep rep rep"),  # all-tie grams
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, text string") \
+        .select("doc_id", F.split("text", " ").alias("tokens"))
+    out = TK.winnow_fingerprints(d, "doc_id", "tokens", k=4, w=4) \
+        .collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _winnow_py(text.split(" ")), \
+            doc_id
+
+
+def test_winnow_density_and_gap_bound(spark):
+    """SIGMOD'03 structural guarantees: at least one selection per
+    window, so consecutive selected positions are <= w apart and the
+    first/last selections cover the ends."""
+    import random
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(500)}" for _ in range(400)]
+    d = spark.createDataFrame([("x", words)],
+                              "doc_id string, tokens array<string>")
+    k, w = 5, 8
+    pos = sorted(r["pos"] for r in
+                 TK.winnow_fingerprints(d, "doc_id", "tokens",
+                                        k=k, w=w).collect())
+    m = len(words) - k + 1
+    assert pos[0] <= w - 1 and pos[-1] >= m - w
+    assert all(b - a <= w for a, b in zip(pos, pos[1:]))
+    # expected density ~ 2/(w+1); allow a loose band
+    assert len(pos) / (m - w + 1) < 2 * 2 / (w + 1)
+
+
+def test_winnow_is_map_only(spark):
+    d = spark.createDataFrame([("a", ["x"] * 20)],
+                              "doc_id string, tokens array<string>")
+    plan = (TK.winnow_fingerprints(d, "doc_id", "tokens")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_winnow_overlap_guarantee(spark):
+    """Any shared run of >= w+k-1 tokens MUST produce a shared
+    fingerprint (the winnowing correctness theorem): plant a 7-word
+    run (k=4, w=4) inside two otherwise-different documents and
+    require the pair at min_shared=1."""
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing".split()
+    a = [f"a{i}" for i in range(20)] + shared + [f"A{i}" for i in range(20)]
+    b = [f"b{i}" for i in range(15)] + shared + [f"B{i}" for i in range(25)]
+    c = [f"c{i}" for i in range(50)]
+    d = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, tokens array<string>")
+    pairs = TK.winnow_overlap_pairs(d, "doc_id", "tokens", k=4, w=4,
+                                    min_shared=1, max_fp_freq=10) \
+        .collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_winnow_freq_cap_drops_boilerplate(spark):
+    """A fingerprint present in more than max_fp_freq docs never
+    generates pairs (the hot-key guard)."""
+    boiler = "terms of service apply to all users".split()
+    docs = [(i, [f"u{i}x{j}" for j in range(10)] + boiler)
+            for i in range(8)]
+    d = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    pairs = TK.winnow_overlap_pairs(d, "doc_id", "tokens", k=4, w=4,
+                                    min_shared=1, max_fp_freq=4) \
+        .collect()
+    assert pairs == []
+
+
+# ---------------------------------------------------------------------------
+# data-constrained token-budget allocation (water-filling)
+# ---------------------------------------------------------------------------
+
+
+def _waterfill_py(rows, budget, max_epochs_milli):
+    """Independent python replay: exact rational water-filling."""
+    from fractions import Fraction
+    caps = {s: u * max_epochs_milli // 1000 for s, u, w in rows}
+    ws = {s: w for s, u, w in rows}
+    capped, remaining = set(), dict(ws)
+    b = budget
+    while True:
+        wr = sum(remaining.values())
+        if wr == 0:
+            break
+        t = Fraction(b, wr)
+        newly = {s for s in remaining if Fraction(caps[s], ws[s]) < t}
+        if not newly:
+            break
+        for s in newly:
+            capped.add(s)
+            b -= caps[s]
+            del remaining[s]
+    wr = sum(remaining.values())
+    alloc = {}
+    for s, u, w in rows:
+        if s in capped:
+            alloc[s] = caps[s]
+        elif wr > 0:
+            alloc[s] = max(0, w * b // wr)
+        else:
+            alloc[s] = 0
+    return caps, capped, alloc
+
+
+def test_token_budget_matches_waterfill_replay(spark):
+    import random
+    rng = random.Random(42)
+    for trial in range(4):
+        rows = [(f"s{i:02d}", rng.randrange(100, 5000),
+                 rng.randrange(1, 50)) for i in range(12)]
+        total = sum(u for _, u, _ in rows)
+        for budget in (0, total // 2, 2 * total, 100 * total):
+            d = spark.createDataFrame(
+                rows, "source string, unique_tokens long, weight long")
+            out = {r["source"]: r for r in
+                   TK.allocate_token_budget(
+                       d, budget, max_epochs_milli=2500).collect()}
+            caps, capped, alloc = _waterfill_py(rows, budget, 2500)
+            for s, u, w in rows:
+                r = out[s]
+                assert r["cap_tokens"] == caps[s], (trial, budget, s)
+                assert r["capped"] == (s in capped), (trial, budget, s)
+                assert r["alloc_tokens"] == alloc[s], (trial, budget, s)
+                assert r["alloc_tokens"] <= caps[s]
+                assert r["epochs_milli"] <= 2500
+            got = sum(r["alloc_tokens"] for r in out.values())
+            cap_total = sum(caps.values())
+            assert got <= min(budget, cap_total)
+            if budget <= cap_total:
+                # DIV remainder only: < 1 token per uncapped source
+                n_uncapped = sum(1 for s, _, _ in rows
+                                 if s not in capped)
+                assert budget - got <= max(n_uncapped, 0)
+
+
+def test_token_budget_all_capped_when_budget_exceeds_capacity(spark):
+    rows = [("a", 1000, 1), ("b", 2000, 1)]
+    d = spark.createDataFrame(
+        rows, "source string, unique_tokens long, weight long")
+    out = {r["source"]: r for r in
+           TK.allocate_token_budget(d, 10**9,
+                                    max_epochs_milli=4000).collect()}
+    assert all(r["capped"] for r in out.values())
+    assert out["a"]["alloc_tokens"] == 4000
+    assert out["b"]["alloc_tokens"] == 8000
+    assert out["a"]["epochs_milli"] == 4000
+
+
+def test_compression_ratio_matches_zlib_replay(spark):
+    import zlib
+
+    from fluent_bit_spark.functions.text import (
+        compressed_size, compression_ratio_permille,
+    )
+    rows = [("prose", "the quick brown fox jumps over the lazy dog " * 8),
+            ("rep", "ab" * 300),
+            ("rand", "kq9x!Zr@7Lm#2Vw$8Hn%4Jd^6Tf&1Bg*5Ps(3Cy)0"),
+            ("empty", ""),
+            ("null", None),
+            ("uni", "héllo wörld ünïcode " * 10)]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in d.select(
+        "doc_id", compressed_size("text").alias("cs"),
+        compression_ratio_permille("text").alias("pm")).collect()}
+    for doc_id, text in rows:
+        if text is None:
+            assert out[doc_id]["cs"] is None
+            assert out[doc_id]["pm"] is None
+            continue
+        cs = len(zlib.compress(text.encode("utf-8"), 6))
+        assert out[doc_id]["cs"] == cs, doc_id
+        raw = len(text.encode("utf-8"))
+        assert out[doc_id]["pm"] == (cs * 1000 // raw if raw else None)
+    # signal direction: repetition compresses far below line noise
+    assert out["rep"]["pm"] < out["prose"]["pm"] < out["rand"]["pm"]
