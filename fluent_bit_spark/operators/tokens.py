@@ -1704,3 +1704,47 @@ def allocate_token_budget(totals: DataFrame, budget_tokens: int,
                       F.col(weight_col).cast("long").alias(weight_col),
                       "cap_tokens", "capped", "alloc_tokens",
                       "epochs_milli")
+
+
+def rrf_fuse(ranked: list[DataFrame], query_col: str = "query_id",
+             id_col: str = "doc_id", rank_col: str = "rank",
+             k: int = 60, top_n: int = 10) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    fuse N ranked lists into one by ``score = Σ_systems 1/(k + rank)``
+    — the standard hybrid-retrieval combiner (BM25 ∪ dense ∪ expanded
+    queries) for RAG indexing and decontamination-by-retrieval. A
+    document absent from a system's list simply contributes nothing.
+
+    Scores are held as ``rrf_micro = Σ 1000000 DIV (k + rank)`` —
+    pure BIGINT (NOTES #25), so fused ranks are exact and engine-
+    portable; ties break on the doc id. Output: one row per fused
+    (query, doc) with ``rrf_micro``, ``n_systems`` (how many lists
+    carried the doc — the agreement signal), and fused ``rank``
+    1..top_n.
+
+    Scale shape: the inputs are already top-k lists — ``n_queries × k
+    × n_systems`` rows no matter how large the corpus the retrievers
+    scanned — so fusion is one union + one hash agg keyed (query, doc)
+    (map-side partials) + a per-query window over ≤ n_systems·k
+    candidates. The heavy lifting stays in the retrievers; fusion
+    never touches corpus-scale data.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    if k < 1 or top_n < 1:
+        raise ValueError(f"rrf_fuse: k and top_n must be >= 1, "
+                         f"got k={k} top_n={top_n}")
+    from functools import reduce as _reduce
+    parts = [df.select(F.col(query_col), F.col(id_col),
+                       F.col(rank_col).cast("long").alias("__r"))
+             for df in ranked]
+    u = _reduce(lambda a, b: a.unionByName(b), parts)
+    scored = (u.groupBy(query_col, id_col)
+              .agg(F.sum(F.expr(f"1000000 DIV ({k} + __r)"))
+                   .alias("rrf_micro"),
+                   F.count("*").alias("n_systems")))
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_micro"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w)
+                              .cast("long"))
+            .filter(F.col("rank") <= top_n))

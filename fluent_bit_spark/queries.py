@@ -4916,3 +4916,142 @@ def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                         r.alias("compress_permille"))
             .withColumn("keep",
                         F.col("compress_permille").between(200, 900)))
+
+
+# ===========================================================================
+# Reciprocal Rank Fusion (Cormack et al. SIGIR'09) over a BM25 query
+# ensemble — hybrid/expanded retrieval for RAG + decontamination
+# ===========================================================================
+
+_RRF_VARIANTS: dict[str, list[tuple[int, str]]] = {
+    "full": [(1, "spark"), (1, "join"), (1, "shuffle"),
+             (2, "hash"), (2, "merge"), (2, "sort")],
+    "subset": [(1, "spark"), (2, "hash")],
+    "expanded": [(1, "spark"), (1, "join"), (1, "shuffle"),
+                 (1, "query"), (1, "table"),
+                 (2, "hash"), (2, "merge"), (2, "sort"),
+                 (2, "customer")],
+}
+_RRF_LIST_K, _RRF_K, _RRF_TOP_N = 10, 60, 5
+
+
+def _bm25_chain_sql(suffix: str, terms: list[tuple[int, str]],
+                    list_k: int) -> str:
+    """One suffixed BM25 rank chain (same integer arithmetic as the
+    proven bm25_topk oracle) over the shared d/tot/ex CTEs."""
+    values = ", ".join(f"(CAST({q} AS BIGINT), '{t}')" for q, t in terms)
+    s = suffix
+    return f"""
+qr_{s} AS (SELECT * FROM (VALUES {values}) AS v(query_id, term)),
+tf_{s} AS (
+  SELECT e.doc_id, e.dl, q.query_id, e.tok, count(*) AS tf
+  FROM ex e JOIN qr_{s} q ON e.tok = q.term
+  GROUP BY e.doc_id, e.dl, q.query_id, e.tok),
+dft_{s} AS (
+  SELECT tok, count(*) AS df_t
+  FROM (SELECT DISTINCT doc_id, tok FROM tf_{s}) GROUP BY tok),
+idf_{s} AS (
+  SELECT tok, CAST(round(ln(CAST(2*n + 2 AS DOUBLE)
+                            / CAST(2*df_t + 1 AS DOUBLE)) * 1000)
+               AS BIGINT) AS idf_milli
+  FROM dft_{s}, tot),
+sc_{s} AS (
+  SELECT tf.query_id, tf.doc_id,
+         CAST(sum(idf.idf_milli *
+             ((22000 * tf.tf * (tot.t // tot.n)) //
+              (10 * tf.tf * (tot.t // tot.n)
+               + 3 * (tot.t // tot.n) + 9 * tf.dl))) AS BIGINT)
+           AS score_micro
+  FROM tf_{s} tf JOIN idf_{s} idf USING (tok), tot
+  GROUP BY tf.query_id, tf.doc_id),
+r_{s} AS (
+  SELECT query_id, doc_id, lrank FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY score_micro DESC, doc_id) AS lrank FROM sc_{s})
+  WHERE lrank <= {list_k})"""
+
+
+@q("rrf_hybrid_topk", """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM d),
+ex AS (SELECT doc_id, dl, unnest(toks) AS tok FROM d),"""
+   + ",".join(_bm25_chain_sql(s, t, _RRF_LIST_K)
+              for s, t in _RRF_VARIANTS.items()) + f""",
+allr AS ({" UNION ALL ".join(
+    f"SELECT query_id, doc_id, lrank FROM r_{s}"
+    for s in _RRF_VARIANTS)}),
+f AS (SELECT query_id, doc_id,
+        CAST(sum(1000000 // ({_RRF_K} + lrank)) AS BIGINT) AS rrf_micro,
+        count(*) AS n_systems
+      FROM allr GROUP BY 1, 2)
+SELECT query_id, doc_id, rrf_micro, n_systems,
+       CAST(frank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY rrf_micro DESC, doc_id) AS frank FROM f)
+WHERE frank <= {_RRF_TOP_N}
+""")
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion over a BM25 query ensemble
+    (operators/tokens.py rrf_fuse — Cormack et al. SIGIR'09): three
+    formulations of each query (full terms, head-term subset,
+    expanded terms) are retrieved independently with bm25_topk and
+    fused by Σ 1000000 DIV (60 + rank) in pure BIGINT. The oracle
+    replays all three BM25 integer chains AND the fusion arithmetic,
+    so fused scores, agreement counts, and fused ranks are
+    value-checked end to end."""
+    from .operators.tokens import bm25_topk, rrf_fuse
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    lists = []
+    for terms in _RRF_VARIANTS.values():
+        qdf = spark.createDataFrame(terms, "query_id long, term string")
+        lists.append(bm25_topk(d, qdf, k=_RRF_LIST_K))
+    return rrf_fuse(lists, k=_RRF_K, top_n=_RRF_TOP_N)
+
+
+@q("tokenizer_fertility", """
+WITH per AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+              AS BIGINT) AS tk,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS wk,
+         CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+  FROM documents WHERE length(text) > 0)
+SELECT source,
+       CAST(sum(tk) AS BIGINT) AS total_tokens,
+       CAST(sum(wk) AS BIGINT) AS total_words,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(tk) * 1000 // sum(wk) AS BIGINT)
+         AS tok_per_word_permille,
+       CAST(sum(bytes) * 1000 // sum(tk) AS BIGINT)
+         AS bytes_per_tok_permille
+FROM per GROUP BY source
+""")
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit — the tokens-per-word and
+    bytes-per-token ratios a pipeline tracks per source when choosing
+    or retraining a tokenizer (high fertility = the tokenizer
+    fragments that domain; bytes/token tracks multilingual cost).
+    BPE-ish pre-tokenizer counts (functions/text.py token_count_regex)
+    vs whitespace words vs UTF-8 bytes, ratios as integer permille
+    (NOTES #25 DIV discipline) — all map-side sums, one vocab-of-
+    sources-sized aggregate."""
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    per = docs.select(
+        "source",
+        TX.token_count_regex("text").cast("long").alias("tk"),
+        TX.token_count_ws("text").cast("long").alias("wk"),
+        F.octet_length("text").cast("long").alias("bytes"))
+    return (per.groupBy("source")
+            .agg(F.sum("tk").alias("total_tokens"),
+                 F.sum("wk").alias("total_words"),
+                 F.sum("bytes").alias("total_bytes"),
+                 F.expr("sum(tk) * 1000 DIV sum(wk)")
+                 .alias("tok_per_word_permille"),
+                 F.expr("sum(bytes) * 1000 DIV sum(tk)")
+                 .alias("bytes_per_tok_permille")))

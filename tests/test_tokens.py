@@ -1138,3 +1138,50 @@ def test_compression_ratio_matches_zlib_replay(spark):
         assert out[doc_id]["pm"] == (cs * 1000 // raw if raw else None)
     # signal direction: repetition compresses far below line noise
     assert out["rep"]["pm"] < out["prose"]["pm"] < out["rand"]["pm"]
+
+
+# ---------------------------------------------------------------------------
+# reciprocal rank fusion (Cormack et al. SIGIR'09)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_matches_python_replay(spark):
+    import pytest as _pytest
+    lists = [
+        # (query, doc, rank) — doc 'b' ranked by all three systems,
+        # 'a' by two, 'z' by one
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3)],
+        [(1, "b", 1), (1, "a", 2), (1, "d", 3)],
+        [(1, "b", 1), (1, "z", 2)],
+        ]
+    dfs = [spark.createDataFrame(
+        rows, "query_id long, doc_id string, rank long")
+        for rows in lists]
+    out = TK.rrf_fuse(dfs, k=60, top_n=10).collect()
+    exp = {}
+    for rows in lists:
+        for _, doc, r in rows:
+            exp.setdefault(doc, [0, 0])
+            exp[doc][0] += 1_000_000 // (60 + r)
+            exp[doc][1] += 1
+    got = {r["doc_id"]: (r["rrf_micro"], r["n_systems"]) for r in out}
+    assert got == {d: tuple(v) for d, v in exp.items()}
+    order = [r["doc_id"] for r in
+             sorted(out, key=lambda r: r["rank"])]
+    assert order == sorted(exp, key=lambda d: (-exp[d][0], d))
+    assert order[0] == "b"   # consensus doc wins
+    with _pytest.raises(ValueError):
+        TK.rrf_fuse([], k=60)
+    with _pytest.raises(ValueError):
+        TK.rrf_fuse(dfs, k=0)
+
+
+def test_rrf_fuse_tiebreak_and_topn(spark):
+    # two docs with identical fused scores tie-break on doc_id asc
+    a = spark.createDataFrame([(1, "x", 1), (1, "y", 2)],
+                              "query_id long, doc_id string, rank long")
+    b = spark.createDataFrame([(1, "y", 1), (1, "x", 2)],
+                              "query_id long, doc_id string, rank long")
+    out = sorted(TK.rrf_fuse([a, b], k=60, top_n=1).collect(),
+                 key=lambda r: r["rank"])
+    assert len(out) == 1 and out[0]["doc_id"] == "x"
