@@ -134,6 +134,23 @@ _RESAMPLE_RE = re.compile(
     r"(?:\s+BUCKETS\s+(?P<k>\d+))?"
     r"(?:\s+SEED\s+'(?P<seed>[^']*)')?\s*;?\s*$",
     re.IGNORECASE)
+_WINNOW_RE = re.compile(
+    r"^\s*DEDUP\s+WINNOW\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
+    r"(?:\s+K\s+(?P<k>\d+))?(?:\s+WINDOW\s+(?P<w>\d+))?"
+    r"(?:\s+SHARED\s+(?P<shared>\d+))?"
+    r"(?:\s+MAXFREQ\s+(?P<freq>\d+))?"
+    r"(?:\s+TOKENS\s+(?P<col>\w+))?\s*;?\s*$",
+    re.IGNORECASE)
+_ALLOCATE_RE = re.compile(
+    r"^\s*ALLOCATE\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"BUDGET\s+(?P<budget>\d+)"
+    r"(?:\s+EPOCHS\s+(?P<milli>\d+))?\s*;?\s*$",
+    re.IGNORECASE)
+_FUSE_RE = re.compile(
+    r"^\s*FUSE\s+RANKS\s+(?P<srcs>(?:(?:STREAM:\w+|TAG:'[^']*')\s*)+?)"
+    r"(?:\s*\bK\s+(?P<k>\d+))?(?:\s*\bTOP\s+(?P<n>\d+))?\s*;?\s*$",
+    re.IGNORECASE)
+_FUSE_SRC_RE = re.compile(r"STREAM:\w+|TAG:'[^']*'", re.IGNORECASE)
 _FROM_TAG_RE = re.compile(r"\bTAG:'([^']*)'", re.IGNORECASE)
 _WINDOW_RE = re.compile(
     r"\bWINDOW\s+(?P<kind>TUMBLING|HOPPING)\s*\(\s*(?P<n>\d+)\s+"
@@ -490,8 +507,52 @@ class StreamProcessor:
                               k=int(m.group("k") or 50))
         return vocab_growth(src, tokens_col=col)
 
+    def _winnow_pairs(self, m: re.Match) -> DataFrame:
+        """DEDUP WINNOW STREAM:src [K k] [WINDOW w] [SHARED n]
+        [MAXFREQ f] [TOKENS col] — winnowing-fingerprint candidate
+        pairs (operators/tokens.py winnow_overlap_pairs): the
+        exact-guarantee near-dup pair generator (any shared run of
+        >= w+k-1 tokens always collides)."""
+        from ..operators.tokens import winnow_overlap_pairs
+        return winnow_overlap_pairs(
+            self._source_df(m.group("src")),
+            tokens_col=m.group("col") or "tokens",
+            k=int(m.group("k") or 4), w=int(m.group("w") or 4),
+            min_shared=int(m.group("shared") or 2),
+            max_fp_freq=int(m.group("freq") or 20))
+
+    def _allocate(self, m: re.Match) -> DataFrame:
+        """ALLOCATE STREAM:totals BUDGET n [EPOCHS milli] —
+        data-constrained token-budget water-filling
+        (operators/tokens.py allocate_token_budget) over a per-source
+        totals stream with (source, unique_tokens, weight)."""
+        from ..operators.tokens import allocate_token_budget
+        return allocate_token_budget(
+            self._source_df(m.group("src")),
+            budget_tokens=int(m.group("budget")),
+            max_epochs_milli=int(m.group("milli") or 4000))
+
+    def _fuse_ranks(self, m: re.Match) -> DataFrame:
+        """FUSE RANKS STREAM:a STREAM:b [STREAM:c ...] [K k] [TOP n] —
+        reciprocal rank fusion (operators/tokens.py rrf_fuse) over
+        ranked-list streams with (query_id, doc_id, rank)."""
+        from ..operators.tokens import rrf_fuse
+        srcs = _FUSE_SRC_RE.findall(m.group("srcs"))
+        return rrf_fuse([self._source_df(s) for s in srcs],
+                        k=int(m.group("k") or 60),
+                        top_n=int(m.group("n") or 10))
+
     def _exec_select(self, text: str) -> DataFrame:
         """A statement body: a token-op verb, else translated SQL."""
+        wm_ = _WINNOW_RE.match(text)
+        if wm_:
+            return self._winnow_pairs(wm_)
+        al = _ALLOCATE_RE.match(text)
+        if al:
+            return self._allocate(al)
+        fu = _FUSE_RE.match(text)
+        if fu:
+            return self._fuse_ranks(fu)
         tm = _TOKENIZE_RE.match(text)
         if tm:
             return self._tokenize(tm)

@@ -51,7 +51,7 @@ def main() -> int:
                     help="hash-exact dedup only (skip near-dup LSH)")
     ap.add_argument("--mode", default=None,
                     choices=["two-stage", "exact", "substring", "semdedup",
-                             "artifacts", "vs-corpus"],
+                             "artifacts", "vs-corpus", "winnow"],
                     help="dedup family (default two-stage LSH; "
                          "--exact-only is shorthand for --mode exact; "
                          "'artifacts' writes the corpus-side state "
@@ -65,6 +65,14 @@ def main() -> int:
                          "read; artifacts: append deltas in place)")
     ap.add_argument("--tokens-col", default="tokens",
                     help="substring mode: token-array column")
+    ap.add_argument("--winnow-k", type=int, default=4,
+                    help="winnow: gram size k")
+    ap.add_argument("--winnow-w", type=int, default=4,
+                    help="winnow: window size w")
+    ap.add_argument("--winnow-shared", type=int, default=2,
+                    help="winnow: min shared fingerprints per pair")
+    ap.add_argument("--winnow-maxfreq", type=int, default=20,
+                    help="winnow: drop fingerprints in more docs")
     ap.add_argument("--span-len", type=int, default=50,
                     help="substring mode: duplicated-window length")
     ap.add_argument("--vec-col", default="embedding",
@@ -126,6 +134,37 @@ def main() -> int:
             hash_fn = rec.get("hash_fn", hash_fn)
             sketch_params = {"num_perm": num_perm, "bands": bands,
                              "shingle_n": shingle_n, "hash_fn": hash_fn}
+
+    if mode == "winnow":
+        # winnowing-fingerprint candidate pairs + anti-join survivors:
+        # the exact-guarantee near-dup pass (operators/tokens.py
+        # winnow_overlap_pairs) — any shared run of >= w+k-1 tokens
+        # always collides, so --winnow-shared 1 is the recall floor
+        from fluent_bit_spark.operators.tokens import (
+            winnow_overlap_pairs,
+        )
+        toks = docs.withColumn("__t", F.split(F.col(args.text_col), " "))
+        pairs = winnow_overlap_pairs(
+            toks, id_col=args.id_col, tokens_col="__t",
+            k=args.winnow_k, w=args.winnow_w,
+            min_shared=args.winnow_shared,
+            max_fp_freq=args.winnow_maxfreq)
+        pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
+        pairs_r = spark.read.parquet(f"{args.output}/pairs")
+        drop = pairs_r.select(F.col("id_b").alias(args.id_col)).distinct()
+        survivors = docs.join(drop, args.id_col, "left_anti")
+        survivors.write.mode("overwrite").parquet(
+            f"{args.output}/deduped")
+        n_pairs = pairs_r.count()
+        n_out = spark.read.parquet(f"{args.output}/deduped").count()
+        n_drop = drop.count()
+        print(json.dumps({"mode": "winnow", "rows_in": n_in,
+                          "pairs": int(n_pairs),
+                          "rows_dropped": int(n_drop),
+                          "rows_out": int(n_out),
+                          "wall_sec": round(time.time() - t0, 2)}))
+        # conservation: survivors + dropped == input
+        return 0 if n_out + n_drop == n_in else 2
 
     if mode == "substring":
         from fluent_bit_spark.operators.tokens import substring_dedup

@@ -378,3 +378,39 @@ def test_run_dedup_artifacts_append_cli(spark, tmp_path, monkeypatch):
     assert r2["rows_out"] == 1 and r2["dropped"] == 2
     kept = spark.read.parquet(str(tmp_path / "o2" / "deduped"))
     assert [r.doc_id for r in kept.collect()] == ["x3"]
+
+
+def test_run_dedup_winnow_cli(spark, tmp_path, monkeypatch):
+    """jobs/run_dedup.py --mode winnow: near-dups (shared run >= w+k-1
+    words) are dropped via the fingerprint pair anti-join; the
+    conservation exit code holds (survivors + dropped == input)."""
+    import importlib
+    import json as _json
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    run_dedup = importlib.import_module("run_dedup")
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing"
+    docs_p = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "out")
+    spark.createDataFrame([
+        ("d1", "a0 a1 a2 a3 a4 a5 " + shared),
+        ("d2", "b0 b1 b2 b3 b4 b5 " + shared),       # near-dup of d1
+        ("d3", "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"),
+    ], "doc_id string, text string").write.parquet(docs_p)
+
+    printed = []
+    monkeypatch.setattr(sys, "argv", [
+        "run_dedup.py", "--input", docs_p, "--output", out,
+        "--mode", "winnow", "--winnow-shared", "1"])
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    assert run_dedup.main() == 0
+    rec = _json.loads(printed[-1])
+    assert rec["rows_in"] == 3 and rec["pairs"] >= 1
+    assert rec["rows_dropped"] == 1
+    assert rec["rows_out"] == 2
+    kept = {r.doc_id for r in
+            spark.read.parquet(f"{out}/deduped").collect()}
+    assert kept == {"d1", "d3"}

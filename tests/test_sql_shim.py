@@ -536,3 +536,50 @@ def test_audit_verbs_match_operators(sp, spark):
     wv = {(r.permille, r.docs, r.total_toks, r.distinct_toks) for r in
           vocab_growth(df).collect()}
     assert gv == wv
+
+
+def test_winnow_allocate_fuse_verbs_match_operators(sp, spark):
+    """DEDUP WINNOW / ALLOCATE BUDGET / FUSE RANKS == the direct
+    operator calls with the same parameters."""
+    from fluent_bit_spark.operators.tokens import (
+        allocate_token_budget, rrf_fuse, winnow_overlap_pairs,
+    )
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing".split()
+    docs = spark.createDataFrame(
+        [(1, [f"a{i}" for i in range(10)] + shared),
+         (2, [f"b{i}" for i in range(10)] + shared),
+         (3, [f"c{i}" for i in range(20)])],
+        "doc_id long, tokens array<string>")
+    sp.register_stream("wdocs", docs)
+    got = {(r.id_a, r.id_b, r.shared_fp) for r in
+           sp.sql("DEDUP WINNOW STREAM:wdocs K 4 WINDOW 4 SHARED 1 "
+                  "MAXFREQ 10;").collect()}
+    want = {(r.id_a, r.id_b, r.shared_fp) for r in
+            winnow_overlap_pairs(docs, k=4, w=4, min_shared=1,
+                                 max_fp_freq=10).collect()}
+    assert got == want and got
+
+    totals = spark.createDataFrame(
+        [("s1", 1000, 3), ("s2", 5000, 1)],
+        "source string, unique_tokens long, weight long")
+    sp.register_stream("tot", totals)
+    got_a = {tuple(r) for r in
+             sp.sql("ALLOCATE STREAM:tot BUDGET 4000 EPOCHS 1500;")
+             .collect()}
+    want_a = {tuple(r) for r in
+              allocate_token_budget(totals, 4000,
+                                    max_epochs_milli=1500).collect()}
+    assert got_a == want_a
+
+    la = spark.createDataFrame([(1, "x", 1), (1, "y", 2)],
+                               "query_id long, doc_id string, rank long")
+    lb = spark.createDataFrame([(1, "y", 1), (1, "z", 2)],
+                               "query_id long, doc_id string, rank long")
+    sp.register_stream("ra", la)
+    sp.register_stream("rb", lb)
+    got_f = {tuple(r) for r in
+             sp.sql("FUSE RANKS STREAM:ra STREAM:rb K 60 TOP 2;")
+             .collect()}
+    want_f = {tuple(r) for r in
+              rrf_fuse([la, lb], k=60, top_n=2).collect()}
+    assert got_f == want_f and got_f
