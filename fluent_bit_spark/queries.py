@@ -4999,18 +4999,27 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal Rank Fusion over a BM25 query ensemble
     (operators/tokens.py rrf_fuse — Cormack et al. SIGIR'09): three
     formulations of each query (full terms, head-term subset,
-    expanded terms) are retrieved independently with bm25_topk and
-    fused by Σ 1000000 DIV (60 + rank) in pure BIGINT. The oracle
-    replays all three BM25 integer chains AND the fusion arithmetic,
-    so fused scores, agreement counts, and fused ranks are
+    expanded terms) fused by Σ 1000000 DIV (60 + rank) in pure
+    BIGINT. The three retrievals share ONE bm25 run via composite
+    query ids (query·8 + variant): BM25's per-term df, idf, avgdl and
+    dl are all variant-independent, so the composite run is
+    score-identical to three separate runs while scanning the corpus
+    once instead of three times — the plan-audit discipline applied
+    to the ensemble (one explode + semi join + agg instead of three).
+    The oracle replays all three BM25 integer chains separately AND
+    the fusion arithmetic, so the composite-id equivalence itself is
     value-checked end to end."""
     from .operators.tokens import bm25_topk, rrf_fuse
     docs = t(spark, sf_dir, "documents")
     d = docs.select("doc_id", F.split("text", " ").alias("tokens"))
-    lists = []
-    for terms in _RRF_VARIANTS.values():
-        qdf = spark.createDataFrame(terms, "query_id long, term string")
-        lists.append(bm25_topk(d, qdf, k=_RRF_LIST_K))
+    composite = [(qid * 8 + vi, term)
+                 for vi, terms in enumerate(_RRF_VARIANTS.values())
+                 for qid, term in terms]
+    qdf = spark.createDataFrame(composite, "query_id long, term string")
+    hits = bm25_topk(d, qdf, k=_RRF_LIST_K)
+    lists = [hits.filter(F.col("query_id") % 8 == vi)
+             .withColumn("query_id", F.expr("query_id DIV 8"))
+             for vi in range(len(_RRF_VARIANTS))]
     return rrf_fuse(lists, k=_RRF_K, top_n=_RRF_TOP_N)
 
 
