@@ -106,6 +106,11 @@ HEADLINE = [
     "cms_heavy_hitters",
     "zipf_coverage",
     "url_canonical_dedup",
+    # r5 final: winnowing fingerprints (map-only HOF fold), hybrid
+    # retrieval fusion (one composite bm25 scan + RRF), fertility audit
+    "winnow_fingerprint_digest",
+    "rrf_hybrid_topk",
+    "tokenizer_fertility",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

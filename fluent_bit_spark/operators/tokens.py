@@ -1748,3 +1748,64 @@ def rrf_fuse(ranked: list[DataFrame], query_col: str = "query_id",
     return (scored.withColumn("rank", F.row_number().over(w)
                               .cast("long"))
             .filter(F.col("rank") <= top_n))
+
+
+def winnow_corpus_fp(df: DataFrame, id_col: str = "doc_id",
+                     tokens_col: str = "tokens",
+                     k: int = 4, w: int = 4) -> DataFrame:
+    """The maintained winnowing artifact: distinct ``(id, fp)`` per
+    document. Because fingerprint selection is PER-DOCUMENT and
+    map-only, the artifact of ``corpus ∪ batch`` is EXACTLY
+    ``artifact(corpus) ∪ artifact(batch)`` — appends are exact by
+    construction (no signature re-estimation, no band re-derivation;
+    pytest pins this), which is the winnowing advantage over MinHash
+    artifacts for incremental ingest. Maintain it bucketed by ``fp``
+    so the per-batch probe join is exchange-free on the corpus side
+    (the dedup_vs_corpus band-table posture)."""
+    return (winnow_fingerprints(df, id_col, tokens_col, k, w)
+            .select(id_col, "fp").distinct())
+
+
+def winnow_vs_corpus(new: DataFrame, corpus_fp: DataFrame,
+                     id_col: str = "doc_id",
+                     tokens_col: str = "tokens",
+                     k: int = 4, w: int = 4, min_shared: int = 2,
+                     max_fp_freq: int = 20,
+                     corpus_freq: DataFrame | None = None) -> DataFrame:
+    """Survivors of ``new`` after winnowing dedup AGAINST a maintained
+    corpus fingerprint table (incremental ingest, the exact-guarantee
+    sibling of dedup_vs_corpus): a new doc sharing >= ``min_shared``
+    non-boilerplate fingerprints with ANY corpus doc is dropped; at
+    ``min_shared=1`` the drop has the SIGMOD'03 floor — any shared
+    token run of >= w+k-1 tokens with the corpus is certain to be
+    caught.
+
+    ``corpus_freq``: a maintained ``(fp, n_docs)`` table for the
+    boilerplate guard; pass it so the guard costs a batch-keyed join
+    instead of a corpus-wide aggregate. When None it is computed from
+    ``corpus_fp`` (fine below ~10^9 fingerprints; at 10^12 maintain
+    the freq table alongside the fp table and fold batch counts in on
+    append).
+
+    Scale shape: the batch's fingerprints are map-only; the guard
+    join and the probe join are keyed on ``fp`` (corpus side
+    exchange-free when the artifact is bucketed); match volume per
+    fingerprint is bounded by ``max_fp_freq``; one (ndoc, cdoc) pair
+    agg; one anti-join back onto ``new``. Per-batch cost ∝ batch +
+    matches — the corpus is never re-fingerprinted or re-read beyond
+    the probed keys.
+    """
+    bfp = winnow_corpus_fp(new, id_col, tokens_col, k, w)
+    if corpus_freq is None:
+        corpus_freq = corpus_fp.groupBy("fp").agg(
+            F.count("*").alias("n_docs"))
+    ok = (corpus_freq.filter(F.col("n_docs") <= max_fp_freq)
+          .select("fp"))
+    cf = corpus_fp.select(F.col(id_col).alias("__cdoc"), "fp")
+    dropped = (bfp.join(ok, "fp")          # guard BEFORE the fan-out
+               .join(cf, "fp")
+               .groupBy(id_col, "__cdoc")
+               .agg(F.count("*").alias("__shared"))
+               .filter(F.col("__shared") >= min_shared)
+               .select(id_col).distinct())
+    return new.join(dropped, id_col, "left_anti")

@@ -5064,3 +5064,38 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("tok_per_word_permille"),
                  F.expr("sum(bytes) * 1000 DIV sum(tk)")
                  .alias("bytes_per_tok_permille")))
+
+
+@q("winnow_vs_corpus", _WINNOW_FP_SQL + """,
+nfp AS (SELECT DISTINCT doc_id, v FROM fp WHERE doc_id % 2 = 1),
+cfp AS (SELECT DISTINCT doc_id, v FROM fp WHERE doc_id % 2 = 0),
+okf AS (SELECT v FROM cfp GROUP BY v HAVING count(*) <= 20),
+m AS (SELECT n.doc_id AS nd, c.doc_id AS cd, count(*) AS shared
+      FROM nfp n JOIN cfp c ON n.v = c.v
+      WHERE n.v IN (SELECT v FROM okf)
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+dropd AS (SELECT DISTINCT nd FROM m)
+SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND d.doc_id NOT IN (SELECT nd FROM dropd)
+""")
+def winnow_vs_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnowing dedup against a maintained corpus
+    fingerprint table (operators/tokens.py winnow_vs_corpus): even
+    doc_ids play the corpus (their (id, fp) artifact prebuilt), odd
+    ids the new batch; batch docs sharing >= 2 non-boilerplate
+    fingerprints with any corpus doc are dropped. The oracle replays
+    derivation, corpus-side frequency guard, cross-side pairing, and
+    the anti-join — survivors value-checked row-for-row."""
+    from .operators.tokens import winnow_corpus_fp, winnow_vs_corpus
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    corpus_fp = winnow_corpus_fp(
+        toks.filter(F.col("doc_id") % 2 == 0), k=4, w=4)
+    new = docs.filter(F.col("doc_id") % 2 == 1) \
+        .withColumn("tokens", F.split("text", " "))
+    surv = winnow_vs_corpus(new, corpus_fp, k=4, w=4, min_shared=2,
+                            max_fp_freq=20)
+    return surv.select("doc_id", "source",
+                       F.length("text").cast("long").alias("n_chars"))

@@ -1185,3 +1185,43 @@ def test_rrf_fuse_tiebreak_and_topn(spark):
     out = sorted(TK.rrf_fuse([a, b], k=60, top_n=1).collect(),
                  key=lambda r: r["rank"])
     assert len(out) == 1 and out[0]["doc_id"] == "x"
+
+
+def test_winnow_vs_corpus_drop_keep_and_hot_guard(spark):
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing".split()
+    boiler = "terms of service apply to everyone here now".split()
+    corpus_rows = [(0, [f"c{i}" for i in range(10)] + shared + boiler)]
+    corpus_rows += [(2 + 2 * i, [f"k{i}x{j}" for j in range(10)] + boiler)
+                    for i in range(6)]   # boiler fp in 7 corpus docs
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, tokens array<string>")
+    cfp = TK.winnow_corpus_fp(corpus, k=4, w=4)
+    new = spark.createDataFrame([
+        (1, [f"n{i}" for i in range(8)] + shared),   # dup of corpus 0
+        (3, [f"f{i}" for i in range(20)]),           # fresh
+        (5, [f"g{i}" for i in range(12)] + boiler),  # only hot fps
+    ], "doc_id long, tokens array<string>")
+    surv = TK.winnow_vs_corpus(new, cfp, k=4, w=4, min_shared=1,
+                               max_fp_freq=4)
+    assert {r["doc_id"] for r in surv.collect()} == {3, 5}
+
+
+def test_winnow_artifact_append_is_exact(spark):
+    """artifact(corpus ∪ batch) == artifact(corpus) ∪ artifact(batch)
+    — fingerprints are per-doc, so delta appends are exact by
+    construction (no re-estimation, unlike MinHash sigs)."""
+    import random
+    rng = random.Random(3)
+    mk = lambda n: [f"w{rng.randrange(200)}" for _ in range(n)]
+    corpus = [(i, mk(30)) for i in range(10)]
+    batch = [(100 + i, mk(25)) for i in range(5)]
+    c = spark.createDataFrame(corpus, "doc_id long, tokens array<string>")
+    b = spark.createDataFrame(batch, "doc_id long, tokens array<string>")
+    u = spark.createDataFrame(corpus + batch,
+                              "doc_id long, tokens array<string>")
+    rebuilt = {(r["doc_id"], r["fp"]) for r in
+               TK.winnow_corpus_fp(u).collect()}
+    appended = {(r["doc_id"], r["fp"]) for r in
+                TK.winnow_corpus_fp(c).unionByName(
+                    TK.winnow_corpus_fp(b)).collect()}
+    assert rebuilt == appended
