@@ -49,17 +49,32 @@ def test_window_prefers_thin_history_over_veterans():
     )
 
 
+# Queries that deliberately carry NO DuckDB oracle (the driver records a
+# rows-only check): keep this list tiny and justified per entry.
+ROWS_ONLY = {
+    # DEFLATE has no SQL oracle; the zlib ratio signal is pytest-pinned
+    # (tests/test_tokens.py) — fbee60b.
+    "compression_quality",
+}
+
+
 def test_every_query_has_matching_oracle_keyset():
     q = entry.queries()
     o = entry.oracle_sql()
-    assert set(q) == set(o)
-    # dict order must match too: the driver zips positionally in places.
-    assert list(q) == list(o)
+    assert set(q) - set(o) == ROWS_ONLY, (
+        "a query is missing its oracle without a documented rows-only "
+        "justification (or a stale ROWS_ONLY entry gained an oracle)")
+    assert set(o) <= set(q), "oracle with no matching query"
+    # relative order of the oracled names must match queries() — the
+    # driver keys by name (r2 ran 2 rows-only entries keyed), but a
+    # stable shared order keeps the check window deterministic.
+    assert [n for n in q if n in o] == list(o)
 
 
 def test_ordering_is_deterministic():
     assert list(entry.queries()) == list(entry.queries())
-    assert list(entry.queries()) == list(entry.oracle_sql())
+    q = entry.queries()
+    assert [n for n in q if n not in ROWS_ONLY] == list(entry.oracle_sql())
 
 
 def test_history_parses_known_rounds():
