@@ -141,6 +141,14 @@ _WINNOW_RE = re.compile(
     r"(?:\s+MAXFREQ\s+(?P<freq>\d+))?"
     r"(?:\s+TOKENS\s+(?P<col>\w+))?\s*;?\s*$",
     re.IGNORECASE)
+_WINNOW_VS_RE = re.compile(
+    r"^\s*DEDUP\s+WINNOW\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"VS\s+CORPUS\s+(?P<corpus>STREAM:\w+|TAG:'[^']*')"
+    r"(?:\s+K\s+(?P<k>\d+))?(?:\s+WINDOW\s+(?P<w>\d+))?"
+    r"(?:\s+SHARED\s+(?P<shared>\d+))?"
+    r"(?:\s+MAXFREQ\s+(?P<freq>\d+))?"
+    r"(?:\s+TOKENS\s+(?P<col>\w+))?(?:\s+ID\s+(?P<id>\w+))?\s*;?\s*$",
+    re.IGNORECASE)
 _ALLOCATE_RE = re.compile(
     r"^\s*ALLOCATE\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
     r"BUDGET\s+(?P<budget>\d+)"
@@ -507,6 +515,29 @@ class StreamProcessor:
                               k=int(m.group("k") or 50))
         return vocab_growth(src, tokens_col=col)
 
+    def _winnow_vs(self, m: re.Match) -> DataFrame:
+        """DEDUP WINNOW STREAM:new VS CORPUS STREAM:corpus [K k]
+        [WINDOW w] [SHARED n] [MAXFREQ f] [TOKENS col] [ID col] —
+        incremental winnowing dedup against a maintained corpus
+        (operators/tokens.py winnow_vs_corpus). When the corpus stream
+        already carries an ``fp`` column it IS the maintained (id, fp)
+        artifact table (the production posture — appends to it are
+        exact by construction); otherwise fingerprints are derived
+        inline from its tokens (the `_dedup_vs` convenience posture)."""
+        from ..operators.tokens import winnow_corpus_fp, winnow_vs_corpus
+        col = m.group("col") or "tokens"
+        id_col = m.group("id") or "doc_id"
+        k = int(m.group("k") or 4)
+        w = int(m.group("w") or 4)
+        corpus = self._source_df(m.group("corpus"))
+        if "fp" not in corpus.columns:
+            corpus = winnow_corpus_fp(corpus, id_col, col, k=k, w=w)
+        return winnow_vs_corpus(
+            self._source_df(m.group("src")), corpus,
+            id_col=id_col, tokens_col=col, k=k, w=w,
+            min_shared=int(m.group("shared") or 2),
+            max_fp_freq=int(m.group("freq") or 20))
+
     def _winnow_pairs(self, m: re.Match) -> DataFrame:
         """DEDUP WINNOW STREAM:src [K k] [WINDOW w] [SHARED n]
         [MAXFREQ f] [TOKENS col] — winnowing-fingerprint candidate
@@ -544,6 +575,9 @@ class StreamProcessor:
 
     def _exec_select(self, text: str) -> DataFrame:
         """A statement body: a token-op verb, else translated SQL."""
+        wv_ = _WINNOW_VS_RE.match(text)
+        if wv_:
+            return self._winnow_vs(wv_)
         wm_ = _WINNOW_RE.match(text)
         if wm_:
             return self._winnow_pairs(wm_)

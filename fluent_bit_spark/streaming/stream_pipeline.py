@@ -346,6 +346,52 @@ def dedup_stream_vs_corpus(stream_df: DataFrame,
             .drop("__h"))
 
 
+def start_winnow_dedup_stream(spark: SparkSession, stream_df: DataFrame,
+                              corpus_fp: DataFrame, output_dir: str,
+                              tokens_col: str = "tokens",
+                              id_col: str = "doc_id",
+                              k: int = 4, w: int = 4,
+                              min_shared: int = 2,
+                              max_fp_freq: int = 20,
+                              corpus_freq: DataFrame | None = None,
+                              checkpoint_dir: str | None = None,
+                              available_now: bool = True):
+    """Streaming face of ``operators.tokens.winnow_vs_corpus``: drop
+    incoming documents sharing >= ``min_shared`` non-boilerplate
+    winnowing fingerprints with the MAINTAINED corpus artifact table,
+    appending survivors as parquet.
+
+    Runs inside ``foreachBatch`` (the :func:`start_scored_stream`
+    posture): the per-doc shared-fingerprint count is a batch-local
+    aggregation — every document arrives whole in its batch — so the
+    query carries ZERO streaming state. The static ``corpus_fp`` frame
+    is re-planned per batch, so pointing it at the maintained fps
+    table picks up corpus growth between batches; and because winnow
+    artifact appends are exact by construction (per-doc selection),
+    folding each batch's survivors back into that table keeps the
+    stream's guarantee identical to a batch rebuild — no re-sketching
+    drift, the property MinHash signature dirs don't have."""
+    from ..operators.tokens import winnow_vs_corpus
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        (winnow_vs_corpus(batch, corpus_fp, id_col=id_col,
+                          tokens_col=tokens_col, k=k, w=w,
+                          min_shared=min_shared,
+                          max_fp_freq=max_fp_freq,
+                          corpus_freq=corpus_freq)
+         .write.mode("append")
+         .parquet(os.path.join(output_dir, "deduped")))
+
+    q = (stream_df.writeStream
+         .foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 checkpoint_dir
+                 or os.path.join(output_dir, "_winnow_ckpt")))
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()
+
+
 # ---------------------------------------------------------------------------
 # Stateful throttle (filter_throttle's sliding rate limit, cross-batch)
 # ---------------------------------------------------------------------------

@@ -51,7 +51,8 @@ def main() -> int:
                     help="hash-exact dedup only (skip near-dup LSH)")
     ap.add_argument("--mode", default=None,
                     choices=["two-stage", "exact", "substring", "semdedup",
-                             "artifacts", "vs-corpus", "winnow"],
+                             "artifacts", "vs-corpus", "winnow",
+                             "winnow-artifacts", "winnow-vs-corpus"],
                     help="dedup family (default two-stage LSH; "
                          "--exact-only is shorthand for --mode exact; "
                          "'artifacts' writes the corpus-side state "
@@ -59,16 +60,23 @@ def main() -> int:
                          "'vs-corpus' dedups --input against "
                          "--corpus-artifacts; 'artifacts' WITH "
                          "--corpus-artifacts appends the accepted "
-                         "batch's deltas to that dir instead)")
+                         "batch's deltas to that dir instead; the "
+                         "winnow-* twins are the same contract for the "
+                         "exact-guarantee winnowing artifact [fps/ + "
+                         "freq/] — winnow-artifacts appends are exact "
+                         "by construction, no re-sketching)")
     ap.add_argument("--corpus-artifacts", default=None,
                     help="dir written by --mode artifacts (vs-corpus: "
                          "read; artifacts: append deltas in place)")
     ap.add_argument("--tokens-col", default="tokens",
                     help="substring mode: token-array column")
-    ap.add_argument("--winnow-k", type=int, default=4,
-                    help="winnow: gram size k")
-    ap.add_argument("--winnow-w", type=int, default=4,
-                    help="winnow: window size w")
+    ap.add_argument("--winnow-k", type=int, default=None,
+                    help="winnow: gram size k (default 4; winnow-vs-"
+                         "corpus/append adopt the artifact dir's value "
+                         "and refuse a conflicting explicit flag)")
+    ap.add_argument("--winnow-w", type=int, default=None,
+                    help="winnow: window size w (default 4; adoption "
+                         "as --winnow-k)")
     ap.add_argument("--winnow-shared", type=int, default=2,
                     help="winnow: min shared fingerprints per pair")
     ap.add_argument("--winnow-maxfreq", type=int, default=20,
@@ -135,6 +143,105 @@ def main() -> int:
             sketch_params = {"num_perm": num_perm, "bands": bands,
                              "shingle_n": shingle_n, "hash_fn": hash_fn}
 
+    # Winnow-artifact parameter contract — the same adoption/refusal
+    # rule as the MinHash block above: (k, w) select DIFFERENT
+    # fingerprint sets, so a probe under mismatched params silently
+    # detects nothing. winnow-artifacts stamps kind=winnow so a minhash
+    # dir can't be probed as a winnow one (fps/ would be missing, but
+    # fail on params, not on a read error).
+    wk = args.winnow_k if args.winnow_k is not None else 4
+    ww = args.winnow_w if args.winnow_w is not None else 4
+    if args.corpus_artifacts and mode in ("winnow-artifacts",
+                                          "winnow-vs-corpus"):
+        from fluent_bit_spark.plans import fsio
+        ppath = f"{args.corpus_artifacts}/params.json"
+        if fsio.exists(spark, ppath):
+            rec = fsio.read_json(spark, ppath)
+            if rec.get("kind") != "winnow":
+                ap.error(f"{args.corpus_artifacts} is not a winnowing "
+                         f"artifact dir (params.json kind="
+                         f"{rec.get('kind')!r}); point --corpus-"
+                         f"artifacts at a --mode winnow-artifacts dir")
+            for flag, explicit, key in (
+                    ("winnow-k", args.winnow_k, "k"),
+                    ("winnow-w", args.winnow_w, "w")):
+                if explicit is not None and key in rec \
+                        and explicit != rec[key]:
+                    ap.error(
+                        f"--{flag} {explicit} conflicts with {ppath} "
+                        f"({key}={rec[key]}): the artifact was "
+                        f"fingerprinted with that value and probes "
+                        f"under a different one are silently empty")
+            wk, ww = rec.get("k", wk), rec.get("w", ww)
+
+    if mode == "winnow-artifacts":
+        # maintained winnowing artifact: fps/ = distinct (id, fp) rows,
+        # freq/ = (fp, n_docs) deltas for the boilerplate guard. With
+        # --corpus-artifacts the batch's rows are APPENDED — exact by
+        # construction (fingerprint selection is per-document:
+        # artifact(corpus ∪ batch) == artifact(corpus) ∪
+        # artifact(batch); no re-sketching, unlike MinHash sig dirs).
+        # freq/ holds per-append deltas; readers re-aggregate
+        # sum(n_docs) per fp (winnow-vs-corpus below does).
+        from fluent_bit_spark.operators.tokens import winnow_corpus_fp
+        from fluent_bit_spark.plans import fsio
+        toks = docs.withColumn("__t", F.split(F.col(args.text_col), " "))
+        fps = winnow_corpus_fp(toks, args.id_col, "__t", k=wk, w=ww)
+        wparams = {"kind": "winnow", "k": wk, "w": ww}
+        if args.corpus_artifacts:
+            tgt = args.corpus_artifacts
+            if not fsio.exists(spark, f"{tgt}/params.json"):
+                fsio.write_json_atomic(spark, f"{tgt}/params.json",
+                                       wparams)
+            write_mode = "append"
+        else:
+            tgt = args.output
+            fsio.write_json_atomic(spark, f"{tgt}/params.json", wparams)
+            write_mode = "overwrite"
+        fps.write.mode(write_mode).parquet(f"{tgt}/fps")
+        # freq delta from THIS batch alone (cost ∝ batch, not corpus;
+        # re-derives the batch fps — a persist would also work, but the
+        # map-only derivation is cheaper than caching it)
+        (fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
+         .write.mode(write_mode).parquet(f"{tgt}/freq"))
+        # batch-bounded metric only: counting {tgt}/fps after an append
+        # would cost a corpus-sized scan per ingest batch
+        n_fp_batch = fps.count()
+        print(json.dumps({"mode": f"winnow-artifacts-{write_mode}",
+                          "rows_in": n_in,
+                          "fingerprints_batch": int(n_fp_batch),
+                          "k": wk, "w": ww,
+                          "wall_sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if mode == "winnow-vs-corpus":
+        if not args.corpus_artifacts:
+            ap.error("--mode winnow-vs-corpus needs --corpus-artifacts")
+        from fluent_bit_spark.operators.tokens import winnow_vs_corpus
+        fps = spark.read.parquet(f"{args.corpus_artifacts}/fps")
+        try:
+            freq = (spark.read
+                    .parquet(f"{args.corpus_artifacts}/freq")
+                    .groupBy("fp")
+                    .agg(F.sum("n_docs").alias("n_docs")))
+        except Exception:
+            freq = None  # pre-freq artifact dir: derived from fps/
+        toks = docs.withColumn("__t", F.split(F.col(args.text_col), " "))
+        survivors = winnow_vs_corpus(
+            toks, fps, id_col=args.id_col, tokens_col="__t",
+            k=wk, w=ww, min_shared=args.winnow_shared,
+            max_fp_freq=args.winnow_maxfreq,
+            corpus_freq=freq).drop("__t")
+        survivors.write.mode("overwrite").parquet(
+            f"{args.output}/deduped")
+        n_out = spark.read.parquet(f"{args.output}/deduped").count()
+        print(json.dumps({"mode": "winnow-vs-corpus", "rows_in": n_in,
+                          "rows_out": n_out, "dropped": n_in - n_out,
+                          "k": wk, "w": ww,
+                          "wall_sec": round(time.time() - t0, 2)}))
+        # conservation: every input row is either a survivor or dropped
+        return 0 if 0 <= n_out <= n_in else 2
+
     if mode == "winnow":
         # winnowing-fingerprint candidate pairs + anti-join survivors:
         # the exact-guarantee near-dup pass (operators/tokens.py
@@ -146,7 +253,7 @@ def main() -> int:
         toks = docs.withColumn("__t", F.split(F.col(args.text_col), " "))
         pairs = winnow_overlap_pairs(
             toks, id_col=args.id_col, tokens_col="__t",
-            k=args.winnow_k, w=args.winnow_w,
+            k=wk, w=ww,
             min_shared=args.winnow_shared,
             max_fp_freq=args.winnow_maxfreq)
         pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")

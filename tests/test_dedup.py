@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from fluent_bit_spark.operators.dedup import (
@@ -414,3 +415,87 @@ def test_run_dedup_winnow_cli(spark, tmp_path, monkeypatch):
     kept = {r.doc_id for r in
             spark.read.parquet(f"{out}/deduped").collect()}
     assert kept == {"d1", "d3"}
+
+
+def test_run_dedup_winnow_artifacts_cli(spark, tmp_path, monkeypatch):
+    """jobs/run_dedup.py winnowing incremental loop: winnow-artifacts →
+    winnow-vs-corpus (dup of corpus dropped) → artifact append of the
+    survivors → second probe drops dups of BOTH the corpus and the
+    first accepted batch; a conflicting --winnow-k on a probe errors
+    instead of silently detecting nothing."""
+    import importlib
+    import json as _json
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    run_dedup = importlib.import_module("run_dedup")
+
+    def run(argv):
+        printed = []
+        monkeypatch.setattr(sys, "argv", ["run_dedup.py"] + argv)
+        monkeypatch.setattr("builtins.print",
+                            lambda s: printed.append(s))
+        assert run_dedup.main() == 0
+        return _json.loads(printed[-1])
+
+    shared_a = "alpha beta gamma delta epsilon zeta eta theta"
+    shared_b = "iota kappa lambda mu nu xi omicron pi rho"
+    corpus_p = str(tmp_path / "corpus.parquet")
+    b1_p = str(tmp_path / "b1.parquet")
+    b2_p = str(tmp_path / "b2.parquet")
+    art = str(tmp_path / "wart")
+    spark.createDataFrame(
+        [("c1", "p0 p1 p2 p3 " + shared_a)],
+        "doc_id string, text string").write.parquet(corpus_p)
+    spark.createDataFrame(
+        [("b1", "q0 q1 q2 q3 " + shared_b)],
+        "doc_id string, text string").write.parquet(b1_p)
+    spark.createDataFrame([
+        ("x1", "r0 r1 r2 r3 " + shared_b),    # dup of accepted b1
+        ("x2", "s0 s1 s2 s3 " + shared_a),    # dup of corpus c1
+        ("x3", "t0 t1 t2 t3 u0 u1 u2 u3 v0 v1 v2 v3"),
+    ], "doc_id string, text string").write.parquet(b2_p)
+
+    run(["--input", corpus_p, "--output", art,
+         "--mode", "winnow-artifacts"])
+    r1 = run(["--input", b1_p, "--output", str(tmp_path / "w1"),
+              "--mode", "winnow-vs-corpus", "--corpus-artifacts", art,
+              "--winnow-shared", "1"])
+    assert r1["rows_out"] == 1 and r1["dropped"] == 0
+    ra = run(["--input", str(tmp_path / "w1" / "deduped"),
+              "--output", str(tmp_path / "unused"),
+              "--mode", "winnow-artifacts", "--corpus-artifacts", art])
+    assert ra["mode"] == "winnow-artifacts-append"
+    r2 = run(["--input", b2_p, "--output", str(tmp_path / "w2"),
+              "--mode", "winnow-vs-corpus", "--corpus-artifacts", art,
+              "--winnow-shared", "1"])
+    assert r2["rows_out"] == 1 and r2["dropped"] == 2
+    kept = spark.read.parquet(str(tmp_path / "w2" / "deduped"))
+    assert [r.doc_id for r in kept.collect()] == ["x3"]
+
+    # params contract: probing with a conflicting k must error loudly
+    printed = []
+    monkeypatch.setattr(sys, "argv", ["run_dedup.py",
+                        "--input", b2_p,
+                        "--output", str(tmp_path / "w3"),
+                        "--mode", "winnow-vs-corpus",
+                        "--corpus-artifacts", art, "--winnow-k", "7"])
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    with pytest.raises(SystemExit):
+        run_dedup.main()
+
+    # and a minhash artifact dir cannot be probed as a winnow one
+    mart = str(tmp_path / "mart")
+    run_m = ["--input", corpus_p, "--output", mart,
+             "--mode", "artifacts", "--bands", "8"]
+    monkeypatch.setattr(sys, "argv", ["run_dedup.py"] + run_m)
+    assert run_dedup.main() == 0
+    monkeypatch.setattr(sys, "argv", ["run_dedup.py",
+                        "--input", b2_p,
+                        "--output", str(tmp_path / "w4"),
+                        "--mode", "winnow-vs-corpus",
+                        "--corpus-artifacts", mart])
+    with pytest.raises(SystemExit):
+        run_dedup.main()

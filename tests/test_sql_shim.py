@@ -583,3 +583,37 @@ def test_winnow_allocate_fuse_verbs_match_operators(sp, spark):
     want_f = {tuple(r) for r in
               rrf_fuse([la, lb], k=60, top_n=2).collect()}
     assert got_f == want_f and got_f
+
+
+def test_winnow_vs_corpus_verb_matches_operator(sp, spark):
+    """DEDUP WINNOW ... VS CORPUS ... == winnow_vs_corpus, for both
+    corpus postures: raw token docs (fingerprints derived inline) and
+    a prebuilt (id, fp) artifact stream (the maintained-table path)."""
+    from fluent_bit_spark.operators.tokens import (
+        winnow_corpus_fp, winnow_vs_corpus,
+    )
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing".split()
+    corpus = spark.createDataFrame(
+        [(0, [f"c{i}" for i in range(10)] + shared),
+         (2, [f"k{i}" for i in range(15)])],
+        "doc_id long, tokens array<string>")
+    new = spark.createDataFrame(
+        [(1, [f"n{i}" for i in range(8)] + shared),   # dup of corpus 0
+         (3, [f"f{i}" for i in range(20)])],          # fresh
+        "doc_id long, tokens array<string>")
+    sp.register_stream("wnew", new)
+    sp.register_stream("wcorp", corpus)
+    want = {r.doc_id for r in winnow_vs_corpus(
+        new, winnow_corpus_fp(corpus, k=4, w=4),
+        k=4, w=4, min_shared=1, max_fp_freq=10).collect()}
+    got = {r.doc_id for r in
+           sp.sql("DEDUP WINNOW STREAM:wnew VS CORPUS STREAM:wcorp "
+                  "K 4 WINDOW 4 SHARED 1 MAXFREQ 10;").collect()}
+    assert got == want == {3}
+
+    # prebuilt-artifact posture: the corpus stream carries fp rows
+    sp.register_stream("wfps", winnow_corpus_fp(corpus, k=4, w=4))
+    got_fp = {r.doc_id for r in
+              sp.sql("DEDUP WINNOW STREAM:wnew VS CORPUS STREAM:wfps "
+                     "K 4 WINDOW 4 SHARED 1 MAXFREQ 10;").collect()}
+    assert got_fp == want

@@ -616,3 +616,47 @@ def test_start_dsir_scored_stream_matches_batch(spark, tmp_path):
     assert {t[0] for t in got} == {"a0", "a1", "a2", "a3"}
     a3 = next(t for t in got if t[0] == "a3")
     assert a3[3] == 1   # one unigram feature, no bigram
+
+
+def test_start_winnow_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming winnowing dedup vs a maintained fp table: survivors
+    appended across micro-batches == batch winnow_vs_corpus over the
+    union (per-doc decisions depend only on the doc and the static
+    corpus side — zero streaming state, order-independent)."""
+    from fluent_bit_spark.operators.tokens import (
+        winnow_corpus_fp, winnow_vs_corpus,
+    )
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        start_winnow_dedup_stream,
+    )
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing".split()
+    corpus = spark.createDataFrame(
+        [(0, [f"c{i}" for i in range(10)] + shared)],
+        "doc_id long, tokens array<string>")
+    fps = winnow_corpus_fp(corpus, k=4, w=4)
+    fps = spark.createDataFrame(fps.collect(), fps.schema)
+
+    d = str(tmp_path / "landing_wn")
+    schema = "doc_id long, tokens array<string>"
+    rows0 = [(1, [f"n{i}" for i in range(8)] + shared),   # dup → drop
+             (3, [f"f{i}" for i in range(20)])]           # fresh
+    rows1 = [(5, [f"g{i}" for i in range(6)] + shared),   # dup → drop
+             (7, [f"h{i}" for i in range(15)])]           # fresh
+    spark.createDataFrame(rows0, schema).coalesce(1) \
+        .write.parquet(f"{d}/f0.parquet")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(f"{d}/f1.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*"))
+    out = str(tmp_path / "winnow_out")
+    q = start_winnow_dedup_stream(spark, stream, fps, out,
+                                  k=4, w=4, min_shared=1,
+                                  max_fp_freq=10)
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in
+           spark.read.parquet(f"{out}/deduped").collect()}
+    both = spark.createDataFrame(rows0 + rows1, schema)
+    want = {r.doc_id for r in winnow_vs_corpus(
+        both, fps, k=4, w=4, min_shared=1, max_fp_freq=10).collect()}
+    assert got == want == {3, 7}
