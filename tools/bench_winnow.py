@@ -120,6 +120,95 @@ def run_size(n_docs: int, dup_frac: float, out: str) -> dict:
     return res
 
 
+def run_vs_corpus(n_corpus: int, n_batch: int, out: str) -> dict:
+    """Incremental-probe volume evidence (winnow_vs_corpus): a FIXED
+    prebuilt corpus fp artifact (with its maintained freq table, the
+    production posture) probed by a batch where half the docs are
+    planted near-dups of corpus docs. Claims evidenced:
+
+      1. every planted dup is DROPPED at min_shared=1 (the SIGMOD'03
+         guarantee carried through the incremental path), and every
+         fresh doc survives — drop recall and survivor precision both
+         exactly 1.0;
+      2. the probe's shuffle volume tracks the BATCH, not the corpus:
+         holding the corpus fixed and growing the batch R×, probe
+         shuffle bytes grow ≲ R× (the corpus-side fp exchange is the
+         constant term a bucketed production table removes entirely).
+    """
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.tokens import (
+        winnow_corpus_fp, winnow_vs_corpus,
+    )
+    from fluent_bit_spark.session import get_spark
+
+    cores = os.cpu_count() or 8
+    shuf = max(4 * cores, min(2048, (n_corpus + n_batch) * 18 // 4_000_000))
+    spark = get_spark(app_name=f"bench_winnow_vs_{n_corpus}_{n_batch}",
+                      shuffle_partitions=shuf,
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.port": "4040"})
+    res: dict = {"n_corpus": n_corpus, "n_batch": n_batch,
+                 "k": K, "w": W, "shuffle_partitions": shuf}
+    shutil.rmtree(out, ignore_errors=True)
+
+    # corpus = base docs [0, n_corpus); batch = n_batch docs, half
+    # planted dups of corpus docs (one substituted token → shared runs
+    # >> w+k-1), half fresh (disjoint token ids)
+    n_dup = n_batch // 2
+    spark.range(n_corpus + n_dup).createOrReplaceTempView("rng")
+    gen = spark.sql(corpus_sql(n_corpus + n_dup,
+                               n_dup / (n_corpus + n_dup)))
+    gen.filter(F.col("doc_id") < n_corpus).write.mode("overwrite") \
+        .parquet(f"{out}/corpus")
+    gen.filter(F.col("doc_id") >= n_corpus) \
+        .withColumn("planted", F.lit(True)).write.mode("overwrite") \
+        .parquet(f"{out}/dups")
+    fresh = spark.range(n_batch - n_dup).select(
+        (F.col("id") + n_corpus + n_dup).alias("doc_id"),
+        F.concat_ws(" ", F.array([
+            F.concat(F.lit(f"fr{j}_"), F.col("id").cast("string"))
+            for j in range(40)])).alias("text"),
+        F.lit(False).alias("planted"))
+    fresh.write.mode("append").parquet(f"{out}/dups")
+
+    tokize = lambda df: df.withColumn("tokens", F.split("text", " "))
+    t0 = time.time()
+    corpus_fp = winnow_corpus_fp(
+        tokize(spark.read.parquet(f"{out}/corpus")), k=K, w=W)
+    corpus_fp.write.mode("overwrite").parquet(f"{out}/fps")
+    corpus_fp = spark.read.parquet(f"{out}/fps")
+    freq = corpus_fp.groupBy("fp").agg(F.count("*").alias("n_docs"))
+    freq.write.mode("overwrite").parquet(f"{out}/freq")
+    freq = spark.read.parquet(f"{out}/freq")
+    res["artifact_wall_s"] = round(time.time() - t0, 1)
+
+    batch = tokize(spark.read.parquet(f"{out}/dups"))
+    rd0, wr0 = shuffle_totals()
+    t0 = time.time()
+    winnow_vs_corpus(batch, corpus_fp, k=K, w=W, min_shared=1,
+                     max_fp_freq=MAX_FP_FREQ, corpus_freq=freq) \
+        .write.mode("overwrite").parquet(f"{out}/deduped")
+    rd1, wr1 = shuffle_totals()
+    res["probe_wall_s"] = round(time.time() - t0, 1)
+    res["probe_shuffle_read_mb"] = round((rd1 - rd0) / 2**20, 1)
+    res["probe_shuffle_write_mb"] = round((wr1 - wr0) / 2**20, 1)
+    res["probe_docs_per_sec"] = round(n_batch / res["probe_wall_s"], 1)
+
+    surv = spark.read.parquet(f"{out}/deduped")
+    n_surv_fresh = surv.filter(~F.col("planted")).count()
+    n_surv_dup = surv.filter(F.col("planted")).count()
+    res["n_fresh"] = n_batch - n_dup
+    res["n_planted"] = n_dup
+    res["fresh_survived"] = int(n_surv_fresh)
+    res["planted_survived"] = int(n_surv_dup)
+    res["drop_recall"] = round(1.0 - n_surv_dup / max(n_dup, 1), 6)
+    res["fresh_precision"] = round(
+        n_surv_fresh / max(n_batch - n_dup, 1), 6)
+    spark.stop()
+    return res
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="400000,1600000")
@@ -127,7 +216,59 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/winnow_vol")
     ap.add_argument("--md", default=None)
     ap.add_argument("--gate", action="store_true")
+    ap.add_argument("--vs-corpus", action="store_true",
+                    help="incremental-probe mode: --sizes is the FIXED "
+                         "corpus size; batches of size/8 and size/2 "
+                         "probe it (cost-∝-batch + guarantee gates)")
     args = ap.parse_args()
+
+    if args.vs_corpus:
+        n_corpus = int(args.sizes.split(",")[0])
+        results = []
+        for n_batch in (n_corpus // 8, n_corpus // 2):
+            r = run_vs_corpus(n_corpus, n_batch,
+                              f"{args.out}/vs_{n_batch}")
+            print(json.dumps(r))
+            results.append(r)
+        a, b = results
+        ratio = b["n_batch"] / a["n_batch"]
+        shuf_x = (b["probe_shuffle_write_mb"]
+                  / max(a["probe_shuffle_write_mb"], 0.1))
+        ok = (a["drop_recall"] == 1.0 and b["drop_recall"] == 1.0
+              and a["fresh_precision"] == 1.0
+              and b["fresh_precision"] == 1.0
+              and shuf_x <= ratio * 1.3)
+        print(json.dumps({"gate": "ok" if ok else "FAIL",
+                          "batch_x": ratio,
+                          "probe_shuffle_x": round(shuf_x, 2)}))
+        if args.md:
+            lines = [
+                "", f"## Winnowing vs-corpus probe run "
+                f"{time.strftime('%Y-%m-%d')} (corpus {n_corpus:,}, "
+                f"k={K}, w={W}, min_shared=1)", "",
+                "| batch | artifact s | probe s | probe shuffle R/W MB"
+                " | drop recall | fresh precision | batch docs/s |",
+                "|" + "---|" * 7]
+            for r in results:
+                lines.append(
+                    f"| {r['n_batch']:,} | {r['artifact_wall_s']} | "
+                    f"{r['probe_wall_s']} | "
+                    f"{r['probe_shuffle_read_mb']}/"
+                    f"{r['probe_shuffle_write_mb']} | "
+                    f"{r['drop_recall']} | {r['fresh_precision']} | "
+                    f"{r['probe_docs_per_sec']:,} |")
+            lines += [
+                "", f"{ratio:.0f}× batch vs a fixed {n_corpus:,}-doc "
+                f"corpus → {shuf_x:.1f}× probe shuffle write: the "
+                f"probe's exchange volume tracks the BATCH (the "
+                f"corpus-side fp exchange is the constant term a "
+                f"bucketed production fps table removes); every "
+                f"planted dup dropped and every fresh doc kept at "
+                f"min_shared=1 — the detection guarantee survives the "
+                f"incremental path, gated not sampled.", ""]
+            with open(args.md, "a") as f:
+                f.write("\n".join(lines))
+        return 0 if ok else 3
 
     results = []
     for n in [int(s) for s in args.sizes.split(",")]:
