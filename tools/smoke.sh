@@ -47,5 +47,9 @@ if [ "${1:-}" != "quick" ]; then
   python tools/bench_vscorpus.py --pairs 100000:10000 \
     --out /tmp/smoke_vsc_vol | tail -1 # exits 2 unless exact drops total
                                        # and fresh false-drops zero
+  python tools/bench_winnow.py --vs-corpus --sizes 100000 \
+    --out /tmp/smoke_winvs_vol | tail -1 # exits 3 unless drop recall,
+                                         # fresh precision both 1.0 and
+                                         # probe shuffle tracks batch
 fi
 echo "SMOKE OK"
