@@ -136,8 +136,25 @@ def _tokens_paths() -> tuple[str, str, int]:
 
 
 def _ensure_tokens() -> None:
+    import shutil
+
+    import pyarrow.parquet as pq
+
     from fluent_bit_spark import fixtures as fx
     tok_path, lk_path, n_rows = _tokens_paths()
+    if os.path.exists(tok_path):
+        # Staleness guard: a cached fixture generated under a different
+        # SPARK_GRAFT_TOKENS_ROWS silently rescales every flagship
+        # number (a 50k-row leftover once read as a 5x throughput
+        # "regression"). Row count is cheap from parquet footers.
+        try:
+            cached = sum(
+                pq.ParquetFile(os.path.join(tok_path, f)).metadata.num_rows
+                for f in os.listdir(tok_path) if f.endswith(".parquet"))
+        except Exception:
+            cached = -1
+        if cached != n_rows:
+            shutil.rmtree(tok_path, ignore_errors=True)
     if not os.path.exists(tok_path):
         fx.generate_tokens_table(tok_path, n_rows, n_files=32)
     if not os.path.exists(lk_path):
