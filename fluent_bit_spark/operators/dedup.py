@@ -748,3 +748,82 @@ def dedup_vs_corpus(new: DataFrame, id_col: str, text_col: str,
                   .select(F.col("ndoc").alias(id_col)).distinct())
     from fluent_bit_spark.caching import carry
     return carry(survivors.join(dropped, id_col, "left_anti"), survivors)
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter planning (driver-side, pure arithmetic — no Spark)
+# ---------------------------------------------------------------------------
+
+def lsh_collision_prob(s: float, b: int, r: int) -> float:
+    """P[candidate pair] for a pair with Jaccard similarity ``s`` under
+    b bands × r rows banded MinHash: ``1 - (1 - s^r)^b`` (Leskovec,
+    Rajaraman & Ullman, *Mining of Massive Datasets* §3.4 — public
+    textbook result; upstream has no LSH, extension axis)."""
+    if not 0.0 <= s <= 1.0:
+        raise ValueError(f"similarity out of [0,1]: {s}")
+    return 1.0 - (1.0 - s ** r) ** b
+
+
+def lsh_plan(threshold: float, num_perm: int = 16,
+             fn_weight: float = 1.0, fp_weight: float = 1.0,
+             grid: int = 1000) -> dict:
+    """Choose (bands, rows) for a target Jaccard ``threshold`` — the
+    planning step in front of :func:`minhash_lsh_pairs` /
+    :func:`lsh_verified_pairs` / :func:`dedup_vs_corpus`, where the
+    WRONG banding silently costs either recall (missed near-dups) or
+    a candidate explosion that the verify stage then pays for at
+    corpus scale.
+
+    Enumerates every exact factorization b·r = num_perm and scores
+    each by the standard S-curve error integrals (MMDS §3.4.3):
+    false-negative area ∫_t^1 (1 - P(s)) ds (true dups missed) and
+    false-positive area ∫_0^t P(s) ds (non-dups that become
+    candidates and ride the pair exchange), trapezoid-integrated on a
+    ``grid``-point mesh. ``fn_weight``/``fp_weight`` skew the
+    trade-off: a verify-backed pipeline (lsh_verified_pairs) tolerates
+    false positives — they cost shuffle, not correctness — so weight
+    fp lower there; an unverified drop path must weight fn ≈ fp.
+
+    Returns {bands, rows, fn_area, fp_area, s50, curve} where ``s50``
+    is the similarity at 50% collision probability ((1-(1/2)^(1/b))
+    ^(1/r), the S-curve midpoint — want it near ``threshold``) and
+    ``curve`` is [(s, P)] at decile points for reporting. Driver-side
+    pure arithmetic: cost O(divisors · grid), no Spark, call it once
+    before launching a 100 TB job."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold out of (0,1): {threshold}")
+    if num_perm < 1:
+        raise ValueError(f"num_perm must be >= 1: {num_perm}")
+    best: dict | None = None
+    for r in range(1, num_perm + 1):
+        if num_perm % r:
+            continue
+        b = num_perm // r
+        fn = fp = 0.0
+        step = 1.0 / grid
+        prev_s, prev_p = 0.0, lsh_collision_prob(0.0, b, r)
+        for i in range(1, grid + 1):
+            s = i * step
+            p = lsh_collision_prob(s, b, r)
+            seg = step * 0.5
+            if s <= threshold:
+                fp += seg * (prev_p + p)
+            elif prev_s >= threshold:
+                fn += seg * ((1.0 - prev_p) + (1.0 - p))
+            else:  # segment straddles the threshold: split it exactly
+                mid_p = lsh_collision_prob(threshold, b, r)
+                fp += (threshold - prev_s) * 0.5 * (prev_p + mid_p)
+                fn += (s - threshold) * 0.5 * ((1.0 - mid_p) + (1.0 - p))
+            prev_s, prev_p = s, p
+        err = fn_weight * fn + fp_weight * fp
+        if best is None or err < best["_err"]:
+            s50 = (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r)
+            best = {"bands": b, "rows": r, "fn_area": round(fn, 6),
+                    "fp_area": round(fp, 6), "s50": round(s50, 6),
+                    "curve": [(round(x / 10, 1),
+                               round(lsh_collision_prob(x / 10, b, r), 6))
+                              for x in range(11)],
+                    "_err": err}
+    assert best is not None
+    best.pop("_err")
+    return best

@@ -499,3 +499,51 @@ def test_run_dedup_winnow_artifacts_cli(spark, tmp_path, monkeypatch):
                         "--corpus-artifacts", mart])
     with pytest.raises(SystemExit):
         run_dedup.main()
+
+
+def test_lsh_plan_matches_independent_enumeration():
+    """lsh_plan == an independently coded brute-force enumeration
+    (different integration: midpoint Riemann on a finer mesh), and the
+    equal-weight 0.5-threshold plan is the repo's 4x4 default."""
+    from fluent_bit_spark.operators.dedup import (
+        lsh_collision_prob, lsh_plan,
+    )
+
+    def brute(threshold, num_perm, fnw=1.0, fpw=1.0, n=20000):
+        best = None
+        for r in range(1, num_perm + 1):
+            if num_perm % r:
+                continue
+            b = num_perm // r
+            fn = fp = 0.0
+            for i in range(n):
+                s = (i + 0.5) / n
+                p = 1.0 - (1.0 - s ** r) ** b
+                if s < threshold:
+                    fp += p / n
+                else:
+                    fn += (1.0 - p) / n
+            err = fnw * fn + fpw * fp
+            if best is None or err < best[0]:
+                best = (err, b, r)
+        return best[1], best[2]
+
+    for t in (0.3, 0.5, 0.8):
+        p = lsh_plan(t, 16)
+        assert (p["bands"], p["rows"]) == brute(t, 16)
+    assert (lsh_plan(0.5, 16)["bands"], lsh_plan(0.5, 16)["rows"]) \
+        == (4, 4)   # the repo's num_perm=16/bands=4 default
+    # verify-backed weighting trades fn down by banding wider
+    pv = lsh_plan(0.5, 16, fp_weight=0.1)
+    assert pv["bands"] > 4 and pv["fn_area"] < lsh_plan(0.5, 16)["fn_area"]
+    # curve endpoints + monotonicity + closed-form s50
+    assert lsh_collision_prob(0.0, 4, 4) == 0.0
+    assert lsh_collision_prob(1.0, 4, 4) == 1.0
+    pts = [lsh_collision_prob(s / 20, 4, 4) for s in range(21)]
+    assert all(a <= b for a, b in zip(pts, pts[1:]))
+    s50 = lsh_plan(0.5, 16)["s50"]
+    assert abs(lsh_collision_prob(s50, 4, 4) - 0.5) < 1e-5  # s50 6-dp
+    with pytest.raises(ValueError):
+        lsh_plan(0.0, 16)
+    with pytest.raises(ValueError):
+        lsh_collision_prob(1.5, 4, 4)
