@@ -1809,3 +1809,64 @@ def winnow_vs_corpus(new: DataFrame, corpus_fp: DataFrame,
                .filter(F.col("__shared") >= min_shared)
                .select(id_col).distinct())
     return new.join(dropped, id_col, "left_anti")
+
+
+def quality_ensemble(df: DataFrame, label: Column,
+                     text_col: str = "text",
+                     id_cols: tuple[str, ...] = ("doc_id", "source"),
+                     nb_min_millinats: int = 0,
+                     band_max: int = 5) -> DataFrame:
+    """Multi-signal quality gate — the FineWeb/Dolma posture of
+    combining several WEAK signals into one keep/drop with an
+    auditable reason bitmask, instead of trusting any single filter:
+
+    - bits 1|2|4|8: the Gopher structural rules
+      (:func:`~fluent_bit_spark.functions.text.gopher_reasons` —
+      word count, mean word length, distinct fraction, max word
+      length), map-only;
+    - bit 16: Naive-Bayes exemplar-class log-odds below
+      ``nb_min_millinats`` (:func:`nb_quality_score`; a doc with NO
+      scorable token also fails — "no evidence" is not "passes");
+    - bit 32: mean unigram surprisal band above ``band_max``
+      (:func:`unigram_surprisal` on the space-split tokens, band =
+      ``nll DIV n DIV 500`` milli-nats — the CCNet perplexity-bucket
+      analogue; unscorable docs fail likewise).
+
+    ``keep = (ens_reasons == 0)``. Output: ``id_cols +
+    (ens_reasons:int, keep:boolean)``, one row per input document.
+
+    Scale shape: each signal is map-only or vocab-bounded (the two
+    model tables broadcast); the combine is a doc-keyed 3-way join
+    whose sides are all ~one narrow row per doc, map-side-combined
+    before their exchanges. Nothing in the composition grows faster
+    than the corpus. All-integer thresholds keep the verdict
+    engine-portable (NOTES #25).
+    """
+    from ..functions.text import gopher_reasons
+    ids = [F.col(c) for c in id_cols]
+    gq = df.select(*ids, label.alias("__pos"),
+                   gopher_reasons(text_col).alias("__gq"),
+                   F.col(text_col).alias("__txt"))
+    nb = (nb_quality_score(df, label, text_col=text_col,
+                           id_cols=id_cols)
+          .select(*id_cols, F.col("llr_millinats").alias("__llr")))
+    sp = (unigram_surprisal(
+              df.select(*ids, F.split(F.col(text_col), " ")
+                        .alias("__t")),
+              tokens_col="__t", id_cols=id_cols)
+          .select(*id_cols,
+                  (F.col("nll_millinats")
+                   .cast("long") / F.lit(1)).cast("long").alias("__nll"),
+                  F.col("n_tok_scored").alias("__n")))
+    out = (gq.join(nb, list(id_cols), "left")
+             .join(sp, list(id_cols), "left"))
+    band = F.expr("__nll DIV __n DIV 500")
+    reasons = (F.col("__gq")
+               + F.when(F.col("__llr").isNull()
+                        | (F.col("__llr") < nb_min_millinats), 16)
+                  .otherwise(0)
+               + F.when(band.isNull() | (band > band_max), 32)
+                  .otherwise(0))
+    return (out.select(*id_cols,
+                       reasons.cast("int").alias("ens_reasons"))
+               .withColumn("keep", F.col("ens_reasons") == 0))

@@ -80,6 +80,12 @@ _SCORE_NB_RE = re.compile(
     r"LABEL\s+(?P<lcol>\w+)\s+'(?P<lval>[^']*)'"
     r"(?:\s+TEXT\s+(?P<text>\w+))?\s*;?\s*$",
     re.IGNORECASE)
+_GATE_RE = re.compile(
+    r"^\s*GATE\s+QUALITY\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"LABEL\s+(?P<lcol>\w+)\s+'(?P<lval>[^']*)'"
+    r"(?:\s+NBMIN\s+(?P<nbmin>-?\d+))?(?:\s+BAND\s+(?P<band>\d+))?"
+    r"(?:\s+TEXT\s+(?P<text>\w+))?\s*;?\s*$",
+    re.IGNORECASE)
 _SPLIT_RE = re.compile(
     r"^\s*SPLIT\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
     r"HOLDOUT\s+(?P<pm>\d+)"
@@ -515,6 +521,22 @@ class StreamProcessor:
                               k=int(m.group("k") or 50))
         return vocab_growth(src, tokens_col=col)
 
+    def _gate_quality(self, m: re.Match) -> DataFrame:
+        """GATE QUALITY STREAM:src LABEL col 'value' [NBMIN n]
+        [BAND b] [TEXT col] — multi-signal quality gate
+        (operators/tokens.py quality_ensemble): Gopher structural
+        bits + NB exemplar log-odds + unigram surprisal band into one
+        per-document reason bitmask with keep = (bitmask == 0)."""
+        from pyspark.sql import functions as F
+
+        from ..operators.tokens import quality_ensemble
+        return quality_ensemble(
+            self._source_df(m.group("src")),
+            F.col(m.group("lcol")) == m.group("lval"),
+            text_col=m.group("text") or "text",
+            nb_min_millinats=int(m.group("nbmin") or 0),
+            band_max=int(m.group("band") or 5))
+
     def _winnow_vs(self, m: re.Match) -> DataFrame:
         """DEDUP WINNOW STREAM:new VS CORPUS STREAM:corpus [K k]
         [WINDOW w] [SHARED n] [MAXFREQ f] [TOKENS col] [ID col] —
@@ -599,6 +621,9 @@ class StreamProcessor:
         qm = _SCORE_NB_RE.match(text)
         if qm:
             return self._score_nb(qm)
+        gm = _GATE_RE.match(text)
+        if gm:
+            return self._gate_quality(gm)
         nm = _NORMALIZE_RE.match(text)
         if nm:
             return self._normalize(nm)

@@ -5099,3 +5099,76 @@ def winnow_vs_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             max_fp_freq=20)
     return surv.select("doc_id", "source",
                        F.length("text").cast("long").alias("n_chars"))
+
+
+@q("quality_ensemble", r"""
+WITH g AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS nw,
+         list_sum(list_transform(string_split(text, ' '),
+                                 w -> len(w))) AS sc,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         list_max(list_transform(string_split(text, ' '),
+                                 w -> len(w))) AS mx
+  FROM documents),
+gq AS (
+  SELECT doc_id, source,
+         (CASE WHEN nw < 30 THEN 1 ELSE 0 END
+          + CASE WHEN sc < 4 * nw OR sc > 10 * nw THEN 2 ELSE 0 END
+          + CASE WHEN 2 * nd < 1 * nw THEN 4 ELSE 0 END
+          + CASE WHEN mx > 7 THEN 8 ELSE 0 END) AS gq
+  FROM g),
+ex AS (
+  SELECT doc_id, source, lang = 'en' AS pos, tok
+  FROM (SELECT doc_id, source, lang,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  w -> w <> '')) AS tok
+        FROM documents)),
+freq AS (
+  SELECT tok,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cb
+  FROM ex GROUP BY tok),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM freq),
+model AS (
+  SELECT tok,
+         CAST(round((ln((ca + 1.0) / (na + 1.0 * v))
+                     - ln((cb + 1.0) / (nb + 1.0 * v))) * 1000)
+              AS BIGINT) AS w
+  FROM freq, tot),
+nbs AS (
+  SELECT e.doc_id, e.source, CAST(sum(m.w) AS BIGINT) AS llr
+  FROM ex e JOIN model m USING (tok) GROUP BY e.doc_id, e.source),
+sx AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+       FROM documents),
+f2 AS (SELECT tok, count(*) AS c FROM sx GROUP BY tok),
+t2 AS (SELECT sum(c) AS t FROM f2),
+m2 AS (SELECT tok, CAST(round(-ln(c / t) * 1000) AS BIGINT) AS nll
+       FROM f2, t2),
+sp AS (SELECT doc_id, source, sum(nll) AS nll, count(*) AS n
+       FROM sx JOIN m2 USING (tok) GROUP BY doc_id, source),
+r AS (
+  SELECT gq.doc_id, gq.source,
+         gq.gq
+         + CASE WHEN nbs.llr IS NULL OR nbs.llr < 0
+                THEN 16 ELSE 0 END
+         + CASE WHEN sp.nll IS NULL OR (sp.nll // sp.n // 500) > 6
+                THEN 32 ELSE 0 END AS er
+  FROM gq LEFT JOIN nbs USING (doc_id, source)
+          LEFT JOIN sp USING (doc_id, source))
+SELECT doc_id, source, CAST(er AS INT) AS ens_reasons,
+       er = 0 AS keep
+FROM r
+""")
+def quality_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality gate (operators/tokens.py
+    quality_ensemble): Gopher structural bits + Naive-Bayes exemplar
+    log-odds (lang='en' class, fail < 0) + unigram surprisal band
+    (fail > 6) combined into one per-document reason bitmask. The
+    oracle replays ALL THREE signal chains — the Gopher rules, the
+    smoothed NB model and BIGINT llr sums, the milli-nat unigram
+    model and banding — and the bitmask combine, row for row."""
+    from .operators.tokens import quality_ensemble
+    docs = t(spark, sf_dir, "documents")
+    return quality_ensemble(docs, F.col("lang") == "en",
+                            nb_min_millinats=0, band_max=6)

@@ -617,3 +617,22 @@ def test_winnow_vs_corpus_verb_matches_operator(sp, spark):
               sp.sql("DEDUP WINNOW STREAM:wnew VS CORPUS STREAM:wfps "
                      "K 4 WINDOW 4 SHARED 1 MAXFREQ 10;").collect()}
     assert got_fp == want
+
+
+def test_gate_quality_verb_matches_operator(sp, spark):
+    """GATE QUALITY == quality_ensemble with the same parameters."""
+    from fluent_bit_spark.operators.tokens import quality_ensemble
+    kv = " ".join(f"wordy{i:02d}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, "a", "en", kv + " " + kv),
+         (2, "a", "en", kv + " " + kv),
+         (3, "b", "xx", "tiny doc here")],
+        "doc_id long, source string, lang string, text string")
+    sp.register_stream("gdocs", docs)
+    got = {(r.doc_id, r.ens_reasons, r.keep) for r in
+           sp.sql("GATE QUALITY STREAM:gdocs LABEL lang 'en' "
+                  "NBMIN 0 BAND 8;").collect()}
+    want = {(r.doc_id, r.ens_reasons, r.keep) for r in
+            quality_ensemble(docs, F.col("lang") == "en",
+                             nb_min_millinats=0, band_max=8).collect()}
+    assert got == want and any(k for *_, k in got)

@@ -1225,3 +1225,61 @@ def test_winnow_artifact_append_is_exact(spark):
                 TK.winnow_corpus_fp(c).unionByName(
                     TK.winnow_corpus_fp(b)).collect()}
     assert rebuilt == appended
+
+
+def test_quality_ensemble_composes_its_signals(spark):
+    """quality_ensemble == the bitwise combination of its three
+    component operators computed independently (each component has its
+    own exact tests/oracle; this pins the composition), and the
+    fixture exercises the gopher, NB and surprisal bits."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.functions.text import gopher_filter
+
+    # two docs sharing a 20-word vocab twice over: enough corpus mass
+    # that their tokens are NOT rare (keepers), 50% distinct (gopher
+    # bit 4 passes), 6-char words (mean-length band passes)
+    kv = " ".join(f"wordy{i:02d}" for i in range(20))
+    rows = [
+        (1, "a", "en", kv + " " + kv),
+        (2, "a", "en", kv + " " + kv),
+        # short doc → gopher bit 1
+        (3, "b", "en", "tiny doc here"),
+        # negative-class doc with its own vocab → NB bit 16
+        (4, "b", "xx", " ".join(["umlaut prefix suffix infix token"] * 8)),
+        # rare-vocab doc (40 corpus singletons) → surprisal bit 32
+        (5, "c", "en", " ".join(f"rare{i}" for i in range(40))),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string")
+    label = F.col("lang") == "en"
+    band_max = 8
+
+    ens = {(r.doc_id): (r.ens_reasons, r.keep) for r in
+           TK.quality_ensemble(docs, label, band_max=band_max,
+                               id_cols=("doc_id",)).collect()}
+
+    gq = {r.doc_id: r.gq_reasons for r in
+          gopher_filter(docs).collect()}
+    llr = {r.doc_id: r.llr_millinats for r in
+           TK.nb_quality_score(docs, label,
+                               id_cols=("doc_id",)).collect()}
+    sp = {r.doc_id: r.nll_millinats // r.n_tok_scored // 500 for r in
+          TK.unigram_surprisal(
+              docs.select("doc_id", F.split("text", " ").alias("t")),
+              tokens_col="t", id_cols=("doc_id",)).collect()}
+
+    for d, _, _, _ in rows:
+        want = gq[d]
+        if llr.get(d) is None or llr[d] < 0:
+            want += 16
+        if sp.get(d) is None or sp[d] > band_max:
+            want += 32
+        assert ens[d] == (want, want == 0), f"doc {d}"
+    seen = set()
+    for er, _ in ens.values():
+        for bit in (1, 2, 4, 8, 16, 32):
+            if er & bit:
+                seen.add(bit)
+    assert {1, 16, 32} <= seen
+    assert any(k for _, k in ens.values())   # at least one keeper
