@@ -63,6 +63,18 @@ def main() -> int:
                     help="stamp lang (marker heuristic)")
     ap.add_argument("--gopher", action="store_true",
                     help="Gopher quality gate: failures → dropped/")
+    ap.add_argument("--ensemble", default=None, metavar="SQLEXPR",
+                    help="multi-signal quality gate (supersedes "
+                         "--gopher, whose bits it includes): SQL "
+                         "boolean expr naming the NB exemplar class, "
+                         "e.g. \"lang = 'en'\"; combined Gopher + NB "
+                         "+ surprisal-band bitmask, failures → "
+                         "dropped/ with ens_reasons kept for audit")
+    ap.add_argument("--ensemble-nbmin", type=int, default=0,
+                    help="ensemble: min NB log-odds in milli-nats")
+    ap.add_argument("--ensemble-band", type=int, default=5,
+                    help="ensemble: max mean-surprisal 500-milli-nat "
+                         "band")
     ap.add_argument("--url-col", default=None,
                     help="decompose URLs; with --cap, cap per host")
     ap.add_argument("--cap", type=int, default=0,
@@ -117,7 +129,18 @@ def main() -> int:
                 .withColumn(tcol, redact(tcol)))
     if args.lang:
         df = df.withColumn("lang_id", lang_id(tcol))
-    if args.gopher:
+    if args.ensemble and args.gopher:
+        ap.error("--ensemble already includes the Gopher bits; "
+                 "pass one gate, not both")
+    if args.ensemble:
+        from fluent_bit_spark.operators.tokens import quality_ensemble
+        ens = quality_ensemble(df, F.expr(args.ensemble),
+                               text_col=tcol, id_cols=(args.id_col,),
+                               nb_min_millinats=args.ensemble_nbmin,
+                               band_max=args.ensemble_band)
+        df = (df.join(ens, args.id_col)
+                .withColumn("gq_keep", F.col("keep")).drop("keep"))
+    elif args.gopher:
         df = gopher_filter(df, tcol)
     else:
         df = df.withColumn("gq_keep", F.lit(True))
@@ -147,7 +170,9 @@ def main() -> int:
         over = df.limit(0).withColumn("drop_reason", F.lit(""))
 
     gq_drop = (df.filter(~F.col("gq_keep"))
-               .withColumn("drop_reason", F.lit("gopher")))
+               .withColumn("drop_reason",
+                           F.lit("ensemble" if args.ensemble
+                                 else "gopher")))
     dropped = gq_drop.unionByName(over)
     kept = kept.drop("gq_keep")
     dropped = dropped.drop("gq_keep")

@@ -247,3 +247,53 @@ def test_canonical_url_rules(spark):
     plan = canonical_url(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_run_curate_cli_ensemble_gate(spark, tmp_path, monkeypatch):
+    """jobs/run_curate.py --ensemble: the multi-signal gate replaces
+    the gopher stage — survivors keep ens_reasons for audit, drops
+    land in dropped/ with drop_reason='ensemble', conservation holds,
+    and --ensemble + --gopher together error."""
+    import importlib
+    import json as _json
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    run_curate = importlib.import_module("run_curate")
+
+    kv = " ".join(f"wordy{i:02d}" for i in range(20))
+    docs_p = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "cur_out")
+    spark.createDataFrame(
+        [("d1", "en", kv + " " + kv),
+         ("d2", "en", kv + " " + kv),
+         ("d3", "en", "tiny doc"),
+         ("d4", "xx", " ".join(["umlaut prefix suffix infix"] * 10))],
+        "doc_id string, lang string, text string").write.parquet(docs_p)
+
+    printed = []
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py", "--input", docs_p, "--output", out,
+        "--ensemble", "lang = 'en'", "--ensemble-band", "8"])
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    assert run_curate.main() == 0
+    rep = _json.loads(printed[-1])
+    assert rep["conserved"] and rep["docs_in"] == 4
+    kept = spark.read.parquet(f"{out}/kept")
+    dropped = spark.read.parquet(f"{out}/dropped")
+    assert {r.doc_id for r in kept.collect()} == {"d1", "d2"}
+    assert "ens_reasons" in kept.columns
+    drops = {r.doc_id: r.drop_reason for r in dropped.collect()}
+    assert set(drops) == {"d3", "d4"}
+    assert set(drops.values()) == {"ensemble"}
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py", "--input", docs_p, "--output", out,
+        "--ensemble", "lang = 'en'", "--gopher"])
+    with _pytest.raises(SystemExit):
+        run_curate.main()
