@@ -111,6 +111,10 @@ HEADLINE = [
     "winnow_fingerprint_digest",
     "rrf_hybrid_topk",
     "tokenizer_fertility",
+    # r5 final: multi-signal quality gate (3 vocab-bounded signals +
+    # doc-keyed combine) and incremental winnowing dedup
+    "quality_ensemble",
+    "winnow_vs_corpus",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))
