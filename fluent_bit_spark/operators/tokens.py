@@ -1870,3 +1870,90 @@ def quality_ensemble(df: DataFrame, label: Column,
     return (out.select(*id_cols,
                        reasons.cast("int").alias("ens_reasons"))
                .withColumn("keep", F.col("ens_reasons") == 0))
+
+
+# ---------------------------------------------------------------------------
+# fill-in-the-middle (FIM) transform (Bavarian et al., arXiv:2207.14255)
+# ---------------------------------------------------------------------------
+
+
+def _permille_hash(col: Column, salt: str) -> Column:
+    """Deterministic uniform draw in [0, 1000) from an md5 prefix —
+    portable (DuckDB reproduces it bit-for-bit), unlike rand(seed)."""
+    return (F.conv(F.substring(F.md5(F.concat_ws(":", col, F.lit(salt))),
+                               1, 7), 16, 10).cast("long") % 1000)
+
+
+def fim_transform(df: DataFrame, rate_permille: int = 900,
+                  spm_permille: int = 500, seed: int = 0,
+                  sentinel_pre: int = 50001, sentinel_mid: int = 50002,
+                  sentinel_suf: int = 50003,
+                  id_col: str = "doc_id", tokens_col: str = "tokens",
+                  len_col: str = "n_tok") -> DataFrame:
+    """Fill-in-the-middle training transform over token sequences
+    (Bavarian et al. 2022, "Efficient Training of Language Models to
+    Fill in the Middle"): a deterministic fraction of documents is
+    split into (prefix, middle, suffix) at two uniform cut points and
+    re-serialized with sentinel tokens so the model learns to infill:
+
+    - PSM: ``[PRE] prefix [SUF] suffix [MID] middle``
+    - SPM: ``[PRE] [SUF] suffix [MID] prefix middle`` (the paper's
+      joint SPM variant — sentinels up front, prefix+middle fused)
+
+    Every random choice is a portable md5 draw keyed by
+    ``(doc_id, seed, salt)`` so reruns — and the DuckDB oracle —
+    reproduce the exact byte stream: apply? (``rate_permille``/1000),
+    PSM vs SPM (``spm_permille``/1000), and the two cut points
+    (uniform over [0, n], unordered pair sorted). Untransformed and
+    empty documents pass through with ``fim_mode='none'``.
+
+    Invariants (pytest-pinned): the output token multiset is the input
+    multiset plus exactly the 3 sentinels on transformed rows;
+    ``n_tok_out = n_tok + 3`` iff transformed; removing sentinels and
+    un-rotating reconstructs the original sequence exactly.
+
+    Scale shape: MAP-ONLY — md5 draws, three ``slice``s and a
+    ``concat`` per row inside whole-stage codegen; no shuffle, no
+    Python boundary, no state. At 10^12 sequences this is a pure scan
+    whose cost is the rewrite bandwidth; filters on doc columns push
+    down through it.
+    """
+    if not 0 <= rate_permille <= 1000:
+        raise ValueError(f"rate_permille out of [0,1000]: {rate_permille}")
+    if not 0 <= spm_permille <= 1000:
+        raise ValueError(f"spm_permille out of [0,1000]: {spm_permille}")
+    idc = F.col(id_col).cast("string")
+    n = F.col(len_col).cast("int")
+    sid = F.concat_ws(":", idc, F.lit(str(seed)))
+    applied = ((_permille_hash(sid, "fim?") < rate_permille) & (n > 0))
+    spm = _permille_hash(sid, "fim/spm") < spm_permille
+    # Two independent uniform draws over [0, n]; the unordered pair
+    # sorted gives cut points lo <= hi (the paper's "two random
+    # positions"). 7 hex chars = 28 bits >> n, so the mod bias is
+    # negligible and — more importantly — identical in both engines.
+    k1 = (F.conv(F.substring(F.md5(F.concat_ws(":", sid, F.lit("fim/a"))),
+                             1, 7), 16, 10).cast("long") % (n + 1))
+    k2 = (F.conv(F.substring(F.md5(F.concat_ws(":", sid, F.lit("fim/b"))),
+                             1, 7), 16, 10).cast("long") % (n + 1))
+    lo = F.least(k1, k2).cast("int")
+    hi = F.greatest(k1, k2).cast("int")
+    toks = F.col(tokens_col)
+    prefix = F.slice(toks, 1, lo)
+    middle = F.slice(toks, lo + 1, hi - lo)
+    suffix = F.slice(toks, hi + 1, n - hi)
+    s_pre = F.array(F.lit(sentinel_pre))
+    s_mid = F.array(F.lit(sentinel_mid))
+    s_suf = F.array(F.lit(sentinel_suf))
+    psm_out = F.concat(s_pre, prefix, s_suf, suffix, s_mid, middle)
+    spm_out = F.concat(s_pre, s_suf, suffix, s_mid, prefix, middle)
+    out_toks = F.when(~applied, toks).otherwise(
+        F.when(spm, spm_out).otherwise(psm_out))
+    mode = (F.when(~applied, "none")
+             .when(spm, "spm").otherwise("psm"))
+    return (df.withColumn("fim_mode", mode)
+              .withColumn("split_lo",
+                          F.when(applied, lo.cast("long")))
+              .withColumn("split_hi",
+                          F.when(applied, hi.cast("long")))
+              .withColumn(tokens_col, out_toks)
+              .withColumn("n_tok_out", F.size(tokens_col).cast("long")))

@@ -5172,3 +5172,65 @@ def quality_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return quality_ensemble(docs, F.col("lang") == "en",
                             nb_min_millinats=0, band_max=6)
+
+
+@q("fim_transform", f"""
+WITH d AS (
+  SELECT doc_id, source, {{TOK}} AS tokens,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents),
+h AS (
+  SELECT *, CAST(doc_id AS VARCHAR) || ':0' AS sid FROM d),
+c AS (
+  SELECT doc_id, source, tokens, n_tok,
+         ('0x' || substring(md5(sid || ':fim?'), 1, 7))::BIGINT % 1000
+           < 700 AND n_tok > 0 AS applied,
+         ('0x' || substring(md5(sid || ':fim/spm'), 1, 7))::BIGINT
+           % 1000 < 500 AS spm,
+         ('0x' || substring(md5(sid || ':fim/a'), 1, 7))::BIGINT
+           % (n_tok + 1) AS k1,
+         ('0x' || substring(md5(sid || ':fim/b'), 1, 7))::BIGINT
+           % (n_tok + 1) AS k2
+  FROM h),
+s AS (
+  SELECT *, CAST(least(k1, k2) AS INT) AS lo,
+         CAST(greatest(k1, k2) AS INT) AS hi
+  FROM c),
+o AS (
+  SELECT doc_id, source,
+         CASE WHEN NOT applied THEN 'none'
+              WHEN spm THEN 'spm' ELSE 'psm' END AS fim_mode,
+         CASE WHEN applied THEN CAST(lo AS BIGINT) END AS split_lo,
+         CASE WHEN applied THEN CAST(hi AS BIGINT) END AS split_hi,
+         CASE WHEN NOT applied THEN tokens
+              WHEN spm THEN
+                [50001, 50003] || tokens[hi+1:n_tok] || [50002]
+                || tokens[1:lo] || tokens[lo+1:hi]
+              ELSE
+                [50001] || tokens[1:lo] || [50003]
+                || tokens[hi+1:n_tok] || [50002] || tokens[lo+1:hi]
+         END AS out
+  FROM s)
+SELECT doc_id, source, fim_mode, split_lo, split_hi,
+       CAST(len(out) AS BIGINT) AS n_tok_out,
+       md5(array_to_string(list_transform(out,
+           x -> CAST(x AS VARCHAR)), ' ')) AS tok_hash
+FROM o
+""".format(TOK=_TOK_IDS_SQL))
+def fim_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (operators/tokens.py
+    fim_transform; Bavarian et al. 2022): 70% of documents split at
+    two portable uniform cut points into prefix/middle/suffix and
+    re-serialized PSM or SPM (50/50) with sentinel tokens; the rest
+    pass through. MAP-ONLY — md5 draws + three slices + concat in
+    whole-stage codegen. The oracle replays every draw, both
+    serialization orders, and the full output token stream by md5
+    (token-array equality, the north-star per-row invariant)."""
+    from .operators.tokens import fim_transform
+    d = _tok_int_docs(spark, sf_dir)
+    out = fim_transform(d, rate_permille=700, spm_permille=500, seed=0)
+    return out.select(
+        "doc_id", "source", "fim_mode", "split_lo", "split_hi",
+        "n_tok_out",
+        F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
+         .alias("tok_hash"))

@@ -1283,3 +1283,78 @@ def test_quality_ensemble_composes_its_signals(spark):
                 seen.add(bit)
     assert {1, 16, 32} <= seen
     assert any(k for _, k in ens.values())   # at least one keeper
+
+
+# ---------------------------------------------------------------------------
+# fill-in-the-middle transform
+# ---------------------------------------------------------------------------
+
+
+def test_fim_reconstruction_and_conservation(spark, tokens_df):
+    """Un-rotating every transformed row reproduces the original token
+    array exactly; untransformed rows pass through byte-identical;
+    transformed rows gain exactly the 3 sentinels."""
+    d = tokens_df.limit(400)
+    orig = {r["doc_id"]: r["tokens"]
+            for r in d.select("doc_id", "tokens").collect()}
+    out = TK.fim_transform(d, rate_permille=700, spm_permille=500,
+                           seed=0).collect()
+    n_fim = 0
+    for r in out:
+        want = orig[r["doc_id"]]
+        if r["fim_mode"] == "none":
+            assert r["tokens"] == want and r["split_lo"] is None
+            continue
+        n_fim += 1
+        assert r["n_tok_out"] == len(want) + 3
+        toks, lo, hi = r["tokens"], r["split_lo"], r["split_hi"]
+        n_mid, n_suf = hi - lo, len(want) - hi
+        if r["fim_mode"] == "psm":
+            # [PRE] prefix [SUF] suffix [MID] middle
+            assert toks[0] == 50001
+            prefix = toks[1:1 + lo]
+            assert toks[1 + lo] == 50003
+            suffix = toks[2 + lo:2 + lo + n_suf]
+            assert toks[2 + lo + n_suf] == 50002
+            middle = toks[3 + lo + n_suf:]
+        else:
+            # [PRE] [SUF] suffix [MID] prefix middle
+            assert toks[0] == 50001 and toks[1] == 50003
+            suffix = toks[2:2 + n_suf]
+            assert toks[2 + n_suf] == 50002
+            prefix = toks[3 + n_suf:3 + n_suf + lo]
+            middle = toks[3 + n_suf + lo:]
+        assert len(middle) == n_mid
+        assert prefix + middle + suffix == want
+    # 70% rate: with 400 docs the binomial 5-sigma band is ~±0.115.
+    assert 0.55 < n_fim / len(out) < 0.85
+
+
+def test_fim_deterministic_and_mode_mix(spark, tokens_df):
+    d = tokens_df.limit(200)
+    a = TK.fim_transform(d, seed=7).select("doc_id", "fim_mode",
+                                           "tokens").collect()
+    b = TK.fim_transform(d, seed=7).select("doc_id", "fim_mode",
+                                           "tokens").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    modes = {r["fim_mode"] for r in a}
+    assert {"psm", "spm"} <= modes
+    c = TK.fim_transform(d, seed=8).select("fim_mode").collect()
+    assert [r["fim_mode"] for r in a] != [r["fim_mode"] for r in c]
+
+
+def test_fim_is_map_only(spark):
+    d = spark.createDataFrame([("a", list(range(20)), 20)],
+                              "doc_id string, tokens array<int>, "
+                              "n_tok int")
+    plan = (TK.fim_transform(d)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_fim_rejects_bad_rates(spark, tokens_df):
+    import pytest
+    with pytest.raises(ValueError):
+        TK.fim_transform(tokens_df, rate_permille=1001)
+    with pytest.raises(ValueError):
+        TK.fim_transform(tokens_df, spm_permille=-1)
