@@ -1957,3 +1957,79 @@ def fim_transform(df: DataFrame, rate_permille: int = 900,
                           F.when(applied, hi.cast("long")))
               .withColumn(tokens_col, out_toks)
               .withColumn("n_tok_out", F.size(tokens_col).cast("long")))
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed dynamic batching (fairseq/HF max-tokens batching)
+# ---------------------------------------------------------------------------
+
+
+def bucket_batches(df: DataFrame, max_tokens: int,
+                   bucket_rounding: int = 64,
+                   id_col: str = "doc_id", len_col: str = "n_tok",
+                   source_col: str = "source",
+                   group_size: int | None = None) -> DataFrame:
+    """Length-bucketed max-token batch construction — the dataloader
+    step between a curated corpus and padded training batches
+    (fairseq ``--max-tokens`` / HF ``group_by_length`` posture):
+    sequences are padded to their length bucket (smallest multiple of
+    ``bucket_rounding`` >= ``n_tok``), and each batch holds
+    ``max_tokens DIV bucket_len`` same-bucket sequences, so batch cost
+    is bounded by ``max_tokens`` and padding waste is bounded by the
+    bucket rounding instead of the corpus-max length.
+
+    Because every member of a bucket has identical PADDED cost, batch
+    assignment needs no greedy walk: with ``off`` = the number of
+    earlier docs in the (source, bucket) — deterministic portable-hash
+    order — ``batch_idx = off DIV cap``. Docs whose bucket exceeds
+    ``max_tokens`` are routed aside (``oversize=true``, null batch)
+    for the caller's chunking path, mirroring ``pack_documents``'
+    overlong routing.
+
+    Output: one row per doc with ``bucket_len``, ``batch_idx``,
+    ``pos_in_batch``, ``pad_tok`` (this doc's padding share,
+    ``bucket_len - n_tok``) and ``oversize``.
+
+    Scale shape: the only wide ops are :func:`exclusive_prefix_sum`'s
+    two bounded phases (tiny per-group totals + <=group-width local
+    windows) — no per-(source,bucket) single-task window, which at
+    10^12 rows would serialize the biggest bucket into one reducer.
+    Count-based (val=1) prefix over a 60-bit hash order key; ties
+    broken on ``id_col``.
+    """
+    if max_tokens < bucket_rounding:
+        raise ValueError(
+            f"bucket_batches: max_tokens={max_tokens} < "
+            f"bucket_rounding={bucket_rounding} would make every "
+            f"bucket oversize")
+    n = F.col(len_col).cast("long")
+    bucket = (F.expr(f"({len_col} + {bucket_rounding} - 1) "
+                     f"DIV {bucket_rounding}").cast("long")
+              * bucket_rounding)
+    d = (df.filter(n > 0)
+           .withColumn("bucket_len", bucket)
+           .withColumn("oversize", F.col("bucket_len") > max_tokens)
+           .withColumn("pad_tok", (F.col("bucket_len") - n)
+                       .cast("long"))
+           .withColumn("__pb", F.concat_ws(
+               "\x00", F.col(source_col).cast("string"),
+               F.col("bucket_len").cast("string")))
+           .withColumn("__ok", _portable_order_key(F.col(id_col))))
+    fits = d.filter(~F.col("oversize"))
+    if group_size is None:
+        # 60-bit hash domain; aim ~2^20 rows/group at any scale via a
+        # conservative static width (callers at known n_rows pass an
+        # exact hash_order_bucket_width-style value).
+        group_size = 1 << 40
+    assigned = (
+        exclusive_prefix_sum(fits, "__pb", "__ok", F.lit(1),
+                             out_col="__off", group_size=group_size,
+                             tiebreak_col=id_col)
+        .withColumn("__cap", F.expr(f"{max_tokens} DIV bucket_len"))
+        .withColumn("batch_idx", F.expr("__off DIV __cap").cast("long"))
+        .withColumn("pos_in_batch", F.expr("__off % __cap").cast("long"))
+        .drop("__off", "__cap"))
+    over = (d.filter(F.col("oversize"))
+             .withColumn("batch_idx", F.lit(None).cast("long"))
+             .withColumn("pos_in_batch", F.lit(None).cast("long")))
+    return assigned.unionByName(over).drop("__pb", "__ok")

@@ -5234,3 +5234,44 @@ def fim_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok_out",
         F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
          .alias("tok_hash"))
+
+
+@q("bucket_batches", f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+b AS (
+  SELECT *, ((n_tok + 31) // 32) * 32 AS bucket_len,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS k
+  FROM d),
+r AS (
+  SELECT *, bucket_len > 256 AS oversize,
+         bucket_len - n_tok AS pad_tok,
+         row_number() OVER (PARTITION BY source, bucket_len
+                            ORDER BY k, doc_id) - 1 AS off
+  FROM b)
+SELECT doc_id, source, CAST(bucket_len AS BIGINT) AS bucket_len,
+       oversize, CAST(pad_tok AS BIGINT) AS pad_tok,
+       CASE WHEN NOT oversize
+            THEN CAST(off // (256 // bucket_len) AS BIGINT) END
+         AS batch_idx,
+       CASE WHEN NOT oversize
+            THEN CAST(off % (256 // bucket_len) AS BIGINT) END
+         AS pos_in_batch
+FROM r
+""")
+def bucket_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed max-token batching (operators/tokens.py
+    bucket_batches): pad-to-bucket (multiples of 32), 256-token batch
+    budget, deterministic portable-hash order within each (source,
+    bucket). The oracle replays bucket assignment, the off DIV cap
+    batch arithmetic, per-doc padding share, and oversize routing via
+    a window row_number — the small-scale equivalent of the
+    distributed two-phase prefix count the operator actually runs."""
+    from .operators.tokens import bucket_batches
+    d = _tok_int_docs(spark, sf_dir)
+    out = bucket_batches(d, max_tokens=256, bucket_rounding=32)
+    return out.select("doc_id", "source", "bucket_len", "oversize",
+                      "pad_tok", "batch_idx", "pos_in_batch")

@@ -1358,3 +1358,51 @@ def test_fim_rejects_bad_rates(spark, tokens_df):
         TK.fim_transform(tokens_df, rate_permille=1001)
     with pytest.raises(ValueError):
         TK.fim_transform(tokens_df, spm_permille=-1)
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed dynamic batching
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_batches_budget_and_fill(spark, tokens_df):
+    """Every batch's padded cost fits max_tokens; every batch except
+    possibly the last of its bucket is FULL; padding per doc is
+    bounded by the bucket rounding."""
+    d = tokens_df.limit(800)
+    out = TK.bucket_batches(d, max_tokens=256, bucket_rounding=32)
+    rows = out.collect()
+    assert len(rows) == d.filter(F.col("n_tok") > 0).count()
+    batches = {}
+    for r in rows:
+        assert r["bucket_len"] >= r["n_tok"]
+        assert 0 <= r["pad_tok"] < 32
+        if r["oversize"]:
+            assert r["batch_idx"] is None and r["bucket_len"] > 256
+            continue
+        key = (r["source"], r["bucket_len"], r["batch_idx"])
+        batches.setdefault(key, []).append(r)
+    for (src, blen, bidx), members in batches.items():
+        cap = 256 // blen
+        assert len(members) * blen <= 256
+        last = max(b for (s, bl, b) in batches
+                   if s == src and bl == blen)
+        if bidx < last:
+            assert len(members) == cap
+        assert sorted(m["pos_in_batch"] for m in members) \
+            == list(range(len(members)))
+
+
+def test_bucket_batches_deterministic(spark, tokens_df):
+    d = tokens_df.limit(300)
+    a = sorted(map(tuple, TK.bucket_batches(d, 512).select(
+        "doc_id", "batch_idx", "pos_in_batch").collect()))
+    b = sorted(map(tuple, TK.bucket_batches(d, 512).select(
+        "doc_id", "batch_idx", "pos_in_batch").collect()))
+    assert a == b
+
+
+def test_bucket_batches_rejects_bad_budget(spark, tokens_df):
+    import pytest
+    with pytest.raises(ValueError):
+        TK.bucket_batches(tokens_df, max_tokens=16, bucket_rounding=64)
