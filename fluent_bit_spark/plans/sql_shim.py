@@ -140,6 +140,17 @@ _RESAMPLE_RE = re.compile(
     r"(?:\s+BUCKETS\s+(?P<k>\d+))?"
     r"(?:\s+SEED\s+'(?P<seed>[^']*)')?\s*;?\s*$",
     re.IGNORECASE)
+_FIM_RE = re.compile(
+    r"^\s*FIM\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
+    r"(?:\s+RATE\s+(?P<rate>\d+))?(?:\s+SPM\s+(?P<spm>\d+))?"
+    r"(?:\s+SEED\s+(?P<seed>\d+))?"
+    r"(?:\s+TOKENS\s+(?P<col>\w+))?\s*;?\s*$",
+    re.IGNORECASE)
+_BATCH_RE = re.compile(
+    r"^\s*BATCH\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
+    r"MAX\s+(?P<max>\d+)\s+TOKENS"
+    r"(?:\s+ROUND\s+(?P<round>\d+))?\s*;?\s*$",
+    re.IGNORECASE)
 _WINNOW_RE = re.compile(
     r"^\s*DEDUP\s+WINNOW\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
     r"(?:\s+K\s+(?P<k>\d+))?(?:\s+WINDOW\s+(?P<w>\d+))?"
@@ -497,6 +508,31 @@ class StreamProcessor:
             n_buckets=int(m.group("k") or 4096),
             seed=m.group("seed") or "dsir")
 
+    def _fim(self, m: re.Match) -> DataFrame:
+        """FIM STREAM:src [RATE pm] [SPM pm] [SEED n] [TOKENS col] —
+        fill-in-the-middle training transform (operators/tokens.py
+        fim_transform): a deterministic RATE/1000 fraction of docs is
+        split at two portable uniform cut points and re-serialized
+        PSM or SPM (SPM/1000 odds) with sentinel tokens."""
+        from ..operators.tokens import fim_transform
+        return fim_transform(
+            self._source_df(m.group("src")),
+            rate_permille=int(m.group("rate") or 900),
+            spm_permille=int(m.group("spm") or 500),
+            seed=int(m.group("seed") or 0),
+            tokens_col=m.group("col") or "tokens")
+
+    def _batch(self, m: re.Match) -> DataFrame:
+        """BATCH STREAM:src MAX n TOKENS [ROUND r] — length-bucketed
+        max-token batch construction (operators/tokens.py
+        bucket_batches): pad-to-bucket cost, off DIV cap assignment,
+        oversize docs routed aside with a null batch."""
+        from ..operators.tokens import bucket_batches
+        return bucket_batches(
+            self._source_df(m.group("src")),
+            max_tokens=int(m.group("max")),
+            bucket_rounding=int(m.group("round") or 64))
+
     def _heavy_keys(self, m: re.Match) -> DataFrame:
         """HEAVY KEYS STREAM:src KEY col MIN n [WIDTH w] [DEPTH d] —
         Count-Min-Sketch heavy-key detection (operators/aggregate.py
@@ -651,6 +687,12 @@ class StreamProcessor:
         im = _RESAMPLE_RE.match(text)
         if im:
             return self._resample(im)
+        fm2 = _FIM_RE.match(text)
+        if fm2:
+            return self._fim(fm2)
+        bm = _BATCH_RE.match(text)
+        if bm:
+            return self._batch(bm)
         hk = _HEAVY_RE.match(text)
         if hk:
             return self._heavy_keys(hk)

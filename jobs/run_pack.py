@@ -56,12 +56,26 @@ def main() -> int:
     ap.add_argument("--sep-token", type=int, default=None,
                     help="append this end-of-document token to every "
                          "doc before chunking")
-    ap.add_argument("--mode", choices=["chunk", "nosplit"],
+    ap.add_argument("--mode", choices=["chunk", "nosplit", "fim",
+                                       "batch"],
                     default="chunk",
                     help="'chunk' = GPT-style concat-and-chunk (docs "
                          "may split across windows); 'nosplit' = SFT "
                          "greedy packing (docs stay whole, bins pad, "
-                         "overlong docs land in the overlong/ dir)")
+                         "overlong docs land in the overlong/ dir); "
+                         "'fim' = fill-in-the-middle transform of the "
+                         "token streams (no packing); 'batch' = "
+                         "length-bucketed max-token batch assignment")
+    ap.add_argument("--fim-rate", type=int, default=900,
+                    help="permille of docs FIM-transformed (mode fim)")
+    ap.add_argument("--fim-spm", type=int, default=500,
+                    help="permille of transformed docs serialized SPM "
+                         "instead of PSM (mode fim)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="draw seed for mode fim")
+    ap.add_argument("--bucket-round", type=int, default=64,
+                    help="length-bucket rounding (mode batch; --ctx "
+                         "is the per-batch token budget)")
     args = ap.parse_args()
     if args.mode == "nosplit" and args.sep_token is not None:
         ap.error("--sep-token applies to --mode chunk only (nosplit "
@@ -69,6 +83,10 @@ def main() -> int:
     if args.mode == "nosplit" and args.order is not None:
         ap.error("--mode nosplit walks a fixed deterministic md5-key "
                  "order; --order does not apply")
+    if args.mode in ("fim", "batch") and (args.order is not None
+                                          or args.sep_token is not None):
+        ap.error(f"--order/--sep-token do not apply to --mode "
+                 f"{args.mode}")
 
     from pyspark.sql import functions as F
 
@@ -92,6 +110,84 @@ def main() -> int:
     tok_in = df.agg(F.sum(args.len_col)).first()[0] or 0
     n_in = df.count()
     n_packed_docs = df.filter(F.col(args.len_col) > 0).count()
+
+    if args.mode == "fim":
+        from fluent_bit_spark.operators.tokens import fim_transform
+        out = f"{args.output}/fim"
+        fim_transform(df, rate_permille=args.fim_rate,
+                      spm_permille=args.fim_spm, seed=args.seed,
+                      id_col=args.id_col, tokens_col=args.tokens_col,
+                      len_col=args.len_col) \
+            .write.mode("overwrite").parquet(out)
+        p = spark.read.parquet(out)
+        a = p.agg(
+            F.coalesce(F.sum("n_tok_out"), F.lit(0)).alias("tok"),
+            F.coalesce(F.sum(F.when(F.col("fim_mode") != "none", 1)
+                             .otherwise(0)), F.lit(0)).alias("nfim"),
+            F.coalesce(F.sum(F.when(F.col("fim_mode") == "spm", 1)
+                             .otherwise(0)), F.lit(0)).alias("nspm"),
+        ).first()
+        wall = time.time() - t0
+        res = {
+            "rows_in": n_in,
+            "tokens_in": int(tok_in),
+            "tokens_out": int(a["tok"]),
+            # every transformed doc gains exactly the 3 sentinels
+            "conserved": int(a["tok"]) == int(tok_in) + 3 * int(a["nfim"]),
+            "fim_docs": int(a["nfim"]),
+            "spm_docs": int(a["nspm"]),
+            "rate_permille": args.fim_rate,
+            "mode": "fim",
+            "wall_sec": round(wall, 2),
+            "tokens_per_sec": round(tok_in / wall, 1),
+        }
+        print(json.dumps(res))
+        return 0 if res["conserved"] else 2
+
+    if args.mode == "batch":
+        from fluent_bit_spark.operators.tokens import bucket_batches
+        out = f"{args.output}/batches"
+        bucket_batches(df, max_tokens=args.ctx,
+                       bucket_rounding=args.bucket_round,
+                       id_col=args.id_col, len_col=args.len_col,
+                       source_col=args.part_col) \
+            .write.mode("overwrite").parquet(out)
+        p = spark.read.parquet(out)
+        per_batch = (p.filter(~F.col("oversize"))
+                     .groupBy(args.part_col, "bucket_len", "batch_idx")
+                     .agg(F.count("*").alias("n_seqs"),
+                          F.sum("pad_tok").alias("pad")))
+        b = per_batch.agg(
+            F.count("*").alias("batches"),
+            F.coalesce(F.sum("pad"), F.lit(0)).alias("pad"),
+            F.coalesce(F.max(F.col("n_seqs") * F.col("bucket_len")),
+                       F.lit(0)).alias("maxcost")).first()
+        n_over = p.filter("oversize").count()
+        n_assigned = p.count() - n_over
+        tok_assigned = (p.filter(~F.col("oversize"))
+                        .agg(F.coalesce(F.sum(args.len_col), F.lit(0)))
+                        .first()[0])
+        wall = time.time() - t0
+        padded = int(b["pad"]) + int(tok_assigned)
+        res = {
+            "rows_in": n_in,
+            # every positive-length doc lands in exactly one batch or
+            # the oversize route
+            "conserved": n_assigned + n_over == n_packed_docs
+                         and int(b["maxcost"]) <= args.ctx,
+            "batches": int(b["batches"]),
+            "assigned_docs": n_assigned,
+            "oversize_docs": n_over,
+            "pad_tokens": int(b["pad"]),
+            "fill_rate": round(1 - b["pad"] / max(padded, 1), 4),
+            "max_batch_cost": int(b["maxcost"]),
+            "budget": args.ctx,
+            "mode": "batch",
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(n_in / wall, 1),
+        }
+        print(json.dumps(res))
+        return 0 if res["conserved"] else 2
 
     if args.mode == "nosplit":
         # cell width over the 60-bit md5-key domain, sized so a cell

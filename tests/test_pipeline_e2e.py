@@ -721,3 +721,49 @@ def test_run_quality_dsir_mode(spark, fixture_paths, tmp_path,
     ids2 = {r.doc_id for r in spark.read.parquet(f"{out2}/selected")
             .select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_run_pack_job_fim_and_batch_modes(spark, fixture_paths,
+                                          tmp_path, monkeypatch):
+    """jobs/run_pack.py --mode fim / --mode batch: sentinel-exact
+    conservation, batch budget bound, flag validation."""
+    import json
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    import run_pack
+
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+
+    out = str(tmp_path / "fim_out")
+    monkeypatch.setattr(sys, "argv", [
+        "run_pack.py", "--input", fixture_paths["tokens"],
+        "--output", out, "--mode", "fim", "--fim-rate", "800",
+        "--seed", "5"])
+    assert run_pack.main() == 0
+    rep = json.loads(printed[-1])
+    assert rep["conserved"] and rep["mode"] == "fim"
+    assert rep["tokens_out"] == rep["tokens_in"] + 3 * rep["fim_docs"]
+    assert 0 < rep["spm_docs"] < rep["fim_docs"]
+
+    out2 = str(tmp_path / "batch_out")
+    monkeypatch.setattr(sys, "argv", [
+        "run_pack.py", "--input", fixture_paths["tokens"],
+        "--output", out2, "--mode", "batch", "--ctx", "256",
+        "--bucket-round", "32"])
+    assert run_pack.main() == 0
+    rep2 = json.loads(printed[-1])
+    assert rep2["conserved"] and rep2["mode"] == "batch"
+    assert rep2["max_batch_cost"] <= 256
+    assert 0 < rep2["fill_rate"] <= 1
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_pack.py", "--input", fixture_paths["tokens"],
+        "--output", out2, "--mode", "fim", "--sep-token", "-1"])
+    with pytest.raises(SystemExit):
+        run_pack.main()

@@ -636,3 +636,37 @@ def test_gate_quality_verb_matches_operator(sp, spark):
             quality_ensemble(docs, F.col("lang") == "en",
                              nb_min_millinats=0, band_max=8).collect()}
     assert got == want and any(k for *_, k in got)
+
+
+def test_fim_verb_matches_operator(sp, spark):
+    """Engine-extension verb: FIM STREAM:x RATE pm SPM pm SEED n must
+    equal the direct fim_transform call."""
+    from fluent_bit_spark.operators.tokens import fim_transform
+    rows = [("d%03d" % i, "s%d" % (i % 2),
+             list(range(i, i + 7)), 7) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>, "
+              "n_tok int")
+    sp.register_stream("fimdocs", df)
+    got = sp.sql("FIM STREAM:fimdocs RATE 800 SPM 400 SEED 3;")
+    want = fim_transform(df, rate_permille=800, spm_permille=400,
+                         seed=3)
+    g = {r["doc_id"]: (r["fim_mode"], r["tokens"])
+         for r in got.collect()}
+    w = {r["doc_id"]: (r["fim_mode"], r["tokens"])
+         for r in want.collect()}
+    assert g == w and {m for m, _ in g.values()} >= {"psm", "spm"}
+
+
+def test_batch_verb_matches_operator(sp, spark):
+    """BATCH STREAM:x MAX n TOKENS ROUND r must equal the direct
+    bucket_batches call."""
+    from fluent_bit_spark.operators.tokens import bucket_batches
+    df = spark.table("sp_stream_fimdocs")
+    got = sp.sql("BATCH STREAM:fimdocs MAX 64 TOKENS ROUND 16;")
+    want = bucket_batches(df, max_tokens=64, bucket_rounding=16)
+    g = {r["doc_id"]: (r["bucket_len"], r["batch_idx"],
+                       r["pos_in_batch"]) for r in got.collect()}
+    w = {r["doc_id"]: (r["bucket_len"], r["batch_idx"],
+                       r["pos_in_batch"]) for r in want.collect()}
+    assert g == w and len(g) == 60
