@@ -2033,3 +2033,58 @@ def bucket_batches(df: DataFrame, max_tokens: int,
              .withColumn("batch_idx", F.lit(None).cast("long"))
              .withColumn("pos_in_batch", F.lit(None).cast("long")))
     return assigned.unionByName(over).drop("__pb", "__ok")
+
+
+def temperature_mixture(df: DataFrame, budget_tokens: Column,
+                        alpha_permille: int = 500,
+                        part_col: str = "source",
+                        len_col: str = "n_tok",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Temperature-weighted mixture sampling (the mT5 / XLM-R
+    alpha-sampling rule): source ``s`` is sampled in proportion to
+    ``n_s ** alpha`` — ``alpha=1`` keeps natural proportions,
+    ``alpha→0`` flattens toward uniform, the published multilingual
+    settings are 0.3–0.7. ``alpha = alpha_permille / 1000``.
+
+    The only float in the chain is one ``pow`` on the K-row per-source
+    totals, normalized by the largest source and snapped to a 2^20
+    integer weight behind a single ``round`` (the NOTES.md transcendental
+    rule — everything downstream is BIGINT: per-source token targets
+    ``budget * w_s DIV Σw``, keep rates in ppm, and the same md5 content-
+    hash bucket as :func:`mixture_sample`, so the sample is reproducible
+    across runs, partitionings, and engines).
+
+    Scale shape: identical to ``mixture_sample`` — two tiny aggregates
+    (per-source totals + the Σw/corpus scalar) broadcast back, then a
+    map-only filter; re-weighting never reshuffles the corpus.
+    """
+    if not 0 < alpha_permille <= 1000:
+        raise ValueError(
+            f"alpha_permille out of (0,1000]: {alpha_permille}")
+    alpha = alpha_permille / 1000.0
+    totals = df.groupBy(part_col).agg(
+        F.sum(len_col).cast("long").alias("__tot"))
+    nmax = totals.agg(F.max("__tot").alias("__nmax"))
+    weights = (totals.crossJoin(F.broadcast(nmax))
+               .withColumn("__w", F.round(
+                   F.pow(F.col("__tot") / F.col("__nmax"),
+                         F.lit(alpha)) * (1 << 20)).cast("long")))
+    # one K-row aggregate carries both Σw and the corpus total, so a
+    # caller's budget Column may reference ``corpus_tokens`` (same
+    # contract as mixture_sample)
+    wsum = weights.agg(F.sum("__w").alias("__wsum"),
+                       F.sum("__tot").alias("corpus_tokens"))
+    rates = (weights.crossJoin(F.broadcast(wsum))
+             .withColumn("__budget", budget_tokens.cast("long"))
+             .withColumn("target_tok",
+                         F.expr("__budget * __w DIV __wsum")
+                          .cast("long"))
+             .withColumn("ppm",
+                         F.least(F.lit(1000000).cast("long"),
+                                 F.expr("target_tok * 1000000 "
+                                        "DIV __tot")))
+             .select(part_col, "target_tok", "ppm"))
+    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                 1, 7), 16, 10).cast("long") % 1000000)
+    return (df.join(F.broadcast(rates), part_col)
+            .filter(bucket < F.col("ppm")))

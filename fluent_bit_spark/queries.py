@@ -5275,3 +5275,52 @@ def bucket_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bucket_batches(d, max_tokens=256, bucket_rounding=32)
     return out.select("doc_id", "source", "bucket_len", "oversize",
                       "pad_tok", "batch_idx", "pos_in_batch")
+
+
+@q("temperature_mixture", """
+WITH d AS (SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot
+        FROM d GROUP BY source),
+nm AS (SELECT max(tot) AS nmax FROM tot),
+w AS (SELECT source, tot,
+             CAST(round(pow(tot / CAST(nmax AS DOUBLE), 0.5)
+                        * 1048576) AS BIGINT) AS w
+      FROM tot, nm),
+ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum,
+              CAST(sum(tot) AS BIGINT) AS corpus_tokens FROM w),
+r AS (SELECT source, tot,
+             (corpus_tokens // 4) * w // wsum AS target_tok,
+             least(1000000,
+                   ((corpus_tokens // 4) * w // wsum) * 1000000 // tot)
+               AS ppm
+      FROM w, ws)
+SELECT d.source, CAST(max(r.ppm) AS BIGINT) AS ppm,
+       CAST(max(r.target_tok) AS BIGINT) AS target_tok,
+       count(*) AS docs_kept,
+       CAST(sum(d.n_tok) AS BIGINT) AS toks_kept
+FROM d JOIN r ON d.source = r.source
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+      % 1000000 < r.ppm
+GROUP BY d.source
+""")
+def temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (operators/tokens.py
+    temperature_mixture; mT5/XLM-R alpha-sampling, alpha=0.5) toward a
+    corpus/4 token budget: per-source weights n_s^alpha snapped to
+    2^20 integers behind one round(pow), then pure-BIGINT targets and
+    ppm rates with the md5 content-hash selection. The oracle replays
+    the weight snap, the DIV chains, and the exact kept set."""
+    from .operators.tokens import temperature_mixture
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", "source",
+                 F.size(F.split("text", " ")).alias("n_tok")))
+    kept = temperature_mixture(
+        d, budget_tokens=F.expr("corpus_tokens DIV 4"),
+        alpha_permille=500)
+    return (kept.groupBy("source")
+            .agg(F.max("ppm").cast("long").alias("ppm"),
+                 F.max("target_tok").cast("long").alias("target_tok"),
+                 F.count("*").alias("docs_kept"),
+                 F.sum("n_tok").cast("long").alias("toks_kept")))

@@ -1406,3 +1406,50 @@ def test_bucket_batches_rejects_bad_budget(spark, tokens_df):
     import pytest
     with pytest.raises(ValueError):
         TK.bucket_batches(tokens_df, max_tokens=16, bucket_rounding=64)
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark, tokens_df):
+    """alpha=1 keeps natural token proportions (all sources get the
+    same keep RATE); smaller alpha shifts share toward small sources:
+    the small/large target ratio must strictly grow as alpha drops."""
+    d = tokens_df.limit(1200)
+    def targets(alpha_pm):
+        out = TK.temperature_mixture(
+            d, budget_tokens=F.expr("corpus_tokens DIV 4"),
+            alpha_permille=alpha_pm)
+        return {r["source"]: (r["target_tok"], r["ppm"]) for r in
+                out.select("source", "target_tok", "ppm")
+                   .distinct().collect()}
+    tot = {r["source"]: r["t"] for r in
+           d.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()}
+    small = min(tot, key=tot.get)
+    big = max(tot, key=tot.get)
+    assert tot[small] < tot[big]
+    t10 = targets(1000)
+    ppms = {p for _, p in t10.values()}
+    # natural proportions: every source keeps at the same ppm (up to
+    # the integer DIV grain of the two-stage rounding)
+    assert max(ppms) - min(ppms) <= 2000
+    ratios = []
+    for a in (1000, 500, 300):
+        tg = targets(a)
+        ratios.append(tg[small][0] / tg[big][0])
+    assert ratios[0] < ratios[1] < ratios[2]
+
+
+def test_temperature_mixture_deterministic_and_bounds(spark, tokens_df):
+    import pytest
+    d = tokens_df.limit(500)
+    out = TK.temperature_mixture(
+        d, budget_tokens=F.expr("corpus_tokens DIV 3"),
+        alpha_permille=300)
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert a == b and 0 < len(a) < 500
+    with pytest.raises(ValueError):
+        TK.temperature_mixture(d, F.lit(10), alpha_permille=0)
