@@ -2088,3 +2088,52 @@ def temperature_mixture(df: DataFrame, budget_tokens: Column,
                                  1, 7), 16, 10).cast("long") % 1000000)
     return (df.join(F.broadcast(rates), part_col)
             .filter(bucket < F.col("ppm")))
+
+
+def pack_masks(packed: DataFrame, tokens_col: str = "tokens",
+               starts_col: str = "doc_starts") -> DataFrame:
+    """Attention/position metadata for packed context windows — the
+    step between :func:`pack_sequences` output and a packed-attention
+    dataloader (HF ``position_ids`` + FlashAttention varlen /
+    block-diagonal masking posture):
+
+    - ``segment_ids``: one int per token; tokens of the same document
+      share an id, numbered 0.. within the window (a leading
+      continuation of a boundary-split document is segment 0);
+    - ``position_ids``: 0-based position within the segment (every
+      segment restarts at 0 — the packed-training convention; a
+      continuation segment's true in-document offset is recoverable
+      from the previous chunk but deliberately NOT baked in, matching
+      the reset-at-boundary dataloaders);
+    - ``n_segments``: distinct documents (or partial documents)
+      touching the window.
+
+    Both arrays are built from the run BOUNDS (``[0] ∪ starts>0 ∪
+    [len]``) with one array_repeat / sequence per run — O(window)
+    total work per chunk, independent of how many documents pack into
+    it (a per-position count-of-starts form would be O(window·docs)).
+
+    Scale shape: MAP-ONLY over the packed frame — no shuffle, no
+    Python; composes with pack_sequences' one token move.
+    """
+    L = F.size(tokens_col)
+    bounds = F.concat(
+        F.array(F.lit(0)),
+        F.filter(F.col(starts_col), lambda s: s > 0),
+        F.array(L.cast("int")))
+    runs = F.sequence(F.lit(0), F.size(bounds) - 2)
+    seg_ids = F.flatten(F.transform(
+        runs, lambda j: F.array_repeat(
+            j.cast("int"),
+            (F.element_at(bounds, (j + 2).cast("int"))
+             - F.element_at(bounds, (j + 1).cast("int"))).cast("int"))))
+    pos_ids = F.flatten(F.transform(
+        runs, lambda j: F.sequence(
+            F.lit(0),
+            (F.element_at(bounds, (j + 2).cast("int"))
+             - F.element_at(bounds, (j + 1).cast("int")) - 1)
+            .cast("int"))))
+    return (packed
+            .withColumn("segment_ids", seg_ids)
+            .withColumn("position_ids", pos_ids)
+            .withColumn("n_segments", (F.size(bounds) - 1).cast("long")))

@@ -5324,3 +5324,69 @@ def temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("target_tok").cast("long").alias("target_tok"),
                  F.count("*").alias("docs_kept"),
                  F.sum("n_tok").cast("long").alias("toks_kept")))
+
+
+@q("pack_masks", f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+o AS (
+  SELECT *, CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS off
+  FROM d),
+e AS (
+  SELECT *, unnest(generate_series(off // 64,
+                                   (off + n_tok - 1) // 64)) AS chunk_id
+  FROM o),
+p AS (
+  SELECT source, chunk_id, off,
+         least(n_tok, (chunk_id+1)*64 - off)
+           - greatest(0, chunk_id*64 - off) AS piece_len
+  FROM e),
+c AS (
+  SELECT source, chunk_id,
+         CAST(sum(piece_len) AS BIGINT) AS L,
+         list(off - chunk_id*64 ORDER BY off)
+           FILTER (WHERE off >= chunk_id*64) AS starts
+  FROM p GROUP BY source, chunk_id),
+m AS (
+  SELECT source, chunk_id, L,
+         [0] || list_filter(coalesce(starts, []), s -> s > 0) || [L]
+           AS b
+  FROM c)
+SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(b) - 1 AS BIGINT) AS n_segments,
+       md5(array_to_string(flatten(list_transform(
+           generate_series(1, len(b) - 1),
+           j -> list_transform(generate_series(b[j] + 1, b[j+1]),
+                               x -> CAST(j - 1 AS VARCHAR)))), ' '))
+         AS seg_hash,
+       md5(array_to_string(list_transform(flatten(list_transform(
+           generate_series(1, len(b) - 1),
+           j -> generate_series(0, b[j+1] - b[j] - 1))),
+           x -> CAST(x AS VARCHAR)), ' ')) AS pos_hash
+FROM m
+""")
+def pack_masks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-window attention metadata (operators/tokens.py
+    pack_masks over pack_sequences at ctx=64): segment_ids numbering
+    the documents inside each window (boundary continuations =
+    segment 0) and position_ids resetting at every document start —
+    the arrays a packed-attention dataloader feeds FlashAttention
+    varlen. The oracle replays the pack chain's offsets, the run
+    bounds, and both arrays element-for-element by md5. Note the
+    token ARRAYS never matter here — only lengths/offsets — so the
+    oracle works from piece lengths alone."""
+    from .operators.tokens import pack_masks, pack_sequences
+    d = _tok_int_docs(spark, sf_dir)
+    packed = pack_sequences(d, ctx_len=64)
+    out = pack_masks(packed)
+    return out.select(
+        "source", F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_segments",
+        F.md5(F.concat_ws(" ", F.col("segment_ids")
+                          .cast("array<string>"))).alias("seg_hash"),
+        F.md5(F.concat_ws(" ", F.col("position_ids")
+                          .cast("array<string>"))).alias("pos_hash"))

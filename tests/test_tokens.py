@@ -1453,3 +1453,40 @@ def test_temperature_mixture_deterministic_and_bounds(spark, tokens_df):
     assert a == b and 0 < len(a) < 500
     with pytest.raises(ValueError):
         TK.temperature_mixture(d, F.lit(10), alpha_permille=0)
+
+
+# ---------------------------------------------------------------------------
+# packed-window attention masks
+# ---------------------------------------------------------------------------
+
+
+def test_pack_masks_invariants(spark, tokens_df):
+    """segment/position arrays cover every token; segments are
+    contiguous, start at 0, and agree with doc_starts; positions
+    reset to 0 exactly at each segment boundary."""
+    d = _with_numeric_id(tokens_df.limit(600))
+    packed = TK.pack_sequences(d, ctx_len=96, id_col="oid")
+    out = TK.pack_masks(packed).collect()
+    assert len(out) > 5
+    for r in out:
+        L = len(r["tokens"])
+        seg, pos = r["segment_ids"], r["position_ids"]
+        assert len(seg) == L and len(pos) == L
+        starts = [s for s in r["doc_starts"] if s > 0]
+        assert r["n_segments"] == len(starts) + 1
+        assert seg[0] == 0 and pos[0] == 0
+        for i in range(1, L):
+            if i in starts:
+                assert seg[i] == seg[i - 1] + 1 and pos[i] == 0
+            else:
+                assert seg[i] == seg[i - 1] and pos[i] == pos[i - 1] + 1
+
+
+def test_pack_masks_is_map_only(spark, tokens_df):
+    d = _with_numeric_id(tokens_df.limit(50))
+    packed = TK.pack_sequences(d, ctx_len=64, id_col="oid")
+    base = packed._jdf.queryExecution().executedPlan().toString()
+    full = (TK.pack_masks(packed)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert full.count("Exchange") == base.count("Exchange")
+    assert "Python" not in full
