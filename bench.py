@@ -115,6 +115,14 @@ HEADLINE = [
     # doc-keyed combine) and incremental winnowing dedup
     "quality_ensemble",
     "winnow_vs_corpus",
+    # r5 final: dataloader-materialization ops — FIM rewrite (map-only
+    # slice+concat), length-bucketed batching (two-phase prefix count),
+    # packed-attention masks (map-only HOF over doc_starts), and the
+    # alpha-weighted mixture sample (K-row weights + map-only filter)
+    "fim_transform",
+    "bucket_batches",
+    "pack_masks",
+    "temperature_mixture",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))
