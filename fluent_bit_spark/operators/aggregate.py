@@ -349,3 +349,113 @@ def heavy_hitters_cms(df: DataFrame, key_col: str,
     cands = pool.distinct()
     est = cms_estimate(cms, cands, key_col, width=width, depth=depth)
     return est.filter(F.col("est_count") >= min_count)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (Flajolet et al. 2007, portable integer form)
+# ---------------------------------------------------------------------------
+
+
+def _hll_hash60(key: Column) -> Column:
+    """60-bit uniform hash from an md5 prefix — the same portable
+    family as every other sketch here (DuckDB replays it bit-for-bit;
+    xxhash64 would be faster but engine-private)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def hll_register_table(df: DataFrame, key_col: str, p: int = 10,
+                       group_cols: list[str] | None = None) -> DataFrame:
+    """HyperLogLog register table for distinct-``key_col`` estimation
+    (Flajolet/Fusy/Gandouet/Meunier 2007): bucket = top ``p`` hash
+    bits, register = max over the bucket of ``rho`` (1 + leading
+    zeros of the remaining ``60-p`` bits). Emitted on a COMPLETE
+    ``2^p``-register spine per group (missing buckets = 0) so
+    estimation and merges never miss cells — the CMS spine posture.
+
+    This is the bounded-memory scale path behind the SP dialect's
+    ``COUNT(DISTINCT …)`` when key cardinality is corpus-sized: the
+    exchange carries ≤ ``groups × 2^p`` map-side-combined partials no
+    matter how many distinct keys exist, the table broadcasts, and
+    per-day sketches roll up by cell-wise MAX (:func:`hll_merge`) —
+    the exact-distinct twin stays the small-cardinality default.
+
+    Scale shape (10^12 rows): one map-only hash projection + one
+    K-bounded hash agg; no row-count-sized state anywhere.
+    """
+    if not 7 <= p <= 16:
+        raise ValueError(f"hll: p out of [7,16]: {p} (alpha constant "
+                         f"is the m>=128 form; >16 is spine bloat)")
+    groups = list(group_cols or [])
+    w = 60 - p
+    h = _hll_hash60(F.col(key_col))
+    bucket = F.expr(f"__h DIV {1 << w}").alias("bucket")
+    rem = F.expr(f"__h % {1 << w}")
+    rho = (F.when(rem == 0, F.lit(w + 1))
+            .otherwise(F.lit(w + 1) - F.length(F.expr("bin(__h % "
+                                                      f"{1 << w})"))))
+    d = (df.withColumn("__h", h)
+           .select(*groups, bucket, rho.cast("int").alias("rho")))
+    regs = d.groupBy(*groups, "bucket").agg(F.max("rho").alias("m_rho"))
+    spark = df.sparkSession
+    spine = spark.range(0, 1 << p).select(F.col("id").alias("bucket"))
+    if groups:
+        spine = df.select(*groups).distinct().crossJoin(spine)
+    return (spine.join(regs, [*groups, "bucket"], "left")
+            .select(*groups, "bucket",
+                    F.coalesce(F.col("m_rho"), F.lit(0))
+                     .cast("int").alias("m_rho")))
+
+
+def hll_merge(a: DataFrame, b: DataFrame,
+              group_cols: list[str] | None = None) -> DataFrame:
+    """Merge two register tables (same ``p``): cell-wise MAX — the
+    lossless HLL union, how per-shard/per-day sketches roll up."""
+    groups = list(group_cols or [])
+    return (a.unionByName(b)
+            .groupBy(*groups, "bucket")
+            .agg(F.max("m_rho").cast("int").alias("m_rho")))
+
+
+def hll_estimate(regs: DataFrame, p: int = 10,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Distinct-count estimate from a register table. The indicator
+    sum ``S = Σ 2^(-M_j)`` is computed EXACTLY in BIGINT at scale
+    ``2^(w+1)`` (every term ``2^(w+1-M)`` is integral and the total is
+    ≤ ``2^(p+w+1)`` = 2^61 at p=10 — no float-summation order to
+    diverge between engines); the only floating point is the final
+    ``alpha_m · m² / S`` (and linear-counting ``m·ln(m/V)`` when the
+    raw estimate ≤ 2.5m with empty registers, the Flajolet small-range
+    rule) — identical literal IEEE expressions in Spark and the DuckDB
+    oracle, snapped behind one round. Relative error ≈ 1.04/√m
+    (~3.25% at p=10).
+    """
+    groups = list(group_cols or [])
+    m = 1 << p
+    w = 60 - p
+    agg = (regs.groupBy(*groups)
+           .agg(F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                             f"{w + 1} - m_rho)"))
+                 .cast("long").alias("__s"),
+                F.sum(F.when(F.col("m_rho") == 0, 1).otherwise(0))
+                 .cast("long").alias("v_zero"),
+                F.count("*").alias("__m")))
+    # 'D' suffixes force DOUBLE literals — Spark otherwise types
+    # 0.7213 as DECIMAL and the decimal-scale arithmetic diverges
+    # from the oracle's IEEE chain in the 4th significant digit
+    raw = F.expr(f"(0.7213D / (1.0D + 1.079D / {m})) * {m * m} "
+                 f"* power(2.0D, {w + 1}) / __s")
+    lin = F.expr(f"{m} * ln({m} / CAST(v_zero AS DOUBLE))")
+    est = (F.when((raw <= 2.5 * m) & (F.col("v_zero") > 0),
+                  F.round(lin))
+            .otherwise(F.round(raw))).cast("long")
+    return (agg.withColumn("est_distinct", est)
+            .select(*groups, "est_distinct", "v_zero"))
+
+
+def approx_distinct_hll(df: DataFrame, key_col: str, p: int = 10,
+                        group_cols: list[str] | None = None) -> DataFrame:
+    """``hll_register_table`` → ``hll_estimate`` composed: per-group
+    approximate distinct counts with a 2^p-cell memory bound."""
+    return hll_estimate(hll_register_table(df, key_col, p, group_cols),
+                        p, group_cols)

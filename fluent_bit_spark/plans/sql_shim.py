@@ -128,9 +128,11 @@ _HEAVY_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE)
 _AUDIT_RE = re.compile(
-    r"^\s*AUDIT\s+(?P<kind>ZIPF|VOCAB)\s+"
+    r"^\s*AUDIT\s+(?P<kind>ZIPF|VOCAB|DISTINCT)\s+"
     r"(?P<src>STREAM:\w+|TAG:'[^']*')"
-    r"(?:\s+TOKENS\s+(?P<col>\w+))?(?:\s+TOP\s+(?P<k>\d+))?\s*;?\s*$",
+    r"(?:\s+KEY\s+(?P<key>\w+))?(?:\s+BY\s+(?P<by>\w+))?"
+    r"(?:\s+TOKENS\s+(?P<col>\w+))?(?:\s+TOP\s+(?P<k>\d+))?"
+    r"(?:\s+P\s+(?P<p>\d+))?\s*;?\s*$",
     re.IGNORECASE)
 _RESAMPLE_RE = re.compile(
     r"^\s*RESAMPLE\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
@@ -548,11 +550,22 @@ class StreamProcessor:
     def _audit(self, m: re.Match) -> DataFrame:
         """AUDIT ZIPF STREAM:src [TOKENS col] [TOP k] /
         AUDIT VOCAB STREAM:src [TOKENS col] — corpus-health statistics
-        (operators/tokens.py zipf_table / vocab_growth)."""
+        (operators/tokens.py zipf_table / vocab_growth) — /
+        AUDIT DISTINCT STREAM:src KEY col [BY grp] [P p] — HLL
+        approximate distinct cardinality (operators/aggregate.py
+        approx_distinct_hll, 2^p-cell memory bound)."""
         from ..operators.tokens import vocab_growth, zipf_table
         src = self._source_df(m.group("src"))
+        kind = m.group("kind").upper()
+        if kind == "DISTINCT":
+            from ..operators.aggregate import approx_distinct_hll
+            if not m.group("key"):
+                raise ValueError("AUDIT DISTINCT requires KEY col")
+            return approx_distinct_hll(
+                src, m.group("key"), p=int(m.group("p") or 10),
+                group_cols=[m.group("by")] if m.group("by") else None)
         col = m.group("col") or "tokens"
-        if m.group("kind").upper() == "ZIPF":
+        if kind == "ZIPF":
             return zipf_table(src, tokens_col=col,
                               k=int(m.group("k") or 50))
         return vocab_growth(src, tokens_col=col)

@@ -5390,3 +5390,70 @@ def pack_masks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .cast("array<string>"))).alias("seg_hash"),
         F.md5(F.concat_ws(" ", F.col("position_ids")
                           .cast("array<string>"))).alias("pos_hash"))
+
+
+@q("hll_distinct", """
+WITH d AS (SELECT DISTINCT doc_id, source FROM documents),
+h AS (SELECT source,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS hh
+      FROM d),
+r AS (SELECT source, hh // 1125899906842624 AS bucket,
+             CASE WHEN hh % 1125899906842624 = 0 THEN 51
+                  ELSE 51 - length(bin(hh % 1125899906842624)) END
+               AS rho
+      FROM h),
+regs AS (SELECT source, bucket, max(rho) AS m_rho
+         FROM r GROUP BY source, bucket),
+spine AS (SELECT s.source, g.bucket
+          FROM (SELECT DISTINCT source FROM d) s,
+               (SELECT unnest(generate_series(0, 1023)) AS bucket) g),
+full_regs AS (
+  SELECT spine.source, spine.bucket,
+         coalesce(regs.m_rho, 0) AS m_rho
+  FROM spine LEFT JOIN regs
+    ON spine.source = regs.source AND spine.bucket = regs.bucket),
+agg AS (
+  SELECT source,
+         CAST(sum(CAST(1 AS BIGINT) << (51 - m_rho)) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_zero
+  FROM full_regs GROUP BY source),
+est AS (
+  SELECT source, v_zero,
+         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+            + CAST(1.079 AS DOUBLE) / 1024))
+           * 1048576 * power(CAST(2.0 AS DOUBLE), 52) / s AS raw
+  FROM agg),
+fin AS (
+  SELECT source, v_zero,
+         CAST(CASE WHEN raw <= 2560.0 AND v_zero > 0
+              THEN round(1024 * ln(1024 / CAST(v_zero AS DOUBLE)))
+              ELSE round(raw) END AS BIGINT) AS est_distinct
+  FROM est),
+ex AS (SELECT source, count(*) AS exact_distinct FROM d GROUP BY source)
+SELECT f.source, f.est_distinct, f.v_zero,
+       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+       abs(f.est_distinct - ex.exact_distinct) * 1000
+         // ex.exact_distinct AS abs_err_permille
+FROM fin f JOIN ex ON f.source = ex.source
+""")
+def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (operators/aggregate.py
+    hll_register_table/hll_estimate, p=10): per-source approximate
+    doc_id cardinality vs the exact count, with the indicator sum as
+    an EXACT BIGINT (2^(w+1)-scaled powers of two) so the only floats
+    are the final alpha·m²/S and linear-counting expressions —
+    identical IEEE literals in both engines. abs_err_permille is the
+    accuracy audit (expected ~1.04/√1024 ≈ 33‰)."""
+    from .operators.aggregate import approx_distinct_hll
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    est = approx_distinct_hll(docs, "doc_id", p=10,
+                              group_cols=["source"])
+    exact = (docs.distinct().groupBy("source")
+             .agg(F.count("*").alias("exact_distinct")))
+    j = est.join(exact, "source")
+    return j.select(
+        "source", "est_distinct", "v_zero", "exact_distinct",
+        F.expr("abs(est_distinct - exact_distinct) * 1000 "
+               "DIV exact_distinct").alias("abs_err_permille"))

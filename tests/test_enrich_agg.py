@@ -332,3 +332,60 @@ def test_cms_merge_is_cellwise_addition(spark):
     g = {(r.d, r.bucket): r.c for r in merged.collect()}
     w = {(r.d, r.bucket): r.c for r in whole.collect()}
     assert g == w
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_match_pure_python(spark):
+    """Bucket/rho derivation replayed in python (same md5 chain), and
+    the register table is a complete 2^p spine per group."""
+    import hashlib
+
+    from fluent_bit_spark.operators.aggregate import hll_register_table
+    keys = [("k%04d" % i, "g%d" % (i % 2)) for i in range(300)]
+    df = spark.createDataFrame(keys, "k string, g string")
+    regs = hll_register_table(df, "k", p=10, group_cols=["g"])
+    got = {(r["g"], r["bucket"]): r["m_rho"] for r in regs.collect()}
+    assert len(got) == 2 * 1024
+    want: dict = {}
+    for k, g in keys:
+        h = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+        bucket, rem = h >> 50, h % (1 << 50)
+        rho = 51 if rem == 0 else 51 - rem.bit_length()
+        want[(g, bucket)] = max(want.get((g, bucket), 0), rho)
+    for key, m in want.items():
+        assert got[key] == m
+    assert all(v == 0 for key, v in got.items() if key not in want)
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """Estimate within 5 standard errors (1.04/sqrt(m)) of truth at
+    two cardinalities; merging split sketches equals the whole-set
+    sketch exactly."""
+    from fluent_bit_spark.operators.aggregate import (
+        approx_distinct_hll, hll_estimate, hll_merge,
+        hll_register_table)
+    for n in (500, 20000):
+        df = (spark.range(n)
+              .select(F.concat(F.lit("u"), F.col("id")).alias("k")))
+        est = approx_distinct_hll(df, "k", p=10).first()["est_distinct"]
+        assert abs(est - n) / n < 5 * 1.04 / (1024 ** 0.5)
+    df = (spark.range(5000)
+          .select(F.concat(F.lit("u"), F.col("id")).alias("k"),
+                  (F.col("id") % 2 == 0).alias("half")))
+    a = hll_register_table(df.filter("half"), "k", p=10)
+    b = hll_register_table(df.filter("not half"), "k", p=10)
+    merged = hll_estimate(hll_merge(a, b), p=10).first()
+    whole = hll_estimate(hll_register_table(df, "k", p=10),
+                         p=10).first()
+    assert merged["est_distinct"] == whole["est_distinct"]
+
+
+def test_hll_rejects_bad_p(spark):
+    from fluent_bit_spark.operators.aggregate import hll_register_table
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        hll_register_table(df, "k", p=5)

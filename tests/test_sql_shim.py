@@ -670,3 +670,20 @@ def test_batch_verb_matches_operator(sp, spark):
     w = {r["doc_id"]: (r["bucket_len"], r["batch_idx"],
                        r["pos_in_batch"]) for r in want.collect()}
     assert g == w and len(g) == 60
+
+
+def test_audit_distinct_verb_matches_operator(sp, spark):
+    """AUDIT DISTINCT STREAM:x KEY col BY grp must equal the direct
+    approx_distinct_hll call; KEY is required."""
+    import pytest
+    from fluent_bit_spark.operators.aggregate import approx_distinct_hll
+    df = (spark.range(400)
+          .select(F.concat(F.lit("u"), (F.col("id") % 311)).alias("k"),
+                  (F.col("id") % 3).cast("string").alias("g")))
+    sp.register_stream("hllsrc", df)
+    got = sp.sql("AUDIT DISTINCT STREAM:hllsrc KEY k BY g;")
+    want = approx_distinct_hll(df, "k", group_cols=["g"])
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError):
+        sp.sql("AUDIT DISTINCT STREAM:hllsrc;")
