@@ -2137,3 +2137,76 @@ def pack_masks(packed: DataFrame, tokens_col: str = "tokens",
             .withColumn("segment_ids", seg_ids)
             .withColumn("position_ids", pos_ids)
             .withColumn("n_segments", (F.size(bounds) - 1).cast("long")))
+
+
+def kn_surprisal(train: DataFrame, score: DataFrame | None = None,
+                 discount_milli: int = 750,
+                 tokens_col: str = "tokens",
+                 id_cols: tuple[str, ...] = ("doc_id", "source"),
+                 broadcast_model: bool = False) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal (Kneser & Ney 1995 /
+    Chen & Goodman 1999) — the smoothing the CCNet-grade KenLM filter
+    actually uses, where :func:`ngram_surprisal`'s raw conditional
+    model is exact only when train == score:
+
+        P(w|u) = max(c(u,w) - D, 0)/c(u)
+                 + D·N1+(u·)/c(u) · N1+(·w)/N1+(··)
+
+    with absolute discount ``D = discount_milli/1000``. Trained on
+    ``train``, scores ``score`` (defaults to ``train``). Pairs whose
+    context u OR continuation w is outside the model are UNSCORED and
+    counted (``n_unscored`` — the OOV audit, same contract as
+    :func:`score_tokens`); unseen (u,w) pairs with known u and w score
+    through the continuation term — the point of the smoothing.
+
+    Numerics: counts stay exact BIGINT through the aggregations; the
+    per-pair probability is ONE fixed-shape double expression
+    (products in double — the integer num/den form overflows BIGINT at
+    web scale) snapped behind round(·1000) to integer milli-nats
+    before the per-document sum. Literal-type rule of NOTES.md #30
+    applies: the expression is D-suffixed here and CAST-to-DOUBLE in
+    the oracle.
+
+    Scale shape: pair-count model is corpus-sized → scoring joins it
+    on (t1,t2) with AQE skew-split (1-row build side), exactly the
+    ngram_surprisal posture; context/continuation tables and the
+    distinct-bigram scalar are VOCAB-bounded re-aggregations of the
+    pair counts (never a second corpus pass) and broadcast.
+    """
+    if not 0 < discount_milli < 1000:
+        raise ValueError(
+            f"kn_surprisal: discount_milli out of (0,1000): "
+            f"{discount_milli}")
+    score = score if score is not None else train
+    tp = _gram_positions(train, 2, tokens_col)
+    gc = (tp.groupBy("t1", "t2").agg(F.count("*").alias("c"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    ctx = gc.groupBy("t1").agg(F.sum("c").alias("cc"),
+                               F.count("*").alias("n1f"))
+    cont = gc.groupBy("t2").agg(F.count("*").alias("n1b"))
+    nbb = gc.agg(F.count("*").alias("nbb"))
+    pairs = _gram_positions(score, 2, tokens_col, *id_cols)
+    model = gc
+    if broadcast_model:
+        model = F.broadcast(model)
+    dd = discount_milli / 1000.0
+    scored = (pairs
+              .join(model, ["t1", "t2"], "left")
+              .join(F.broadcast(ctx), "t1", "left")
+              .join(F.broadcast(cont), "t2", "left")
+              .crossJoin(F.broadcast(nbb)))
+    nll = F.expr(
+        f"CAST(round(-ln((greatest(CAST(coalesce(c, 0) AS DOUBLE) "
+        f"- {dd}D, 0.0D) + {dd}D * CAST(n1f AS DOUBLE) "
+        f"* (CAST(n1b AS DOUBLE) / CAST(nbb AS DOUBLE))) "
+        f"/ CAST(cc AS DOUBLE)) * 1000) AS BIGINT)")
+    in_model = F.col("cc").isNotNull() & F.col("n1b").isNotNull()
+    from fluent_bit_spark.caching import carry
+    return carry(
+        scored
+        .withColumn("__nll", F.when(in_model, nll))
+        .groupBy(*[F.col(x) for x in id_cols])
+        .agg(F.sum("__nll").alias("nll_millinats"),
+             F.sum(in_model.cast("long")).alias("n_scored"),
+             F.sum((~in_model).cast("long")).alias("n_unscored")),
+        gc)

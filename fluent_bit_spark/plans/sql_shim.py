@@ -72,7 +72,9 @@ _SCORE_RE = re.compile(
     r"^\s*SCORE\s+SURPRISAL\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
     r"(?:\s+TOKENS\s+(?P<col>\w+))?"
     r"(?:\s+ORDER\s+(?P<order>\d+))?"
-    r"(?:\s+BACKOFF\s+TRAIN\s+(?P<train>STREAM:\w+|TAG:'[^']*'))?"
+    r"(?:\s+(?P<kn>KN)(?:\s+DISCOUNT\s+(?P<disc>\d+))?)?"
+    r"(?:\s+(?P<backoff>BACKOFF\s+)?"
+    r"TRAIN\s+(?P<train>STREAM:\w+|TAG:'[^']*'))?"
     r"\s*;?\s*$",
     re.IGNORECASE)
 _SCORE_NB_RE = re.compile(
@@ -380,7 +382,23 @@ class StreamProcessor:
         col = m.group("col") or "tokens"
         order = int(m.group("order") or 1)
         src = self._source_df(m.group("src"))
+        if m.group("kn"):
+            # SCORE SURPRISAL src KN [DISCOUNT milli] [TRAIN t]:
+            # interpolated Kneser-Ney bigram scoring (kn_surprisal)
+            from ..operators.tokens import kn_surprisal
+            if order not in (1, 2):
+                raise ValueError("SCORE SURPRISAL … KN is the bigram "
+                                 "smoother; ORDER does not apply")
+            train = (self._source_df(m.group("train"))
+                     if m.group("train") else src)
+            return kn_surprisal(
+                train, src,
+                discount_milli=int(m.group("disc") or 750),
+                tokens_col=col)
         if m.group("train"):
+            if not m.group("backoff"):
+                raise ValueError(
+                    "SCORE SURPRISAL … TRAIN requires BACKOFF or KN")
             if order < 2:
                 raise ValueError(
                     "SCORE SURPRISAL … BACKOFF requires ORDER >= 2")

@@ -5457,3 +5457,61 @@ def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "est_distinct", "v_zero", "exact_distinct",
         F.expr("abs(est_distinct - exact_distinct) * 1000 "
                "DIV exact_distinct").alias("abs_err_permille"))
+
+
+@q("kn_surprisal", f"""
+WITH d AS (SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens,
+                  len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+tpos AS (
+  SELECT tokens[i] AS t1, tokens[i + 1] AS t2
+  FROM (SELECT tokens, unnest(generate_series(1, len(tokens) - 1)) AS i
+        FROM d WHERE doc_id % 2 = 0 AND len(tokens) >= 2) x),
+gc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS c
+       FROM tpos GROUP BY t1, t2),
+ctx AS (SELECT t1, CAST(sum(c) AS BIGINT) AS cc,
+               CAST(count(*) AS BIGINT) AS n1f
+        FROM gc GROUP BY t1),
+cont AS (SELECT t2, CAST(count(*) AS BIGINT) AS n1b
+         FROM gc GROUP BY t2),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM gc),
+sp AS (
+  SELECT doc_id, source, tokens[i] AS t1, tokens[i + 1] AS t2
+  FROM (SELECT doc_id, source, tokens,
+               unnest(generate_series(1, len(tokens) - 1)) AS i
+        FROM d WHERE len(tokens) >= 2) x),
+j AS (
+  SELECT sp.doc_id, sp.source,
+         ctx.cc IS NOT NULL AND cont.n1b IS NOT NULL AS in_model,
+         CAST(round(-ln((greatest(CAST(coalesce(gc.c, 0) AS DOUBLE)
+             - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+             + CAST(0.75 AS DOUBLE) * CAST(ctx.n1f AS DOUBLE)
+             * (CAST(cont.n1b AS DOUBLE) / CAST(nb.nbb AS DOUBLE)))
+             / CAST(ctx.cc AS DOUBLE)) * 1000) AS BIGINT) AS nll
+  FROM sp LEFT JOIN gc ON sp.t1 = gc.t1 AND sp.t2 = gc.t2
+          LEFT JOIN ctx ON sp.t1 = ctx.t1
+          LEFT JOIN cont ON sp.t2 = cont.t2
+          CROSS JOIN nb)
+SELECT doc_id, source,
+       CAST(sum(CASE WHEN in_model THEN nll END) AS BIGINT)
+         AS nll_millinats,
+       CAST(sum(CASE WHEN in_model THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_scored,
+       CAST(sum(CASE WHEN in_model THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_unscored
+FROM j GROUP BY doc_id, source
+""")
+def kn_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators/tokens.py
+    kn_surprisal, D=0.75): model trained on HALF the corpus (even
+    doc_ids) scores ALL of it — unseen pairs with known context and
+    continuation score through the discount mass (the point of KN),
+    pairs with an unknown side are unscored and audited. The oracle
+    replays the pair/context/continuation/distinct-bigram counts and
+    the one fixed-shape double probability expression per pair
+    (literal-type rule NOTES #30: D-suffixed in Spark, CAST AS DOUBLE
+    here)."""
+    from .operators.tokens import kn_surprisal
+    d = _tok_int_docs(spark, sf_dir)
+    return kn_surprisal(d.filter(F.col("doc_id") % 2 == 0), d,
+                        discount_milli=750)

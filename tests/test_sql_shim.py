@@ -687,3 +687,24 @@ def test_audit_distinct_verb_matches_operator(sp, spark):
         == sorted(map(tuple, want.collect()))
     with pytest.raises(ValueError):
         sp.sql("AUDIT DISTINCT STREAM:hllsrc;")
+
+
+def test_score_kn_verb_matches_operator(sp, spark):
+    """SCORE SURPRISAL src KN DISCOUNT d TRAIN t == direct
+    kn_surprisal; the legacy BACKOFF grammar still parses."""
+    import pytest
+    from fluent_bit_spark.operators.tokens import kn_surprisal
+    rows = [("d%d" % i, "s", [j % 7 for j in range(i, i + 9)], 9)
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>, "
+              "n_tok int")
+    sp.register_stream("knall", df)
+    sp.register_stream("kntrain", df.limit(15))
+    got = sp.sql("SCORE SURPRISAL STREAM:knall KN DISCOUNT 500 "
+                 "TRAIN STREAM:kntrain;")
+    want = kn_surprisal(df.limit(15), df, discount_milli=500)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError):
+        sp.sql("SCORE SURPRISAL STREAM:knall TRAIN STREAM:kntrain;")

@@ -1490,3 +1490,84 @@ def test_pack_masks_is_map_only(spark, tokens_df):
             ._jdf.queryExecution().executedPlan().toString())
     assert full.count("Exchange") == base.count("Exchange")
     assert "Python" not in full
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram scoring
+# ---------------------------------------------------------------------------
+
+
+def _kn_python(train_seqs, score_seqs, dd=0.75):
+    from collections import Counter
+    import math
+    gc = Counter()
+    for s in train_seqs:
+        for a, b in zip(s, s[1:]):
+            gc[(a, b)] += 1
+    cc = Counter(); n1f = Counter(); n1b = Counter()
+    for (a, b), c in gc.items():
+        cc[a] += c; n1f[a] += 1; n1b[b] += 1
+    nbb = len(gc)
+    out = []
+    for s in score_seqs:
+        nll, ns, nu = 0, 0, 0
+        for a, b in zip(s, s[1:]):
+            if a not in cc or b not in n1b:
+                nu += 1
+                continue
+            p = (max(gc.get((a, b), 0) - dd, 0.0)
+                 + dd * n1f[a] * (n1b[b] / nbb)) / cc[a]
+            nll += round(-math.log(p) * 1000)
+            ns += 1
+        out.append((nll if ns else None, ns, nu))
+    return out
+
+
+def test_kn_matches_python_replay_and_probability_mass(spark):
+    """Operator result equals the pure-python KN chain on a held-out
+    split; and the python model's sum_w P(w|u) == 1 for every seen
+    context (the interpolated-KN normalization identity)."""
+    train = [[1, 2, 3, 1, 2], [2, 3, 4, 2], [1, 3, 1, 3, 5]]
+    score = train + [[5, 4, 1, 99], [99, 98]]
+    rows = [("d%d" % i, "s", s, len(s))
+            for i, s in enumerate(score)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>, "
+              "n_tok int")
+    tr = df.filter(F.col("doc_id").isin("d0", "d1", "d2"))
+    got = {r["doc_id"]: (r["nll_millinats"], r["n_scored"],
+                         r["n_unscored"])
+           for r in TK.kn_surprisal(tr, df).collect()}
+    want = _kn_python(train, score)
+    for i, w in enumerate(want):
+        assert got["d%d" % i] == w, (i, got["d%d" % i], w)
+    # d3: (5,4) unseen pair but both sides known -> scored; (1,99)
+    # unknown continuation -> unscored
+    assert got["d3"][1] >= 1 and got["d3"][2] >= 1
+    # probability mass: for each context, sum over the FULL vocab
+    from collections import Counter
+    import itertools
+    gc = Counter()
+    for s in train:
+        for a, b in zip(s, s[1:]):
+            gc[(a, b)] += 1
+    cc = Counter(); n1f = Counter(); n1b = Counter()
+    for (a, b), c in gc.items():
+        cc[a] += c; n1f[a] += 1; n1b[b] += 1
+    nbb = len(gc)
+    vocab = set(n1b)
+    for u in cc:
+        mass = sum((max(gc.get((u, w), 0) - 0.75, 0.0)
+                    + 0.75 * n1f[u] * (n1b[w] / nbb)) / cc[u]
+                   for w in vocab)
+        assert abs(mass - 1.0) < 1e-9, (u, mass)
+
+
+def test_kn_self_train_scores_everything(spark, tokens_df):
+    d = tokens_df.limit(200).filter(F.col("n_tok") >= 2)
+    out = TK.kn_surprisal(d)
+    assert out.filter("n_unscored > 0").count() == 0
+    assert out.count() == d.count()
+    import pytest
+    with pytest.raises(ValueError):
+        TK.kn_surprisal(d, discount_milli=1000)
