@@ -123,6 +123,10 @@ HEADLINE = [
     "bucket_batches",
     "pack_masks",
     "temperature_mixture",
+    # r5 final: KN-smoothed bigram scoring (pair shuffle join + vocab-
+    # bounded broadcasts) and the HLL distinct sketch (K-bounded agg)
+    "kn_surprisal",
+    "hll_distinct",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))
