@@ -5515,3 +5515,38 @@ def kn_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tok_int_docs(spark, sf_dir)
     return kn_surprisal(d.filter(F.col("doc_id") % 2 == 0), d,
                         discount_milli=750)
+
+
+@q("export_shards", """
+WITH d AS (SELECT doc_id, text,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+a AS (SELECT *,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT % 8 AS INT)
+               AS shard
+      FROM d),
+f AS (SELECT shard, n_tok,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                                    || md5(text)), 1, 15))::BIGINT
+               AS fp
+      FROM a)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+       CAST(bit_xor(fp) AS BIGINT) AS checksum
+FROM f GROUP BY shard
+""")
+def export_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-shard manifest (operators/export.py shard_assign +
+    shard_manifest, 8 shards): deterministic md5 shard assignment and
+    the per-shard row/token/xor-checksum triple any engine can
+    recompute to prove the materialized dataset intact — xor fold is
+    order-insensitive and overflow-free, so the manifest is
+    partitioning-independent. The oracle replays assignment,
+    fingerprints, and folds."""
+    from .operators.export import shard_assign, shard_manifest
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", "text",
+                 F.size(F.split("text", " ")).cast("long")
+                  .alias("n_tok")))
+    return shard_manifest(shard_assign(d, 8), "text")
