@@ -127,6 +127,7 @@ HEADLINE = [
     # bounded broadcasts) and the HLL distinct sketch (K-bounded agg)
     "kn_surprisal",
     "hll_distinct",
+    "export_shards",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))
