@@ -2210,3 +2210,106 @@ def kn_surprisal(train: DataFrame, score: DataFrame | None = None,
              F.sum(in_model.cast("long")).alias("n_scored"),
              F.sum((~in_model).cast("long")).alias("n_unscored")),
         gc)
+
+
+def span_corrupt(df: DataFrame, grid: int = 20, rate_permille: int = 800,
+                 span_min: int = 2, span_max: int = 5, seed: int = 0,
+                 sentinel_base: int = 50100,
+                 id_col: str = "doc_id", tokens_col: str = "tokens",
+                 len_col: str = "n_tok") -> DataFrame:
+    """T5-style span-corruption objective (Raffel et al. 2020, JMLR;
+    the <extra_id_k> encoder-decoder pretraining transform), in a
+    DETERMINISTIC grid variant so reruns and the DuckDB oracle land
+    the identical byte stream: each ``grid``-token cell draws (via the
+    portable md5 family keyed on ``doc_id:seed:cell``) whether it
+    contributes a span (``rate_permille``/1000), the span length
+    (uniform ``span_min..span_max``) and its offset inside the cell —
+    spans therefore never cross cells, stay disjoint and ordered, and
+    expected corruption ≈ rate · mean_span / grid (≈15% at the
+    defaults, the published T5 setting). Exact T5 uses sequential
+    random segmentation; the grid draw is the order-free equivalent
+    that a declarative engine can replay — documented deviation.
+
+    Output per doc: ``inputs`` (each span replaced by one sentinel
+    ``sentinel_base+k``), ``targets`` (``[sent_k, span_k...] ...``
+    closed by the final sentinel ``sentinel_base+K`` — T5's decoder
+    layout), and ``n_spans``. Zero-span docs pass inputs through and
+    emit the bare closing sentinel.
+
+    Invariant (pytest-pinned): splicing each target span back over its
+    sentinel in ``inputs`` reconstructs the original sequence exactly.
+
+    Scale shape: MAP-ONLY — per-row higher-order-function folds over
+    a cells array of ``n/grid`` structs; no shuffle, no Python, no
+    state. O(n) work per doc (slices are per-span, spans disjoint).
+    """
+    if span_min < 1 or span_max < span_min:
+        raise ValueError(f"span_corrupt: need 1 <= span_min <= "
+                         f"span_max, got {span_min}..{span_max}")
+    if grid < span_max:
+        raise ValueError(f"span_corrupt: grid={grid} < span_max="
+                         f"{span_max} leaves no offset room")
+    if not 0 <= rate_permille <= 1000:
+        raise ValueError(f"rate_permille out of [0,1000]: "
+                         f"{rate_permille}")
+    n = F.col(len_col).cast("int")
+    sid = F.concat_ws(":", F.col(id_col).cast("string"),
+                      F.lit(str(seed)))
+    nspanrange = span_max - span_min + 1
+
+    def draw(g: Column, salt: str) -> Column:
+        return (F.conv(F.substring(F.md5(F.concat_ws(
+            ":", sid, g.cast("string"), F.lit(salt))), 1, 7),
+            16, 10).cast("long"))
+
+    # candidate spans: one per full grid cell that wins its rate draw
+    # and fits; struct(start, len) with start drawn inside the cell.
+    # Integer DIV for the cell count — `/` on int columns is DOUBLE
+    # division in Spark and would break sequence().
+    cells = F.sequence(
+        F.lit(0), F.expr(f"(CAST({len_col} AS INT) - 1) DIV {grid}"))
+
+    def cell_span(g: Column) -> Column:
+        ln = (span_min + draw(g, "sc/len") % nspanrange).cast("int")
+        cell_end = F.least((g + 1) * grid, n)
+        room = cell_end - g * grid - ln + 1
+        start = (g * grid + draw(g, "sc/off")
+                 % F.greatest(room, F.lit(1))).cast("int")
+        use = ((draw(g, "sc/use") % 1000 < rate_permille)
+               & (room >= 1))
+        return F.when(use, F.struct(start.alias("s"), ln.alias("l")))
+
+    spans = F.filter(F.transform(cells, cell_span),
+                     lambda s: s.isNotNull())
+    toks = F.col(tokens_col)
+    ks = F.sequence(F.lit(0), F.size(spans) - 1)
+
+    def gap_before(j: Column) -> Column:
+        prev_end = F.when(j == 0, F.lit(0)).otherwise(
+            F.element_at(spans, j.cast("int"))["s"]
+            + F.element_at(spans, j.cast("int"))["l"])
+        sp = F.element_at(spans, (j + 1).cast("int"))
+        return F.concat(
+            F.slice(toks, prev_end + 1, sp["s"] - prev_end),
+            F.array(j.cast("int") + sentinel_base))
+
+    last_end = F.when(F.size(spans) == 0, F.lit(0)).otherwise(
+        F.element_at(spans, F.size(spans))["s"]
+        + F.element_at(spans, F.size(spans))["l"])
+    inputs = F.when(F.size(spans) == 0, toks).otherwise(
+        F.concat(F.flatten(F.transform(ks, gap_before)),
+                 F.slice(toks, last_end + 1, n - last_end)))
+
+    def target_span(j: Column) -> Column:
+        sp = F.element_at(spans, (j + 1).cast("int"))
+        return F.concat(F.array(j.cast("int") + sentinel_base),
+                        F.slice(toks, sp["s"] + 1, sp["l"]))
+
+    targets = F.concat(
+        F.when(F.size(spans) == 0, F.array().cast("array<int>"))
+         .otherwise(F.flatten(F.transform(ks, target_span))),
+        F.array(F.size(spans) + sentinel_base))
+    return (df.withColumn("n_spans", F.size(spans).cast("long"))
+              .withColumn("inputs", inputs)
+              .withColumn("targets", targets)
+              .drop(tokens_col))

@@ -150,6 +150,12 @@ _FIM_RE = re.compile(
     r"(?:\s+SEED\s+(?P<seed>\d+))?"
     r"(?:\s+TOKENS\s+(?P<col>\w+))?\s*;?\s*$",
     re.IGNORECASE)
+_CORRUPT_RE = re.compile(
+    r"^\s*CORRUPT\s+SPANS\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
+    r"(?:\s+GRID\s+(?P<grid>\d+))?(?:\s+RATE\s+(?P<rate>\d+))?"
+    r"(?:\s+SPANS\s+(?P<smin>\d+)\s+(?P<smax>\d+))?"
+    r"(?:\s+SEED\s+(?P<seed>\d+))?\s*;?\s*$",
+    re.IGNORECASE)
 _BATCH_RE = re.compile(
     r"^\s*BATCH\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
     r"MAX\s+(?P<max>\d+)\s+TOKENS"
@@ -542,6 +548,19 @@ class StreamProcessor:
             seed=int(m.group("seed") or 0),
             tokens_col=m.group("col") or "tokens")
 
+    def _corrupt(self, m: re.Match) -> DataFrame:
+        """CORRUPT SPANS STREAM:src [GRID g] [RATE pm] [SPANS a b]
+        [SEED n] — T5 span-corruption objective (operators/tokens.py
+        span_corrupt, deterministic grid variant)."""
+        from ..operators.tokens import span_corrupt
+        return span_corrupt(
+            self._source_df(m.group("src")),
+            grid=int(m.group("grid") or 20),
+            rate_permille=int(m.group("rate") or 800),
+            span_min=int(m.group("smin") or 2),
+            span_max=int(m.group("smax") or 5),
+            seed=int(m.group("seed") or 0))
+
     def _batch(self, m: re.Match) -> DataFrame:
         """BATCH STREAM:src MAX n TOKENS [ROUND r] — length-bucketed
         max-token batch construction (operators/tokens.py
@@ -724,6 +743,9 @@ class StreamProcessor:
         bm = _BATCH_RE.match(text)
         if bm:
             return self._batch(bm)
+        cs = _CORRUPT_RE.match(text)
+        if cs:
+            return self._corrupt(cs)
         hk = _HEAVY_RE.match(text)
         if hk:
             return self._heavy_keys(hk)

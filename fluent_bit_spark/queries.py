@@ -5550,3 +5550,82 @@ def export_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.size(F.split("text", " ")).cast("long")
                   .alias("n_tok")))
     return shard_manifest(shard_assign(d, 8), "text")
+
+
+@q("span_corrupt", f"""
+WITH d AS (
+  SELECT doc_id, source, {{TOK}} AS tokens,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+  FROM documents),
+cells AS (
+  SELECT doc_id, n_tok,
+         unnest(generate_series(0, greatest((n_tok - 1) // 20, 0)))
+           AS g
+  FROM d),
+dr AS (
+  SELECT doc_id, n_tok, g,
+         CAST(doc_id AS VARCHAR) || ':0:' || CAST(g AS VARCHAR) AS gk
+  FROM cells),
+cand AS (
+  SELECT doc_id, g,
+         CAST(2 + ('0x' || substring(md5(gk || ':sc/len'), 1, 7))
+              ::BIGINT % 4 AS INT) AS l,
+         ('0x' || substring(md5(gk || ':sc/off'), 1, 7))::BIGINT AS ho,
+         ('0x' || substring(md5(gk || ':sc/use'), 1, 7))::BIGINT % 1000
+           AS hu,
+         least((g + 1) * 20, n_tok) - g * 20 AS cell_sz
+  FROM dr),
+sp0 AS (
+  SELECT doc_id, g, l,
+         CAST(g * 20 + ho % greatest(cell_sz - l + 1, 1) AS INT) AS s,
+         hu < 800 AND cell_sz - l + 1 >= 1 AS use
+  FROM cand),
+sps AS (
+  SELECT doc_id,
+         coalesce(list(struct_pack(s := s, l := l) ORDER BY g)
+                  FILTER (WHERE use), []) AS spans
+  FROM sp0 GROUP BY doc_id),
+built AS (
+  SELECT d.doc_id, d.source, len(sps.spans) AS k,
+         flatten(list_transform(generate_series(1, len(sps.spans)),
+           j -> d.tokens[(CASE WHEN j = 1 THEN 0
+                          ELSE sps.spans[j-1].s + sps.spans[j-1].l END)
+                         + 1 : sps.spans[j].s]
+                || [CAST(50100 + j - 1 AS INT)]))
+         || d.tokens[(CASE WHEN len(sps.spans) = 0 THEN 0
+                      ELSE sps.spans[len(sps.spans)].s
+                           + sps.spans[len(sps.spans)].l END) + 1
+                     : d.n_tok] AS inputs,
+         flatten(list_transform(generate_series(1, len(sps.spans)),
+           j -> [CAST(50100 + j - 1 AS INT)]
+                || d.tokens[sps.spans[j].s + 1
+                            : sps.spans[j].s + sps.spans[j].l]))
+         || [CAST(50100 + len(sps.spans) AS INT)] AS targets
+  FROM d JOIN sps ON d.doc_id = sps.doc_id)
+SELECT doc_id, source, CAST(k AS BIGINT) AS n_spans,
+       md5(array_to_string(list_transform(inputs,
+           x -> CAST(x AS VARCHAR)), ' ')) AS in_hash,
+       md5(array_to_string(list_transform(targets,
+           x -> CAST(x AS VARCHAR)), ' ')) AS tgt_hash
+FROM built
+""".format(TOK=_TOK_IDS_SQL))
+def span_corrupt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption transform (operators/tokens.py span_corrupt;
+    Raffel et al. 2020, deterministic grid variant): 20-token cells,
+    800-permille cell rate, spans 2..5, <extra_id_k>-style sentinels
+    from 50100. MAP-ONLY HOF folds. The oracle replays every cell
+    draw, span placement, sentinel numbering, and both output streams
+    (inputs with spans collapsed to sentinels; targets as the
+    sentinel-prefixed span concatenation closed by the final
+    sentinel) by md5 — token-array equality on both sides of the
+    objective."""
+    from .operators.tokens import span_corrupt
+    d = _tok_int_docs(spark, sf_dir)
+    out = span_corrupt(d, grid=20, rate_permille=800, span_min=2,
+                       span_max=5, seed=0)
+    return out.select(
+        "doc_id", "source", "n_spans",
+        F.md5(F.concat_ws(" ", F.col("inputs").cast("array<string>")))
+         .alias("in_hash"),
+        F.md5(F.concat_ws(" ", F.col("targets").cast("array<string>")))
+         .alias("tgt_hash"))

@@ -708,3 +708,17 @@ def test_score_kn_verb_matches_operator(sp, spark):
         == sorted(map(tuple, want.collect()))
     with pytest.raises(ValueError):
         sp.sql("SCORE SURPRISAL STREAM:knall TRAIN STREAM:kntrain;")
+
+
+def test_corrupt_spans_verb_matches_operator(sp, spark):
+    from fluent_bit_spark.operators.tokens import span_corrupt
+    df = spark.table("sp_stream_fimdocs")
+    got = sp.sql("CORRUPT SPANS STREAM:fimdocs GRID 10 RATE 700 "
+                 "SPANS 2 4 SEED 1;")
+    want = span_corrupt(df, grid=10, rate_permille=700, span_min=2,
+                        span_max=4, seed=1)
+    g = {r["doc_id"]: (r["n_spans"], r["inputs"], r["targets"])
+         for r in got.collect()}
+    w = {r["doc_id"]: (r["n_spans"], r["inputs"], r["targets"])
+         for r in want.collect()}
+    assert g == w and any(k for k, _, _ in g.values())

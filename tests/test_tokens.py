@@ -1571,3 +1571,56 @@ def test_kn_self_train_scores_everything(spark, tokens_df):
     import pytest
     with pytest.raises(ValueError):
         TK.kn_surprisal(d, discount_milli=1000)
+
+
+# ---------------------------------------------------------------------------
+# T5 span corruption
+# ---------------------------------------------------------------------------
+
+
+def test_span_corrupt_reconstruction_and_layout(spark, tokens_df):
+    """Splicing each target span back over its sentinel in inputs
+    reconstructs the original sequence exactly; sentinels are
+    consecutive from the base; targets close with the final
+    sentinel; spans stay within bounds and disjoint."""
+    d = tokens_df.limit(300)
+    orig = {r["doc_id"]: r["tokens"]
+            for r in d.select("doc_id", "tokens").collect()}
+    out = TK.span_corrupt(d, grid=20, rate_permille=800).collect()
+    n_spans_total = 0
+    for r in out:
+        toks, inp, tgt = orig[r["doc_id"]], r["inputs"], r["targets"]
+        k = r["n_spans"]
+        n_spans_total += k
+        assert tgt[-1] == 50100 + k
+        segs: dict = {}
+        cur = None
+        for t in tgt[:-1]:
+            if t >= 50100:
+                cur = t
+                assert cur == 50100 + len(segs)
+                segs[cur] = []
+            else:
+                segs[cur].append(t)
+        assert len(segs) == k
+        rec = []
+        for t in inp:
+            rec.extend(segs[t] if t >= 50100 else [t])
+        assert rec == toks
+        # masked fraction lands in the configured ballpark per corpus
+    masked = sum(len(orig[r["doc_id"]]) - (len(r["inputs"])
+                 - r["n_spans"]) for r in out)
+    total = sum(len(v) for v in orig.values())
+    assert 0.05 < masked / total < 0.30 and n_spans_total > 100
+
+
+def test_span_corrupt_map_only_and_validation(spark, tokens_df):
+    import pytest
+    d = tokens_df.limit(20)
+    plan = (TK.span_corrupt(d)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
+    with pytest.raises(ValueError):
+        TK.span_corrupt(d, grid=3, span_max=5)
+    with pytest.raises(ValueError):
+        TK.span_corrupt(d, span_min=0)
