@@ -128,6 +128,7 @@ HEADLINE = [
     "kn_surprisal",
     "hll_distinct",
     "export_shards",
+    "span_corrupt",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))
