@@ -129,6 +129,7 @@ HEADLINE = [
     "hll_distinct",
     "export_shards",
     "span_corrupt",
+    "ul2_mixture",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

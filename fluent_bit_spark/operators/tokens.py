@@ -2313,3 +2313,84 @@ def span_corrupt(df: DataFrame, grid: int = 20, rate_permille: int = 800,
               .withColumn("inputs", inputs)
               .withColumn("targets", targets)
               .drop(tokens_col))
+
+
+def ul2_mixture(df: DataFrame, seed: int = 0,
+                r_permille: int = 334, s_permille: int = 333,
+                sentinel_base: int = 50100, mode_base: int = 50200,
+                id_col: str = "doc_id", tokens_col: str = "tokens",
+                len_col: str = "n_tok") -> DataFrame:
+    """UL2 mixture-of-denoisers (Tay et al. 2022): each document is
+    deterministically routed (portable md5 draw on ``doc_id:seed``) to
+    one of the three denoising objectives, and its ``inputs`` stream
+    is prefixed with the paradigm token the UL2 recipe conditions on:
+
+    - **R** (regular, mode token ``mode_base+0``): short-span
+      corruption — :func:`span_corrupt` grid=20, spans 2..5, the T5
+      ~15% setting;
+    - **S** (sequential, ``mode_base+1``): PrefixLM — a uniform cut
+      splits the document; inputs = prefix + sentinel, targets =
+      sentinel + suffix + closing sentinel (one "span", the tail);
+    - **X** (extreme, ``mode_base+2``): long-span corruption —
+      grid=32, spans 8..16, the aggressive-infilling objective.
+
+    ``r_permille``/``s_permille`` set the route mix (remainder = X).
+    Output: ``denoiser`` ('R'|'S'|'X'), ``n_spans``, ``inputs``,
+    ``targets`` — the span-corrupt layout throughout, so one decoder
+    contract covers all three.
+
+    Scale shape: three disjoint MAP-ONLY branches (the route predicate
+    is a hash on the same draw each branch filters by) unioned — no
+    shuffle, no duplicated scan cost beyond the union's re-read (at
+    10^12 rows run the three branches from one cached narrow pass or
+    accept 3 scans of pruned columns; filters push down through all
+    three).
+    """
+    if r_permille + s_permille > 1000:
+        raise ValueError(
+            f"ul2_mixture: r+s permille > 1000 "
+            f"({r_permille}+{s_permille}) leaves no X share")
+    sid = F.concat_ws(":", F.col(id_col).cast("string"),
+                      F.lit(str(seed)))
+    route = _permille_hash(sid, "ul2/mode")
+    n = F.col(len_col).cast("int")
+    toks = F.col(tokens_col)
+
+    def finish(out: DataFrame, mode_idx: int, name: str) -> DataFrame:
+        return (out.withColumn("denoiser", F.lit(name))
+                .withColumn("inputs",
+                            F.concat(F.array(F.lit(mode_base
+                                                   + mode_idx)),
+                                     F.col("inputs"))))
+
+    r_branch = finish(
+        span_corrupt(df.filter(route < r_permille), grid=20,
+                     rate_permille=800, span_min=2, span_max=5,
+                     seed=seed, sentinel_base=sentinel_base,
+                     id_col=id_col, tokens_col=tokens_col,
+                     len_col=len_col),
+        0, "R")
+    x_branch = finish(
+        span_corrupt(df.filter(route >= r_permille + s_permille),
+                     grid=32, rate_permille=800, span_min=8,
+                     span_max=16, seed=seed,
+                     sentinel_base=sentinel_base, id_col=id_col,
+                     tokens_col=tokens_col, len_col=len_col),
+        2, "X")
+    cut = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", sid, F.lit("ul2/cut"))), 1, 7), 16, 10)
+        .cast("long") % (n + 1)).cast("int")
+    s_df = df.filter((route >= r_permille)
+                     & (route < r_permille + s_permille))
+    s_branch = finish(
+        s_df.withColumn("n_spans", F.lit(1).cast("long"))
+            .withColumn("inputs",
+                        F.concat(F.slice(toks, 1, cut),
+                                 F.array(F.lit(sentinel_base))))
+            .withColumn("targets",
+                        F.concat(F.array(F.lit(sentinel_base)),
+                                 F.slice(toks, cut + 1, n - cut),
+                                 F.array(F.lit(sentinel_base + 1))))
+            .drop(tokens_col),
+        1, "S")
+    return r_branch.unionByName(s_branch).unionByName(x_branch)

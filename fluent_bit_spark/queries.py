@@ -5629,3 +5629,113 @@ def span_corrupt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("in_hash"),
         F.md5(F.concat_ws(" ", F.col("targets").cast("array<string>")))
          .alias("tgt_hash"))
+
+
+def _ul2_span_branch_sql(pred: str, grid: int, smin: int, smax: int,
+                         mode_tok: int, name: str) -> str:
+    """One UL2 span-corruption branch as a standalone SELECT over the
+    CTE ``d`` (doc_id, source, tokens, n_tok): the span_corrupt chain
+    (cell draws, placement, sentinel collapse) with the paradigm token
+    prepended — parameterized so R and X reuse one generator."""
+    rng = smax - smin + 1
+    return f"""
+SELECT b.doc_id, b.source, '{name}' AS denoiser,
+       CAST(len(spans) AS BIGINT) AS n_spans,
+       [CAST({mode_tok} AS INT)]
+       || flatten(list_transform(generate_series(1, len(spans)),
+            j -> tokens[(CASE WHEN j = 1 THEN 0
+                         ELSE spans[j-1].s + spans[j-1].l END) + 1
+                        : spans[j].s]
+                 || [CAST(50100 + j - 1 AS INT)]))
+       || tokens[(CASE WHEN len(spans) = 0 THEN 0
+                  ELSE spans[len(spans)].s + spans[len(spans)].l END)
+                 + 1 : n_tok] AS inputs,
+       flatten(list_transform(generate_series(1, len(spans)),
+         j -> [CAST(50100 + j - 1 AS INT)]
+              || tokens[spans[j].s + 1 : spans[j].s + spans[j].l]))
+       || [CAST(50100 + len(spans) AS INT)] AS targets
+FROM (
+  SELECT d.doc_id, d.source, d.tokens, d.n_tok,
+         coalesce(sp.spans, []) AS spans
+  FROM d LEFT JOIN (
+    SELECT doc_id,
+           list(struct_pack(s := s, l := l) ORDER BY g)
+             FILTER (WHERE use) AS spans
+    FROM (
+      SELECT doc_id, g, l,
+             CAST(g * {grid}
+                  + ho % greatest(cell_sz - l + 1, 1) AS INT) AS s,
+             hu < 800 AND cell_sz - l + 1 >= 1 AS use
+      FROM (
+        SELECT doc_id, g,
+               CAST({smin} + ('0x' || substring(md5(gk || ':sc/len'),
+                    1, 7))::BIGINT % {rng} AS INT) AS l,
+               ('0x' || substring(md5(gk || ':sc/off'), 1, 7))
+                 ::BIGINT AS ho,
+               ('0x' || substring(md5(gk || ':sc/use'), 1, 7))
+                 ::BIGINT % 1000 AS hu,
+               least((g + 1) * {grid}, n_tok) - g * {grid} AS cell_sz
+        FROM (
+          SELECT doc_id, n_tok,
+                 unnest(generate_series(0,
+                   greatest((n_tok - 1) // {grid}, 0))) AS g,
+                 CAST(doc_id AS VARCHAR) || ':0:'
+                   || CAST(unnest(generate_series(0,
+                        greatest((n_tok - 1) // {grid}, 0)))
+                        AS VARCHAR) AS gk
+          FROM d WHERE {pred}) cells) draws) sp0
+    GROUP BY doc_id) sp ON d.doc_id = sp.doc_id
+  WHERE {pred.replace("doc_id", "d.doc_id")}) b
+"""
+
+
+_UL2_ROUTE = ("('0x' || substring(md5(CAST(doc_id AS VARCHAR) "
+              "|| ':0:ul2/mode'), 1, 7))::BIGINT % 1000")
+
+
+@q("ul2_mixture", f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+  FROM documents),
+allb AS (
+  {_ul2_span_branch_sql(f"{_UL2_ROUTE} < 334", 20, 2, 5, 50200, "R")}
+  UNION ALL
+  {_ul2_span_branch_sql(f"{_UL2_ROUTE} >= 667", 32, 8, 16, 50202,
+                        "X")}
+  UNION ALL
+  SELECT doc_id, source, 'S' AS denoiser, CAST(1 AS BIGINT) AS n_spans,
+         [CAST(50201 AS INT)] || tokens[1 : cut] || [CAST(50100 AS INT)]
+           AS inputs,
+         [CAST(50100 AS INT)] || tokens[cut + 1 : n_tok]
+           || [CAST(50101 AS INT)] AS targets
+  FROM (SELECT *,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                    || ':0:ul2/cut'), 1, 7))::BIGINT % (n_tok + 1)
+                 AS INT) AS cut
+        FROM d
+        WHERE {_UL2_ROUTE} >= 334 AND {_UL2_ROUTE} < 667) s)
+SELECT doc_id, source, denoiser, n_spans,
+       md5(array_to_string(list_transform(inputs,
+           x -> CAST(x AS VARCHAR)), ' ')) AS in_hash,
+       md5(array_to_string(list_transform(targets,
+           x -> CAST(x AS VARCHAR)), ' ')) AS tgt_hash
+FROM allb
+""")
+def ul2_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UL2 mixture-of-denoisers (operators/tokens.py ul2_mixture; Tay
+    et al. 2022): deterministic R/S/X routing (334/333/333 permille),
+    paradigm token prepended per branch, T5-short spans for R,
+    8..16-token spans for X, PrefixLM cut for S. The oracle replays
+    the route draw and all three branch constructions (two
+    parameterized span-corrupt chains + the cut split) and both
+    output streams by md5."""
+    from .operators.tokens import ul2_mixture
+    d = _tok_int_docs(spark, sf_dir)
+    out = ul2_mixture(d, seed=0)
+    return out.select(
+        "doc_id", "source", "denoiser", "n_spans",
+        F.md5(F.concat_ws(" ", F.col("inputs").cast("array<string>")))
+         .alias("in_hash"),
+        F.md5(F.concat_ws(" ", F.col("targets").cast("array<string>")))
+         .alias("tgt_hash"))

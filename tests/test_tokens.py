@@ -1624,3 +1624,52 @@ def test_span_corrupt_map_only_and_validation(spark, tokens_df):
         TK.span_corrupt(d, grid=3, span_max=5)
     with pytest.raises(ValueError):
         TK.span_corrupt(d, span_min=0)
+
+
+# ---------------------------------------------------------------------------
+# UL2 mixture of denoisers
+# ---------------------------------------------------------------------------
+
+
+def test_ul2_routes_and_reconstruction(spark, tokens_df):
+    """Every doc lands in exactly one branch with its paradigm token;
+    R/X reconstruct by sentinel splice, S by prefix+suffix concat;
+    the route mix is near thirds."""
+    d = tokens_df.limit(600)
+    orig = {r["doc_id"]: r["tokens"]
+            for r in d.select("doc_id", "tokens").collect()}
+    out = TK.ul2_mixture(d, seed=0).collect()
+    assert len(out) == len(orig)
+    counts = {"R": 0, "S": 0, "X": 0}
+    for r in out:
+        toks, inp, tgt = orig[r["doc_id"]], r["inputs"], r["targets"]
+        counts[r["denoiser"]] += 1
+        mode_tok = {"R": 50200, "S": 50201, "X": 50202}[r["denoiser"]]
+        assert inp[0] == mode_tok
+        body = inp[1:]
+        if r["denoiser"] == "S":
+            assert body[-1] == 50100 and tgt[0] == 50100 \
+                and tgt[-1] == 50101
+            assert body[:-1] + tgt[1:-1] == toks
+            continue
+        segs: dict = {}
+        cur = None
+        for t in tgt[:-1]:
+            if t >= 50100:
+                cur = t
+                segs[cur] = []
+            else:
+                segs[cur].append(t)
+        rec = []
+        for t in body:
+            rec.extend(segs[t] if t >= 50100 else [t])
+        assert rec == toks
+        if r["denoiser"] == "X" and r["n_spans"]:
+            assert max(len(s) for s in segs.values()) >= 8 or \
+                min(len(toks), 16) < 8
+    total = sum(counts.values())
+    for k, c in counts.items():
+        assert 0.2 < c / total < 0.47, counts
+    import pytest
+    with pytest.raises(ValueError):
+        TK.ul2_mixture(d, r_permille=600, s_permille=600)
