@@ -57,7 +57,7 @@ def main() -> int:
                     help="append this end-of-document token to every "
                          "doc before chunking")
     ap.add_argument("--mode", choices=["chunk", "nosplit", "fim",
-                                       "batch"],
+                                       "batch", "spans", "ul2"],
                     default="chunk",
                     help="'chunk' = GPT-style concat-and-chunk (docs "
                          "may split across windows); 'nosplit' = SFT "
@@ -65,7 +65,9 @@ def main() -> int:
                          "overlong docs land in the overlong/ dir); "
                          "'fim' = fill-in-the-middle transform of the "
                          "token streams (no packing); 'batch' = "
-                         "length-bucketed max-token batch assignment")
+                         "length-bucketed max-token batch assignment; "
+                         "'spans' = T5 span corruption; 'ul2' = UL2 "
+                         "R/S/X mixture of denoisers")
     ap.add_argument("--fim-rate", type=int, default=900,
                     help="permille of docs FIM-transformed (mode fim)")
     ap.add_argument("--fim-spm", type=int, default=500,
@@ -83,8 +85,8 @@ def main() -> int:
     if args.mode == "nosplit" and args.order is not None:
         ap.error("--mode nosplit walks a fixed deterministic md5-key "
                  "order; --order does not apply")
-    if args.mode in ("fim", "batch") and (args.order is not None
-                                          or args.sep_token is not None):
+    if args.mode in ("fim", "batch", "spans", "ul2") \
+            and (args.order is not None or args.sep_token is not None):
         ap.error(f"--order/--sep-token do not apply to --mode "
                  f"{args.mode}")
 
@@ -138,6 +140,47 @@ def main() -> int:
             "spm_docs": int(a["nspm"]),
             "rate_permille": args.fim_rate,
             "mode": "fim",
+            "wall_sec": round(wall, 2),
+            "tokens_per_sec": round(tok_in / wall, 1),
+        }
+        print(json.dumps(res))
+        return 0 if res["conserved"] else 2
+
+    if args.mode in ("spans", "ul2"):
+        from fluent_bit_spark.operators.tokens import (span_corrupt,
+                                                       ul2_mixture)
+        out = f"{args.output}/{args.mode}"
+        if args.mode == "spans":
+            res_df = span_corrupt(df, seed=args.seed,
+                                  id_col=args.id_col,
+                                  tokens_col=args.tokens_col,
+                                  len_col=args.len_col)
+            overhead = 1  # closing sentinel
+        else:
+            res_df = ul2_mixture(df, seed=args.seed,
+                                 id_col=args.id_col,
+                                 tokens_col=args.tokens_col,
+                                 len_col=args.len_col)
+            overhead = 2  # closing sentinel + paradigm token
+        res_df.write.mode("overwrite").parquet(out)
+        p = spark.read.parquet(out)
+        a = p.agg(
+            F.coalesce(F.sum(F.size("inputs") + F.size("targets")),
+                       F.lit(0)).alias("len_sum"),
+            F.coalesce(F.sum("n_spans"), F.lit(0)).alias("spans"),
+            F.count("*").alias("docs")).first()
+        wall = time.time() - t0
+        # every token lands in exactly one of inputs/targets; each
+        # span adds one sentinel to each side, plus the fixed overhead
+        expected = (int(tok_in) + 2 * int(a["spans"])
+                    + overhead * int(a["docs"]))
+        res = {
+            "rows_in": n_in,
+            "tokens_in": int(tok_in),
+            "len_inputs_plus_targets": int(a["len_sum"]),
+            "conserved": int(a["len_sum"]) == expected,
+            "spans": int(a["spans"]),
+            "mode": args.mode,
             "wall_sec": round(wall, 2),
             "tokens_per_sec": round(tok_in / wall, 1),
         }

@@ -767,3 +767,29 @@ def test_run_pack_job_fim_and_batch_modes(spark, fixture_paths,
         "--output", out2, "--mode", "fim", "--sep-token", "-1"])
     with pytest.raises(SystemExit):
         run_pack.main()
+
+
+def test_run_pack_job_spans_and_ul2_modes(spark, fixture_paths,
+                                          tmp_path, monkeypatch):
+    """jobs/run_pack.py --mode spans / --mode ul2: token-partition
+    conservation (every token in exactly one of inputs/targets, plus
+    sentinel/paradigm overhead)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    import run_pack
+
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    for mode in ("spans", "ul2"):
+        out = str(tmp_path / mode)
+        monkeypatch.setattr(sys, "argv", [
+            "run_pack.py", "--input", fixture_paths["tokens"],
+            "--output", out, "--mode", mode, "--seed", "3"])
+        assert run_pack.main() == 0
+        rep = json.loads(printed[-1])
+        assert rep["conserved"] and rep["mode"] == mode
+        assert rep["spans"] > 0
