@@ -757,3 +757,41 @@ def snapshot_stateful(df: DataFrame, key_col: str, order_col: str,
                 stateStructType=_SNAP_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def start_objective_stream(spark: SparkSession, stream_df: DataFrame,
+                           output_dir: str, objective: str = "fim",
+                           seed: int = 0,
+                           checkpoint_dir: str | None = None,
+                           available_now: bool = True):
+    """Streaming face of the denoising-objective transforms: apply
+    ``fim_transform`` / ``span_corrupt`` / ``ul2_mixture`` to each
+    micro-batch and append the rewritten streams as parquet.
+
+    All three objectives are PER-DOCUMENT map-only rewrites keyed by
+    deterministic (doc_id, seed) draws, so the face carries ZERO
+    streaming state and is trivially batch-parity-exact: the same doc
+    produces the same bytes whether it arrives in one batch or many —
+    the strongest form of the stream≡batch contract in this module
+    (no order, window, or model dependence at all)."""
+    from ..operators.tokens import (fim_transform, span_corrupt,
+                                    ul2_mixture)
+    ops = {"fim": fim_transform, "spans": span_corrupt,
+           "ul2": ul2_mixture}
+    if objective not in ops:
+        raise ValueError(f"objective must be one of {sorted(ops)}, "
+                         f"got {objective!r}")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        (ops[objective](batch, seed=seed)
+         .write.mode("append")
+         .parquet(os.path.join(output_dir, objective)))
+
+    q = (stream_df.writeStream
+         .foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 checkpoint_dir
+                 or os.path.join(output_dir, "_obj_ckpt")))
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()

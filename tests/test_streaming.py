@@ -660,3 +660,46 @@ def test_start_winnow_dedup_stream_matches_batch(spark, tmp_path):
     want = {r.doc_id for r in winnow_vs_corpus(
         both, fps, k=4, w=4, min_shared=1, max_fp_freq=10).collect()}
     assert got == want == {3, 7}
+
+
+def test_start_objective_stream_matches_batch(spark, tmp_path):
+    """Streaming denoising objectives: per-doc deterministic rewrites
+    appended across micro-batches are byte-identical to one batch pass
+    over the union, for all three objectives."""
+    import pytest
+    from fluent_bit_spark.operators.tokens import (
+        fim_transform, span_corrupt, ul2_mixture,
+    )
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        start_objective_stream,
+    )
+    schema = ("doc_id string, source string, tokens array<int>, "
+              "n_tok int")
+    rows0 = [("b%02d" % i, "web", list(range(i, i + 25)), 25)
+             for i in range(6)]
+    rows1 = [("b%02d" % i, "app", list(range(i, i + 40)), 40)
+             for i in range(6, 12)]
+    d = str(tmp_path / "landing_obj")
+    spark.createDataFrame(rows0, schema).coalesce(1) \
+        .write.parquet(f"{d}/f0.parquet")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(f"{d}/f1.parquet")
+    both = spark.createDataFrame(rows0 + rows1, schema)
+    batch_ops = {"fim": fim_transform, "spans": span_corrupt,
+                 "ul2": ul2_mixture}
+    for obj, fn in batch_ops.items():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{d}/*"))
+        out = str(tmp_path / f"obj_{obj}")
+        q = start_objective_stream(spark, stream, out, objective=obj,
+                                   seed=4)
+        q.awaitTermination(120)
+        got_df = spark.read.parquet(f"{out}/{obj}")
+        want_df = fn(both, seed=4)
+        cols = sorted(set(got_df.columns) & set(want_df.columns))
+        got = sorted(map(tuple, got_df.select(*cols).collect()))
+        want = sorted(map(tuple, want_df.select(*cols).collect()))
+        assert got == want and len(got) == 12, obj
+    with pytest.raises(ValueError):
+        start_objective_stream(spark, both, str(tmp_path / "x"),
+                               objective="nope")
