@@ -2394,3 +2394,67 @@ def ul2_mixture(df: DataFrame, seed: int = 0,
             .drop(tokens_col),
         1, "S")
     return r_branch.unionByName(s_branch).unionByName(x_branch)
+
+
+def render_chat(df: DataFrame, turns_col: str = "turns",
+                role_tokens: dict[str, int] | None = None,
+                eot_token: int = 50303, unk_role_token: int = 50399,
+                loss_roles: tuple[str, ...] = ("assistant",)) -> DataFrame:
+    """SFT chat rendering: serialize a conversation — ``turns_col`` an
+    ``array<struct<role:string, tokens:array<int>>>`` — into one
+    training token stream plus its per-token ``loss_mask`` (the
+    instruction-tuning convention: the model is penalized only on the
+    turns it should learn to PRODUCE):
+
+        tokens    = ⊕_i [role_tok(role_i)] ++ turn_i ++ [EOT]
+        loss_mask = role tag always 0; content+EOT 1 iff role_i ∈
+                    ``loss_roles`` (defaults to assistant-only)
+
+    Unknown roles render as ``unk_role_token`` and are never in the
+    loss (absence of a known role must not silently train). Default
+    role ids: system 50300 / user 50301 / assistant 50302.
+
+    Output adds ``tokens``, ``loss_mask``, ``n_tok``, ``n_loss``,
+    ``n_turns``; invariant (pytest-pinned): ``len(tokens) ==
+    len(loss_mask) == Σ(turn lens) + 2·n_turns`` and stripping tags
+    and EOTs reconstructs every turn exactly.
+
+    Scale shape: MAP-ONLY — one HOF flatten per row, no shuffle, no
+    Python; the natural upstream of :func:`pack_documents` (SFT packs
+    whole conversations) or :func:`bucket_batches`.
+    """
+    roles = dict({"system": 50300, "user": 50301, "assistant": 50302}
+                 if role_tokens is None else role_tokens)
+    if not roles:
+        raise ValueError("render_chat: role_tokens must be non-empty")
+    role_map = F.create_map(
+        *[x for kv in roles.items()
+          for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    loss_set = [r for r in loss_roles]
+
+    def turn_tokens(t: Column) -> Column:
+        tag = F.coalesce(role_map[t["role"]],
+                         F.lit(unk_role_token)).cast("int")
+        return F.concat(F.array(tag), t["tokens"],
+                        F.array(F.lit(eot_token)))
+
+    def turn_mask(t: Column) -> Column:
+        on = (t["role"].isin(loss_set)
+              & role_map[t["role"]].isNotNull()).cast("int")
+        return F.concat(
+            F.array(F.lit(0)),
+            F.array_repeat(on, F.size(t["tokens"]).cast("int")),
+            F.array(on))
+
+    turns = F.col(turns_col)
+    return (df.withColumn("tokens",
+                          F.flatten(F.transform(turns, turn_tokens)))
+              .withColumn("loss_mask",
+                          F.flatten(F.transform(turns, turn_mask)))
+              .withColumn("n_tok", F.size("tokens").cast("long"))
+              .withColumn("n_loss",
+                          F.aggregate("loss_mask",
+                                      F.lit(0).cast("long"),
+                                      lambda a, x: a + x))
+              .withColumn("n_turns", F.size(turns).cast("long"))
+              .drop(turns_col))

@@ -5739,3 +5739,59 @@ def ul2_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("in_hash"),
         F.md5(F.concat_ws(" ", F.col("targets").cast("array<string>")))
          .alias("tgt_hash"))
+
+
+@q("render_chat", f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+r AS (
+  SELECT doc_id, source,
+         (n_tok - 1) // 12 + 1 AS k,
+         flatten(list_transform(generate_series(0, (n_tok - 1) // 12),
+           i -> [CAST(CASE WHEN i % 2 = 0 THEN 50301
+                      ELSE 50302 END AS INT)]
+                || tokens[i*12 + 1 : least(n_tok, (i+1)*12)]
+                || [CAST(50303 AS INT)])) AS toks,
+         flatten(list_transform(generate_series(0, (n_tok - 1) // 12),
+           i -> [CAST(0 AS INT)]
+                || list_transform(
+                     tokens[i*12 + 1 : least(n_tok, (i+1)*12)],
+                     x -> CAST(CASE WHEN i % 2 = 1 THEN 1 ELSE 0 END
+                               AS INT))
+                || [CAST(CASE WHEN i % 2 = 1 THEN 1 ELSE 0 END
+                         AS INT)])) AS mask
+  FROM d)
+SELECT doc_id, source, CAST(k AS BIGINT) AS n_turns,
+       CAST(len(toks) AS BIGINT) AS n_tok,
+       CAST(list_sum(mask) AS BIGINT) AS n_loss,
+       md5(array_to_string(list_transform(toks,
+           x -> CAST(x AS VARCHAR)), ' ')) AS tok_hash,
+       md5(array_to_string(list_transform(mask,
+           x -> CAST(x AS VARCHAR)), ' ')) AS mask_hash
+FROM r
+""")
+def render_chat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat rendering (operators/tokens.py render_chat):
+    documents deterministically segmented into alternating
+    user/assistant 12-token turns, serialized with role tags + EOT and
+    the assistant-only loss mask. The oracle replays the turn
+    construction, both streams, and the loss-token count by md5 —
+    token-array equality on the rendered stream AND its mask."""
+    from .operators.tokens import render_chat
+    d = _tok_int_docs(spark, sf_dir).filter(F.col("n_tok") > 0)
+    n = F.col("n_tok").cast("int")
+    turns = F.expr(
+        "transform(sequence(0, (n_tok - 1) DIV 12), i -> struct("
+        "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,"
+        " slice(tokens, i*12 + 1, least(12, CAST(n_tok AS INT) - i*12))"
+        " AS tokens))")
+    conv = d.select("doc_id", "source", turns.alias("turns"))
+    out = render_chat(conv)
+    return out.select(
+        "doc_id", "source", "n_turns", "n_tok", "n_loss",
+        F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
+         .alias("tok_hash"),
+        F.md5(F.concat_ws(" ", F.col("loss_mask")
+                          .cast("array<string>"))).alias("mask_hash"))

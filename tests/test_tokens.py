@@ -1673,3 +1673,54 @@ def test_ul2_routes_and_reconstruction(spark, tokens_df):
     import pytest
     with pytest.raises(ValueError):
         TK.ul2_mixture(d, r_permille=600, s_permille=600)
+
+
+# ---------------------------------------------------------------------------
+# SFT chat rendering
+# ---------------------------------------------------------------------------
+
+
+def test_render_chat_layout_and_mask(spark):
+    """Stream layout, assistant-only loss, unknown-role handling, and
+    exact turn reconstruction by stripping tags/EOTs."""
+    rows = [("c0", [("system", [10, 11]), ("user", [20]),
+                    ("assistant", [30, 31, 32])]),
+            ("c1", [("user", [40, 41]), ("tool", [50]),
+                    ("assistant", [60])])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turns array<struct<role string, "
+              "tokens array<int>>>")
+    out = {r["conv_id"]: r for r in TK.render_chat(df).collect()}
+    r0 = out["c0"]
+    assert r0["tokens"] == [50300, 10, 11, 50303, 50301, 20, 50303,
+                            50302, 30, 31, 32, 50303]
+    assert r0["loss_mask"] == [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1]
+    assert (r0["n_tok"], r0["n_loss"], r0["n_turns"]) == (12, 4, 3)
+    r1 = out["c1"]
+    # unknown role renders the unk tag and never enters the loss
+    assert r1["tokens"] == [50301, 40, 41, 50303, 50399, 50, 50303,
+                            50302, 60, 50303]
+    assert r1["loss_mask"] == [0, 0, 0, 0, 0, 0, 0, 0, 1, 1]
+    for cid, turns in rows:
+        rec, cur = [], None
+        for t in out[cid]["tokens"]:
+            if t >= 50300:
+                if t != 50303:
+                    cur = []
+                    rec.append(cur)
+            else:
+                cur.append(t)
+        assert rec == [list(t[1]) for t in turns]
+    import pytest
+    with pytest.raises(ValueError):
+        TK.render_chat(df, role_tokens={})
+
+
+def test_render_chat_is_map_only(spark):
+    df = spark.createDataFrame(
+        [("c", [("user", [1])])],
+        "conv_id string, turns array<struct<role string, "
+        "tokens array<int>>>")
+    plan = (TK.render_chat(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
