@@ -130,6 +130,7 @@ HEADLINE = [
     "export_shards",
     "span_corrupt",
     "ul2_mixture",
+    "render_chat",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))
