@@ -131,6 +131,7 @@ HEADLINE = [
     "span_corrupt",
     "ul2_mixture",
     "render_chat",
+    "remap_vocab",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

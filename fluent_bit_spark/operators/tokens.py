@@ -2458,3 +2458,59 @@ def render_chat(df: DataFrame, turns_col: str = "turns",
                                       lambda a, x: a + x))
               .withColumn("n_turns", F.size(turns).cast("long"))
               .drop(turns_col))
+
+
+def remap_vocab(df: DataFrame, min_count: int = 2, unk_id: int = 0,
+                tokens_col: str = "tokens",
+                id_cols: tuple[str, ...] = ("doc_id", "source")) -> DataFrame:
+    """Vocabulary compaction: corpus token ids occurring fewer than
+    ``min_count`` times collapse to ``unk_id``; survivors renumber
+    CONTIGUOUSLY from ``unk_id + 1`` in (count desc, id asc) rank
+    order — the frequency-sorted id layout tokenizers ship with, and
+    the step a pipeline runs when shrinking/retargeting a vocabulary
+    (embedding-table size follows the new id space directly).
+
+    Output: ``id_cols`` + remapped ``tokens``, ``n_tok``, ``n_unk``
+    (tokens that collapsed). Invariants (pytest-pinned): length
+    preserved per doc; mapping is a bijection on survivors; rank
+    order reproduces exactly.
+
+    Scale shape: the frequency/rank table is VOCAB-bounded (one
+    map-side-combined count shuffle + a rank window over the vocab
+    table, never the corpus) and broadcasts; the rewrite is
+    explode → broadcast-join → reassemble keyed by ``id_cols`` with
+    position order restored — two corpus-sized exchanges (the explode
+    count and the reassembly), both ∝ tokens, skew-free (keys are
+    uniformly-sized docs). A create_map literal would avoid the
+    reassembly but dies at real vocab sizes (codegen limits); this is
+    the shape that survives 10^12 tokens.
+    """
+    if min_count < 1:
+        raise ValueError(f"remap_vocab: min_count must be >= 1, "
+                         f"got {min_count}")
+    freq = (df.select(F.explode(tokens_col).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("c")))
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    # the rank window runs over the VOCAB-bounded freq table; a
+    # single-task sort of <= |vocab| rows is the accepted bounded cost
+    # (same posture as zipf_table's rank window)
+    mapping = (freq.filter(F.col("c") >= min_count)
+               .withColumn("new_id",
+                           (F.row_number().over(w) + unk_id)
+                           .cast("int")))
+    pos = (df.select(*id_cols,
+                     F.posexplode(tokens_col).alias("pos", "tok")))
+    remapped = (pos.join(F.broadcast(mapping.select("tok", "new_id")),
+                         "tok", "left")
+                .withColumn("new_id",
+                            F.coalesce(F.col("new_id"),
+                                       F.lit(unk_id).cast("int"))))
+    return (remapped.groupBy(*[F.col(x) for x in id_cols])
+            .agg(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("pos").alias("p"),
+                                 F.col("new_id").alias("t")))),
+                    lambda s: s["t"]).alias(tokens_col),
+                 F.count("*").alias("n_tok"),
+                 F.sum((F.col("new_id") == unk_id).cast("long"))
+                  .alias("n_unk")))

@@ -5795,3 +5795,44 @@ def render_chat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("tok_hash"),
         F.md5(F.concat_ws(" ", F.col("loss_mask")
                           .cast("array<string>"))).alias("mask_hash"))
+
+
+@q("remap_vocab", f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+ex AS (
+  SELECT doc_id, source,
+         unnest(generate_series(1, len(tokens))) AS pos, tokens
+  FROM d),
+et AS (SELECT doc_id, source, pos, tokens[pos] AS tok FROM ex),
+freq AS (SELECT tok, count(*) AS c FROM et GROUP BY tok),
+map AS (
+  SELECT tok,
+         CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS INT)
+           AS new_id
+  FROM freq WHERE c >= 2),
+r AS (
+  SELECT et.doc_id, et.source, et.pos,
+         coalesce(map.new_id, 0) AS nid
+  FROM et LEFT JOIN map ON et.tok = map.tok)
+SELECT doc_id, source, count(*) AS n_tok,
+       CAST(sum(CASE WHEN nid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unk,
+       md5(array_to_string(list_transform(list(nid ORDER BY pos),
+           x -> CAST(x AS VARCHAR)), ' ')) AS tok_hash
+FROM r GROUP BY doc_id, source
+""")
+def remap_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary compaction (operators/tokens.py remap_vocab,
+    min_count=2): sub-threshold ids collapse to UNK=0, survivors
+    renumber contiguously in (count desc, id asc) rank order. The
+    oracle replays the frequency table, the rank, the per-position
+    rewrite and the full remapped stream by md5."""
+    from .operators.tokens import remap_vocab
+    d = _tok_int_docs(spark, sf_dir).filter(F.col("n_tok") > 0)
+    out = remap_vocab(d, min_count=2, unk_id=0)
+    return out.select(
+        "doc_id", "source", "n_tok", "n_unk",
+        F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
+         .alias("tok_hash"))

@@ -1724,3 +1724,41 @@ def test_render_chat_is_map_only(spark):
     plan = (TK.render_chat(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# vocabulary compaction
+# ---------------------------------------------------------------------------
+
+
+def test_remap_vocab_bijection_and_rank_order(spark):
+    """Length preserved; survivors form a contiguous bijection in
+    frequency-rank order; sub-threshold ids collapse to UNK."""
+    rows = [("d0", "s", [5, 5, 5, 9, 9, 7]),
+            ("d1", "s", [5, 9, 9, 42]),
+            ("d2", "s", [7])]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>")
+    out = {r["doc_id"]: r
+           for r in TK.remap_vocab(df, min_count=2).collect()}
+    # counts: 9 -> 4x, 5 -> 4x, 7 -> 2x, 42 -> 1x (UNK)
+    # rank order (count desc, tok asc): 5 -> 1, 9 -> 2, 7 -> 3
+    assert out["d0"]["tokens"] == [1, 1, 1, 2, 2, 3]
+    assert out["d1"]["tokens"] == [1, 2, 2, 0]
+    assert out["d2"]["tokens"] == [3]
+    assert (out["d1"]["n_unk"], out["d0"]["n_unk"]) == (1, 0)
+    orig = {k: v for k, _, v in rows}
+    assert all(len(r["tokens"]) == len(orig[r["doc_id"]])
+               for r in out.values())
+    import pytest
+    with pytest.raises(ValueError):
+        TK.remap_vocab(df, min_count=0)
+
+
+def test_remap_vocab_partitioning_invariant(spark, tokens_df):
+    d = tokens_df.limit(200)
+    a = sorted((r["doc_id"], tuple(r["tokens"]), r["n_unk"])
+               for r in TK.remap_vocab(d).collect())
+    b = sorted((r["doc_id"], tuple(r["tokens"]), r["n_unk"])
+               for r in TK.remap_vocab(d.repartition(17)).collect())
+    assert a == b
