@@ -132,6 +132,7 @@ HEADLINE = [
     "ul2_mixture",
     "render_chat",
     "remap_vocab",
+    "sft_render_pack",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

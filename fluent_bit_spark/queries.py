@@ -5836,3 +5836,83 @@ def remap_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_tok", "n_unk",
         F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
          .alias("tok_hash"))
+
+
+@q("sft_render_pack", f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens,
+         CAST(len(string_split(text, ' ')) AS INT) AS n0
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+d AS (
+  SELECT doc_id, source,
+         flatten(list_transform(generate_series(0, (n0 - 1) // 12),
+           i -> [CAST(CASE WHEN i % 2 = 0 THEN 50301
+                      ELSE 50302 END AS INT)]
+                || tokens[i*12 + 1 : least(n0, (i+1)*12)]
+                || [CAST(50303 AS INT)])) AS tokens,
+         n0 + 2 * ((n0 - 1) // 12 + 1) AS n_tok,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS k
+  FROM base),
+c AS (SELECT *, k // {1 << 56} AS cell FROM d),
+fits AS (
+  SELECT *, row_number() OVER (PARTITION BY source, cell
+                               ORDER BY k, doc_id) AS rn
+  FROM c WHERE n_tok <= 128),
+walk AS (
+  SELECT source, cell, rn, CAST(0 AS BIGINT) AS bin,
+         CAST(n_tok AS BIGINT) AS fill
+  FROM fits WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.cell, s.rn,
+         CASE WHEN w.fill + s.n_tok <= 128 THEN w.bin
+              ELSE w.bin + 1 END,
+         CASE WHEN w.fill + s.n_tok <= 128 THEN w.fill + s.n_tok
+              ELSE CAST(s.n_tok AS BIGINT) END
+  FROM walk w JOIN fits s
+    ON s.source = w.source AND s.cell = w.cell AND s.rn = w.rn + 1),
+bins AS (
+  SELECT f.source, f.cell, w.bin,
+         count(*) AS n_docs,
+         CAST(sum(f.n_tok) AS BIGINT) AS n_tok_bin,
+         md5(array_to_string(list_transform(
+             flatten(list(f.tokens ORDER BY f.rn)),
+             x -> CAST(x AS VARCHAR)), ' ')) AS tok_hash
+  FROM walk w JOIN fits f
+    ON f.source = w.source AND f.cell = w.cell AND f.rn = w.rn
+  GROUP BY f.source, f.cell, w.bin)
+SELECT source,
+       CAST(cell AS VARCHAR) || ':' || CAST(bin AS VARCHAR) AS bin_key,
+       n_docs, n_tok_bin,
+       CAST(128 - n_tok_bin AS BIGINT) AS pad,
+       FALSE AS overlong, tok_hash
+FROM bins
+UNION ALL
+SELECT source, 'L:' || CAST(doc_id AS VARCHAR) AS bin_key,
+       CAST(1 AS BIGINT) AS n_docs, CAST(n_tok AS BIGINT) AS n_tok_bin,
+       CAST(0 AS BIGINT) AS pad, TRUE AS overlong,
+       md5(array_to_string(list_transform(tokens,
+           x -> CAST(x AS VARCHAR)), ' ')) AS tok_hash
+FROM c WHERE n_tok > 128
+""")
+def sft_render_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed SFT materialization chain (operators/tokens.py
+    render_chat → pack_documents): conversations rendered with role
+    tags + EOT and packed WHOLE into 128-token bins (SFT never splits
+    a conversation; overlong ones route aside). One oracle replays
+    the render arithmetic AND the greedy bin walk end-to-end,
+    value-checking every bin's token stream by md5."""
+    from .operators.tokens import pack_documents, render_chat
+    d = _tok_int_docs(spark, sf_dir).filter(F.col("n_tok") > 0)
+    turns = F.expr(
+        "transform(sequence(0, (n_tok - 1) DIV 12), i -> struct("
+        "CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,"
+        " slice(tokens, i*12 + 1, least(12, CAST(n_tok AS INT) - i*12))"
+        " AS tokens))")
+    conv = d.select("doc_id", "source", turns.alias("turns"))
+    rendered = render_chat(conv).drop("loss_mask", "n_loss", "n_turns")
+    packed = pack_documents(rendered, ctx_len=128, cell_width=1 << 56)
+    return packed.select(
+        "source", "bin_key", "n_docs", "n_tok_bin", "pad", "overlong",
+        F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
+         .alias("tok_hash"))
