@@ -133,6 +133,7 @@ HEADLINE = [
     "render_chat",
     "remap_vocab",
     "sft_render_pack",
+    "decontaminate_spans",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

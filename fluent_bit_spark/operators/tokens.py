@@ -2514,3 +2514,51 @@ def remap_vocab(df: DataFrame, min_count: int = 2, unk_id: int = 0,
                  F.count("*").alias("n_tok"),
                  F.sum((F.col("new_id") == unk_id).cast("long"))
                   .alias("n_unk")))
+
+
+def decontaminate_spans(train: DataFrame, bench: DataFrame,
+                        length: int = 32,
+                        id_col: str = "doc_id",
+                        tokens_col: str = "tokens",
+                        hash_fn: str = "md5") -> DataFrame:
+    """Span-level benchmark decontamination (the Lee et al. 2022 /
+    GPT-3-appendix posture, one step stronger than n-gram flagging):
+    a training document is CONTAMINATED when it shares ANY verbatim
+    ``length``-token window with the held-out benchmark — long enough
+    that chance collision is impossible, short enough to catch
+    partial verbatim inclusions that 5-gram counting drowns in noise.
+
+    Output: one row per train doc with ``contaminated``,
+    ``n_hit_windows`` (how many of ITS windows match) and
+    ``first_hit_pos`` (1-based, for audit slicing). Compose with a
+    filter to drop, or route to review.
+
+    Scale shape: both sides reduce to fixed-width window KEYS before
+    any exchange (:func:`substring_windows` — content never shuffles);
+    the bench side is DISTINCT keys (eval suites are tiny relative to
+    the corpus) and broadcasts; the train side aggregates per doc
+    after a broadcast semi-ish left join — one corpus-∝ window
+    exchange total, no quadratic anything.
+    """
+    tw = substring_windows(train, id_col=id_col,
+                           tokens_col=tokens_col, length=length,
+                           hash_fn=hash_fn)
+    bw = (substring_windows(bench, id_col=id_col,
+                            tokens_col=tokens_col, length=length,
+                            hash_fn=hash_fn)
+          .select("wkey").distinct())
+    hits = (tw.join(F.broadcast(bw.withColumn("__hit", F.lit(1))),
+                    "wkey", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                  .cast("long").alias("n_hit_windows"),
+                 F.min(F.when(F.col("__hit").isNotNull(),
+                              F.col("pos"))).cast("long")
+                  .alias("first_hit_pos")))
+    return (train.select(id_col)
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_hit_windows"), F.lit(0))
+                     .cast("long").alias("n_hit_windows"),
+                    "first_hit_pos")
+            .withColumn("contaminated", F.col("n_hit_windows") > 0))

@@ -5916,3 +5916,51 @@ def sft_render_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "bin_key", "n_docs", "n_tok_bin", "pad", "overlong",
         F.md5(F.concat_ws(" ", F.col("tokens").cast("array<string>")))
          .alias("tok_hash"))
+
+
+@q("decontaminate_spans", f"""
+WITH d AS (
+  SELECT doc_id, {_TOK_IDS_SQL} AS tokens,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+  FROM documents),
+tw AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_transform(tokens[i : i + 15],
+             x -> CAST(x AS VARCHAR)), ' ')) AS wkey
+  FROM (SELECT doc_id, tokens,
+               unnest(generate_series(1, n_tok - 15)) AS i
+        FROM d WHERE doc_id % 20 != 0 AND n_tok >= 16) t),
+bw AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_transform(tokens[i : i + 15],
+             x -> CAST(x AS VARCHAR)), ' ')) AS wkey
+  FROM (SELECT tokens,
+               unnest(generate_series(1, n_tok - 15)) AS i
+        FROM d WHERE doc_id % 20 = 0 AND n_tok >= 16) b),
+hits AS (
+  SELECT tw.doc_id,
+         CAST(sum(CASE WHEN bw.wkey IS NULL THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_hit_windows,
+         CAST(min(CASE WHEN bw.wkey IS NOT NULL THEN tw.pos END)
+              AS BIGINT) AS first_hit_pos
+  FROM tw LEFT JOIN bw ON tw.wkey = bw.wkey
+  GROUP BY tw.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hit_windows, 0) AS BIGINT) AS n_hit_windows,
+       h.first_hit_pos,
+       coalesce(h.n_hit_windows, 0) > 0 AS contaminated
+FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 20 != 0
+""")
+def decontaminate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (operators/tokens.py
+    decontaminate_spans, 16-token windows): every-20th document plays
+    the held-out benchmark; training docs sharing ANY verbatim window
+    with it are flagged with hit counts and the first hit position.
+    The oracle replays both window sets, the key join, and the
+    per-doc audit columns."""
+    from .operators.tokens import decontaminate_spans
+    d = _tok_int_docs(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate_spans(train, bench, length=16)

@@ -1762,3 +1762,38 @@ def test_remap_vocab_partitioning_invariant(spark, tokens_df):
     b = sorted((r["doc_id"], tuple(r["tokens"]), r["n_unk"])
                for r in TK.remap_vocab(d.repartition(17)).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# span-level decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_spans_planted_overlap(spark):
+    """A train doc embedding a verbatim bench window is flagged with
+    the right count and first position; clean docs pass; short docs
+    produce no windows and pass."""
+    bench = spark.createDataFrame(
+        [("b0", list(range(100, 140)))],
+        "doc_id string, tokens array<int>")
+    rows = [
+        # contains bench tokens 110..125 (16 verbatim) at pos 6
+        ("t0", [1, 2, 3, 4, 5] + list(range(110, 126)) + [7, 8]),
+        ("t1", list(range(500, 540))),          # clean
+        ("t2", [9] * 10),                       # too short: no windows
+        # the whole bench doc verbatim: 40-15=25 hit windows at pos 1
+        ("t3", list(range(100, 140))),
+    ]
+    train = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>")
+    out = {r["doc_id"]: r for r in
+           TK.decontaminate_spans(train, bench, length=16).collect()}
+    assert len(out) == 4
+    assert out["t0"]["contaminated"] \
+        and out["t0"]["n_hit_windows"] == 1 \
+        and out["t0"]["first_hit_pos"] == 6
+    assert not out["t1"]["contaminated"] \
+        and out["t1"]["first_hit_pos"] is None
+    assert not out["t2"]["contaminated"]
+    assert out["t3"]["n_hit_windows"] == 25 \
+        and out["t3"]["first_hit_pos"] == 1
