@@ -67,15 +67,30 @@ def _driver_history() -> dict[str, tuple[int, int]]:
                 continue
             hm = row.get("hash_match")
             green = bool(hm) if hm is not None else bool(row.get("rows_match"))
-            g, last = hist.get(name, (0, 0))
-            hist[name] = (g + int(green), max(last, rnd))
+            g, last, _ = hist.get(name, (0, 0, False))
+            # last_red tracks the MOST RECENT round's verdict: a red
+            # that was later re-checked green stops being urgent
+            hist[name] = (g + int(green), max(last, rnd),
+                          (not green) if rnd >= last else _)
     return hist
 
 
 def _ordered(mapping):
+    # Priority tiers (the registry outgrew the 50-entry window, so the
+    # order now expresses what a driver check is WORTH):
+    #   0. entries whose latest driver row was RED — clearing a
+    #      recorded mismatch outranks everything (the r4 verdict's
+    #      explicit done-criterion);
+    #   1. never-driver-checked, in registration order;
+    #   2. the checked-green backlog, fewest greens then stalest.
     hist = _driver_history()
     idx = {n: i for i, n in enumerate(mapping)}
-    names = sorted(mapping, key=lambda n: (*hist.get(n, (0, 0)), idx[n]))
+
+    def key(n):
+        g, last, red = hist.get(n, (0, 0, False))
+        return (0 if red else 1, g, last, idx[n])
+
+    names = sorted(mapping, key=key)
     return {n: mapping[n] for n in names}
 
 

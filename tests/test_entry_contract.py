@@ -17,20 +17,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 entry = importlib.import_module("__spark_entry__")
 
 
-def test_never_checked_entries_lead_the_window():
+def test_red_then_never_checked_lead_the_window():
     hist = entry._driver_history()
     names = list(entry.queries())
+    reds = [n for n in names if hist.get(n, (0, 0, False))[2]]
     never = [n for n in names if n not in hist]
-    window = set(names[: max(50, len(never))])
-    missing = set(never) - window
-    assert not missing, f"never-driver-checked outside the window: {missing}"
+    # latest-round reds outrank everything (clearing a recorded
+    # mismatch beats a first green), then never-checked
+    assert names[: len(reds)] == reds
+    window = set(names[: max(50, len(reds) + len(never))])
+    missing = (set(never) | set(reds)) - window
+    assert not missing, f"red/never-checked outside the window: {missing}"
 
 
 def test_ordering_is_by_green_count_then_staleness():
     hist = entry._driver_history()
     names = list(entry.queries())
-    keys = [hist.get(n, (0, 0)) for n in names]
-    assert keys == sorted(keys), "queries() not ordered thinnest-history first"
+    keys = [(0 if hist.get(n, (0, 0, False))[2] else 1,
+             *hist.get(n, (0, 0, False))[:2]) for n in names]
+    assert keys == sorted(keys), "queries() not ordered red-first then thinnest-history"
 
 
 def test_window_prefers_thin_history_over_veterans():
@@ -41,8 +46,8 @@ def test_window_prefers_thin_history_over_veterans():
     names = list(entry.queries())
     if len(names) <= 50:
         return
-    max_in = max(hist.get(n, (0, 0))[0] for n in names[:50])
-    min_out = min(hist.get(n, (0, 0))[0] for n in names[50:])
+    max_in = max(hist.get(n, (0, 0, False))[0] for n in names[:50])
+    min_out = min(hist.get(n, (0, 0, False))[0] for n in names[50:])
     assert min_out >= max_in or min_out >= 1, (
         "an unchecked/red entry sits outside the window while a greener "
         "veteran sits inside it"
@@ -81,5 +86,11 @@ def test_history_parses_known_rounds():
     # The repo carries r1-r4 files; route_agg was green in r1-r3 windows.
     hist = entry._driver_history()
     assert hist, "no CORRECTNESS_r*.json parsed"
-    greens, last = hist["route_agg"]
-    assert greens >= 3 and last >= 3
+    greens, last, red = hist["route_agg"]
+    assert greens >= 3 and last >= 3 and not red
+    # the four r4 hash-mismatch rows must read as latest-round reds
+    # until a newer green row supersedes them
+    for n in ("unigram_surprisal", "bigram_surprisal",
+              "expect_stamp", "nb_quality"):
+        g, l, r = hist[n]
+        assert (l == 4) <= r, (n, hist[n])
