@@ -140,3 +140,81 @@ def test_stratified_split_respects_rates(spark, rates, default):
             sigma = (p * (1 - p) / n_per) ** 0.5
             assert abs(frac[g] - p) <= 4 * sigma + 1e-9, (g, rates,
                                                           default)
+
+
+# ---------------------------------------------------------------------------
+# denoising-objective reconstruction properties
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def token_docs(draw):
+    n = draw(st.integers(1, 10))
+    return [(f"d{i}", draw(st.lists(st.integers(0, 9999),
+                                    min_size=0, max_size=60)))
+            for i in range(n)]
+
+
+def _splice(inp, tgt, sent_lo=50100):
+    segs, cur = {}, None
+    for t in tgt:
+        if t >= sent_lo:
+            cur = t
+            segs[cur] = []
+        else:
+            segs[cur].append(t)
+    out = []
+    for t in inp:
+        out.extend(segs.get(t, [t]) if t >= sent_lo else [t])
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=token_docs(), seed=st.integers(0, 3),
+       rate=st.integers(0, 1000))
+def test_fim_reconstruction_property(spark, docs, seed, rate):
+    """For ANY corpus/seed/rate: un-rotating a FIM row reproduces the
+    original array exactly, and untransformed rows pass through."""
+    from fluent_bit_spark.operators.tokens import fim_transform
+    df = spark.createDataFrame(
+        [(d, "s", t, len(t)) for d, t in docs],
+        "doc_id string, source string, tokens array<int>, n_tok int")
+    orig = dict(docs)
+    for r in fim_transform(df, rate_permille=rate, seed=seed).collect():
+        want, toks = orig[r["doc_id"]], r["tokens"]
+        if r["fim_mode"] == "none":
+            assert toks == want
+            continue
+        lo, hi = r["split_lo"], r["split_hi"]
+        n_suf = len(want) - hi
+        if r["fim_mode"] == "psm":
+            prefix = toks[1:1 + lo]
+            suffix = toks[2 + lo:2 + lo + n_suf]
+            middle = toks[3 + lo + n_suf:]
+        else:
+            suffix = toks[2:2 + n_suf]
+            prefix = toks[3 + n_suf:3 + n_suf + lo]
+            middle = toks[3 + n_suf + lo:]
+        assert prefix + middle + suffix == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=token_docs(), seed=st.integers(0, 3),
+       grid=st.integers(6, 25))
+def test_span_corrupt_reconstruction_property(spark, docs, seed, grid):
+    """For ANY corpus/seed/grid: splicing targets over sentinels in
+    inputs reproduces the original array exactly, sentinels number
+    consecutively, and the final sentinel closes targets."""
+    from fluent_bit_spark.operators.tokens import span_corrupt
+    df = spark.createDataFrame(
+        [(d, "s", t, len(t)) for d, t in docs],
+        "doc_id string, source string, tokens array<int>, n_tok int")
+    orig = dict(docs)
+    out = span_corrupt(df, grid=grid, span_min=2,
+                       span_max=min(5, grid), seed=seed).collect()
+    for r in out:
+        assert r["targets"][-1] == 50100 + r["n_spans"]
+        assert _splice(r["inputs"], r["targets"][:-1]) \
+            == orig[r["doc_id"]]
