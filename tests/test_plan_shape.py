@@ -531,3 +531,60 @@ def test_vocab_growth_plan_has_no_expand(spark):
     for marker in ("ArrowEvalPython", "BatchEvalPython",
                    "CartesianProduct"):
         assert marker not in plan
+
+
+def test_kn_surprisal_plan_broadcasts_bounded_sides(spark, tokens_df):
+    """KN scoring: the vocab-bounded context/continuation tables and
+    the 1-row distinct-bigram scalar ride as broadcast joins; no
+    cartesian product; no Python anywhere."""
+    from fluent_bit_spark.operators.tokens import kn_surprisal
+    d = tokens_df.limit(300)
+    plan = (kn_surprisal(d)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert plan.count("BroadcastExchange") >= 3  # ctx, cont, nbb
+    assert "BroadcastNestedLoopJoin" in plan     # the 1-row crossJoin
+
+
+def test_bucket_batches_plan_bounded_windows_only(spark, tokens_df):
+    """bucket_batches: the prefix count's windows are the two-phase
+    bounded forms (per-group totals + local) — no corpus-wide
+    unbounded sort per (source, bucket); no Python."""
+    from fluent_bit_spark.operators.tokens import bucket_batches
+    d = tokens_df.limit(300)
+    plan = (bucket_batches(d, max_tokens=256)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "CartesianProduct" not in plan
+    # exclusive_prefix_sum shape: the base-offset table broadcasts
+    assert "BroadcastExchange" in plan
+
+
+def test_remap_vocab_plan_broadcast_mapping(spark, tokens_df):
+    """remap_vocab: the vocab-bounded mapping joins as a broadcast;
+    the rewrite never becomes a shuffled join keyed on token."""
+    from fluent_bit_spark.operators.tokens import remap_vocab
+    d = tokens_df.limit(300)
+    plan = (remap_vocab(d)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_spans_plan_broadcast_bench(spark, tokens_df):
+    """decontaminate_spans: the bench window-key set broadcasts; train
+    window content never shuffles (only fixed-width keys appear in
+    exchanges — asserted by the absence of a token-array column in
+    any Exchange's output schema is impractical to string-match, so
+    we assert the join strategy instead)."""
+    from fluent_bit_spark.operators.tokens import decontaminate_spans
+    d = tokens_df.limit(300)
+    train = d.filter(F.col("doc_id").substr(4, 12).cast("long") % 5
+                     != 0)
+    bench = d.filter(F.col("doc_id").substr(4, 12).cast("long") % 5
+                     == 0)
+    plan = (decontaminate_spans(train, bench, length=16)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
