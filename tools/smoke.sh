@@ -25,6 +25,18 @@ spark-submit --master 'local[8]' --py-files /tmp/smoke_engine.zip \
   jobs/run_pack.py --input .data/tokens_small.parquet \
   --output /tmp/smoke_pack --ctx 256 | tail -1   # exits 2 on token loss
 
+# r5-s2 job surfaces: denoising objectives + shard export, each with
+# its own exact conservation/verification exit code
+rm -rf /tmp/smoke_fim /tmp/smoke_export
+spark-submit --master 'local[8]' --py-files /tmp/smoke_engine.zip \
+  jobs/run_pack.py --input .data/tokens_small.parquet \
+  --output /tmp/smoke_fim --mode fim | tail -1      # exits 2 on sentinel loss
+spark-submit --master 'local[8]' --py-files /tmp/smoke_engine.zip \
+  jobs/run_export.py --input .data/tokens_small.parquet \
+  --output /tmp/smoke_export --shards 8 | tail -1   # exits 2 unless the
+                                                    # written tree re-reads
+                                                    # manifest-identical
+
 if [ "${1:-}" != "quick" ]; then
   # Volume-shape gates (VERDICT r3 #3): token/line conservation plus
   # shuffle-byte linearity across a 4x size step — a regression in the
@@ -51,5 +63,10 @@ if [ "${1:-}" != "quick" ]; then
     --out /tmp/smoke_winvs_vol | tail -1 # exits 3 unless drop recall,
                                          # fresh precision both 1.0 and
                                          # probe shuffle tracks batch
+  python tools/bench_dataloader.py --sizes 400000,1600000 \
+    | tail -1 # exits 1 unless fim shuffle stays flat, bucket/KN
+              # shuffle stay linear, and the conservation/coverage
+              # invariants hold exactly (sizes sit above the AQE
+              # broadcast->shuffle transition — NOTES #31)
 fi
 echo "SMOKE OK"
