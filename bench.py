@@ -134,6 +134,7 @@ HEADLINE = [
     "remap_vocab",
     "sft_render_pack",
     "decontaminate_spans",
+    "shard_by_order",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

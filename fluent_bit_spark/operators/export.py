@@ -81,3 +81,38 @@ def export_shards(df: DataFrame, out_dir: str, n_shards: int,
     (assigned.write.mode("overwrite")
      .partitionBy("shard").parquet(f"{out_dir}/shards"))
     return shard_manifest(assigned, content_col, id_col, len_col)
+
+
+def shard_by_order(df: DataFrame, n_shards: int, order_col: str,
+                   id_col: str = "doc_id",
+                   group_size: int = 1 << 20) -> DataFrame:
+    """RANGE shard assignment: documents ordered by ``order_col``
+    (integral; ties broken on ``id_col``) split into ``n_shards``
+    CONTIGUOUS, balanced-to-±1 ranges — the curriculum-export
+    counterpart of :func:`shard_assign`'s hash layout (shard 0 holds
+    the lowest-keyed docs, e.g. an easy-first surprisal band, so a
+    dataloader can stream shards in curriculum order).
+
+    ``shard = rank * n_shards DIV total`` over the distributed
+    exclusive prefix COUNT — no global single-task sort; the only
+    full-order structure is the tiny per-group totals table
+    (:func:`~fluent_bit_spark.operators.tokens.exclusive_prefix_sum`).
+
+    Scale shape: one tiny totals agg + bounded local windows + a
+    1-row count broadcast; the write stays ``partitionBy(shard)``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"shard_by_order: n_shards must be >= 1, "
+                         f"got {n_shards}")
+    from .tokens import exclusive_prefix_sum
+    d = df.withColumn("__one", F.lit("_"))
+    ranked = exclusive_prefix_sum(d, "__one", order_col, F.lit(1),
+                                  out_col="__rank",
+                                  group_size=group_size,
+                                  tiebreak_col=id_col)
+    total = ranked.agg(F.count("*").alias("__n"))
+    return (ranked.crossJoin(F.broadcast(total))
+            .withColumn("shard",
+                        F.expr(f"__rank * {n_shards} DIV __n")
+                         .cast("int"))
+            .drop("__one", "__rank", "__n"))

@@ -5964,3 +5964,46 @@ def decontaminate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("doc_id") % 20 != 0)
     bench = d.filter(F.col("doc_id") % 20 == 0)
     return decontaminate_spans(train, bench, length=16)
+
+
+@q("shard_by_order", """
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT)
+                    AS n_tok
+           FROM documents),
+r AS (SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY n_tok, doc_id) - 1 AS rk,
+             count(*) OVER () AS n
+      FROM d)
+SELECT CAST(rk * 8 // n AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(min(n_tok) AS BIGINT) AS min_len,
+       CAST(max(n_tok) AS BIGINT) AS max_len,
+       md5(array_to_string(list(doc_id ORDER BY rk), ',')) AS member_hash
+FROM r GROUP BY shard
+""")
+def shard_by_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range sharding (operators/export.py shard_by_order, 8 shards
+    ordered by n_tok): contiguous balanced length-ordered shards —
+    the curriculum-export layout (stream shard 0 first). The oracle
+    replays the global rank, the rank·N DIV total split, per-shard
+    length envelopes, and the exact ordered member list by md5."""
+    from pyspark.sql import Window
+
+    from .operators.export import shard_by_order
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.size(F.split("text", " ")).cast("long")
+                  .alias("n_tok")))
+    out = shard_by_order(d, 8, order_col="n_tok")
+    w = Window.partitionBy("shard").orderBy("n_tok", "doc_id")
+    return (out
+            .withColumn("__m", F.collect_list("doc_id").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_tok").alias("min_len"),
+                 F.max("n_tok").alias("max_len"),
+                 F.md5(F.concat_ws(",", F.first("__m")))
+                  .alias("member_hash")))

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from fluent_bit_spark.operators.export import (export_shards,
                                                shard_assign,
+                                               shard_by_order,
                                                shard_manifest)
 
 
@@ -81,3 +82,25 @@ def test_run_export_job_verifies_and_detects_loss(
            for r in shard_manifest(back, "tokens").collect()}
     want = {m["shard"]: m["checksum"] for m in man["shards"]}
     assert got != want and 3 not in got
+
+
+def test_shard_by_order_contiguous_and_balanced(spark, tokens_df):
+    """Range shards are contiguous in the order key (every shard's max
+    <= the next shard's min), balanced to ±1 docs, and cover every
+    doc exactly once."""
+    d = tokens_df.limit(403).select("doc_id", "n_tok")
+    out = shard_by_order(d, 8, order_col="n_tok")
+    rows = out.collect()
+    assert len(rows) == 403
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["n_tok"])
+    assert sorted(by_shard) == list(range(8))
+    sizes = [len(v) for _, v in sorted(by_shard.items())]
+    assert max(sizes) - min(sizes) <= 1
+    envs = [(min(v), max(v)) for _, v in sorted(by_shard.items())]
+    for (lo1, hi1), (lo2, hi2) in zip(envs, envs[1:]):
+        assert hi1 <= lo2
+    import pytest
+    with pytest.raises(ValueError):
+        shard_by_order(d, 0, order_col="n_tok")
