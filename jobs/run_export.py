@@ -43,11 +43,17 @@ def main() -> int:
     ap.add_argument("--content-col", default="tokens")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--len-col", default="n_tok")
+    ap.add_argument("--order-col", default=None,
+                    help="RANGE sharding on this integral column "
+                         "(contiguous balanced splits — curriculum "
+                         "layout, shard 0 = lowest band) instead of "
+                         "the default hash layout")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
     from fluent_bit_spark.operators.export import (shard_assign,
+                                                   shard_by_order,
                                                    shard_manifest)
     from fluent_bit_spark.session import get_spark
 
@@ -61,7 +67,15 @@ def main() -> int:
                  f"columns {df.columns}")
     len_col = args.len_col if args.len_col in df.columns else None
 
-    assigned = shard_assign(df, args.shards, args.id_col)
+    if args.order_col:
+        if args.order_col not in df.columns:
+            ap.error(f"--order-col {args.order_col!r} not in input "
+                     f"columns {df.columns}")
+        assigned = shard_by_order(df, args.shards,
+                                  order_col=args.order_col,
+                                  id_col=args.id_col)
+    else:
+        assigned = shard_assign(df, args.shards, args.id_col)
     (assigned.write.mode("overwrite")
      .partitionBy("shard").parquet(f"{args.output}/shards"))
 

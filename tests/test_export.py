@@ -104,3 +104,31 @@ def test_shard_by_order_contiguous_and_balanced(spark, tokens_df):
     import pytest
     with pytest.raises(ValueError):
         shard_by_order(d, 0, order_col="n_tok")
+
+
+def test_run_export_order_mode(spark, fixture_paths, tmp_path,
+                               monkeypatch):
+    """--order-col produces verified contiguous range shards."""
+    import json
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    import run_export
+
+    out = str(tmp_path / "ordered")
+    monkeypatch.setattr(sys, "argv", [
+        "run_export.py", "--input", fixture_paths["tokens"],
+        "--output", out, "--shards", "4", "--order-col", "n_tok"])
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    assert run_export.main() == 0
+    rep = json.loads(printed[-1])
+    assert rep["verified"]
+    back = spark.read.parquet(f"{out}/shards")
+    envs = {r["shard"]: (r["lo"], r["hi"]) for r in
+            back.groupBy("shard")
+            .agg(F.min("n_tok").alias("lo"), F.max("n_tok").alias("hi"))
+            .collect()}
+    for s_ in range(3):
+        assert envs[s_][1] <= envs[s_ + 1][0]
