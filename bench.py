@@ -135,6 +135,7 @@ HEADLINE = [
     "sft_render_pack",
     "decontaminate_spans",
     "shard_by_order",
+    "ngram_repetition",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

@@ -2562,3 +2562,75 @@ def decontaminate_spans(train: DataFrame, bench: DataFrame,
                      .cast("long").alias("n_hit_windows"),
                     "first_hit_pos")
             .withColumn("contaminated", F.col("n_hit_windows") > 0))
+
+
+def ngram_repetition(df: DataFrame, top_n: int = 2, dup_n: int = 5,
+                     tokens_col: str = "tokens",
+                     id_cols: tuple[str, ...] = ("doc_id", "source"),
+                     len_col: str = "n_tok") -> DataFrame:
+    """Within-document n-gram repetition signals — the two Gopher
+    §A1.1 rule families :func:`repetition_stats` (duplicate LINES)
+    does not cover:
+
+    - ``top{top_n}_permille``: tokens claimed by the single most
+      frequent ``top_n``-gram, ``count·n·1000 DIV n_tok`` (Gopher
+      gates 2-grams at 20%; overlapping occurrences can push the raw
+      ratio past 1000 — reported uncapped, the gate caps);
+    - ``dup{dup_n}_permille``: tokens COVERED by any ``dup_n``-gram
+      occurring 2+ times — exact positional coverage (union of
+      occurrence windows, overlap counted once), not the count·n
+      upper bound (Gopher gates 5-grams at 15%).
+
+    All-integer permilles (DIV — NOTES #25) so the oracle replays
+    exactly. Documents shorter than the gram drop the corresponding
+    signal to 0.
+
+    Scale shape: per-gram counts shuffle keyed by (doc, gram) — group
+    sizes bounded by the DOCUMENT (a hot corpus-wide gram cannot
+    concentrate a reducer, unlike corpus-keyed gram tables); the
+    coverage explode touches only duplicated positions ×dup_n. Two
+    such exchanges (one per n), both ∝ tokens.
+    """
+    for nm, v in (("top_n", top_n), ("dup_n", dup_n)):
+        if v < 1:
+            raise ValueError(f"ngram_repetition: {nm} must be >= 1")
+    c = tokens_col
+    ids = [F.col(x) for x in id_cols]
+
+    def gram_pos(n: int) -> DataFrame:
+        e = F.expr(
+            f"transform(sequence(0, size({c}) - {n}), i -> struct("
+            f"i AS pos, array_join(transform(slice({c}, i + 1, {n}),"
+            f" x -> CAST(x AS STRING)), ' ') AS gk))")
+        return (df.filter(F.size(F.col(c)) >= n)
+                .select(*id_cols, F.col(len_col).cast("long")
+                        .alias("__n"), F.explode(e).alias("g"))
+                .select(*id_cols, "__n", F.col("g.pos").alias("pos"),
+                        F.col("g.gk").alias("gk")))
+
+    tp = (gram_pos(top_n)
+          .groupBy(*id_cols, "__n", "gk").agg(F.count("*").alias("c"))
+          .groupBy(*id_cols)
+          .agg(F.expr(f"max(c) * {top_n} * 1000 DIV first(__n)")
+                .cast("long").alias(f"top{top_n}_permille")))
+    dp_pos = gram_pos(dup_n)
+    w_cnt = (dp_pos.groupBy(*id_cols, "gk")
+             .agg(F.count("*").alias("c")))
+    dup_cov = (dp_pos.join(w_cnt, [*id_cols, "gk"])
+               .filter(F.col("c") >= 2)
+               .select(*id_cols, "__n",
+                       F.explode(F.sequence(
+                           F.col("pos"),
+                           F.col("pos") + (dup_n - 1))).alias("ti"))
+               .groupBy(*id_cols)
+               .agg(F.expr("count(DISTINCT ti) * 1000 DIV first(__n)")
+                     .cast("long").alias(f"dup{dup_n}_permille")))
+    base = df.select(*id_cols)
+    out = (base.join(tp, list(id_cols), "left")
+           .join(dup_cov, list(id_cols), "left"))
+    return out.select(
+        *ids,
+        F.coalesce(F.col(f"top{top_n}_permille"), F.lit(0))
+         .cast("long").alias(f"top{top_n}_permille"),
+        F.coalesce(F.col(f"dup{dup_n}_permille"), F.lit(0))
+         .cast("long").alias(f"dup{dup_n}_permille"))

@@ -6007,3 +6007,56 @@ def shard_by_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n_tok").alias("max_len"),
                  F.md5(F.concat_ws(",", F.first("__m")))
                   .alias("member_hash")))
+
+
+@q("ngram_repetition", f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOK_IDS_SQL} AS tokens,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+g2 AS (
+  SELECT doc_id, source, n_tok,
+         array_to_string(list_transform(tokens[i : i + 1],
+             x -> CAST(x AS VARCHAR)), ' ') AS gk
+  FROM (SELECT doc_id, source, tokens, n_tok,
+               unnest(generate_series(1, len(tokens) - 1)) AS i
+        FROM d WHERE len(tokens) >= 2) t),
+tp AS (
+  SELECT doc_id, source,
+         max(c) * 2 * 1000 // any_value(n_tok) AS top2
+  FROM (SELECT doc_id, source, n_tok, gk, count(*) AS c
+        FROM g2 GROUP BY doc_id, source, n_tok, gk) cc
+  GROUP BY doc_id, source),
+g5 AS (
+  SELECT doc_id, source, n_tok, i - 1 AS pos,
+         array_to_string(list_transform(tokens[i : i + 4],
+             x -> CAST(x AS VARCHAR)), ' ') AS gk
+  FROM (SELECT doc_id, source, tokens, n_tok,
+               unnest(generate_series(1, len(tokens) - 4)) AS i
+        FROM d WHERE len(tokens) >= 5) t),
+c5 AS (SELECT doc_id, source, gk, count(*) AS c
+       FROM g5 GROUP BY doc_id, source, gk),
+cov AS (
+  SELECT g5.doc_id, g5.source,
+         count(DISTINCT ti) * 1000 // any_value(g5.n_tok) AS dup5
+  FROM g5 JOIN c5 ON g5.doc_id = c5.doc_id
+          AND g5.source = c5.source AND g5.gk = c5.gk,
+       unnest(generate_series(g5.pos, g5.pos + 4)) AS u(ti)
+  WHERE c5.c >= 2
+  GROUP BY g5.doc_id, g5.source)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(tp.top2, 0) AS BIGINT) AS top2_permille,
+       CAST(coalesce(cov.dup5, 0) AS BIGINT) AS dup5_permille
+FROM d LEFT JOIN tp ON d.doc_id = tp.doc_id AND d.source = tp.source
+       LEFT JOIN cov ON d.doc_id = cov.doc_id
+                    AND d.source = cov.source
+""")
+def ngram_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 n-gram repetition signals (operators/tokens.py
+    ngram_repetition): most-frequent-2-gram token share and exact
+    positional coverage of duplicated 5-grams, integer permilles.
+    The oracle replays per-doc gram counts, the top share, and the
+    overlap-once coverage union."""
+    from .operators.tokens import ngram_repetition
+    d = _tok_int_docs(spark, sf_dir)
+    return ngram_repetition(d, top_n=2, dup_n=5)

@@ -1797,3 +1797,37 @@ def test_decontaminate_spans_planted_overlap(spark):
     assert not out["t2"]["contaminated"]
     assert out["t3"]["n_hit_windows"] == 25 \
         and out["t3"]["first_hit_pos"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_repetition_hand_computed(spark):
+    """Hand-computed top-2-gram share and exact dup-5-gram coverage
+    (overlap counted once)."""
+    rows = [
+        # "1 2" occurs 3x (positions 0,2,4) -> top2 = 3*2*1000//8 = 750
+        # no 5-gram repeats -> dup5 = 0
+        ("d0", "s", [1, 2, 1, 2, 1, 2, 7, 8]),
+        # [1..5] at pos 0 and 5: coverage = 10 of 10 -> 1000
+        ("d1", "s", [1, 2, 3, 4, 5, 1, 2, 3, 4, 5]),
+        # overlapping dup 5-grams: [9]*7 -> all 5-grams identical
+        # (3 occurrences), coverage = all 7 tokens -> 1000; top2 =
+        # 6*2*1000//7 = 1714 (uncapped by design)
+        ("d2", "s", [9] * 7),
+        ("d3", "s", [1, 2, 3]),     # too short for 5-grams
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>") \
+        .withColumn("n_tok", F.size("tokens"))
+    out = {r["doc_id"]: (r["top2_permille"], r["dup5_permille"])
+           for r in TK.ngram_repetition(df).collect()}
+    assert out["d0"] == (750, 0)
+    assert out["d1"] == (2 * 2 * 1000 // 10, 1000)
+    assert out["d2"] == (6 * 2 * 1000 // 7, 1000)
+    assert out["d3"][1] == 0 and len(out) == 4
+    import pytest
+    with pytest.raises(ValueError):
+        TK.ngram_repetition(df, top_n=0)
