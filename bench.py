@@ -136,6 +136,7 @@ HEADLINE = [
     "decontaminate_spans",
     "shard_by_order",
     "ngram_repetition",
+    "unigram_lm_encode",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

@@ -6060,3 +6060,91 @@ def ngram_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.tokens import ngram_repetition
     d = _tok_int_docs(spark, sf_dir)
     return ngram_repetition(d, top_n=2, dup_n=5)
+
+
+# frozen unigram-LM vocab: train_unigram_lm over sf0.01 word counts
+# (vocab_size=48, max_piece_len=4) — deterministic trainer output,
+# pinned the way _BPE_MERGES pins the BPE table
+_ULM_VOCAB = [
+    ('a', 2193), ('t', 2424), ('e', 2546), ('g', 3110), ('r', 3119),
+    ('s', 3128), ('d', 3374), ('er', 3380), ('l', 3380), ('or', 3387),
+    ('i', 3396), ('u', 3396), ('p', 3400), ('v', 3786), ('n', 3793),
+    ('b', 3800), ('k', 3804), ('w', 3807), ('y', 3810), ('o', 3811),
+    ('join', 4416), ('hash', 4433), ('row', 4438), ('bat', 4444),
+    ('ch', 4444), ('scan', 4445), ('colu', 4447), ('cust', 4447),
+    ('mn', 4447), ('omer', 4447), ('filt', 4448), ('sma', 4454),
+    ('c', 4471), ('m', 4498), ('q', 4517), ('f', 4537), ('h', 4553),
+    ('j', 11287),
+]
+
+
+def _viterbi_oracle_sql(vocab, unk=14000, shift=64, max_word=16):
+    """DuckDB replay of the integer-cost Viterbi DP (functions/
+    unigram_lm.py viterbi_word) as an UNROLLED position chain: stage
+    ``b{j}`` holds each word's best combined objective for its first
+    ``j`` characters; transitions try every piece length ending at j
+    with the single-char UNK fallback. Words longer than ``max_word``
+    bypass as one overlong piece — same contract as the kernel."""
+    max_pl = max(len(p) for p, _ in vocab)
+    vals = ", ".join(f"('{p}', {c})" for p, c in vocab)
+    stages = ["b0 AS MATERIALIZED (SELECT doc_id, widx, CAST(0 AS BIGINT) AS best "
+              "FROM words)"]
+    for j in range(1, max_word + 1):
+        branches = []
+        for pl in range(1, min(max_pl, j) + 1):
+            fb = f"CASE WHEN {pl} = 1 THEN {unk} END"
+            branches.append(f"""
+      SELECT w.doc_id, w.widx,
+             p.best + coalesce(v.cost, {fb}) * {shift} + 1 AS cand
+      FROM words w
+      JOIN b{j - pl} p ON w.doc_id = p.doc_id AND w.widx = p.widx
+      LEFT JOIN vocab v ON v.piece = substring(w.w, {j - pl + 1}, {pl})
+      WHERE w.len >= {j}""")
+        stages.append(
+            f"b{j} AS MATERIALIZED (SELECT doc_id, widx, min(cand) AS best FROM "
+            f"({' UNION ALL '.join(branches)}) cands "
+            f"WHERE cand IS NOT NULL GROUP BY doc_id, widx)")
+    finals = " UNION ALL ".join(
+        f"SELECT w.doc_id, b.best AS combined FROM words w "
+        f"JOIN b{j} b ON w.doc_id = b.doc_id AND w.widx = b.widx "
+        f"WHERE w.len = {j}" for j in range(1, max_word + 1))
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+words AS MATERIALIZED (
+  SELECT doc_id, i AS widx, ws[i] AS w, length(ws[i]) AS len
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        FROM d) t
+  WHERE length(ws[i]) > 0),
+vocab(piece, cost) AS (VALUES {vals}),
+{', '.join(stages)},
+perword AS (
+  {finals}
+  UNION ALL
+  SELECT doc_id, CAST(len AS BIGINT) * {unk} * {shift} + 1 AS combined
+  FROM words WHERE len > {max_word})
+SELECT d.doc_id,
+       CAST(coalesce(sum(p.combined // {shift}), 0) AS BIGINT)
+         AS cost_millinats,
+       CAST(coalesce(sum(p.combined % {shift}), 0) AS BIGINT)
+         AS n_pieces
+FROM d LEFT JOIN perword p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@q("unigram_lm_encode", _viterbi_oracle_sql(_ULM_VOCAB))
+def unigram_lm_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenization (functions/
+    unigram_lm.py, Kudo 2018): integer-cost Viterbi segmentation per
+    word under the frozen _ULM_VOCAB (trained by the deterministic
+    hard-EM driver over the bounded word table — the BPE-trainer
+    posture), run as the cached-word mapInPandas kernel. The oracle
+    replays the DP exactly via an unrolled position chain — per-doc
+    total cost and piece counts are pure integers, value-hashed; the
+    piece SEQUENCES are pytest-pinned against hand-computed
+    segmentations (tests/test_unigram_lm.py)."""
+    from .functions.unigram_lm import unigram_encode_pandas
+    docs = t(spark, sf_dir, "documents")
+    out = unigram_encode_pandas(docs, _ULM_VOCAB)
+    return out.select("doc_id", "cost_millinats", "n_pieces")

@@ -1,0 +1,74 @@
+"""Unigram-LM tokenizer (functions/unigram_lm.py): hand-computed
+Viterbi segmentations, trainer determinism + segmentability, kernel
+vs reference parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from fluent_bit_spark.functions.unigram_lm import (
+    MAX_WORD_LEN, UNK_COST, train_unigram_lm, unigram_encode_pandas,
+    viterbi_word,
+)
+
+
+def test_viterbi_hand_computed():
+    costs = {"a": 100, "b": 100, "ab": 150, "abc": 400, "c": 100}
+    # "ab" (150,1) beats "a"+"b" (200,2)
+    assert viterbi_word("ab", costs) == (["ab"], 150, 1)
+    # "abc": piece (400,1) vs "ab"+"c" (250,2) -> cheaper cost wins
+    assert viterbi_word("abc", costs) == (["ab", "c"], 250, 2)
+    # equal cost, fewer pieces wins: make "abc"=200
+    costs2 = {"a": 100, "b": 100, "c": 100, "ab": 100, "abc": 200}
+    assert viterbi_word("abc", costs2) == (["abc"], 200, 1)
+    # unknown char falls back to UNK_COST
+    p, c, n = viterbi_word("ax", {"a": 100})
+    assert p == ["a", "x"] and c == 100 + UNK_COST and n == 2
+    # overlong word collapses to one piece
+    w = "z" * (MAX_WORD_LEN + 1)
+    assert viterbi_word(w, {"z": 1}) == ([w],
+                                         len(w) * UNK_COST, 1)
+    assert viterbi_word("", {"a": 1}) == ([], 0, 0)
+
+
+def test_trainer_deterministic_and_segments_everything():
+    freqs = {"hashing": 40, "hash": 30, "join": 25, "joining": 10,
+             "scan": 20, "scans": 8, "filter": 15}
+    v1 = train_unigram_lm(freqs, vocab_size=24, max_piece_len=4)
+    v2 = train_unigram_lm(freqs, vocab_size=24, max_piece_len=4)
+    assert v1 == v2 and len(v1) <= 24
+    costs = dict(v1)
+    chars = {ch for w in freqs for ch in w}
+    assert chars <= set(p for p in costs if len(p) == 1)
+    for w in freqs:
+        pieces, _, _ = viterbi_word(w, costs)
+        assert "".join(pieces) == w
+    # frequent substrings should surface as multi-char pieces
+    assert any(len(p) > 1 for p in costs)
+
+
+def test_encode_kernel_matches_reference(spark):
+    vocab = [("ab", 150), ("a", 100), ("b", 100), ("c", 100)]
+    df = spark.createDataFrame(
+        [("d0", "s", "ab c abc"), ("d1", "s", "zz a"),
+         ("d2", "s", "")],
+        "doc_id string, source string, text string")
+    out = {r["doc_id"]: (r["cost_millinats"], r["n_pieces"])
+           for r in unigram_encode_pandas(df, vocab).collect()}
+    costs = dict(vocab)
+
+    def ref(text):
+        tc = tn = 0
+        for w in text.split(" "):
+            if w:
+                _, c, n = viterbi_word(w, costs)
+                tc, tn = tc + c, tn + n
+        return tc, tn
+
+    assert out["d0"] == ref("ab c abc")
+    assert out["d1"] == ref("zz a")
+    assert out["d2"] == (0, 0)
+    # detok invariant: concatenating pieces reproduces each word
+    for w in ("ab", "abc", "zz"):
+        pieces, _, _ = viterbi_word(w, costs)
+        assert "".join(pieces) == w
