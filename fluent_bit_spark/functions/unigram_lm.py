@@ -156,7 +156,8 @@ def unigram_encode_pandas(df, vocab: list[tuple[str, int]],
         [df.schema[c] for c in id_cols]
         + [T.StructField("n_pieces", T.LongType()),
            T.StructField("cost_millinats", T.LongType()),
-           T.StructField("piece_md5", T.StringType())])
+           T.StructField("piece_md5", T.StringType()),
+           T.StructField("tokens", T.ArrayType(T.IntegerType()))])
     cache: dict = {}
 
     def seg(word: str):
@@ -184,9 +185,10 @@ def unigram_encode_pandas(df, vocab: list[tuple[str, int]],
                 rows.append([*(r[c] for c in id_cols), total_n,
                              total_c,
                              hashlib.md5(" ".join(map(str, pid))
-                                         .encode()).hexdigest()])
+                                         .encode()).hexdigest(),
+                             pid])
             yield pd.DataFrame(rows, columns=[*id_cols, "n_pieces",
                                               "cost_millinats",
-                                              "piece_md5"])
+                                              "piece_md5", "tokens"])
 
     return df.select(*id_cols, text_col).mapInPandas(run, schema)

@@ -107,7 +107,8 @@ _CAP_HOST_RE = re.compile(
 _TOKENIZE_RE = re.compile(
     r"^\s*TOKENIZE\s+(?P<src>STREAM:\w+|TAG:'[^']*')\s+"
     r"USING\s+(?P<merges>STREAM:\w+|TAG:'[^']*')"
-    r"(?:\s+COL\s+(?P<col>\w+))?\s*;?\s*$",
+    r"(?:\s+COL\s+(?P<col>\w+))?"
+    r"(?:\s+ALGO\s+(?P<algo>BPE|UNIGRAM))?\s*;?\s*$",
     re.IGNORECASE)
 _REDACT_RE = re.compile(
     r"^\s*REDACT\s+PII\s+(?P<src>STREAM:\w+|TAG:'[^']*')"
@@ -511,6 +512,18 @@ class StreamProcessor:
         vocab-bounded, so collecting it to ride the kernel's closure
         is the same bounded-collect posture as the IVF quantizer."""
         from ..functions.bpe import bpe_encode_arrow
+        if (m.group("algo") or "BPE").upper() == "UNIGRAM":
+            # TOKENIZE … ALGO UNIGRAM: the table stream carries
+            # (piece, cost, id) — functions/unigram_lm.py
+            from ..functions.unigram_lm import unigram_encode_pandas
+            vrows = (self._source_df(m.group("merges"))
+                     .orderBy("id").collect())
+            vocab = [(r["piece"], r["cost"]) for r in vrows]
+            if not vocab:
+                raise ValueError("TOKENIZE UNIGRAM: empty vocab table")
+            return unigram_encode_pandas(
+                self._source_df(m.group("src")), vocab,
+                text_col=m.group("col") or "text")
         mrows = (self._source_df(m.group("merges"))
                  .orderBy("rank").collect())
         merges = [(r["a"], r["b"]) for r in mrows]

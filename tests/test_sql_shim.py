@@ -722,3 +722,22 @@ def test_corrupt_spans_verb_matches_operator(sp, spark):
     w = {r["doc_id"]: (r["n_spans"], r["inputs"], r["targets"])
          for r in want.collect()}
     assert g == w and any(k for k, _, _ in g.values())
+
+
+def test_tokenize_unigram_verb(sp, spark):
+    from fluent_bit_spark.functions.unigram_lm import \
+        unigram_encode_pandas
+    docs = spark.createDataFrame(
+        [("d0", "s", "ab c ab"), ("d1", "s", "cab")],
+        "doc_id string, source string, text string")
+    vocab = spark.createDataFrame(
+        [("ab", 150, 0), ("a", 100, 1), ("b", 100, 2), ("c", 100, 3)],
+        "piece string, cost long, id int")
+    sp.register_stream("udocs", docs)
+    sp.register_stream("uvocab", vocab)
+    got = sp.sql("TOKENIZE STREAM:udocs USING STREAM:uvocab "
+                 "ALGO UNIGRAM;")
+    want = unigram_encode_pandas(
+        docs, [("ab", 150), ("a", 100), ("b", 100), ("c", 100)])
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))

@@ -72,3 +72,46 @@ def test_encode_kernel_matches_reference(spark):
     for w in ("ab", "abc", "zz"):
         pieces, _, _ = viterbi_word(w, costs)
         assert "".join(pieces) == w
+
+
+def test_run_bpe_unigram_train_encode_loop(spark, fixture_paths,
+                                           tmp_path, monkeypatch):
+    """jobs/run_bpe.py --algo unigram: train writes vocab/, encode
+    reads it and writes a north-star tokens table with piece totals
+    covering every word."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    import run_bpe
+
+    docs = spark.createDataFrame(
+        [("d%d" % i, "s", "hash join scan filter hash join")
+         for i in range(30)],
+        "doc_id string, source string, text string")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "ulm")
+    printed = []
+    monkeypatch.setattr("builtins.print", lambda s: printed.append(s))
+    monkeypatch.setattr(sys, "argv", [
+        "run_bpe.py", "--mode", "train", "--algo", "unigram",
+        "--input", inp, "--output", out, "--vocab-size", "24"])
+    assert run_bpe.main() == 0
+    rep = json.loads(printed[-1])
+    assert rep["algo"] == "unigram" and rep["pieces"] <= 24
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_bpe.py", "--mode", "encode", "--algo", "unigram",
+        "--input", inp, "--output", out, "--vocab", f"{out}/vocab"])
+    assert run_bpe.main() == 0
+    rep2 = json.loads(printed[-1])
+    assert rep2["docs_out"] == 30 and rep2["tokens_out"] > 0
+    toks = spark.read.parquet(f"{out}/tokens")
+    assert {"doc_id", "source", "tokens", "n_tok",
+            "n_pieces"} <= set(toks.columns)
+    r0 = toks.first()
+    assert r0["n_tok"] == r0["n_pieces"] == len(r0["tokens"])
