@@ -192,3 +192,34 @@ def unigram_encode_pandas(df, vocab: list[tuple[str, int]],
                                               "piece_md5", "tokens"])
 
     return df.select(*id_cols, text_col).mapInPandas(run, schema)
+
+
+def unigram_decode(df, vocab: list[tuple[str, int]],
+                   tokens_col: str = "tokens",
+                   out_col: str = "text_decoded"):
+    """Decode piece-id arrays back to text (ids = rank in the sorted
+    vocab, the :func:`unigram_encode_pandas` contract): pure-Catalyst
+    id→piece map lookup + within-word concatenation. Because the
+    encoder works word-by-word on space-split text, decoding joins
+    pieces with EMPTY string — word boundaries are the caller's
+    framing (the roundtrip invariant ``concat(pieces) == word`` per
+    word is pytest-pinned; whole-doc roundtrip holds when the encode
+    input had single spaces). Unknown ids (-1 UNK markers) decode to
+    the empty string and are counted in ``n_unk_pieces``.
+
+    MAP-ONLY: a create_map literal over the VOCAB (bounded — unlike
+    remap_vocab's corpus mapping, a tokenizer vocab is small by
+    construction, the same bound that lets the encode kernel cache
+    it)."""
+    from pyspark.sql import functions as F
+    m = F.create_map(*[x for i, (p, _) in enumerate(vocab)
+                       for x in (F.lit(i), F.lit(p))])
+    return (df.withColumn(
+                out_col,
+                F.concat_ws("", F.transform(
+                    F.col(tokens_col),
+                    lambda t: F.coalesce(m[t], F.lit("")))))
+            .withColumn("n_unk_pieces",
+                        F.size(F.filter(F.col(tokens_col),
+                                        lambda t: t < 0))
+                         .cast("long")))

@@ -115,3 +115,26 @@ def test_run_bpe_unigram_train_encode_loop(spark, fixture_paths,
             "n_pieces"} <= set(toks.columns)
     r0 = toks.first()
     assert r0["n_tok"] == r0["n_pieces"] == len(r0["tokens"])
+
+
+def test_encode_decode_roundtrip(spark):
+    """Whole-word roundtrip: decoding the piece ids of a
+    space-joined-word doc reproduces its text without spaces word for
+    word (encode is word-wise, decode concatenates)."""
+    from fluent_bit_spark.functions.unigram_lm import unigram_decode
+    vocab = [("ab", 150), ("a", 100), ("b", 100), ("c", 100)]
+    df = spark.createDataFrame(
+        [("d0", "s", "ab c abab"), ("d1", "s", "ccc")],
+        "doc_id string, source string, text string")
+    enc = unigram_encode_pandas(df, vocab)
+    dec = {r["doc_id"]: (r["text_decoded"], r["n_unk_pieces"])
+           for r in unigram_decode(enc, vocab).collect()}
+    assert dec["d0"] == ("abcabab", 0)
+    assert dec["d1"] == ("ccc", 0)
+    # UNK pieces decode empty and are counted
+    enc2 = unigram_encode_pandas(
+        spark.createDataFrame([("d2", "s", "axb")],
+                              "doc_id string, source string, "
+                              "text string"), vocab)
+    d2 = unigram_decode(enc2, vocab).first()
+    assert d2["n_unk_pieces"] == 1 and d2["text_decoded"] == "ab"
