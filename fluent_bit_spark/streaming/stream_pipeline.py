@@ -795,3 +795,52 @@ def start_objective_stream(spark: SparkSession, stream_df: DataFrame,
     if available_now:
         q = q.trigger(availableNow=True)
     return q.start()
+
+
+def start_hll_distinct_stream(spark: SparkSession, stream_df: DataFrame,
+                              key_col: str, output_dir: str,
+                              p: int = 10,
+                              group_cols: list[str] | None = None,
+                              checkpoint_dir: str | None = None,
+                              available_now: bool = True):
+    """Streaming face of the HyperLogLog distinct sketch: maintain a
+    register table under ``output_dir/regs`` by cell-wise MAX merge
+    per micro-batch (:func:`~fluent_bit_spark.operators.aggregate.
+    hll_merge` — the lossless HLL union), and land the current
+    estimate per batch under ``estimates/``.
+
+    State is the REGISTER TABLE ON DISK, not streaming state: the
+    query itself is stateless foreachBatch (the dedup-vs-corpus
+    maintained-table posture), bounded at groups × 2^p rows forever —
+    streaming distinct counting whose memory never grows with stream
+    age, and whose merge order cannot matter (MAX is commutative/
+    idempotent), so stream == batch EXACTLY (parity-tested)."""
+    from ..operators.aggregate import (hll_estimate, hll_merge,
+                                       hll_register_table)
+    groups = list(group_cols or [])
+    regs_dir = os.path.join(output_dir, "regs")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        new = hll_register_table(batch, key_col, p, groups)
+        if os.path.exists(regs_dir):
+            old = spark.read.parquet(regs_dir)
+            merged = hll_merge(old, new, groups)
+        else:
+            merged = new
+        # localCheckpoint pins the merged frame before the overwrite
+        # truncates its own input tree (the read-modify-write hazard)
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(regs_dir)
+        (hll_estimate(merged, p, groups)
+         .withColumn("batch_id", F.lit(batch_id).cast("long"))
+         .write.mode("append")
+         .parquet(os.path.join(output_dir, "estimates")))
+
+    q = (stream_df.writeStream
+         .foreachBatch(write_batch)
+         .option("checkpointLocation",
+                 checkpoint_dir
+                 or os.path.join(output_dir, "_hll_ckpt")))
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()

@@ -703,3 +703,44 @@ def test_start_objective_stream_matches_batch(spark, tmp_path):
     with pytest.raises(ValueError):
         start_objective_stream(spark, both, str(tmp_path / "x"),
                                objective="nope")
+
+
+def test_start_hll_distinct_stream_matches_batch(spark, tmp_path):
+    """Streaming HLL vs the whole-set sketch: the maintained register
+    table after all micro-batches equals hll_register_table over the
+    union EXACTLY (MAX merge is order-insensitive), and the final
+    estimate matches the batch estimate."""
+    from fluent_bit_spark.operators.aggregate import (
+        approx_distinct_hll, hll_register_table,
+    )
+    from fluent_bit_spark.streaming.stream_pipeline import (
+        start_hll_distinct_stream,
+    )
+    schema = "k string, g string"
+    rows0 = [("u%04d" % i, "g%d" % (i % 2)) for i in range(400)]
+    rows1 = [("u%04d" % i, "g%d" % (i % 2)) for i in range(200, 700)]
+    d = str(tmp_path / "landing_hll")
+    spark.createDataFrame(rows0, schema).coalesce(1) \
+        .write.parquet(f"{d}/f0.parquet")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(f"{d}/f1.parquet")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{d}/*"))
+    out = str(tmp_path / "hll_out")
+    q = start_hll_distinct_stream(spark, stream, "k", out, p=10,
+                                  group_cols=["g"])
+    q.awaitTermination(120)
+
+    got_regs = sorted(map(tuple, spark.read.parquet(f"{out}/regs")
+                          .collect()))
+    both = spark.createDataFrame(rows0 + rows1, schema)
+    want_regs = sorted(map(tuple, hll_register_table(
+        both, "k", 10, ["g"]).collect()))
+    assert got_regs == want_regs
+    ests = spark.read.parquet(f"{out}/estimates")
+    last = ests.agg(F.max("batch_id")).first()[0]
+    got_est = sorted(map(tuple, ests.filter(F.col("batch_id") == last)
+                         .select("g", "est_distinct").collect()))
+    want_est = sorted(map(tuple, approx_distinct_hll(
+        both, "k", 10, ["g"]).select("g", "est_distinct").collect()))
+    assert got_est == want_est
