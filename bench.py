@@ -137,6 +137,7 @@ HEADLINE = [
     "shard_by_order",
     "ngram_repetition",
     "unigram_lm_encode",
+    "corpus_drift",
 ]
 
 PIPELINE_RUNS = int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "5"))

@@ -2634,3 +2634,54 @@ def ngram_repetition(df: DataFrame, top_n: int = 2, dup_n: int = 5,
          .cast("long").alias(f"top{top_n}_permille"),
         F.coalesce(F.col(f"dup{dup_n}_permille"), F.lit(0))
          .cast("long").alias(f"dup{dup_n}_permille"))
+
+
+def corpus_drift(old: DataFrame, new: DataFrame, k: int = 20,
+                 tokens_col: str = "tokens") -> DataFrame:
+    """Distribution drift between two corpus snapshots — the
+    monitoring op a production ingest runs between crawls: token
+    unigram mass in integer PPM for each side (``count·10^6 DIV
+    total``), full-outer joined over the union vocabulary, with
+
+    - ``l1_drift_ppm``: Σ|ppm_old − ppm_new| over the union (0 =
+      identical distributions, 2·10^6 = disjoint) — the exact-integer
+      L1 analogue of the JSD drift score, engine-portable by
+      construction (no logs, no floats);
+    - the top ``k`` movers by |Δppm| (tie-broken on token id) with
+      both sides' masses — the "what changed" audit.
+
+    Output: ``k`` rows (token, ppm_old, ppm_new, delta_ppm,
+    l1_drift_ppm) — the scalar rides every row via a 1-row broadcast.
+
+    Scale shape: two vocab-bounded frequency aggs (map-side combined)
+    + a vocab-bounded full-outer join + one vocab-bounded top-k
+    window; the corpora are each read once, nothing corpus-sized
+    survives the first exchange.
+    """
+    if k < 1:
+        raise ValueError(f"corpus_drift: k must be >= 1, got {k}")
+
+    def mass(df: DataFrame, name: str) -> DataFrame:
+        f = (df.select(F.explode(tokens_col).alias("tok"))
+             .groupBy("tok").agg(F.count("*").alias("__c")))
+        t = f.agg(F.sum("__c").alias("__t"))
+        return (f.crossJoin(F.broadcast(t))
+                .select("tok",
+                        F.expr("__c * 1000000 DIV __t")
+                         .cast("long").alias(name)))
+
+    j = (mass(old, "ppm_old")
+         .join(mass(new, "ppm_new"), "tok", "full_outer")
+         .select("tok",
+                 F.coalesce("ppm_old", F.lit(0)).alias("ppm_old"),
+                 F.coalesce("ppm_new", F.lit(0)).alias("ppm_new")))
+    j = j.withColumn("delta_ppm",
+                     (F.col("ppm_new") - F.col("ppm_old"))
+                     .cast("long"))
+    total = j.agg(F.sum(F.abs("delta_ppm")).cast("long")
+                  .alias("l1_drift_ppm"))
+    w = Window.orderBy(F.abs(F.col("delta_ppm")).desc(),
+                       F.col("tok").asc())
+    return (j.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k).drop("__r")
+            .crossJoin(F.broadcast(total)))

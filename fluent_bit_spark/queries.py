@@ -6148,3 +6148,42 @@ def unigram_lm_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     out = unigram_encode_pandas(docs, _ULM_VOCAB)
     return out.select("doc_id", "cost_millinats", "n_pieces")
+
+
+@q("corpus_drift", f"""
+WITH d AS (SELECT doc_id, {_TOK_IDS_SQL} AS tokens FROM documents),
+fa AS (SELECT tok, count(*) AS c
+       FROM (SELECT unnest(tokens) AS tok FROM d WHERE doc_id % 2 = 0)
+       GROUP BY tok),
+fb AS (SELECT tok, count(*) AS c
+       FROM (SELECT unnest(tokens) AS tok FROM d WHERE doc_id % 2 = 1)
+       GROUP BY tok),
+ta AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM fa),
+tb AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM fb),
+ma AS (SELECT tok, c * 1000000 // t AS ppm FROM fa, ta),
+mb AS (SELECT tok, c * 1000000 // t AS ppm FROM fb, tb),
+j AS (SELECT coalesce(ma.tok, mb.tok) AS tok,
+             CAST(coalesce(ma.ppm, 0) AS BIGINT) AS ppm_old,
+             CAST(coalesce(mb.ppm, 0) AS BIGINT) AS ppm_new
+      FROM ma FULL OUTER JOIN mb ON ma.tok = mb.tok),
+jj AS (SELECT *, ppm_new - ppm_old AS delta_ppm FROM j),
+tot AS (SELECT CAST(sum(abs(delta_ppm)) AS BIGINT) AS l1_drift_ppm
+        FROM jj),
+rk AS (SELECT *, row_number() OVER (ORDER BY abs(delta_ppm) DESC,
+                                    tok ASC) AS r
+       FROM jj)
+SELECT tok, ppm_old, ppm_new, CAST(delta_ppm AS BIGINT) AS delta_ppm,
+       tot.l1_drift_ppm
+FROM rk, tot WHERE r <= 20
+""")
+def corpus_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitor (operators/tokens.py corpus_drift):
+    even- vs odd-doc_id halves of the corpus play two crawl
+    snapshots; exact-integer PPM unigram masses, the L1 drift scalar
+    and the top-20 movers. The oracle replays both frequency tables,
+    the DIV masses, the full-outer union, the scalar and the ranked
+    movers."""
+    from .operators.tokens import corpus_drift
+    d = _tok_int_docs(spark, sf_dir)
+    return corpus_drift(d.filter(F.col("doc_id") % 2 == 0),
+                        d.filter(F.col("doc_id") % 2 == 1), k=20)

@@ -1831,3 +1831,44 @@ def test_ngram_repetition_hand_computed(spark):
     import pytest
     with pytest.raises(ValueError):
         TK.ngram_repetition(df, top_n=0)
+
+
+# ---------------------------------------------------------------------------
+# corpus drift monitor
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_drift_identical_and_disjoint(spark):
+    """Identical snapshots drift 0; disjoint vocabularies drift the
+    full 2,000,000 ppm; a planted shift surfaces as the top mover."""
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>")
+    a = mk([("a%d" % i, [1, 2, 3, 4]) for i in range(10)])
+    same = TK.corpus_drift(a, a).first()
+    assert same["l1_drift_ppm"] == 0 and same["delta_ppm"] == 0
+    b = mk([("b%d" % i, [9, 8, 7, 6]) for i in range(10)])
+    assert TK.corpus_drift(a, b).first()["l1_drift_ppm"] == 2_000_000
+    # shift: token 1 doubles its mass in the new snapshot
+    c = mk([("c%d" % i, [1, 1, 2, 3]) for i in range(10)])
+    top = TK.corpus_drift(a, c, k=3).collect()
+    assert top[0]["tok"] == 1 and top[0]["delta_ppm"] == 250_000
+    assert all(r["l1_drift_ppm"] == top[0]["l1_drift_ppm"]
+               for r in top)
+    import pytest
+    with pytest.raises(ValueError):
+        TK.corpus_drift(a, b, k=0)
+
+
+def test_bucket_batches_oversize_routing(spark):
+    """Docs whose bucket exceeds the budget route aside with null
+    batch ids and never join a batch."""
+    rows = [("big", "s", 900), ("ok1", "s", 60), ("ok2", "s", 60)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, "
+                                     "n_tok int") \
+        .withColumn("tokens", F.expr("array_repeat(1, n_tok)"))
+    out = {r["doc_id"]: r for r in
+           TK.bucket_batches(df, max_tokens=256,
+                             bucket_rounding=64).collect()}
+    assert out["big"]["oversize"] and out["big"]["batch_idx"] is None
+    assert not out["ok1"]["oversize"] \
+        and out["ok1"]["batch_idx"] is not None
