@@ -131,8 +131,9 @@ _HEAVY_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE)
 _AUDIT_RE = re.compile(
-    r"^\s*AUDIT\s+(?P<kind>ZIPF|VOCAB|DISTINCT)\s+"
+    r"^\s*AUDIT\s+(?P<kind>ZIPF|VOCAB|DISTINCT|DRIFT)\s+"
     r"(?P<src>STREAM:\w+|TAG:'[^']*')"
+    r"(?:\s+VS\s+(?P<vs>STREAM:\w+|TAG:'[^']*'))?"
     r"(?:\s+KEY\s+(?P<key>\w+))?(?:\s+BY\s+(?P<by>\w+))?"
     r"(?:\s+TOKENS\s+(?P<col>\w+))?(?:\s+TOP\s+(?P<k>\d+))?"
     r"(?:\s+P\s+(?P<p>\d+))?\s*;?\s*$",
@@ -603,10 +604,21 @@ class StreamProcessor:
         (operators/tokens.py zipf_table / vocab_growth) — /
         AUDIT DISTINCT STREAM:src KEY col [BY grp] [P p] — HLL
         approximate distinct cardinality (operators/aggregate.py
-        approx_distinct_hll, 2^p-cell memory bound)."""
+        approx_distinct_hll, 2^p-cell memory bound) — /
+        AUDIT DRIFT STREAM:old VS STREAM:new [TOKENS col] [TOP k] —
+        snapshot distribution drift (operators/tokens.py
+        corpus_drift: integer-PPM L1 scalar + top-k movers)."""
         from ..operators.tokens import vocab_growth, zipf_table
         src = self._source_df(m.group("src"))
         kind = m.group("kind").upper()
+        if kind == "DRIFT":
+            from ..operators.tokens import corpus_drift
+            if not m.group("vs"):
+                raise ValueError("AUDIT DRIFT requires VS STREAM:new")
+            return corpus_drift(
+                src, self._source_df(m.group("vs")),
+                k=int(m.group("k") or 20),
+                tokens_col=m.group("col") or "tokens")
         if kind == "DISTINCT":
             from ..operators.aggregate import approx_distinct_hll
             if not m.group("key"):

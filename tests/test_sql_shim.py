@@ -741,3 +741,22 @@ def test_tokenize_unigram_verb(sp, spark):
         docs, [("ab", 150), ("a", 100), ("b", 100), ("c", 100)])
     assert sorted(map(tuple, got.collect())) \
         == sorted(map(tuple, want.collect()))
+
+
+def test_audit_drift_verb_matches_operator(sp, spark):
+    import pytest
+    from fluent_bit_spark.operators.tokens import corpus_drift
+    a = spark.createDataFrame([("a%d" % i, [1, 2, 3])
+                               for i in range(20)],
+                              "doc_id string, tokens array<int>")
+    b = spark.createDataFrame([("b%d" % i, [1, 2, 9])
+                               for i in range(20)],
+                              "doc_id string, tokens array<int>")
+    sp.register_stream("snap_a", a)
+    sp.register_stream("snap_b", b)
+    got = sp.sql("AUDIT DRIFT STREAM:snap_a VS STREAM:snap_b TOP 5;")
+    want = corpus_drift(a, b, k=5)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError):
+        sp.sql("AUDIT DRIFT STREAM:snap_a;")
